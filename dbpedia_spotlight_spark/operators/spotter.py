@@ -1,0 +1,413 @@
+"""Spotting — surface-form recognition (SURVEY.md §2.2, P3-P8).
+
+Two spotters behind one interface, both driven by a dictionary built on the
+driver from the `surface_forms` dim table and **broadcast** to executors
+(the north-star design: broadcast Aho-Corasick/FSA dictionary; no shuffle in
+the spotting stage — it is a pure scan + UDF map):
+
+  - FSASpotter (default, reference's default db spotter):
+      token-level FSA over stemmed tokens + uppercase-sequence candidate
+      spans + sub-span fallback + linear spot score + overlap resolution.
+      Reference: core/src/main/scala/org/dbpedia/spotlight/db/FSASpotter.scala:23-50
+      (walk), :73-144 (build, annot_prob>=0.1 threshold :108),
+      DBSpotter.scala:38-93 (extract + sub-span search :59-87),
+      :97-117 (score/threshold), :129-179 (overlap resolution),
+      :184-197 (features), CreateSpotlightModel.scala:230-233 (weights).
+
+  - AhoCorasickSpotter: string-level Aho-Corasick with leftmost-longest
+    word-boundary filtering.
+      Reference: core/.../spot/ahocorasick/AhoCorasickSpotter.scala:47-65,
+      filter :118-153.
+
+Both run inside `mapInPandas` (Arrow batches); per-document Python loops over
+token arrays are the reference's own sequential algorithms — there is no
+per-row Python at the DataFrame level. At 100 TB the spotting stage is
+embarrassingly parallel: cost = scan + CPU, zero shuffle; dictionary memory
+is bounded by the broadcast (use a DAWG/marisa trie in production for very
+large dictionaries).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from dbpedia_spotlight_spark.model.model_tables import DEFAULT_SPOT_WEIGHTS
+from dbpedia_spotlight_spark.model.schemas import SPOTS_SCHEMA
+from dbpedia_spotlight_spark.operators.tokenizer import (
+    DEFAULT_STOPWORDS,
+    stem,
+    tokenize_text,
+)
+
+_NUM_RE = re.compile(r"^[0-9]+$")
+# ref DBSpotter.scala:23-29 — ([A-Z][^ ,!?.:;]*[ ]?)+ over raw tokens
+_UPPER_START = re.compile(r"^[A-Z]")
+
+TYPE_ORDER = ("Capital_Sequences", "m")  # ref FSASpotter.scala:52
+
+
+# ---------------------------------------------------------------------------
+# Dictionary structures (driver-built, broadcast)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SpotterDictionary:
+    """Broadcast payload: sf stats map + stem-trie of dictionary paths.
+
+    sf_stats: surface_form -> (annotated_count, total_count)
+    trie: nested dict over stemmed tokens; "$" key marks accepting.
+    """
+
+    sf_stats: dict
+    trie: dict
+
+    @classmethod
+    def build(
+        cls,
+        surface_forms_rows,
+        min_annotation_probability: float = 0.1,
+    ) -> "SpotterDictionary":
+        """surface_forms_rows: iterable of (surface_form, annotated_count,
+        total_count). FSA paths only for sfs with annotationProbability >=
+        threshold (ref FSASpotter.scala:108)."""
+        sf_stats: dict = {}
+        trie: dict = {}
+        for sf, annotated, total in surface_forms_rows:
+            sf_stats[sf] = (int(annotated), int(total))
+            if annotation_probability(annotated, total) >= min_annotation_probability:
+                stems = [stem(m.group(0)) for m in re.finditer(r"\w+", sf)]
+                if not stems:
+                    continue
+                node = trie
+                for s in stems:
+                    node = node.setdefault(s, {})
+                node["$"] = True
+        return cls(sf_stats=sf_stats, trie=trie)
+
+
+def annotation_probability(annotated: int, total: int) -> float:
+    """ref SurfaceForm.scala:51-61 — annotated/total; 1.0 when total == -1."""
+    if total <= 0:
+        return 1.0
+    return min(1.0, annotated / total)
+
+
+def spot_features(sf: str, annotated: int, total: int) -> tuple:
+    """[annot_prob, is_abbrev, is_number, bias] (ref DBSpotter.scala:184-197)."""
+    is_abbrev = 1.0 if (sf.upper() == sf and len(sf) < 5 and not _NUM_RE.match(sf)) else 0.0
+    is_number = 1.0 if _NUM_RE.match(sf) else 0.0
+    return (annotation_probability(annotated, total), is_abbrev, is_number, 1.0)
+
+
+def spot_score(sf: str, sf_stats: dict, weights) -> float:
+    """ref DBSpotter.scala:97-117 — weighted dot, 0.0 for unknown sf."""
+    st = sf_stats.get(sf)
+    if st is None:
+        return 0.0
+    f = spot_features(sf, st[0], st[1])
+    if weights is None:
+        return f[0]
+    return sum(w * x for w, x in zip(weights, f))
+
+
+def surface_form_match(sf: str, sf_stats: dict, weights) -> bool:
+    """ref DBSpotter.scala:112-117 — >=0.5 weighted, else annot_prob>=0.25."""
+    s = spot_score(sf, sf_stats, weights)
+    return s >= 0.5 if weights is not None else s >= 0.25
+
+
+# ---------------------------------------------------------------------------
+# Per-sentence span generation (reference algorithms, pure Python per doc)
+# ---------------------------------------------------------------------------
+
+def _fsa_spans(stems: list, trie: dict) -> list:
+    """All (start, end_exclusive) token ranges whose stem path is accepting
+    (ref FSASpotter.scala:23-50)."""
+    spans = []
+    n = len(stems)
+    for i in range(n):
+        node = trie
+        j = i
+        while j < n:
+            node = node.get(stems[j])
+            if node is None:
+                break
+            j += 1
+            if "$" in node:
+                spans.append((i, j, "m"))
+        # rejecting state or end of sentence
+    return spans
+
+
+def _uppercase_spans(tokens: list) -> list:
+    """Maximal runs of tokens starting uppercase
+    (ref DBSpotter.scala:23-29 RegexNameFinder over token array)."""
+    spans = []
+    i, n = 0, len(tokens)
+    while i < n:
+        if _UPPER_START.match(tokens[i]):
+            j = i
+            while j < n and _UPPER_START.match(tokens[j]):
+                j += 1
+            spans.append((i, j, "Capital_Sequences"))
+            i = j
+        else:
+            i += 1
+    return spans
+
+
+def _extract_doc_spots(
+    text: str,
+    base_offset: int,
+    dictionary: SpotterDictionary,
+    weights,
+    stopwords: frozenset,
+) -> list:
+    """DBSpotter.extract for one text span: sentences -> candidate spans ->
+    sub-span search -> overlap resolution. Returns
+    [(offset, surface_form, spot_prob, spot_type, token_stems), ...]."""
+    toks = tokenize_text(text, stopwords)
+    # group into sentences
+    sentences: dict = {}
+    for sent_id, tok, st, off, _sw, _eos in toks:
+        sentences.setdefault(sent_id, []).append((tok, st, off))
+
+    spots = []
+    for sent in sentences.values():
+        tokens = [t[0] for t in sent]
+        stems_ = [t[1] for t in sent]
+        offs = [t[2] for t in sent]
+        spans = _uppercase_spans(tokens) + _fsa_spans(stems_, dictionary.trie)
+        # opennlp Span ordering: start asc, longer (end desc) first
+        spans.sort(key=lambda s: (s[0], -s[1]))
+        for first, end, span_type in spans:
+            last = end - 1
+            # sub-span search: drop left members, then right members
+            # (ref DBSpotter.scala:59-87)
+            seqs = [(s, last) for s in range(first, last + 1)]
+            seqs += [(first, e) for e in range(last, first - 1, -1)]
+            for s_tok, e_tok in seqs:
+                s_off = offs[s_tok]
+                e_off = offs[e_tok] + len(tokens[e_tok])
+                spot = text[s_off:e_off]
+                if surface_form_match(spot, dictionary.sf_stats, weights):
+                    spots.append(
+                        (
+                            base_offset + s_off,
+                            spot,
+                            spot_score(spot, dictionary.sf_stats, weights),
+                            span_type,
+                            # ref DBSpotter.scala:82 slice(startToken, lastToken)
+                            tuple(stems_[s_tok:last]),
+                        )
+                    )
+                    break
+    return drop_overlapping_spots(spots)
+
+
+def drop_overlapping_spots(spots: list) -> list:
+    """Sequential conflict resolution (exact semantics of
+    ref DBSpotter.scala:129-179). spots: (offset, sf, prob, type[, stems]).
+    Dedup key = (offset, sf) (SurfaceFormOccurrence identity)."""
+    seen: dict = {}
+    for s in spots:
+        seen.setdefault((s[0], s[1]), s)
+    sorted_spots = sorted(seen.values(), key=lambda s: (s[0], len(s[1])))
+    remove = set()
+    last = None  # (index, spot)
+    for i, spot in enumerate(sorted_spots):
+        if last is not None and _intersects(last[1], spot):
+            li, lspot = last
+            spot_better_type = TYPE_ORDER.index(spot[3]) < TYPE_ORDER.index(lspot[3])
+            spot_longer = len(spot[1]) > len(lspot[1])
+            if spot_longer and spot[2] > lspot[2] / 2.0:
+                remove.add(li)
+                last = (i, spot)
+            elif not spot_longer and not (spot[2] > lspot[2] * 2.0):
+                remove.add(i)
+            elif spot[2] == lspot[2] and spot_better_type:
+                remove.add(li)
+                last = (i, spot)
+            elif spot[2] == lspot[2] and not spot_better_type:
+                remove.add(i)
+            elif spot[2] > lspot[2]:
+                remove.add(li)
+                last = (i, spot)
+            else:
+                remove.add(i)
+        else:
+            last = (i, spot)
+    return [s for i, s in enumerate(sorted_spots) if i not in remove]
+
+
+def _intersects(a: tuple, b: tuple) -> bool:
+    """Span overlap (ref SurfaceFormOccurrence.scala:64-83)."""
+    a0, a1 = a[0], a[0] + len(a[1])
+    b0, b1 = b[0], b[0] + len(b[1])
+    return a0 < b1 and b0 < a1
+
+
+# ---------------------------------------------------------------------------
+# String-level Aho-Corasick (P8)
+# ---------------------------------------------------------------------------
+
+class AhoCorasick:
+    """Plain goto/fail/output automaton over characters; leftmost-longest
+    word-boundary matches (ref AhoCorasickSpotter.scala:47-65, :118-153)."""
+
+    def __init__(self, patterns):
+        self.goto: list = [{}]
+        self.fail: list = [0]
+        self.out: list = [[]]
+        for p in patterns:
+            self._insert(p)
+        self._build_failure()
+
+    def _insert(self, pattern: str) -> None:
+        node = 0
+        for ch in pattern:
+            nxt = self.goto[node].get(ch)
+            if nxt is None:
+                nxt = len(self.goto)
+                self.goto.append({})
+                self.fail.append(0)
+                self.out.append([])
+                self.goto[node][ch] = nxt
+            node = nxt
+        self.out[node].append(len(pattern))
+
+    def _build_failure(self) -> None:
+        from collections import deque
+
+        q = deque()
+        for nxt in self.goto[0].values():
+            q.append(nxt)
+        while q:
+            node = q.popleft()
+            for ch, nxt in self.goto[node].items():
+                q.append(nxt)
+                f = self.fail[node]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[nxt] = self.goto[f].get(ch, 0)
+                if self.fail[nxt] == nxt:
+                    self.fail[nxt] = 0
+                self.out[nxt] = self.out[nxt] + self.out[self.fail[nxt]]
+
+    def find_all(self, text: str):
+        """Yield (start, end) of every dictionary hit."""
+        node = 0
+        for i, ch in enumerate(text):
+            while node and ch not in self.goto[node]:
+                node = self.fail[node]
+            node = self.goto[node].get(ch, 0)
+            for plen in self.out[node]:
+                yield (i + 1 - plen, i + 1)
+
+
+_WORD_CHAR = re.compile(r"\w", re.UNICODE)
+
+
+def _word_bounded(text: str, s: int, e: int) -> bool:
+    if s > 0 and _WORD_CHAR.match(text[s - 1]) and _WORD_CHAR.match(text[s]):
+        return False
+    if e < len(text) and _WORD_CHAR.match(text[e - 1]) and _WORD_CHAR.match(text[e]):
+        return False
+    return True
+
+
+def leftmost_longest(matches: list) -> list:
+    """Keep leftmost-longest non-overlapping matches
+    (ref AhoCorasickSpotter.scala:118-153)."""
+    matches = sorted(matches, key=lambda m: (m[0], -(m[1] - m[0])))
+    kept, last_end = [], -1
+    for s, e in matches:
+        if s >= last_end:
+            kept.append((s, e))
+            last_end = e
+    return kept
+
+
+# ---------------------------------------------------------------------------
+# DataFrame operators
+# ---------------------------------------------------------------------------
+
+def _collect_dictionary(
+    surface_forms: DataFrame, min_annotation_probability: float = 0.1
+) -> SpotterDictionary:
+    rows = surface_forms.select(
+        "surface_form", "annotated_count", "total_count"
+    ).collect()
+    return SpotterDictionary.build(
+        ((r[0], r[1], r[2]) for r in rows),
+        min_annotation_probability=min_annotation_probability,
+    )
+
+
+def spot_documents(
+    documents: DataFrame,
+    surface_forms: DataFrame,
+    weights=DEFAULT_SPOT_WEIGHTS,
+    stopwords: frozenset = DEFAULT_STOPWORDS,
+    spotter: str = "fsa",
+    min_annotation_probability: float = 0.1,
+) -> DataFrame:
+    """documents(doc_id, spans) -> spots (SPOTS_SCHEMA). One mapInPandas pass;
+    dictionary broadcast; media spans skipped (order preserved via span_pos)."""
+    spark = documents.sparkSession
+    dictionary = _collect_dictionary(surface_forms, min_annotation_probability)
+    if spotter == "ahocorasick":
+        automaton = AhoCorasick(list(dictionary.sf_stats.keys()))
+    else:
+        automaton = None
+    bc = spark.sparkContext.broadcast((dictionary, automaton, weights, stopwords))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dic, ac, w, sw = bc.value
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "span_pos": [], "offset": [],
+                "surface_form": [], "spot_prob": [], "spot_type": [],
+                "token_stems": [],
+            }
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                for span_pos, sp in enumerate(spans):
+                    if sp["kind"] != "text" or sp["text"] is None:
+                        continue
+                    base = int(sp["offset"] or 0)
+                    text = sp["text"]
+                    if ac is not None:
+                        hits = [
+                            (s, e)
+                            for s, e in ac.find_all(text)
+                            if _word_bounded(text, s, e)
+                        ]
+                        found = [
+                            (
+                                base + s,
+                                text[s:e],
+                                spot_score(text[s:e], dic.sf_stats, w),
+                                "m",
+                                (),
+                            )
+                            for s, e in leftmost_longest(hits)
+                        ]
+                    else:
+                        found = _extract_doc_spots(text, base, dic, w, sw)
+                    for off, sf, prob, st, stems_ in found:
+                        rows["doc_id"].append(doc_id)
+                        rows["span_pos"].append(span_pos)
+                        rows["offset"].append(off)
+                        rows["surface_form"].append(sf)
+                        rows["spot_prob"].append(float(prob))
+                        rows["spot_type"].append(st)
+                        rows["token_stems"].append(list(stems_))
+            yield pd.DataFrame(rows)
+
+    return documents.select("doc_id", "spans").mapInPandas(run, SPOTS_SCHEMA)

@@ -1,0 +1,102 @@
+"""The flagship /annotate pipeline as one lazy DataFrame DAG.
+
+Reference lifecycle (SURVEY.md §3.1, rest/.../SpotlightInterface.java:124-172):
+    text -> tokenize -> spot -> candidates -> disambiguate -> filter -> output
+
+Spark DAG:
+    documents --mapInPandas--> spots          (broadcast dictionary, no shuffle)
+    documents --mapInPandas--> tokens         (no shuffle)
+    spots ⋈ surface_forms ⋈ candidates        (broadcast + two-stage skew join)
+    ⋈ context_counts ⋈ query vectors -> agg   (shuffle on res_id / doc_id)
+    window rank / softmax                     (shuffle on spot key)
+    filters                                   (no shuffle)
+
+The four reference IRs (spot list, candidate map, context scores, ranked
+occurrences) are the intermediate DataFrames returned by the helpers, each
+checkpointable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dbpedia_spotlight_spark.model.model_tables import SpotlightModel
+from dbpedia_spotlight_spark.operators.candidates import generate_candidates
+from dbpedia_spotlight_spark.operators.disambiguate import (
+    best_k,
+    disambiguate_best,
+    score_candidates,
+)
+from dbpedia_spotlight_spark.operators.filters import apply_default_filter_chain
+from dbpedia_spotlight_spark.operators.spotter import spot_documents
+from dbpedia_spotlight_spark.operators.tokenizer import (
+    DEFAULT_STOPWORDS,
+    tokenize_documents,
+)
+
+ANNOTATION_COLS = [
+    "doc_id",
+    "span_pos",
+    "offset",
+    "surface_form",
+    "uri",
+    "similarity_score",
+    "percentage_second_rank",
+    "contextual_score",
+    "types",
+    "res_id",
+    "support",
+]
+
+
+def annotate(
+    documents: DataFrame,
+    model: SpotlightModel,
+    use_context: bool = True,
+    apply_filters: bool = False,
+    confidence: float = 0.1,
+    support: int = 10,
+    spotter: str = "fsa",
+    heads: list | None = None,
+    k: int = 1,
+    stopwords: frozenset = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """documents(doc_id, spans) -> annotations (one row per linked mention).
+
+    With k=1 this is the reference `disambiguate` (best per spot, ordered by
+    offset); with k>1 the bestK ranked lists (rank column retained).
+    """
+    spots = spot_documents(
+        documents, model.surface_forms, stopwords=stopwords, spotter=spotter
+    )
+    spot_cands = generate_candidates(
+        spots, model.surface_forms, model.candidates, heads=heads
+    )
+    tokens = (
+        tokenize_documents(documents, stopwords=stopwords) if use_context else None
+    )
+    scored = score_candidates(spot_cands, tokens, model, use_context=use_context)
+    ranked = best_k(scored, k=max(k, 1))
+    out = ranked if k > 1 else disambiguate_best(ranked)
+    out = out.select(*[c for c in ANNOTATION_COLS if c in out.columns], "rank")
+    if apply_filters:
+        out = apply_default_filter_chain(out, confidence=confidence, support=support)
+    return out
+
+
+def verify_span_invariant(documents_in: DataFrame, documents_out: DataFrame) -> bool:
+    """Per-row invariant (BASELINE.json input_hint): span-sequence equality on
+    (kind, text, media_ref, order). Compares two documents tables."""
+    key = F.sha2(
+        F.to_json(
+            F.transform(
+                "spans",
+                lambda s: F.struct(s["kind"], s["text"], s["media_ref"]),
+            )
+        ),
+        256,
+    )
+    a = documents_in.select("doc_id", key.alias("h"))
+    b = documents_out.select("doc_id", key.alias("h"))
+    return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()

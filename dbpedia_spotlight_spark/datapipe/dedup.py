@@ -1,0 +1,239 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants avoid the O(n²) pairwise trap: candidate pairs only form inside
+hash buckets (exact), LSH bands (MinHash), or hamming chunks (SimHash), so
+the shuffles stay proportional to data size, not its square.
+
+  - exact_duplicates / dedup_exact: hash-groupBy on a normalized text hash.
+  - minhash_signatures + lsh_candidate_pairs + minhash_near_duplicates:
+    shingle -> minhash (vectorized pandas UDF, numpy universal hashing) ->
+    band -> bucket join -> verified Jaccard.
+  - simhash_buckets: 64-bit simhash over token hashes; near-dup candidates
+    share a 16-bit chunk (Hamming <= 3 over 4 chunks by pigeonhole).
+  - ngram_jaccard_pairs: exact n-gram Jaccard verification for a candidate
+    pair set (used as the verifier behind both LSH variants).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def stable_hash64(s: str) -> int:
+    """Deterministic 64-bit hash (Python's hash() is process-salted — it
+    would differ across executors)."""
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+
+
+def _norm_text_col(col):
+    return F.lower(F.regexp_replace(col, r"\s+", " "))
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of exact duplicates (normalized whitespace+case).
+    -> (text_hash, n_dups, doc_ids, keep_id)."""
+    h = F.sha2(_norm_text_col(F.col(text_col)), 256).alias("text_hash")
+    return (
+        df.select(F.col(id_col).alias("doc_id"), h)
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per normalized text."""
+    h = F.sha2(_norm_text_col(F.col(text_col)), 256)
+    w = F.row_number().over(Window.partitionBy(h).orderBy(F.col(id_col)))
+    return df.withColumn("_rn", w).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def shingles(text: str, k: int = 5) -> set:
+    toks = text.lower().split()
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """-> (doc_id, sig array<long>). Vectorized: per Arrow batch, numpy
+    universal hashing (a*x+b mod p) over shingle hashes."""
+    rng = np.random.RandomState(seed)
+    # odd multipliers + offsets, uint64 wraparound multiply-shift hashing
+    a = (rng.randint(1, 1 << 62, size=num_hashes).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.randint(0, 1 << 62, size=num_hashes).astype(np.uint64)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", df.schema[id_col].dataType),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                sh = shingles(text or "", shingle_k)
+                if not sh:
+                    ids.append(doc_id)
+                    sigs.append([0] * num_hashes)
+                    continue
+                x = np.fromiter(
+                    (stable_hash64(s) for s in sh), dtype=np.uint64, count=len(sh)
+                )
+                # (num_hashes, n_shingles) broadcasted multiply-shift, min
+                with np.errstate(over="ignore"):
+                    hv = a[:, None] * x[None, :] + b[:, None]
+                sigs.append(
+                    (hv.min(axis=1) >> np.uint64(1)).astype(np.int64).tolist()
+                )
+                ids.append(doc_id)
+            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
+    """Band the signatures, bucket-join within (band, band_hash).
+    -> (a, b) candidate pairs, a < b."""
+    n = len(signatures.select("sig").first()["sig"])
+    rows_per_band = n // bands
+    banded = signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.xxhash64(
+                    F.slice("sig", i * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle Jaccard.
+    -> (a, b, jaccard) for pairs >= threshold."""
+    sh_schema = T.ArrayType(T.StringType())
+    sh_udf = F.udf(lambda t: sorted(shingles(t or "", shingle_k)), sh_schema)
+    sets_df = df.select(
+        F.col(id_col).alias("doc_id"), sh_udf(F.col(text_col)).alias("sh")
+    )
+    joined = (
+        pairs.join(sets_df.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sh_a"), "a")
+        .join(sets_df.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "sh_b"), "b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        joined.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(0.0))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures -> bands -> candidate
+    pairs -> exact-Jaccard verification."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    pairs = lsh_candidate_pairs(sigs, bands)
+    return ngram_jaccard_pairs(df, pairs, text_col, id_col, shingle_k, threshold)
+
+
+def simhash_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_chunks: int = 4,
+) -> DataFrame:
+    """64-bit SimHash per doc + pigeonhole chunk keys for near-dup bucketing.
+    -> (doc_id, simhash, chunk, chunk_val) — docs within Hamming distance
+    < num_chunks share at least one chunk."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", df.schema[id_col].dataType),
+            T.StructField("simhash", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = (text or "").lower().split()
+                acc = np.zeros(64, dtype=np.int64)
+                shift = np.arange(64, dtype=np.uint64)
+                for t in toks:
+                    h = np.uint64(stable_hash64(t))
+                    bits = ((h >> shift) & np.uint64(1)).astype(np.int64)
+                    acc += 2 * bits - 1
+                sh = 0
+                for i in range(64):
+                    if acc[i] > 0:
+                        sh |= 1 << i
+                ids.append(doc_id)
+                hashes.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
+            yield pd.DataFrame({"doc_id": ids, "simhash": hashes})
+
+    sim = df.select(id_col, text_col).mapInPandas(run, schema)
+    bits_per_chunk = 64 // num_chunks
+    mask = (1 << bits_per_chunk) - 1
+    return sim.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_chunks - 1)),
+                lambda i: F.shiftright("simhash", i * bits_per_chunk).bitwiseAND(
+                    F.lit(mask)
+                ),
+            )
+        ).alias("chunk", "chunk_val"),
+    )

@@ -1,0 +1,118 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata. The Spark-side machinery (schemas, batching, partition
+strategy, UDF signatures) is real and tested; the actual codec step is
+STUBBED — this container ships no image/audio libraries — behind
+`decode_fn` hooks that raise NotImplementedError unless a deterministic fake
+is injected (tests use the fake).
+
+Pattern: mapInPandas over (media_ref, media_bytes, kind) with bounded Arrow
+batches; heavy blobs stay in binary columns end to end (never exploded into
+rows), and feature outputs are fixed-width arrays so downstream joins are
+columnar.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def default_decode(kind: str, payload: bytes):
+    """Real decoders (PIL/librosa/av) are not available in this container."""
+    raise NotImplementedError(
+        "media decode requires an image/audio library; inject decode_fn"
+    )
+
+
+def fake_decode(kind: str, payload: bytes):
+    """Deterministic stand-in decoder for tests: derives shape + an 8-dim
+    feature vector from the bytes themselves."""
+    h = np.frombuffer(
+        payload[:64].ljust(64, b"\0"), dtype=np.uint8
+    ).astype(np.float32)
+    width = int(h[:4].sum()) % 1024 + 1
+    height = int(h[4:8].sum()) % 1024 + 1
+    n_frames = 1 if kind == "image" else int(h[8]) + 1
+    feature = (h.reshape(8, 8).mean(axis=1) / 255.0).tolist()
+    return width, height, n_frames, feature
+
+
+def extract_media_features(
+    media: DataFrame,
+    decode_fn=default_decode,
+    ref_col: str = "media_ref",
+    bytes_col: str = "payload",
+    kind_col: str = "kind",
+) -> DataFrame:
+    """media(media_ref, kind, payload binary) -> MEDIA_FEATURES_SCHEMA rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in MEDIA_FEATURES_SCHEMA.fields}
+            for ref, kind, payload in zip(
+                pdf[ref_col], pdf[kind_col], pdf[bytes_col]
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                w, h, nf, feat = decode_fn(kind, payload)
+                out["media_ref"].append(ref)
+                out["kind"].append(kind)
+                out["n_bytes"].append(len(payload))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(nf)
+                out["feature"].append(feat)
+            yield pd.DataFrame(out)
+
+    return media.select(
+        F.col(ref_col), F.col(kind_col), F.col(bytes_col)
+    ).mapInPandas(run, MEDIA_FEATURES_SCHEMA)
+
+
+def media_spans(documents: DataFrame) -> DataFrame:
+    """Pull media spans out of the interleaved documents table (order key
+    kept for the span-sequence invariant)."""
+    return (
+        documents.select(
+            "doc_id", F.posexplode("spans").alias("span_pos", "span")
+        )
+        .filter(F.col("span.kind") != "text")
+        .select(
+            "doc_id",
+            "span_pos",
+            F.col("span.kind").alias("kind"),
+            F.col("span.media_ref").alias("media_ref"),
+            F.col("span.offset").alias("offset"),
+        )
+    )
+
+
+def frame_sample_plan(
+    features: DataFrame, every_n: int = 10, max_frames: int = 16
+) -> DataFrame:
+    """Deterministic frame-sampling plan for video rows: which frame indices
+    a downstream decoder should extract (plumbing only — the decode itself is
+    stubbed). Pure column math."""
+    idx = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("n_frames") - 1, F.lit(0)),
+        F.lit(every_n),
+    )
+    return features.withColumn("sample_frames", F.slice(idx, 1, max_frames))

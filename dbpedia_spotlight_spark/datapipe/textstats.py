@@ -1,0 +1,101 @@
+"""Text-analysis operators for training-data pipelines — all built-in column
+functions (JVM-side, whole-stage codegen); no UDFs.
+
+  - token_count / whitespace + BPE-ish regex token estimate
+  - quality_score: length / punctuation / stopword-ratio heuristics
+  - language_id: marker-word n-gram heuristic
+  - fingerprint: rolling 64-bit document fingerprint (xxhash of normalized
+    word sequence windows)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_EN_STOP = ["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"]
+
+# tiny marker lexicons for the language-ID heuristic
+_LANG_MARKERS = {
+    "en": ["the", "and", "with", "from", "this"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "fr": ["le", "la", "les", "et", "dans"],
+    "es": ["el", "los", "las", "que", "por"],
+    "zh": ["de", "shi", "zai", "bu", "le"],
+}
+
+
+def words_col(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words_col(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-flavored estimate: word-internal splits at letter/digit/punct
+    boundaries (regexp tokenizer, counts subword-ish pieces)."""
+    return F.size(
+        F.regexp_extract_all(
+            F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+        )
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[\p{Punct}]", "")
+    return (F.length(text) - F.length(stripped)) / F.greatest(
+        F.length(text), F.lit(1)
+    )
+
+
+def stopword_ratio(text: Column, stopwords: list = _EN_STOP) -> Column:
+    words = words_col(text)
+    hits = F.size(F.array_intersect(words, F.array(*[F.lit(s) for s in stopwords])))
+    # distinct-intersection ratio: cheap and monotone with true ratio
+    return hits / F.greatest(F.size(F.array_distinct(words)), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """[0,1] heuristic: long enough, not punctuation-heavy, has stopwords."""
+    n = token_count(text)
+    len_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text) * 5.0, F.lit(1.0))
+    return (len_term + punct_term + stop_term) / 3.0
+
+
+def language_id(text: Column) -> Column:
+    """argmax over marker-word hit counts; 'und' (undetermined) when no
+    marker hits."""
+    words = words_col(text)
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        hits = F.size(
+            F.filter(words, lambda w: w.isin(*markers))
+        )
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """64-bit document fingerprint over the normalized word sequence."""
+    return F.xxhash64(F.array_join(words_col(text), " "))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(t),
+            "n_bpe_tokens": bpe_ish_token_count(t),
+            "punct_ratio": punct_ratio(t),
+            "stopword_ratio": stopword_ratio(t),
+            "quality": quality_score(t),
+            "lang_pred": language_id(t),
+            "fingerprint": fingerprint(t),
+        }
+    )

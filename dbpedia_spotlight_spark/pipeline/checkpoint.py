@@ -1,0 +1,131 @@
+"""Resumable execution with per-partition lineage — north-rule requirement:
+"every stage writes per-partition lineage + checkpoint state so a killed job
+resumes without recomputing completed partitions."
+
+Design (SURVEY.md §4.3): documents are hash-bucketed on doc_id into B
+buckets; buckets are processed in waves (one Spark job per wave, W buckets
+each). Each completed wave appends a manifest record (bucket list, row
+counts, wall seconds, input fingerprint) to `<out>/_manifest/manifest.jsonl`
+and its output lands under `<out>/data/bucket=<k>/`. A rerun loads the
+manifest, verifies the input fingerprint, and skips completed buckets — the
+anti-join on completed doc_id ranges is a metadata-only filter on the bucket
+column, so resumed runs never rescan finished work.
+
+Wave size trades resumability granularity against per-job overhead: at 100 TB
+with 1000 executors you want waves big enough to saturate the cluster
+(hundreds of buckets) but small enough that a preemption loses minutes, not
+hours.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Manifest:
+    path: str
+
+    @property
+    def file(self) -> str:
+        return os.path.join(self.path, "manifest.jsonl")
+
+    def load(self) -> list[dict]:
+        if not os.path.exists(self.file):
+            return []
+        with open(self.file) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def completed_buckets(self, fingerprint: str | None = None) -> set:
+        done: set = set()
+        for rec in self.load():
+            if fingerprint is not None and rec.get("fingerprint") != fingerprint:
+                continue
+            done.update(rec["buckets"])
+        return done
+
+    def append(self, record: dict) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self.file + ".tmp"
+        with open(self.file, "a") as f:
+            f.write(json.dumps(record) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        if os.path.exists(tmp):
+            os.remove(tmp)
+
+
+def bucket_of(doc_id_col, num_buckets: int):
+    return F.pmod(F.xxhash64(doc_id_col), F.lit(num_buckets)).cast("int")
+
+
+def input_fingerprint(documents: DataFrame, num_buckets: int) -> str:
+    """Cheap stable fingerprint of the logical input: row count + bucket
+    layout. At production scale use the Iceberg snapshot id instead."""
+    n = documents.count()
+    return f"n={n};b={num_buckets}"
+
+
+def run_checkpointed(
+    documents: DataFrame,
+    pipeline_fn,
+    output_path: str,
+    num_buckets: int = 16,
+    wave_size: int = 4,
+    fail_after_waves: int | None = None,
+) -> dict:
+    """Run `pipeline_fn(documents_subset) -> DataFrame` bucket-wave by
+    bucket-wave, writing `<out>/data/bucket=<k>/` plus manifest lineage.
+
+    fail_after_waves: test hook — raise after N waves to simulate a kill.
+    Returns run metrics {waves_run, buckets_done, rows_written, resumed_from}.
+    """
+    spark: SparkSession = documents.sparkSession
+    manifest = Manifest(os.path.join(output_path, "_manifest"))
+    fp = input_fingerprint(documents, num_buckets)
+    done = manifest.completed_buckets(fp)
+
+    docs_b = documents.withColumn("_bucket", bucket_of(F.col("doc_id"), num_buckets))
+    all_buckets = list(range(num_buckets))
+    todo = [b for b in all_buckets if b not in done]
+    waves = [todo[i : i + wave_size] for i in range(0, len(todo), wave_size)]
+
+    rows_written = 0
+    for wi, wave in enumerate(waves):
+        if fail_after_waves is not None and wi >= fail_after_waves:
+            raise RuntimeError(f"simulated kill after {wi} waves")
+        t0 = time.time()
+        subset = docs_b.filter(F.col("_bucket").isin(wave))
+        result = pipeline_fn(subset.drop("_bucket"))
+        out = result.join(
+            docs_b.select("doc_id", "_bucket").distinct(), "doc_id", "left"
+        ).withColumn("bucket", F.coalesce(F.col("_bucket"), F.lit(-1))).drop("_bucket")
+        (
+            out.repartition("bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(os.path.join(output_path, "data"))
+        )
+        n = out.count()
+        rows_written += n
+        manifest.append(
+            {
+                "buckets": wave,
+                "rows": n,
+                "seconds": round(time.time() - t0, 3),
+                "fingerprint": fp,
+                "ts": time.time(),
+            }
+        )
+    return {
+        "waves_run": len(waves),
+        "buckets_done": len(done) + sum(len(w) for w in waves),
+        "rows_written": rows_written,
+        "resumed_from": sorted(done),
+    }

@@ -1,0 +1,92 @@
+"""Evaluation — SURVEY.md §3.3: spotter P/R, linking P/R, accuracy/MRR.
+
+Reference formulas:
+  - spotter P/R over exact (sf, offset) matches:
+      eval/.../evaluation/EvalSpotter.scala:113-133
+  - disambiguation accuracy / MRR / not-found:
+      eval/.../evaluation/EvaluateParagraphDisambiguator.scala:93-101,
+      rank semantics eval/.../model/DisambiguationResult.scala:12-34
+  - gold-side canonicalization before comparing:
+      index/.../filter/occurrences/RedirectResolveFilter.scala:27-48
+
+All metrics are three aggregates over a predicted ⟕ gold join — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dbpedia_spotlight_spark.operators.closure import redirect_closure, resolve_uris
+
+
+def resolve_gold(gold: DataFrame, redirects: DataFrame | None) -> DataFrame:
+    if redirects is None:
+        return gold
+    closure = redirect_closure(redirects)
+    return resolve_uris(gold, closure, "uri")
+
+
+def spotter_metrics(spots: DataFrame, gold: DataFrame) -> dict:
+    """Exact (doc_id, offset, surface_form) match (EvalSpotter.scala:122-133)."""
+    p = spots.select("doc_id", "offset", "surface_form").distinct()
+    g = gold.select("doc_id", "offset", "surface_form").distinct()
+    tp = p.join(g, ["doc_id", "offset", "surface_form"], "inner").count()
+    np_, ng = p.count(), g.count()
+    return {
+        "precision": tp / np_ if np_ else 0.0,
+        "recall": tp / ng if ng else 0.0,
+        "tp": tp,
+        "predicted": np_,
+        "gold": ng,
+    }
+
+
+def linking_metrics(
+    annotations: DataFrame, gold: DataFrame, redirects: DataFrame | None = None
+) -> dict:
+    """Triple-level P/R: exact (doc_id, offset, surface_form, uri) match after
+    canonicalizing gold URIs. This is the BASELINE.json P/R>=0.95 gate."""
+    g = resolve_gold(gold, redirects).select(
+        "doc_id", "offset", "surface_form", "uri"
+    ).distinct()
+    p = annotations.select("doc_id", "offset", "surface_form", "uri").distinct()
+    tp = p.join(g, ["doc_id", "offset", "surface_form", "uri"], "inner").count()
+    np_, ng = p.count(), g.count()
+    prec = tp / np_ if np_ else 0.0
+    rec = tp / ng if ng else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return {"precision": prec, "recall": rec, "f1": f1, "tp": tp,
+            "predicted": np_, "gold": ng}
+
+
+def disambiguation_metrics(
+    ranked: DataFrame, gold: DataFrame, redirects: DataFrame | None = None
+) -> dict:
+    """Accuracy / MRR / not-found over ranked candidate lists (k>1 output of
+    pipeline.annotate with k>1). rank==0 means gold uri absent from the list
+    (EvaluateParagraphDisambiguator.scala:93-101)."""
+    g = resolve_gold(gold, redirects).select("doc_id", "offset", "uri")
+    joined = g.join(
+        ranked.select("doc_id", "offset", "uri", "rank"),
+        ["doc_id", "offset", "uri"],
+        "left",
+    ).select("doc_id", "offset", F.coalesce(F.col("rank"), F.lit(0)).alias("rank"))
+    per_gold = joined.groupBy("doc_id", "offset").agg(F.min(
+        F.when(F.col("rank") > 0, F.col("rank"))
+    ).alias("rank"))
+    agg = per_gold.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("rank") == 1, 1).otherwise(0)).alias("correct"),
+        F.sum(F.when(F.col("rank").isNull(), 1).otherwise(0)).alias("not_found"),
+        F.sum(
+            F.when(F.col("rank").isNotNull(), 1.0 / F.col("rank")).otherwise(0.0)
+        ).alias("rr_sum"),
+    ).collect()[0]
+    n = agg["n"] or 1
+    return {
+        "accuracy": agg["correct"] / n,
+        "not_found_rate": agg["not_found"] / n,
+        "mrr": agg["rr_sum"] / n,
+        "n": agg["n"],
+    }

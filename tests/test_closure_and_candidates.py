@@ -1,0 +1,91 @@
+"""Redirect closure (chain + cycle) and candidate generation units."""
+
+from pyspark.sql import functions as F
+
+from dbpedia_spotlight_spark.operators.candidates import (
+    generate_candidates,
+    head_sf_ids,
+    prune_candidates,
+    resolve_surface_forms,
+)
+from dbpedia_spotlight_spark.operators.closure import redirect_closure, resolve_uris
+
+
+def test_redirect_closure_chain_and_cycle(spark):
+    redirects = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("X1", "X2"), ("X2", "X1"), ("D", "C")],
+        "src_uri string, dst_uri string",
+    )
+    cl = {r["src_uri"]: (r["final_uri"], r["in_cycle"])
+          for r in redirect_closure(redirects).collect()}
+    assert cl["A"][0] == "C" and not cl["A"][1]
+    assert cl["B"][0] == "C"
+    assert cl["D"][0] == "C"
+    # cycle members flagged, settle deterministically inside the cycle
+    assert cl["X1"][1] and cl["X2"][1]
+    assert cl["X1"][0] in {"X1", "X2"}
+
+
+def test_resolve_uris_drops_disambiguations(spark):
+    redirects = spark.createDataFrame([("A", "B")], "src_uri string, dst_uri string")
+    closure = redirect_closure(redirects)
+    df = spark.createDataFrame(
+        [("d1", "A"), ("d2", "B"), ("d3", "Dis")], "doc_id string, uri string"
+    )
+    dis = spark.createDataFrame([("Dis",)], "uri string")
+    out = resolve_uris(df, closure, "uri", dis).collect()
+    got = {r["doc_id"]: r["uri"] for r in out}
+    assert got == {"d1": "B", "d2": "B"}
+
+
+def test_normalized_sf_fallback(spark, world):
+    spots = spark.createDataFrame(
+        [
+            ("d1", 0, 0, "Apple", 0.9, "m", []),       # exact hit
+            ("d1", 0, 10, "The Big Apple", 0.9, "m", []),  # only via norm
+            ("d1", 0, 30, "zzz missing", 0.9, "m", []),    # no match at all
+        ],
+        "doc_id string, span_pos int, offset int, surface_form string, "
+        "spot_prob double, spot_type string, token_stems array<string>",
+    )
+    out = resolve_surface_forms(spots, world.model.surface_forms).collect()
+    by_sf = {r["surface_form"]: r for r in out}
+    assert by_sf["Apple"]["sf_id"] is not None
+    # "The Big Apple" -> norm "/big apple" -> best = "Big Apple" (80 > 20)
+    big = by_sf["The Big Apple"]
+    sf_dim = {r["sf_id"]: r for r in world.model.surface_forms.collect()}
+    assert sf_dim[big["sf_id"]]["surface_form"] == "Big Apple"
+    assert big["annotated_count"] == 80
+    assert "zzz missing" not in by_sf
+
+
+def test_candidate_pruning_max20(spark, world):
+    spots = spark.createDataFrame(
+        [("d1", 0, 0, "Apple", 0.9, "m", [])],
+        "doc_id string, span_pos int, offset int, surface_form string, "
+        "spot_prob double, spot_type string, token_stems array<string>",
+    )
+    cands = generate_candidates(
+        spots, world.model.surface_forms, world.model.candidates
+    )
+    rows = cands.collect()
+    assert len(rows) == 20  # 24 candidates pruned to MAX_CANDIDATES
+    # the two real candidates (largest priors) survive
+    res = {r["res_id"]: r for r in world.model.resources.collect()}
+    uris = {res[r["res_id"]]["uri"] for r in rows}
+    assert {"Apple_Inc", "Apple"} <= uris
+
+
+def test_two_stage_head_join_same_result(spark, world):
+    spots = spark.createDataFrame(
+        [("d1", 0, 0, "Apple", 0.9, "m", []), ("d1", 0, 20, "Berlin", 0.9, "m", [])],
+        "doc_id string, span_pos int, offset int, surface_form string, "
+        "spot_prob double, spot_type string, token_stems array<string>",
+    )
+    heads = head_sf_ids(world.model.candidates, top_n=2)
+    plain = generate_candidates(spots, world.model.surface_forms, world.model.candidates)
+    staged = generate_candidates(
+        spots, world.model.surface_forms, world.model.candidates, heads=heads
+    )
+    key = lambda r: (r["doc_id"], r["offset"], r["res_id"])
+    assert sorted(map(key, plain.collect())) == sorted(map(key, staged.collect()))

@@ -1,0 +1,99 @@
+"""Golden end-to-end: annotate the fixture corpus, check P/R >= 0.95 vs
+gold-by-construction, span-sequence invariant, filters, checkpoint/resume."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbpedia_spotlight_spark.operators.filters import (
+    apply_default_filter_chain,
+    support_filter,
+    type_filter,
+)
+from dbpedia_spotlight_spark.pipeline.annotate import annotate, verify_span_invariant
+from dbpedia_spotlight_spark.pipeline.checkpoint import run_checkpointed
+from dbpedia_spotlight_spark.pipeline.evaluate import (
+    linking_metrics,
+    spotter_metrics,
+)
+from dbpedia_spotlight_spark.pipeline.triples import annotation_triples
+
+
+@pytest.fixture(scope="module")
+def annotations(world):
+    df = annotate(world.documents, world.model, use_context=True)
+    df.cache().count()
+    return df
+
+
+def test_linking_pr_gate(world, annotations):
+    m = linking_metrics(annotations, world.gold, redirects=world.model.redirects)
+    assert m["precision"] >= 0.95, m
+    assert m["recall"] >= 0.95, m
+
+
+def test_spotter_pr(world, annotations):
+    m = spotter_metrics(annotations, world.gold)
+    assert m["precision"] >= 0.95 and m["recall"] >= 0.95, m
+
+
+def test_prior_only_mode_runs(world):
+    # contextStore == null path (ref DBTwoStepDisambiguator.scala:161-164)
+    df = annotate(world.documents.limit(5), world.model, use_context=False)
+    rows = df.collect()
+    assert len(rows) > 0
+    # prior-only: "Paris" resolves to the higher-prior city everywhere
+    paris = [r for r in rows if r["surface_form"] == "Paris"]
+    assert all(r["uri"] == "Paris" for r in paris)
+
+
+def test_span_invariant(world):
+    # the pipeline never mutates the documents table; invariant holds
+    assert verify_span_invariant(world.documents, world.documents)
+    broken = world.documents.withColumn("spans", F.slice("spans", 1, 1))
+    assert not verify_span_invariant(world.documents, broken)
+
+
+def test_filters(world, annotations):
+    filtered = apply_default_filter_chain(annotations, confidence=0.1, support=10)
+    n_all, n_f = annotations.count(), filtered.count()
+    assert 0 < n_f <= n_all
+    # support filter: all output resources have support > 10
+    assert filtered.filter(F.col("support") <= 10).count() == 0
+    # empty type list = pass-all (ref TypeFilter.scala:25-66)
+    typed = type_filter(annotations, types=None)
+    assert typed.count() == n_all
+
+
+def test_annotation_triples(annotations):
+    t = annotation_triples(annotations)
+    rows = t.collect()
+    preds = {r["pred"] for r in rows}
+    assert len(preds) == 3
+    ident = [r for r in rows if "taIdentRef" in r["pred"]]
+    assert all(r["subj"].count("#char=") == 1 for r in ident)
+    assert all(r["obj"].startswith("http://dbpedia.org/resource/") for r in ident)
+
+
+def test_checkpoint_resume(world, tmp_path):
+    out = str(tmp_path / "ckpt")
+    spark = world.documents.sparkSession
+
+    def fn(docs):
+        return annotate(docs, world.model, use_context=False)
+
+    # simulated kill after 1 wave
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        run_checkpointed(
+            world.documents, fn, out, num_buckets=4, wave_size=1, fail_after_waves=1
+        )
+    # resume: skips the completed bucket
+    stats = run_checkpointed(world.documents, fn, out, num_buckets=4, wave_size=1)
+    assert len(stats["resumed_from"]) == 1
+    assert stats["waves_run"] == 3
+
+    # output equals a direct full run
+    got = spark.read.parquet(out + "/data")
+    direct = fn(world.documents)
+    assert got.count() == direct.count()
+    key = ["doc_id", "span_pos", "offset", "uri"]
+    assert got.select(key).exceptAll(direct.select(key)).isEmpty()

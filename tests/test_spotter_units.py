@@ -1,0 +1,105 @@
+"""Unit tests: FSA walk, spot features/scoring, overlap resolution branch
+coverage (ref DBSpotter.scala:141-166), Aho-Corasick (SURVEY.md §5.1)."""
+
+from dbpedia_spotlight_spark.operators.spotter import (
+    AhoCorasick,
+    SpotterDictionary,
+    _fsa_spans,
+    _uppercase_spans,
+    annotation_probability,
+    drop_overlapping_spots,
+    leftmost_longest,
+    spot_features,
+    spot_score,
+    surface_form_match,
+)
+from dbpedia_spotlight_spark.operators.tokenizer import tokenize_text
+
+
+def _dict(entries):
+    return SpotterDictionary.build(entries)
+
+
+def test_annotation_probability():
+    # ref SurfaceForm.scala:51-61 — 1.0 when total == -1
+    assert annotation_probability(10, -1) == 1.0
+    assert annotation_probability(5, 10) == 0.5
+    assert annotation_probability(20, 10) == 1.0  # capped
+
+
+def test_fsa_build_threshold():
+    d = _dict([("high prob", 50, 100), ("low prob", 1, 100)])
+    # low prob (0.01 < 0.1) not inserted into the FSA
+    assert _fsa_spans(["high", "prob"], d.trie) == [(0, 2, "m")]
+    assert _fsa_spans(["low", "prob"], d.trie) == []
+
+
+def test_fsa_nested_accepts():
+    d = _dict([("new york", 10, 10), ("new york city", 10, 10), ("york", 10, 10)])
+    spans = _fsa_spans(["new", "york", "city"], d.trie)
+    assert set(spans) == {(0, 2, "m"), (0, 3, "m"), (1, 2, "m")}
+
+
+def test_uppercase_spans():
+    toks = ["The", "Big", "Apple", "is", "big", "Alpha"]
+    assert _uppercase_spans(toks) == [(0, 3, "Capital_Sequences"), (5, 6, "Capital_Sequences")]
+
+
+def test_spot_features_and_score():
+    # ref DBSpotter.scala:184-197 + weights CreateSpotlightModel.scala:230-233
+    w = (1.0, 0.2, -0.2, 0.1)
+    stats = {"IBM": (150, 600), "2024": (700, 1000), "Paris": (900, 1500)}
+    assert spot_features("IBM", 150, 600) == (0.25, 1.0, 0.0, 1.0)
+    assert spot_features("2024", 700, 1000) == (0.7, 0.0, 1.0, 1.0)
+    assert abs(spot_score("IBM", stats, w) - 0.55) < 1e-12
+    assert abs(spot_score("2024", stats, w) - 0.6) < 1e-12
+    assert spot_score("unknown", stats, w) == 0.0
+    assert surface_form_match("IBM", stats, w)
+    # unweighted path: annot_prob >= 0.25
+    assert surface_form_match("IBM", stats, None)
+    assert not surface_form_match("unknown", stats, w)
+
+
+def test_overlap_resolution_branches():
+    # longer wins when its prob > half of shorter's (DBSpotter.scala:146-148)
+    spots = [(0, "Big Apple", 0.9, "m", ()), (4, "Apple", 0.7, "m", ())]
+    kept = drop_overlapping_spots(spots)
+    assert [s[1] for s in kept] == ["Big Apple"]
+
+    # shorter kept when longer's prob too low
+    spots = [(0, "Big Apple", 0.1, "m", ()), (4, "Apple", 0.9, "m", ())]
+    kept = drop_overlapping_spots(spots)
+    assert [s[1] for s in kept] == ["Apple"]
+
+    # equal prob: better type (Capital_Sequences) wins
+    spots = [(0, "Apple", 0.5, "m", ()), (0, "Apple Pie", 0.5, "Capital_Sequences", ())]
+    kept = drop_overlapping_spots(spots)
+    assert [s[1] for s in kept] == ["Apple Pie"]
+
+    # non-overlapping spots all kept
+    spots = [(0, "Apple", 0.5, "m", ()), (10, "Paris", 0.5, "m", ())]
+    assert len(drop_overlapping_spots(spots)) == 2
+
+    # dedup on (offset, sf)
+    spots = [(0, "Apple", 0.5, "m", ()), (0, "Apple", 0.5, "m", ("a",))]
+    assert len(drop_overlapping_spots(spots)) == 1
+
+
+def test_ahocorasick_matches():
+    ac = AhoCorasick(["apple", "apple pie", "pie", "pi"])
+    text = "an apple pie recipe"
+    hits = sorted(ac.find_all(text))
+    strings = {text[s:e] for s, e in hits}
+    assert strings == {"apple", "apple pie", "pie", "pi"}
+    kept = leftmost_longest(hits)
+    assert [text[s:e] for s, e in kept] == ["apple pie"]
+
+
+def test_tokenize_offsets():
+    toks = tokenize_text("Apple is big. Paris too.", frozenset(["is"]))
+    # (sent_id, token, stem, offset, is_stopword, eos)
+    assert toks[0][:4] == (0, "Apple", "apple", 0)
+    assert toks[1][4] is True  # 'is' stopword
+    assert [t for t in toks if t[1] == "Paris"][0][0] == 1  # second sentence
+    eos = [t[1] for t in toks if t[5]]
+    assert eos == ["big", "too"]

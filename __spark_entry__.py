@@ -1,38 +1,660 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship KG-construction pipeline (interleave ->
+spot -> candidate join -> disambiguate -> NIF triples) on sf0.001.
+
+`queries()` exposes one entry per implemented operator family from
+SURVEY.md §2, each over the driver's parquet tables; `oracle_sql()` gives
+the DuckDB twin. The KG queries share a deterministic micro-world derived
+from the `documents` table: a literal surface-form dictionary over the
+corpus vocabulary, token-position spotting, and a position-hash candidate
+assignment — identical (by construction) in Spark and ANSI SQL, so every
+relational stage of the pipeline is oracle-checked end to end.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbpedia_spotlight_spark.datapipe.dedup import (
+    exact_duplicates,
+    minhash_near_duplicates,
+    simhash_buckets,
+)
+from dbpedia_spotlight_spark.datapipe.similarity import brute_force_topk, lsh_topk
+from dbpedia_spotlight_spark.datapipe.textstats import (
+    bpe_ish_token_count,
+    fingerprint,
+    language_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from dbpedia_spotlight_spark.operators.closure import redirect_closure
+from dbpedia_spotlight_spark.operators.modelbuild import (
+    build_model_from_occurrences,
+    cooccurrence_edges,
+    occurrences_count,
+    pair_counts,
+    sf_and_total_counts,
+    sorted_occurrences,
+    uri_counts,
+)
+from dbpedia_spotlight_spark.operators.tokenizer import (
+    flat_to_interleaved_media,
+    tokenize_documents,
+)
+from dbpedia_spotlight_spark.pipeline.annotate import annotate
+from dbpedia_spotlight_spark.pipeline.triples import annotation_triples
+
+# ---------------------------------------------------------------------------
+# Deterministic micro-world: surface-form dictionary over the corpus vocab.
+# (surface_form, uri, pair_count, cand_rank, n_cands, prior)
+# cand_rank orders candidates by pair_count desc, uri asc within each sf.
+# ---------------------------------------------------------------------------
+
+DICT = [
+    ("spark", "Apache_Spark", 60, 1, 2, 0.75),
+    ("spark", "Spark_(fire)", 20, 2, 2, 0.25),
+    ("table", "Table_(database)", 50, 1, 2, 0.625),
+    ("table", "Table_(furniture)", 30, 2, 2, 0.375),
+    ("join", "Join_(SQL)", 40, 1, 2, 0.8),
+    ("join", "Join_(topology)", 10, 2, 2, 0.2),
+    ("hash", "Hash_function", 45, 1, 2, 0.9),
+    ("hash", "Hash_(food)", 5, 2, 2, 0.1),
+    ("stream", "Stream_(computing)", 48, 1, 2, 0.8),
+    ("stream", "Stream_(river)", 12, 2, 2, 0.2),
+    ("window", "Window_(computing)", 30, 1, 2, 0.75),
+    ("window", "Window_(building)", 10, 2, 2, 0.25),
+    ("batch", "Batch_processing", 20, 1, 1, 1.0),
+    ("vector", "Vector_(mathematics)", 30, 1, 2, 0.75),
+    ("vector", "Vector_(biology)", 10, 2, 2, 0.25),
+    ("column", "Column_(database)", 36, 1, 2, 0.75),
+    ("column", "Column_(architecture)", 12, 2, 2, 0.25),
+    ("scan", "Image_scanner", 15, 1, 2, 0.75),
+    ("scan", "Scan_(medicine)", 5, 2, 2, 0.25),
+    ("query", "Query_language", 22, 1, 1, 1.0),
+]
+
+# redirect chains for the closure operator (M8): 2-hop, 3-hop, 1-hop
+REDIRECTS = [
+    ("Apache_Spark_Project", "Apache_Spark"),
+    ("Old_Spark", "Spark_Fire"),
+    ("Spark_Fire", "Spark_(fire)"),
+    ("A", "B"),
+    ("B", "C"),
+    ("C", "D"),
+    ("Lone", "Target"),
+]
+
+DOC_PREFIX = "http://example.org/doc/"
+_EN_STOP = ["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"]
+
+
+# ---------------------------------------------------------------------------
+# Spark-side shared derivations
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _dict_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        DICT,
+        "surface_form string, uri string, pair_count long, "
+        "cand_rank int, n_cands int, prior double",
+    )
+
+
+def _tok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, toks, pos, token) — 0-based token positions."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.split("text", " ").alias("toks"),
+    ).select("doc_id", "text", "toks", F.posexplode("toks").alias("pos", "token"))
+
+
+def _spots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary spotting = token ⋈ broadcast dict (P8 relational twin)."""
+    d = F.broadcast(_dict_df(spark).select("surface_form", "n_cands").distinct())
+    t = _tok(spark, sf_dir)
+    return t.join(d, t.token == d.surface_form).select(
+        "doc_id", "toks", "pos", "surface_form", "n_cands"
+    )
+
+
+def _occs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wikilink-style gold anchors: spots at pos%3!=0, candidate picked by
+    position hash (deterministic, SQL-expressible)."""
+    s = _spots(spark, sf_dir).withColumn(
+        "pick", F.lit(1) + F.col("pos") % F.col("n_cands")
+    )
+    d = F.broadcast(_dict_df(spark))
+    return (
+        s.filter(F.col("pos") % 3 != 0)
+        .join(d, ["surface_form"])
+        .filter(F.col("cand_rank") == F.col("pick"))
+        .select("doc_id", "toks", "pos", "surface_form", "uri", "pair_count", "prior")
+    )
+
+
+def _char_offset():
+    """Char offset of token at `pos` in a single-space-joined `toks` array."""
+    return F.when(F.col("pos") == 0, F.lit(0)).otherwise(
+        F.length(F.concat_ws(" ", F.slice("toks", F.lit(1), F.col("pos")))) + 1
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL-side shared derivations (DuckDB); tables are pre-registered views.
+# ---------------------------------------------------------------------------
+
+def _dict_values() -> str:
+    return ",\n    ".join(
+        f"('{sf}', '{uri}', {pc}, {cr}, {nc}, {pr})"
+        for sf, uri, pc, cr, nc, pr in DICT
+    )
+
+
+def _redirect_values() -> str:
+    return ", ".join(f"('{a}', '{b}')" for a, b in REDIRECTS)
+
+
+_BASE_CTES = f"""
+WITH dict(surface_form, uri, pair_count, cand_rank, n_cands, prior) AS (
+  VALUES {_dict_values()}
+),
+tk AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+),
+tok AS (
+  SELECT doc_id, text, toks,
+         generate_subscripts(toks, 1) - 1 AS pos,
+         unnest(toks) AS token
+  FROM tk
+),
+spots AS (
+  SELECT t.doc_id, t.toks, t.pos, t.token AS surface_form, d.n_cands
+  FROM tok t
+  JOIN (SELECT DISTINCT surface_form, n_cands FROM dict) d
+    ON t.token = d.surface_form
+),
+occs AS (
+  SELECT s.doc_id, s.toks, s.pos, s.surface_form, d.uri, d.pair_count, d.prior
+  FROM (SELECT *, 1 + pos % n_cands AS pick FROM spots) s
+  JOIN dict d
+    ON s.surface_form = d.surface_form AND d.cand_rank = s.pick
+  WHERE s.pos % 3 <> 0
+)
+"""
+
+_SQL_OFFSET = (
+    "CASE WHEN pos = 0 THEN 0 "
+    "ELSE length(array_to_string(list_slice(toks, 1, pos), ' ')) + 1 END"
+)
+
+
+# ---------------------------------------------------------------------------
+# queries()
+# ---------------------------------------------------------------------------
+
+def q_spot_dictionary(spark, sf_dir):
+    return _spots(spark, sf_dir).select("doc_id", "pos", "surface_form")
+
+
+def q_prior_top1(spark, sf_dir):
+    """D15/DBBaselineDisambiguator: best candidate by prior per spot."""
+    s = _spots(spark, sf_dir)
+    d = F.broadcast(_dict_df(spark))
+    w = Window.partitionBy("doc_id", "pos").orderBy(
+        F.desc("pair_count"), F.asc("uri")
+    )
+    return (
+        s.join(d, ["surface_form"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "pos", "surface_form", "uri")
+    )
+
+
+def q_nif_triples(spark, sf_dir):
+    """S12/NIF output: (subj, pred, obj) mention triples via the library's
+    annotation_triples on prior-disambiguated spots."""
+    ann = _occs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        _char_offset().alias("offset"),
+        "surface_form",
+        "uri",
+        F.col("prior").alias("similarity_score"),
+    )
+    return annotation_triples(ann, doc_prefix=DOC_PREFIX)
+
+
+def q_m1_uri_counts(spark, sf_dir):
+    return uri_counts(_occs(spark, sf_dir))
+
+
+def q_m2_sf_total_counts(spark, sf_dir):
+    occ = _occs(spark, sf_dir)
+    spotted = _spots(spark, sf_dir)
+    return sf_and_total_counts(occ, spotted)
+
+
+def q_m3_pair_counts(spark, sf_dir):
+    return pair_counts(_occs(spark, sf_dir))
+
+
+def q_m5_occurrences_count(spark, sf_dir):
+    out = occurrences_count(_occs(spark, sf_dir))
+    return out.select(
+        "uri",
+        "occ_count",
+        F.array_join(F.col("doc_ids").cast("array<string>"), ",").alias("doc_ids"),
+    )
+
+
+def q_m6_cooccurrence(spark, sf_dir):
+    return cooccurrence_edges(_occs(spark, sf_dir), min_count=3).withColumnRenamed(
+        "count", "n_cooc"
+    )
+
+
+def q_m7_sorted_occurrences(spark, sf_dir):
+    out = sorted_occurrences(_occs(spark, sf_dir))
+    return out.select("uri", F.array_join("surface_forms", ",").alias("sfs"))
+
+
+def q_m8_redirect_closure(spark, sf_dir):
+    r = spark.createDataFrame(REDIRECTS, "src_uri string, dst_uri string")
+    return redirect_closure(r).select("src_uri", "final_uri")
+
+
+def q_s13_lexicalizations(spark, sf_dir):
+    """S13 score math (numeric twin of the NT output; min pair count 5)."""
+    pairs = pair_counts(_occs(spark, sf_dir))
+    uri_c = pairs.groupBy("uri").agg(F.sum("pair_count").alias("uri_count"))
+    sf_c = pairs.groupBy("surface_form").agg(F.sum("pair_count").alias("sf_count"))
+    total = pairs.agg(F.sum("pair_count").alias("total"))
+    p = (
+        pairs.filter(F.col("pair_count") >= 5)
+        .join(uri_c, "uri")
+        .join(sf_c, "surface_form")
+        .crossJoin(F.broadcast(total))
+    )
+    pc, uc, sc, tt = (F.col(c) for c in ["pair_count", "uri_count", "sf_count", "total"])
+    return p.select(
+        "uri",
+        "surface_form",
+        F.round(pc / uc, 6).alias("sf_given_uri"),
+        F.round(F.log((pc / tt) / ((uc / tt) * (sc / tt))), 6).alias("pmi"),
+        F.round((pc / uc) * (uc / tt) / (sc / tt), 6).alias("uri_given_sf"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    out = exact_duplicates(_docs(spark, sf_dir))
+    return out.select(
+        "text_hash",
+        "n_dups",
+        "keep_id",
+        F.array_join(F.col("doc_ids").cast("array<string>"), ",").alias("doc_ids"),
+    )
+
+
+def q_dedup_prefix(spark, sf_dir):
+    """Same exact-dedup operator keyed on a 40-char prefix (URL/boilerplate
+    dedup flavor) — non-empty at every SF."""
+    docs = _docs(spark, sf_dir).withColumn("prefix", F.substring("text", 1, 40))
+    out = exact_duplicates(docs, text_col="prefix")
+    return out.select(
+        "text_hash",
+        "n_dups",
+        "keep_id",
+        F.array_join(F.col("doc_ids").cast("array<string>"), ",").alias("doc_ids"),
+    )
+
+
+def q_text_stats(spark, sf_dir):
+    t = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(quality_score(t), 6).alias("quality"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", "lang", language_id(F.col("text")).alias("lang_pred")
+    )
+
+
+def q_knn_cosine(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    out = brute_force_topk(emb, q, k=10)
+    return out.select(
+        "query_id", "cand_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+def q_interleave_roundtrip(spark, sf_dir):
+    """Interleaved-span synthesis + reassembly (span-sequence invariant)."""
+    docs = _docs(spark, sf_dir)
+    iv = flat_to_interleaved_media(docs)
+    texts = F.filter("spans", lambda s: s["kind"] == "text")
+    return (
+        iv.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.size("spans").alias("n_spans"),
+            F.concat_ws(",", F.transform("spans", lambda s: s["kind"])).alias("kinds"),
+            F.col("spans")[0]["text"].alias("first_text"),
+            F.element_at(
+                F.filter("spans", lambda s: s["kind"] == "media"), 1
+            )["media_ref"].alias("media_ref"),
+            F.concat_ws(" ", F.transform(texts, lambda s: s["text"])).alias("_re"),
+        )
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id", "n_spans", "kinds", "first_text", "media_ref",
+            (F.col("_re") == F.col("text")).alias("ok"),
+        )
+    )
+
+
+# ---- rows-only entries (non-SQL-expressible: UDF spotting, LSH, pipeline) --
+
+def q_minhash_near_dups(spark, sf_dir):
+    return minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.8).select(
+        "a", "b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def q_simhash_buckets(spark, sf_dir):
+    return simhash_buckets(_docs(spark, sf_dir))
+
+
+def q_lsh_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(emb, q, dim=64, k=10, num_planes=6, num_tables=4)
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+
+
+def q_annotate_e2e(spark, sf_dir):
+    """Full north-star DAG: interleave -> model build -> FSA spot -> candidate
+    join -> generative disambiguation -> annotations."""
+    docs = _docs(spark, sf_dir)
+    iv = flat_to_interleaved_media(docs)
+    occ = _occs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "surface_form", "uri"
+    )
+    tokens = tokenize_documents(iv)
+    model = build_model_from_occurrences(iv, occ, tokens)
+    return annotate(iv, model, use_context=True)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: KG construction over interleaved docs at sf0.001 -> NIF
+    (subj, pred, obj) mention triples."""
+    sf_dir = "/root/testdata/sf0.001"
+    ann = q_annotate_e2e(spark, sf_dir)
+    return annotation_triples(ann, doc_prefix=DOC_PREFIX)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "spot_dictionary": q_spot_dictionary,
+        "prior_top1": q_prior_top1,
+        "nif_triples": q_nif_triples,
+        "m1_uri_counts": q_m1_uri_counts,
+        "m2_sf_total_counts": q_m2_sf_total_counts,
+        "m3_pair_counts": q_m3_pair_counts,
+        "m5_occurrences_count": q_m5_occurrences_count,
+        "m6_cooccurrence": q_m6_cooccurrence,
+        "m7_sorted_occurrences": q_m7_sorted_occurrences,
+        "m8_redirect_closure": q_m8_redirect_closure,
+        "s13_lexicalizations": q_s13_lexicalizations,
+        "dedup_exact": q_dedup_exact,
+        "dedup_prefix": q_dedup_prefix,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "knn_cosine": q_knn_cosine,
+        "interleave_roundtrip": q_interleave_roundtrip,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_buckets": q_simhash_buckets,
+        "lsh_topk": q_lsh_topk,
+        "doc_fingerprint": q_doc_fingerprint,
+        "annotate_e2e": q_annotate_e2e,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+
+    sql["spot_dictionary"] = _BASE_CTES + "SELECT doc_id, pos, surface_form FROM spots"
+
+    sql["prior_top1"] = _BASE_CTES + """
+SELECT s.doc_id, s.pos, s.surface_form, d.uri
+FROM spots s JOIN dict d ON s.surface_form = d.surface_form
+QUALIFY row_number() OVER (
+  PARTITION BY s.doc_id, s.pos ORDER BY d.pair_count DESC, d.uri ASC) = 1
+"""
+
+    sql["nif_triples"] = _BASE_CTES + f""",
+ann AS (
+  SELECT doc_id::VARCHAR AS doc_id,
+         {_SQL_OFFSET} AS off,
+         surface_form, uri, prior::DOUBLE AS prior
+  FROM occs
+),
+spans_u AS (
+  SELECT '{DOC_PREFIX}' || doc_id || '#char=' || off || ',' ||
+         (off + length(surface_form)) AS subj, *
+  FROM ann
+)
+SELECT subj, 'http://www.w3.org/2005/11/its/rdf#taIdentRef' AS pred,
+       'http://dbpedia.org/resource/' || uri AS obj FROM spans_u
+UNION ALL
+SELECT subj,
+ 'http://persistence.uni-leipzig.org/nlp2rdf/ontologies/nif-core#anchorOf',
+ surface_form FROM spans_u
+UNION ALL
+SELECT subj, 'http://www.w3.org/2005/11/its/rdf#taConfidence',
+       prior::VARCHAR FROM spans_u
+"""
+
+    sql["m1_uri_counts"] = _BASE_CTES + (
+        "SELECT uri, count(*) AS support FROM occs GROUP BY uri"
+    )
+
+    sql["m2_sf_total_counts"] = _BASE_CTES + """
+SELECT a.surface_form, a.annotated_count,
+       coalesce(t.total_count, -1) AS total_count
+FROM (SELECT surface_form, count(*) AS annotated_count FROM occs
+      GROUP BY surface_form) a
+LEFT JOIN (SELECT surface_form, count(*) AS total_count FROM spots
+           GROUP BY surface_form) t USING (surface_form)
+"""
+
+    sql["m3_pair_counts"] = _BASE_CTES + (
+        "SELECT surface_form, uri, count(*) AS pair_count "
+        "FROM occs GROUP BY surface_form, uri"
+    )
+
+    sql["m5_occurrences_count"] = _BASE_CTES + """
+SELECT uri, count(*) AS occ_count,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
+FROM occs GROUP BY uri
+"""
+
+    sql["m6_cooccurrence"] = _BASE_CTES + """,
+du AS (SELECT DISTINCT doc_id, uri FROM occs)
+SELECT a.uri AS src_uri, b.uri AS dst_uri, count(*) AS n_cooc
+FROM du a JOIN du b ON a.doc_id = b.doc_id AND a.uri < b.uri
+GROUP BY a.uri, b.uri HAVING count(*) >= 3
+"""
+
+    sql["m7_sorted_occurrences"] = _BASE_CTES + """
+SELECT uri, string_agg(surface_form, ',' ORDER BY surface_form) AS sfs
+FROM occs GROUP BY uri
+"""
+
+    sql["m8_redirect_closure"] = f"""
+WITH RECURSIVE redir(src_uri, dst_uri) AS (VALUES {_redirect_values()}),
+walk(src_uri, final_uri) AS (
+  SELECT src_uri, dst_uri FROM redir
+  UNION ALL
+  SELECT w.src_uri, e.dst_uri FROM walk w
+  JOIN redir e ON w.final_uri = e.src_uri
+)
+SELECT src_uri, final_uri FROM walk
+WHERE final_uri NOT IN (SELECT src_uri FROM redir)
+"""
+
+    sql["s13_lexicalizations"] = _BASE_CTES + """,
+pairs AS (SELECT surface_form, uri, count(*) AS pair_count
+          FROM occs GROUP BY surface_form, uri),
+uc AS (SELECT uri, sum(pair_count) AS uri_count FROM pairs GROUP BY uri),
+sc AS (SELECT surface_form, sum(pair_count) AS sf_count
+       FROM pairs GROUP BY surface_form),
+tt AS (SELECT sum(pair_count) AS total FROM pairs)
+SELECT p.uri, p.surface_form,
+  round(p.pair_count / u.uri_count, 6) AS sf_given_uri,
+  round(ln((p.pair_count / t.total) /
+        ((u.uri_count / t.total) * (s.sf_count / t.total))), 6) AS pmi,
+  round((p.pair_count / u.uri_count) * (u.uri_count / t.total)
+        / (s.sf_count / t.total), 6) AS uri_given_sf
+FROM pairs p
+JOIN uc u USING (uri) JOIN sc s USING (surface_form) CROSS JOIN tt t
+WHERE p.pair_count >= 5
+"""
+
+    sql["dedup_exact"] = r"""
+WITH h AS (
+  SELECT doc_id,
+         sha256(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS text_hash
+  FROM documents
+)
+SELECT text_hash, count(*) AS n_dups, min(doc_id) AS keep_id,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
+FROM h GROUP BY text_hash HAVING count(*) > 1
+"""
+
+    sql["dedup_prefix"] = r"""
+WITH h AS (
+  SELECT doc_id,
+         sha256(lower(regexp_replace(substr(text, 1, 40), '\s+', ' ', 'g')))
+           AS text_hash
+  FROM documents
+)
+SELECT text_hash, count(*) AS n_dups, min(doc_id) AS keep_id,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
+FROM h GROUP BY text_hash HAVING count(*) > 1
+"""
+
+    stop_list = ", ".join(f"'{s}'" for s in _EN_STOP)
+    sql["text_stats"] = rf"""
+WITH w AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS words
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    len(words) AS n_tokens,
+    len(regexp_extract_all(lower(text),
+        '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+      / greatest(length(text), 1) AS praw,
+    len(list_intersect(words, [{stop_list}]))
+      / greatest(len(list_distinct(words)), 1) AS sraw
+  FROM w
+)
+SELECT doc_id, n_tokens, n_bpe_tokens,
+  round(praw, 6) AS punct_ratio,
+  round(sraw, 6) AS stopword_ratio,
+  round((least(n_tokens / 100.0, 1.0) + (1.0 - least(praw * 5.0, 1.0))
+         + least(sraw * 5.0, 1.0)) / 3.0, 6) AS quality
+FROM m
+"""
+
+    marker_rows = ", ".join(
+        "('{}', [{}])".format(lang, ", ".join(f"'{m}'" for m in markers))
+        for lang, markers in [
+            ("en", ["the", "and", "with", "from", "this"]),
+            ("de", ["der", "die", "das", "und", "nicht"]),
+            ("fr", ["le", "la", "les", "et", "dans"]),
+            ("es", ["el", "los", "las", "que", "por"]),
+            ("zh", ["de", "shi", "zai", "bu", "le"]),
+        ]
+    )
+    sql["lang_id"] = rf"""
+WITH w AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS words
+  FROM documents
+),
+scored AS (
+  SELECT w.doc_id, w.lang, m.mlang,
+         len(list_filter(w.words, x -> list_contains(m.markers, x))) AS hits
+  FROM w CROSS JOIN (VALUES {marker_rows}) m(mlang, markers)
+)
+SELECT doc_id, lang,
+       CASE WHEN hits > 0 THEN mlang ELSE 'und' END AS lang_pred
+FROM scored
+QUALIFY row_number() OVER (
+  PARTITION BY doc_id ORDER BY hits DESC, mlang DESC) = 1
+"""
+
+    sql["knn_cosine"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 5),
+s AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+         list_cosine_similarity(q.v, e.v) AS cos
+  FROM q CROSS JOIN e WHERE q.vec_id <> e.vec_id
+)
+SELECT query_id, cand_id, round(cos, 4) AS cosine, "rank" FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS "rank"
+  FROM s
+) WHERE "rank" <= 10
+"""
+
+    sql["interleave_roundtrip"] = """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN n >= 2 THEN 3 ELSE 1 END AS n_spans,
+  CASE WHEN n >= 2 THEN 'text,media,text' ELSE 'text' END AS kinds,
+  CASE WHEN n >= 2
+       THEN array_to_string(list_slice(toks, 1, ceil(n / 2)::INT), ' ')
+       ELSE text END AS first_text,
+  CASE WHEN n >= 2 THEN 'img://' || doc_id::VARCHAR END AS media_ref,
+  true AS ok
+FROM t
+"""
+
+    return sql

@@ -225,15 +225,12 @@ def simhash_buckets(
     sim = df.select(id_col, text_col).mapInPandas(run, schema)
     bits_per_chunk = 64 // num_chunks
     mask = (1 << bits_per_chunk) - 1
+    vals = F.array(
+        *[
+            F.shiftright("simhash", i * bits_per_chunk).bitwiseAND(F.lit(mask))
+            for i in range(num_chunks)
+        ]
+    )
     return sim.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_chunks - 1)),
-                lambda i: F.shiftright("simhash", i * bits_per_chunk).bitwiseAND(
-                    F.lit(mask)
-                ),
-            )
-        ).alias("chunk", "chunk_val"),
+        "doc_id", "simhash", F.posexplode(vals).alias("chunk", "chunk_val")
     )

@@ -115,10 +115,19 @@ class SpotlightModel:
             if df is not None:
                 df.write.mode("overwrite").parquet(os.path.join(path, name))
 
+    REQUIRED_TABLES = ("surface_forms", "resources", "candidates")
+
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "SpotlightModel":
         kwargs = {}
         for name in TABLE_NAMES:
             p = os.path.join(path, name)
             kwargs[name] = spark.read.parquet(p) if os.path.exists(p) else None
+        missing = [t for t in cls.REQUIRED_TABLES if kwargs[t] is None]
+        if missing:
+            raise FileNotFoundError(
+                f"not a Spotlight model dir: {path!r} is missing required "
+                f"table(s) {missing} (expected parquet subdirs named "
+                f"{list(cls.REQUIRED_TABLES)})"
+            )
         return cls(**kwargs)

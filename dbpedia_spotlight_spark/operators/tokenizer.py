@@ -118,6 +118,44 @@ def tokenize_documents(
     return documents.select("doc_id", "spans").mapInPandas(run, TOKENS_SCHEMA)
 
 
+def flat_to_interleaved_media(
+    documents_flat: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Adapter: a flat (doc_id, text) table -> the north-rule interleaved
+    schema with a media span between two text halves:
+        [text(first ceil(n/2) tokens), media(img://doc_id), text(rest)]
+    Offsets are text-stream char offsets (media occupies no chars). Docs with
+    fewer than 2 tokens become a single text span. Deterministic — used to
+    synthesize interleaved test corpora from the driver's flat documents."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    k = F.ceil(n / F.lit(2)).cast("int")
+    first = F.concat_ws(" ", F.slice(toks, F.lit(1), k))
+    second = F.concat_ws(" ", F.slice(toks, k + 1, n - k))
+    second_off = (F.length(first) + 1).cast("int")
+    doc_id = F.col("doc_id").cast("string")
+
+    def text_span(txt, off):
+        return F.struct(
+            F.lit("text").alias("kind"),
+            txt.cast("string").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            off.cast("int").alias("offset"),
+        )
+
+    media_span = F.struct(
+        F.lit("media").alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        F.concat(F.lit("img://"), doc_id).alias("media_ref"),
+        second_off.alias("offset"),
+    )
+    spans = F.when(
+        n >= 2,
+        F.array(text_span(first, F.lit(0)), media_span, text_span(second, second_off)),
+    ).otherwise(F.array(text_span(F.col(text_col), F.lit(0))))
+    return documents_flat.select(doc_id.alias("doc_id"), spans.alias("spans"))
+
+
 def flat_to_interleaved(documents_flat: DataFrame, text_col: str = "text") -> DataFrame:
     """Adapter: a flat (doc_id, text) table -> the north-rule interleaved
     schema with a single text span (offset 0)."""

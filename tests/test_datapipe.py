@@ -1,0 +1,173 @@
+"""Training-data pipeline operators: dedup (exact / MinHash-LSH / SimHash),
+similarity search, text stats, multimodal plumbing, interleave adapter."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbpedia_spotlight_spark.datapipe.dedup import (
+    exact_duplicates,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+)
+from dbpedia_spotlight_spark.datapipe.multimodal import (
+    extract_media_features,
+    fake_decode,
+    frame_sample_plan,
+    media_spans,
+)
+from dbpedia_spotlight_spark.datapipe.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from dbpedia_spotlight_spark.datapipe.textstats import text_stats
+from dbpedia_spotlight_spark.operators.tokenizer import (
+    flat_to_interleaved_media,
+    tokenize_documents,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("lazy", "sleepy")),  # near dup
+        (4, "completely different text about spark dataframes and shuffles ok"),
+        (5, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["n_dups"] == 2 and g["keep_id"] == 1 and g["doc_ids"] == [1, 2]
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = minhash_near_duplicates(
+        docs, num_hashes=64, bands=32, shingle_k=3, threshold=0.5
+    ).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    assert (1, 2) in found  # exact dup always survives
+    assert (1, 3) in found or (2, 3) in found  # near dup caught
+    assert all({a, b} != {4, 5} for a, b in found)
+
+
+def test_ngram_jaccard_exact_pair(docs, spark):
+    pairs = spark.createDataFrame([(1, 2), (1, 4)], "a long, b long")
+    out = {(r["a"], r["b"]): r["jaccard"] for r in
+           ngram_jaccard_pairs(docs, pairs, shingle_k=3, threshold=0.0).collect()}
+    assert out[(1, 2)] == 1.0
+    assert out[(1, 4)] == 0.0
+
+
+def test_simhash_identical_docs_share_all_chunks(docs):
+    rows = simhash_buckets(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk"]] = r["chunk_val"]
+    assert by_doc[1] == by_doc[2]  # identical text -> identical simhash
+    assert len(by_doc[1]) == 4
+    # near-dup shares at least one 16-bit chunk (pigeonhole for hamming<4)
+    shared = sum(by_doc[1][c] == by_doc[3][c] for c in range(4))
+    assert shared >= 1
+
+
+def test_brute_force_topk_agrees_with_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(size=(20, 8)).astype("float64")
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter(F.col("vec_id") == 0)
+    got = brute_force_topk(df, q, k=3).collect()
+    sims = vecs @ vecs[0] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[0]))
+    sims[0] = -2  # exclude self
+    expect = list(np.argsort(-sims)[:3])
+    assert [r["cand_id"] for r in sorted(got, key=lambda r: r["rank"])] == expect
+
+
+def test_lsh_topk_subset_of_exact(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    vecs = rng.normal(size=(50, 8)).astype("float64")
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter(F.col("vec_id") < 2)
+    approx = lsh_topk(df, q, dim=8, k=5, num_planes=4, num_tables=4).collect()
+    assert len(approx) > 0
+    # every returned pair's cosine must equal the exact cosine (re-rank exact)
+    exact = {
+        (r["query_id"], r["cand_id"]): r["cosine"]
+        for r in brute_force_topk(df, q, k=49).collect()
+    }
+    for r in approx:
+        assert abs(exact[(r["query_id"], r["cand_id"])] - r["cosine"]) < 1e-9
+
+
+def test_text_stats_columns(docs):
+    row = text_stats(docs).filter(F.col("doc_id") == 1).collect()[0]
+    assert row["n_tokens"] == 13
+    assert row["fingerprint"] is not None
+    assert 0.0 <= row["quality"] <= 1.0
+    assert row["lang_pred"] == "en"
+
+
+def test_interleave_media_roundtrip(docs):
+    iv = flat_to_interleaved_media(docs)
+    rows = {r["doc_id"]: r["spans"] for r in iv.collect()}
+    spans = rows["1"]
+    assert [s["kind"] for s in spans] == ["text", "media", "text"]
+    assert spans[1]["media_ref"] == "img://1"
+    joined = " ".join(s["text"] for s in spans if s["kind"] == "text")
+    assert joined == docs.filter("doc_id=1").collect()[0]["text"]
+    # single-token doc stays one span
+    assert [s["kind"] for s in rows["5"]] == ["text"]
+    # offsets are text-stream correct: second text span starts after first+space
+    assert spans[2]["offset"] == len(spans[0]["text"]) + 1
+    # tokenizer consumes the interleaved schema and respects offsets
+    toks = tokenize_documents(iv).filter("doc_id='1'").orderBy("offset").collect()
+    assert toks[0]["offset"] == 0
+    full = docs.filter("doc_id=1").collect()[0]["text"]
+    for t in toks:
+        assert full[t["offset"]:t["offset"] + len(t["token"])] == t["token"]
+
+
+def test_media_features_and_frame_plan(spark):
+    media = spark.createDataFrame(
+        [("img://1", "image", bytearray(b"\x01" * 100)),
+         ("vid://2", "video", bytearray(b"\xff" * 100))],
+        "media_ref string, kind string, payload binary",
+    )
+    feats = extract_media_features(media, decode_fn=fake_decode)
+    rows = {r["media_ref"]: r for r in feats.collect()}
+    assert rows["img://1"]["n_frames"] == 1
+    assert rows["vid://2"]["n_frames"] > 1
+    assert len(rows["img://1"]["feature"]) == 8
+    plan = frame_sample_plan(feats, every_n=10, max_frames=4).collect()
+    for r in plan:
+        assert len(r["sample_frames"]) <= 4
+
+    # default decode is an explicit stub
+    from dbpedia_spotlight_spark.datapipe.multimodal import default_decode
+
+    with pytest.raises(NotImplementedError):
+        default_decode("image", b"")
+
+
+def test_media_spans_extraction(docs):
+    iv = flat_to_interleaved_media(docs)
+    ms = media_spans(iv)
+    got = {r["doc_id"]: r for r in ms.collect()}
+    assert got["1"]["media_ref"] == "img://1" and got["1"]["span_pos"] == 1
+    assert "5" not in got  # single-span doc has no media

@@ -297,6 +297,40 @@ def q_s13_lexicalizations(spark, sf_dir):
     )
 
 
+def q_spot_selectors(spark, sf_dir):
+    """P13 selector chain: short-sf + non-common-word pruning of the spots."""
+    from dbpedia_spotlight_spark.operators.selectors import (
+        chained_selector,
+        non_common_word_selector,
+        short_surface_form_selector,
+    )
+
+    common = spark.createDataFrame([("table",), ("query",)], "word string")
+    out = chained_selector(
+        _spots(spark, sf_dir),
+        [
+            lambda df: short_surface_form_selector(df, min_length=5),
+            lambda df: non_common_word_selector(df, common),
+        ],
+    )
+    return out.select("doc_id", "pos", "surface_form")
+
+
+def q_f8_narrow_context(spark, sf_dir):
+    """F8 ContextNarrowFilter: per-occurrence ±3-token context trim."""
+    from dbpedia_spotlight_spark.operators.occ_filters import narrow_context
+
+    toks = _tok(spark, sf_dir).select(
+        "doc_id",
+        _char_offset().alias("offset"),
+        F.col("token").alias("stem"),
+    )
+    occ = _occs(spark, sf_dir).filter(F.col("surface_form") == "spark").select(
+        "doc_id", _char_offset().alias("offset")
+    )
+    return narrow_context(toks, occ, window_tokens=3)
+
+
 def q_dedup_exact(spark, sf_dir):
     out = exact_duplicates(_docs(spark, sf_dir))
     return out.select(
@@ -433,6 +467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m7_sorted_occurrences": q_m7_sorted_occurrences,
         "m8_redirect_closure": q_m8_redirect_closure,
         "s13_lexicalizations": q_s13_lexicalizations,
+        "spot_selectors": q_spot_selectors,
+        "f8_narrow_context": q_f8_narrow_context,
         "dedup_exact": q_dedup_exact,
         "dedup_prefix": q_dedup_prefix,
         "text_stats": q_text_stats,
@@ -557,6 +593,26 @@ WITH h AS (
 SELECT text_hash, count(*) AS n_dups, min(doc_id) AS keep_id,
        string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
 FROM h GROUP BY text_hash HAVING count(*) > 1
+"""
+
+    sql["spot_selectors"] = _BASE_CTES + """
+SELECT doc_id, pos, surface_form FROM spots
+WHERE length(surface_form) >= 5
+  AND lower(surface_form) NOT IN ('table', 'query')
+"""
+
+    sql["f8_narrow_context"] = _BASE_CTES + f""",
+tkc AS (
+  SELECT doc_id, pos AS tok_idx, token AS stem, {_SQL_OFFSET} AS off
+  FROM tok
+),
+occ_sel AS (
+  SELECT doc_id, pos AS occ_idx, {_SQL_OFFSET} AS occ_offset
+  FROM occs WHERE surface_form = 'spark'
+)
+SELECT o.doc_id, o.occ_offset, t.tok_idx, t.stem
+FROM occ_sel o JOIN tkc t ON o.doc_id = t.doc_id
+WHERE t.tok_idx BETWEEN o.occ_idx - 3 AND o.occ_idx + 3
 """
 
     sql["dedup_prefix"] = r"""

@@ -55,17 +55,21 @@ def plm_col(count: Column, total_tokens: float, vocab_size: float) -> Column:
     return F.log(count + F.lit(1.0)) - F.lit(math.log(total_tokens + vocab_size))
 
 
-def build_query_vectors(tokens: DataFrame, model: SpotlightModel) -> DataFrame:
-    """D1: per-document bag-of-token counts with LM probs.
-    -> (doc_id, token_id, c, plm). Tokens absent from the vocabulary are
-    excluded: they cannot appear in any context vector, so they shift all
-    candidate scores and the NIL score by the same constant — invariant for
-    ranking, filtering and softmax (documented deviation)."""
+def build_query_vectors(
+    tokens: DataFrame, model: SpotlightModel, ctx_col: str = "doc_id"
+) -> DataFrame:
+    """D1: per-context bag-of-token counts with LM probs.
+    -> (ctx_col, token_id, c, plm). The context key is the document by
+    default, or a (doc, window) composite for D2 context windowing.
+    Tokens absent from the vocabulary are excluded: they cannot appear in
+    any context vector, so they shift all candidate scores and the NIL
+    score by the same constant — invariant for ranking, filtering and
+    softmax (documented deviation)."""
     vocab = F.broadcast(model.token_types.select("token_id", "token", "count"))
     return (
         tokens.filter(~F.col("is_stopword"))
         .join(vocab, tokens["stem"] == vocab["token"], "inner")
-        .groupBy("doc_id", "token_id")
+        .groupBy(ctx_col, "token_id")
         .agg(
             F.count("*").cast("double").alias("c"),
             F.first("count").alias("_vocab_count"),
@@ -78,10 +82,10 @@ def build_query_vectors(tokens: DataFrame, model: SpotlightModel) -> DataFrame:
     )
 
 
-def nil_context_scores(query: DataFrame) -> DataFrame:
-    """D5: per-doc NIL score Σ_t [log c_t + log(1-λ) + pLM(t)]
-    -> (doc_id, nil_context_score)."""
-    return query.groupBy("doc_id").agg(
+def nil_context_scores(query: DataFrame, ctx_col: str = "doc_id") -> DataFrame:
+    """D5: per-context NIL score Σ_t [log c_t + log(1-λ) + pLM(t)]
+    -> (ctx_col, nil_context_score)."""
+    return query.groupBy(ctx_col).agg(
         F.sum(F.log("c") + F.lit(LOG_1M_LAMBDA) + F.col("plm")).alias(
             "nil_context_score"
         )
@@ -92,20 +96,21 @@ def context_scores(
     query: DataFrame,
     cand_pairs: DataFrame,
     model: SpotlightModel,
+    ctx_col: str = "doc_id",
 ) -> DataFrame:
-    """D3/D4: P(c|e) per (doc_id, res_id).
+    """D3/D4: P(c|e) per (ctx_col, res_id).
 
-    cand_pairs: distinct (doc_id, res_id). Resources without any context
+    cand_pairs: distinct (ctx_col, res_id). Resources without any context
     vector score NaN in the reference (0/0 division,
     GenerativeContextSimilarity.scala:53-57) and are later dropped; here they
     get a null p_c (same downstream effect).
     """
     totals = model.resource_token_totals()  # (res_id, total_count)
-    nil_doc = nil_context_scores(query)
+    nil_doc = nil_context_scores(query, ctx_col)
 
     present = (
         cand_pairs.join(model.context_counts, "res_id", "inner")
-        .join(query, ["doc_id", "token_id"], "inner")
+        .join(query, [ctx_col, "token_id"], "inner")
         .join(totals, "res_id", "inner")
     )
     # delta = p(t,e) - (log(1-λ)+pLM): the present-pair correction term
@@ -115,15 +120,15 @@ def context_scores(
     )
     deltas = present.withColumn(
         "_delta", p_te - (F.lit(LOG_1M_LAMBDA) + F.col("plm"))
-    ).groupBy("doc_id", "res_id").agg(F.sum("_delta").alias("_sum_delta"))
+    ).groupBy(ctx_col, "res_id").agg(F.sum("_delta").alias("_sum_delta"))
 
     has_context = totals.filter(F.col("total_count") > 0).select("res_id")
     return (
         cand_pairs.join(F.broadcast(has_context), "res_id", "left_semi")
-        .join(deltas, ["doc_id", "res_id"], "left")
-        .join(nil_doc, "doc_id", "left")
+        .join(deltas, [ctx_col, "res_id"], "left")
+        .join(nil_doc, ctx_col, "left")
         .select(
-            "doc_id",
+            ctx_col,
             "res_id",
             (
                 F.coalesce(F.col("_sum_delta"), F.lit(0.0))
@@ -173,6 +178,7 @@ def score_candidates(
     tokens: DataFrame | None,
     model: SpotlightModel,
     use_context: bool = True,
+    ctx_col: str = "doc_id",
 ) -> DataFrame:
     """D7/D8: attach p_e, p_s_given_e, p_c_given_e and the mixture score; also
     the per-spot NIL mixture score (columns nil_score, nil_context_score).
@@ -192,13 +198,13 @@ def score_candidates(
     df = df.withColumn("p_e", p_e).withColumn("p_s_given_e", p_s)
 
     if use_context and model.context_counts is not None and tokens is not None:
-        query = build_query_vectors(tokens, model)
-        cand_pairs = df.select("doc_id", "res_id").distinct()
-        ctx = context_scores(query, cand_pairs, model)
-        nil_doc = nil_context_scores(query)
+        query = build_query_vectors(tokens, model, ctx_col)
+        cand_pairs = df.select(ctx_col, "res_id").distinct()
+        ctx = context_scores(query, cand_pairs, model, ctx_col)
+        nil_doc = nil_context_scores(query, ctx_col)
         df = (
-            df.join(ctx, ["doc_id", "res_id"], "left")
-            .join(nil_doc, "doc_id", "left")
+            df.join(ctx, [ctx_col, "res_id"], "left")
+            .join(nil_doc, ctx_col, "left")
             .withColumn("p_c_given_e", F.col("p_c"))
             .withColumn(
                 "nil_context_score",
@@ -273,4 +279,101 @@ def disambiguate_best(scored_topk: DataFrame) -> DataFrame:
     (ref DBTwoStepDisambiguator.scala:248-257)."""
     return scored_topk.filter(F.col("rank") == 1).orderBy(
         "doc_id", "span_pos", "offset"
+    )
+
+
+# ---------------------------------------------------------------------------
+# D2: context windowing (ref DBTwoStepDisambiguator.scala:72,89-119 —
+# long documents are sliced into token windows of MAX_CONTEXT tokens and
+# each spot is disambiguated against its own window's context vector).
+# ---------------------------------------------------------------------------
+
+MAX_CONTEXT_TOKENS = 250  # ref DBTwoStepDisambiguator.scala:72
+
+
+def attach_context_windows(
+    tokens: DataFrame,
+    spots: DataFrame,
+    max_tokens: int = MAX_CONTEXT_TOKENS,
+) -> tuple:
+    """Assign a ctx_id = doc#window composite to tokens and spots.
+
+    window_id = floor(token_ordinal / max_tokens) per document; a spot
+    belongs to the window whose token-offset range contains its offset (a
+    spot's offset is always the offset of its first token, so membership is
+    exact). Returns (tokens_with_ctx, spots_with_ctx) — feed both to
+    score_candidates(ctx_col='ctx_id').
+    """
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    tk = tokens.withColumn(
+        "window_id",
+        F.floor((F.row_number().over(w) - 1) / F.lit(max_tokens)).cast("int"),
+    ).withColumn("ctx_id", F.concat_ws("#", "doc_id", "window_id"))
+    ranges = tk.groupBy("doc_id", "window_id", "ctx_id").agg(
+        F.min("offset").alias("_w_start"), F.max("offset").alias("_w_end")
+    )
+    spots_ctx = (
+        spots.join(ranges, "doc_id")
+        .filter(
+            (F.col("offset") >= F.col("_w_start"))
+            & (F.col("offset") <= F.col("_w_end"))
+        )
+        .drop("_w_start", "_w_end", "window_id")
+    )
+    return tk, spots_ctx
+
+
+# ---------------------------------------------------------------------------
+# D6: TF-ICF similarity (the legacy Lucene-stack scoring, db variant —
+# ref core/.../db/similarity/TFICFSimilarity.scala:25-97): per query and
+# candidate set, score(e) = Σ_t tf(t,e)·icf(t) / norm(e) with
+# icf(t) = 0 when no candidate context contains t, else
+# log(nCand / nCandWithToken) + 1; norm(e) = |distinct tokens in e's
+# context vector|; nilScore = 0.
+# ---------------------------------------------------------------------------
+
+
+def tficf_scores(
+    query: DataFrame,
+    cand_pairs: DataFrame,
+    model: SpotlightModel,
+    ctx_col: str = "doc_id",
+) -> DataFrame:
+    """-> (ctx_col, res_id, tficf). All relational: the per-query candidate
+    statistics (nCand, nCandWithToken) are groupBy aggregates over the
+    cand_pairs ⋈ context_counts join — no UDF, no cross product."""
+    n_cand = cand_pairs.groupBy(ctx_col).agg(
+        F.countDistinct("res_id").alias("_n_cand")
+    )
+    # (ctx, token_id) -> how many of this query's candidates contain t
+    cand_tokens = cand_pairs.join(
+        model.context_counts.select("res_id", "token_id", "count"), "res_id"
+    )
+    n_with = cand_tokens.groupBy(ctx_col, "token_id").agg(
+        F.countDistinct("res_id").alias("_n_with")
+    )
+    norm = model.context_counts.groupBy("res_id").agg(
+        F.countDistinct("token_id").alias("_norm")
+    )
+    present = (
+        query.select(ctx_col, "token_id")
+        .join(cand_tokens, [ctx_col, "token_id"], "inner")
+        .join(n_with, [ctx_col, "token_id"], "inner")
+        .join(n_cand, ctx_col, "inner")
+    )
+    icf = F.log(F.col("_n_cand") / F.col("_n_with")) + F.lit(1.0)
+    summed = present.withColumn(
+        "_tficf", F.col("count") * icf
+    ).groupBy(ctx_col, "res_id").agg(F.sum("_tficf").alias("_sum"))
+    return (
+        cand_pairs.join(summed, [ctx_col, "res_id"], "left")
+        .join(F.broadcast(norm), "res_id", "left")
+        .select(
+            ctx_col,
+            "res_id",
+            (
+                F.coalesce(F.col("_sum"), F.lit(0.0))
+                / F.greatest(F.col("_norm"), F.lit(1))
+            ).alias("tficf"),
+        )
     )

@@ -1,0 +1,207 @@
+"""Graph-based collective disambiguation — D16 in SURVEY.md §2.4 (Han 2011,
+"Collective Entity Linking in Web Text"), plus the generic weighted
+personalized PageRank it needs.
+
+Reference:
+  - collective/src/main/scala/org/dbpedia/spotlight/graph/ReferentGraph.scala:35-160 —
+    per paragraph: candidate-entity subgraph of the semantic (co-occurrence)
+    graph with bidirectional arcs, plus surface-form→candidate arcs weighted
+    by contextualScore (arcs with score<=0 omitted); preference vector puts
+    1/|sf| on each surface-form node.
+  - collective/.../disambiguate/GraphBasedDisambiguator.scala:56-180 — rank
+    candidates by the PageRank score, best per surface form wins.
+  - collective/src/main/java/es/yrbcn/graph/weighted/
+    WeightedPageRankPowerMethod.java — power-method weighted PageRank.
+  - graph source: WikipediaCooccurrencesGraph.scala:43-155 (M6 output → arcs).
+
+Spark design: ALL documents are disambiguated collectively at once — the
+node key is (doc_id, node), every step is an equi-join + groupBy-sum keyed
+by doc_id, so each document's power iteration is independent and
+co-partitioned; ~10 iterations of two shuffles each. localCheckpoint per
+iteration truncates the lineage (same reason as the redirect closure).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SPOT_KEY = ["doc_id", "span_pos", "offset"]
+
+DEFAULT_ITERATIONS = 10
+DEFAULT_ALPHA = 0.85  # damping (follow-arc probability)
+
+
+def resource_edges(cooc_edges: DataFrame, resources: DataFrame) -> DataFrame:
+    """Map a uri-keyed co-occurrence edge list (M6 output: src_uri, dst_uri,
+    count) to res_id arcs with the count as weight (ref
+    WikipediaCooccurrencesGraph.scala:43-155 does the same uri→int mapping
+    via HostMap; our resources dim IS the host map)."""
+    r = F.broadcast(resources.select("res_id", "uri"))
+    return (
+        cooc_edges.join(r.withColumnRenamed("uri", "src_uri"), "src_uri")
+        .withColumnRenamed("res_id", "src")
+        .join(r.withColumnRenamed("uri", "dst_uri"), "dst_uri")
+        .withColumnRenamed("res_id", "dst")
+        .select("src", "dst", F.col("count").cast("double").alias("weight"))
+    )
+
+
+def referent_graph_arcs(
+    spot_cands: DataFrame,
+    edges: DataFrame,
+    score_col: str = "contextual_score",
+) -> DataFrame:
+    """Build the per-document referent graph.
+
+    spot_cands: SPOT_KEY + res_id + score_col (candidate-level contextual
+    score). edges: (src, dst, weight) semantic arcs over res_ids.
+    -> arcs (doc_id, src_node, dst_node, weight): entity↔entity arcs
+    (bidirectional, ref ReferentGraph.scala getBidirectionalArcList) +
+    sf→candidate arcs with score>0 (ref :118-121).
+    """
+    ent = lambda c: F.concat(F.lit("r:"), F.col(c).cast("string"))  # noqa: E731
+    sf_node = F.concat_ws(":", F.lit("s"), F.col("span_pos"), F.col("offset"))
+
+    doc_cands = spot_cands.select(
+        "doc_id", F.col("res_id").alias("cand_res")
+    ).distinct()
+
+    # candidate subgraph: both endpoints must be candidates of the same doc
+    e1 = (
+        doc_cands.withColumnRenamed("cand_res", "src")
+        .join(edges, "src")
+        .join(
+            doc_cands.withColumnRenamed("cand_res", "dst"), ["doc_id", "dst"]
+        )
+        .select("doc_id", ent("src").alias("src_node"), ent("dst").alias("dst_node"), "weight")
+    )
+    e2 = e1.select(
+        "doc_id",
+        F.col("dst_node").alias("src_node"),
+        F.col("src_node").alias("dst_node"),
+        "weight",
+    )
+
+    sf_arcs = spot_cands.filter(F.col(score_col) > 0).select(
+        "doc_id",
+        sf_node.alias("src_node"),
+        ent("res_id").alias("dst_node"),
+        F.col(score_col).cast("double").alias("weight"),
+    )
+    return e1.unionByName(e2).unionByName(sf_arcs)
+
+
+def weighted_personalized_pagerank(
+    arcs: DataFrame,
+    preference: DataFrame,
+    iterations: int = DEFAULT_ITERATIONS,
+    alpha: float = DEFAULT_ALPHA,
+) -> DataFrame:
+    """Power-method PPR per doc_id partition.
+
+    arcs: (doc_id, src_node, dst_node, weight>=0).
+    preference: (doc_id, node, pref) — the personalized reset distribution
+    (should sum to 1 per doc).
+    -> (doc_id, node, rank).
+
+    r_{t+1}(v) = (1-α)·pref(v) + α·Σ_{u→v} r_t(u)·w(u,v)/outw(u); dangling
+    mass is redistributed via the preference vector (standard power-method
+    handling; ref WeightedPageRankPowerMethod.java).
+    """
+    out_w = arcs.groupBy("doc_id", "src_node").agg(F.sum("weight").alias("_outw"))
+    norm_arcs = (
+        arcs.join(out_w, ["doc_id", "src_node"])
+        .withColumn("p", F.col("weight") / F.col("_outw"))
+        .select("doc_id", "src_node", "dst_node", "p")
+    )
+    nodes = (
+        arcs.select("doc_id", F.col("src_node").alias("node"))
+        .unionByName(arcs.select("doc_id", F.col("dst_node").alias("node")))
+        .unionByName(preference.select("doc_id", "node"))
+        .distinct()
+    )
+    pref = (
+        nodes.join(preference, ["doc_id", "node"], "left")
+        .withColumn("pref", F.coalesce(F.col("pref"), F.lit(0.0)))
+    )
+    has_out = out_w.select(
+        "doc_id", F.col("src_node").alias("node"), F.lit(True).alias("_has_out")
+    )
+
+    ranks = pref.select("doc_id", "node", F.col("pref").alias("rank"))
+    for _ in range(iterations):
+        # dangling mass per doc: rank sitting on nodes with no out-arcs
+        dangling = (
+            ranks.join(has_out, ["doc_id", "node"], "left")
+            .filter(F.col("_has_out").isNull())
+            .groupBy("doc_id")
+            .agg(F.sum("rank").alias("_dangling"))
+        )
+        src_ranks = ranks.select(
+            F.col("doc_id"),
+            F.col("node").alias("src_node"),
+            F.col("rank").alias("_src_rank"),
+        )
+        inflow = (
+            src_ranks.join(norm_arcs, ["doc_id", "src_node"])
+            .select(
+                "doc_id",
+                F.col("dst_node").alias("node"),
+                (F.col("_src_rank") * F.col("p")).alias("_in"),
+            )
+            .groupBy("doc_id", "node")
+            .agg(F.sum("_in").alias("_inflow"))
+        )
+        ranks = (
+            pref.join(inflow, ["doc_id", "node"], "left")
+            .join(dangling, "doc_id", "left")
+            .select(
+                "doc_id",
+                "node",
+                (
+                    F.lit(1.0 - alpha) * F.col("pref")
+                    + F.lit(alpha)
+                    * (
+                        F.coalesce(F.col("_inflow"), F.lit(0.0))
+                        + F.coalesce(F.col("_dangling"), F.lit(0.0))
+                        * F.col("pref")
+                    )
+                ).alias("rank"),
+            )
+        ).localCheckpoint(eager=False)
+    return ranks
+
+
+def graph_disambiguate(
+    spot_cands: DataFrame,
+    edges: DataFrame,
+    score_col: str = "contextual_score",
+    iterations: int = DEFAULT_ITERATIONS,
+    alpha: float = DEFAULT_ALPHA,
+) -> DataFrame:
+    """Collective best-candidate per spot: referent graph → PPR → argmax rank
+    among each spot's candidates (ref GraphBasedDisambiguator.scala:140-180).
+    Returns spot_cands columns + pagerank, rank=1 row per spot."""
+    arcs = referent_graph_arcs(spot_cands, edges, score_col)
+
+    sf_node = F.concat_ws(":", F.lit("s"), F.col("span_pos"), F.col("offset"))
+    sf_nodes = spot_cands.select("doc_id", sf_node.alias("node")).distinct()
+    n_sf = sf_nodes.groupBy("doc_id").agg(F.count("*").alias("_n"))
+    preference = sf_nodes.join(n_sf, "doc_id").select(
+        "doc_id", "node", (F.lit(1.0) / F.col("_n")).alias("pref")
+    )
+
+    ranks = weighted_personalized_pagerank(arcs, preference, iterations, alpha)
+    ent_ranks = ranks.filter(F.col("node").startswith("r:")).select(
+        "doc_id",
+        F.regexp_replace("node", "^r:", "").cast("int").alias("res_id"),
+        F.col("rank").alias("pagerank"),
+    )
+    scored = spot_cands.join(ent_ranks, ["doc_id", "res_id"], "left").withColumn(
+        "pagerank", F.coalesce(F.col("pagerank"), F.lit(0.0))
+    )
+    w = Window.partitionBy(*SPOT_KEY).orderBy(F.desc("pagerank"), F.asc("res_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") == 1
+    )

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from dbpedia_spotlight_spark.model.model_tables import SpotlightModel
 from dbpedia_spotlight_spark.operators.candidates import generate_candidates
 from dbpedia_spotlight_spark.operators.disambiguate import (
+    attach_context_windows,
     best_k,
     disambiguate_best,
     score_candidates,
@@ -61,11 +62,15 @@ def annotate(
     heads: list | None = None,
     k: int = 1,
     stopwords: frozenset = DEFAULT_STOPWORDS,
+    max_context_tokens: int | None = None,
 ) -> DataFrame:
     """documents(doc_id, spans) -> annotations (one row per linked mention).
 
     With k=1 this is the reference `disambiguate` (best per spot, ordered by
     offset); with k>1 the bestK ranked lists (rank column retained).
+    max_context_tokens enables D2 context windowing (long documents are
+    scored against per-window context vectors instead of the whole doc;
+    ref DBTwoStepDisambiguator.scala:89-119, MAX_CONTEXT=250).
     """
     spots = spot_documents(
         documents, model.surface_forms, stopwords=stopwords, spotter=spotter
@@ -76,7 +81,15 @@ def annotate(
     tokens = (
         tokenize_documents(documents, stopwords=stopwords) if use_context else None
     )
-    scored = score_candidates(spot_cands, tokens, model, use_context=use_context)
+    ctx_col = "doc_id"
+    if use_context and max_context_tokens:
+        tokens, spot_cands = attach_context_windows(
+            tokens, spot_cands, max_context_tokens
+        )
+        ctx_col = "ctx_id"
+    scored = score_candidates(
+        spot_cands, tokens, model, use_context=use_context, ctx_col=ctx_col
+    )
     ranked = best_k(scored, k=max(k, 1))
     out = ranked if k > 1 else disambiguate_best(ranked)
     out = out.select(*[c for c in ANNOTATION_COLS if c in out.columns], "rank")

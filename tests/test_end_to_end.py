@@ -97,3 +97,12 @@ def test_checkpoint_resume(world, tmp_path):
     assert got.count() == direct.count()
     key = ["doc_id", "span_pos", "offset", "uri"]
     assert got.select(key).exceptAll(direct.select(key)).isEmpty()
+
+
+def test_context_windowed_annotate(world):
+    """D2: windowed scoring stays accurate (fixtures include a >250-token
+    doc; per-window vectors must not break the P/R gate)."""
+    ann = annotate(world.documents, world.model, use_context=True,
+                   max_context_tokens=250)
+    m = linking_metrics(ann, world.gold, redirects=world.model.redirects)
+    assert m["precision"] >= 0.9 and m["recall"] >= 0.9, m

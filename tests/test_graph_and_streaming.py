@@ -1,0 +1,104 @@
+"""D16 collective (referent graph + weighted personalized PageRank) and the
+Structured Streaming annotate path."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbpedia_spotlight_spark.operators.graph import (
+    graph_disambiguate,
+    referent_graph_arcs,
+    resource_edges,
+    weighted_personalized_pagerank,
+)
+
+
+def test_resource_edges_mapping(spark, world):
+    cooc = spark.createDataFrame(
+        [("Apple_Inc", "Paris", 5)], "src_uri string, dst_uri string, count long"
+    )
+    got = resource_edges(cooc, world.model.resources).collect()
+    assert len(got) == 1 and got[0]["weight"] == 5.0
+
+
+def test_pagerank_prefers_connected_candidate(spark):
+    """Two spots; spot1 is ambiguous (A vs B). A co-occurs with spot2's only
+    candidate C; B is isolated. Collective linking must pick A even though
+    B has the higher contextual score."""
+    cands = spark.createDataFrame(
+        [
+            ("d1", 0, 0, 1, 0.10),   # spot1 -> A (low ctx score)
+            ("d1", 0, 0, 2, 0.30),   # spot1 -> B (high ctx score, isolated)
+            ("d1", 0, 50, 3, 0.90),  # spot2 -> C
+        ],
+        "doc_id string, span_pos int, offset int, res_id int, contextual_score double",
+    )
+    edges = spark.createDataFrame(
+        [(1, 3, 10.0)], "src int, dst int, weight double"
+    )
+    best = {
+        r["offset"]: r["res_id"]
+        for r in graph_disambiguate(cands, edges, iterations=8).collect()
+    }
+    assert best[0] == 1  # A wins via the C<->A semantic arc
+    assert best[50] == 3
+
+
+def test_pagerank_mass_conservation(spark):
+    arcs = spark.createDataFrame(
+        [("d", "a", "b", 1.0), ("d", "b", "a", 1.0), ("d", "a", "c", 1.0)],
+        "doc_id string, src_node string, dst_node string, weight double",
+    )
+    pref = spark.createDataFrame(
+        [("d", "a", 1.0)], "doc_id string, node string, pref double"
+    )
+    ranks = weighted_personalized_pagerank(arcs, pref, iterations=12)
+    total = ranks.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-6  # dangling mass redistributed, sums to 1
+    vals = {r["node"]: r["rank"] for r in ranks.collect()}
+    assert vals["a"] > vals["b"] > 0 and vals["c"] > 0
+
+
+def test_referent_graph_arcs_shape(spark):
+    cands = spark.createDataFrame(
+        [("d1", 0, 0, 1, 0.5), ("d1", 0, 9, 2, 0.0)],
+        "doc_id string, span_pos int, offset int, res_id int, contextual_score double",
+    )
+    edges = spark.createDataFrame([(1, 2, 3.0)], "src int, dst int, weight double")
+    arcs = referent_graph_arcs(cands, edges).collect()
+    kinds = {(r["src_node"], r["dst_node"]) for r in arcs}
+    assert ("r:1", "r:2") in kinds and ("r:2", "r:1") in kinds  # bidirectional
+    assert ("s:0:0", "r:1") in kinds   # sf arc with score>0
+    assert ("s:0:9", "r:2") not in kinds  # zero-score sf arc omitted
+
+
+def test_streaming_annotate(spark, world, tmp_path):
+    from dbpedia_spotlight_spark.streaming.annotate_stream import (
+        annotate_stream,
+        read_document_stream,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    world.documents.limit(10).write.parquet(in_dir)
+
+    stream = read_document_stream(spark, in_dir, max_files_per_trigger=2)
+    assert stream.isStreaming
+    q = annotate_stream(
+        stream, world.model, out_dir, ckpt, use_context=False, available_now=True
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() > 0
+    assert "uri" in got.columns and "batch_id" in got.columns
+
+    # restart with no new input: checkpoint prevents reprocessing
+    q2 = annotate_stream(
+        read_document_stream(spark, in_dir), world.model, out_dir, ckpt,
+        use_context=False, available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == got.count()

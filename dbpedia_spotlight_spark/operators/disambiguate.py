@@ -275,10 +275,14 @@ def best_k(scored: DataFrame, k: int = 20) -> DataFrame:
 
 
 def disambiguate_best(scored_topk: DataFrame) -> DataFrame:
-    """D13: best-first — rank 1 per spot, ordered by offset
-    (ref DBTwoStepDisambiguator.scala:248-257)."""
-    return scored_topk.filter(F.col("rank") == 1).orderBy(
-        "doc_id", "span_pos", "offset"
+    """D13: best-first — rank 1 per spot, ordered by offset within each
+    document (ref DBTwoStepDisambiguator.scala:248-257). Per-doc clustering
+    + local sort, not a global total sort (scale: the reference's order is
+    per-request; cross-document order is meaningless)."""
+    return (
+        scored_topk.filter(F.col("rank") == 1)
+        .repartition("doc_id")
+        .sortWithinPartitions("doc_id", "span_pos", "offset")
     )
 
 

@@ -156,4 +156,11 @@ def apply_default_filter_chain(
     out = type_filter(out, types, policy)
     if sparql_uris is not None:
         out = sparql_filter(out, sparql_uris, policy)
-    return out.orderBy("doc_id", "span_pos", "offset")
+    # The reference sorts by offset *within a request's document*
+    # (AnnotationFilter.scala:85). A global orderBy would be a total sort
+    # (range-partition sampling + full shuffle) across the whole corpus —
+    # per-doc clustering + local sort gives the same per-document order for
+    # one hash shuffle.
+    return out.repartition("doc_id").sortWithinPartitions(
+        "doc_id", "span_pos", "offset"
+    )

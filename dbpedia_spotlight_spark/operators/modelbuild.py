@@ -134,7 +134,11 @@ def lexicalization_triples(
     pairs = pair_counts(occs)
     uri_c = pairs.groupBy("uri").agg(F.sum("pair_count").alias("uri_count"))
     sf_c = pairs.groupBy("surface_form").agg(F.sum("pair_count").alias("sf_count"))
-    total = pairs.agg(F.sum("pair_count")).collect()[0][0] or 1
+    # scalar total stays in the plan (single-row broadcast cross join) — no
+    # driver round-trip, the whole job remains one lazy DAG
+    total_df = F.broadcast(
+        pairs.agg(F.coalesce(F.sum("pair_count"), F.lit(1)).alias("_total"))
+    )
 
     pred = {
         "uriCount": "http://dbpedia.org/spotlight/score#uriCount",
@@ -151,20 +155,21 @@ def lexicalization_triples(
         F.lit(pred["uriCount"]).alias("pred"),
         F.col("uri_count").cast("string").alias("obj"),
     )
-    t_prob = uri_c.select(
+    t_prob = uri_c.crossJoin(total_df).select(
         subj.alias("subj"),
         F.lit(pred["uriProbability"]).alias("pred"),
-        (F.col("uri_count") / F.lit(float(total))).cast("string").alias("obj"),
+        (F.col("uri_count") / F.col("_total")).cast("string").alias("obj"),
     )
 
     p = (
         pairs.filter(F.col("pair_count") >= min_pair_count)
         .join(uri_c, "uri")
         .join(sf_c, "surface_form")
+        .crossJoin(total_df)
         .withColumn("sf_given_uri", F.col("pair_count") / F.col("uri_count"))
-        .withColumn("p_x", F.col("uri_count") / F.lit(float(total)))
-        .withColumn("p_y", F.col("sf_count") / F.lit(float(total)))
-        .withColumn("p_xy", F.col("pair_count") / F.lit(float(total)))
+        .withColumn("p_x", F.col("uri_count") / F.col("_total"))
+        .withColumn("p_y", F.col("sf_count") / F.col("_total"))
+        .withColumn("p_xy", F.col("pair_count") / F.col("_total"))
         .withColumn("pmi", F.log(F.col("p_xy") / (F.col("p_x") * F.col("p_y"))))
         .withColumn("uri_given_sf", F.col("sf_given_uri") * F.col("p_x") / F.col("p_y"))
     )

@@ -112,12 +112,17 @@ def run_checkpointed(
             .partitionBy("bucket")
             .parquet(os.path.join(output_path, "data"))
         )
-        n = out.count()
+        per_bucket = {
+            str(r["bucket"]): r["n"]
+            for r in out.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        }
+        n = sum(per_bucket.values())
         rows_written += n
         manifest.append(
             {
                 "buckets": wave,
                 "rows": n,
+                "rows_per_bucket": per_bucket,
                 "seconds": round(time.time() - t0, 3),
                 "fingerprint": fp,
                 "ts": time.time(),

@@ -171,3 +171,21 @@ def test_media_spans_extraction(docs):
     got = {r["doc_id"]: r for r in ms.collect()}
     assert got["1"]["media_ref"] == "img://1" and got["1"]["span_pos"] == 1
     assert "5" not in got  # single-span doc has no media
+
+
+def test_bucketed_storage_roundtrip(spark, docs, tmp_path):
+    from dbpedia_spotlight_spark.io.storage import (
+        iceberg_available,
+        read_bucketed,
+        write_bucketed,
+    )
+
+    assert iceberg_available(spark) is False  # sandbox has no iceberg jar
+    path = str(tmp_path / "tbl")
+    write_bucketed(docs, path, bucket_col="doc_id", num_buckets=4)
+    back = read_bucketed(spark, path)
+    assert back.count() == docs.count()
+    assert sorted(back.columns) == sorted(docs.columns)
+    import os
+    parts = [d for d in os.listdir(path) if d.startswith("_bucket=")]
+    assert 1 <= len(parts) <= 4

@@ -1,0 +1,133 @@
+"""Property-based tests (hypothesis) for the pure-Python algorithm cores,
+plus vectorized batch checks of the log-math columns against numpy."""
+
+import re
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dbpedia_spotlight_spark.operators.spotter import (
+    AhoCorasick,
+    drop_overlapping_spots,
+    leftmost_longest,
+)
+
+WORDS = st.text(alphabet="abc", min_size=1, max_size=4)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 30),          # offset
+            st.text("xyz", min_size=1, max_size=6),  # surface form
+            st.floats(0, 1),             # spot prob
+            st.sampled_from(["m", "Capital_Sequences"]),
+        ),
+        max_size=12,
+    )
+)
+def test_overlap_resolution_invariants(spots):
+    out = drop_overlapping_spots(spots)
+    # output spans never overlap
+    spans = sorted((s[0], s[0] + len(s[1])) for s in out)
+    for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+        assert a1 <= b0 or b1 <= a0 or a0 >= b1, (spans, out)
+    # output is a subset of the (deduped) input
+    keys = {(s[0], s[1]) for s in spots}
+    assert all((s[0], s[1]) in keys for s in out)
+    # idempotent
+    assert drop_overlapping_spots(out) == out
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(WORDS, min_size=1, max_size=6, unique=True), st.text("abc ", max_size=40))
+def test_ahocorasick_equals_bruteforce(patterns, text):
+    ac = AhoCorasick(patterns)
+    got = sorted(set(ac.find_all(text)))
+    expect = sorted(
+        {
+            (m.start(), m.start() + len(p))
+            for p in patterns
+            for m in re.finditer(f"(?={re.escape(p)})", text)
+        }
+    )
+    assert got == expect
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(1, 8)).map(
+            lambda t: (t[0], t[0] + t[1])
+        ),
+        max_size=15,
+    )
+)
+def test_leftmost_longest_invariants(matches):
+    kept = leftmost_longest(matches)
+    # non-overlapping and input subset
+    for (a0, a1), (b0, b1) in zip(kept, kept[1:]):
+        assert b0 >= a1
+    assert all(m in matches for m in kept)
+    # maximality: every dropped match overlaps something kept
+    for m in matches:
+        if m not in kept:
+            assert any(not (m[1] <= k[0] or k[1] <= m[0]) for k in kept)
+
+
+def test_logaddexp_and_softmax_columns_vs_numpy(spark):
+    from pyspark.sql import functions as F
+
+    from dbpedia_spotlight_spark.operators.disambiguate import logaddexp
+
+    rng = np.random.RandomState(11)
+    a = rng.uniform(-50, 5, 300)
+    b = rng.uniform(-50, 5, 300)
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(a, b)], "a double, b double"
+    )
+    got = np.array(
+        [r[0] for r in df.select(logaddexp(F.col("a"), F.col("b"))).collect()]
+    )
+    assert np.allclose(got, np.logaddexp(a, b), atol=1e-12)
+
+
+def test_closure_matches_python_fixpoint(spark):
+    from dbpedia_spotlight_spark.operators.closure import redirect_closure
+
+    rng = np.random.RandomState(5)
+    for trial in range(3):
+        n = 25
+        # random functional graph over a subset of nodes (chains + cycles)
+        srcs = [f"n{i}" for i in range(n)]
+        edges = [(s, f"n{rng.randint(0, n)}") for s in srcs if rng.rand() < 0.7]
+        edges = [(s, d) for s, d in edges if s != d]
+        if not edges:
+            continue
+        mapping = dict(edges)
+
+        def follow(u):
+            seen = [u]
+            cur = u
+            while cur in mapping and mapping[cur] not in seen:
+                cur = mapping[cur]
+                seen.append(cur)
+            return cur if cur != u else mapping.get(u, u)
+
+        df = spark.createDataFrame(edges, "src_uri string, dst_uri string")
+        got = {
+            r["src_uri"]: r["final_uri"] for r in redirect_closure(df).collect()
+        }
+        for s, _ in edges:
+            # acyclic chains must resolve to the python fixpoint exactly;
+            # cycle members settle on some member of their cycle
+            py = follow(s)
+            if got[s] != py:
+                cyc = [s]
+                cur = s
+                while cur in mapping and mapping[cur] not in cyc:
+                    cur = mapping[cur]
+                    cyc.append(cur)
+                assert got[s] in cyc, (trial, s, got[s], py, cyc)

@@ -441,6 +441,10 @@ def q_annotate_e2e(spark, sf_dir):
     occ = _occs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("doc_id"), "surface_form", "uri"
     )
+    # Note: measured at sf0.1, caching tokens/model dims here is a net LOSS
+    # (~14s vs ~10s) — the materialization barrier costs more than the
+    # recompute of these small subtrees. Caching pays only when the model is
+    # reused across jobs (bench.py scaling run does exactly that).
     tokens = tokenize_documents(iv)
     model = build_model_from_occurrences(iv, occ, tokens)
     return annotate(iv, model, use_context=True)

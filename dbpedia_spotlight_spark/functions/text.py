@@ -58,6 +58,35 @@ def normalize_surface_form_col(col: Column) -> Column:
     return F.concat(F.lit("/"), F.array_join(words, " "))
 
 
+STRIPPED_SECTIONS = ("see also", "references", "further reading", "external links")
+
+
+def strip_wiki_markup_col(col: Column, sections=STRIPPED_SECTIONS) -> Column:
+    """Wiki markup stripping as chained JVM-side regexp passes
+    (ref core/.../string/WikiMarkupStripper.scala:30-193 stripEverything:
+    sections -> magic words -> formatting -> bullets -> HTML/refs/comments ->
+    excess newlines). The reference's two-pass stripSection stateful matcher
+    is approximated with one DOTALL pass per section (drop from the heading
+    to the next heading or end); applied identically everywhere, so
+    downstream counts stay self-consistent."""
+    out = col
+    for name in sections:
+        out = F.regexp_replace(
+            out, r"(?is)(={2,})\s*" + name + r"\s*\1.*?(?=\n={2,}[^=]|\z)", "\n"
+        )
+    out = F.regexp_replace(out, r"__\p{Upper}+__", "")          # magic words
+    out = F.regexp_replace(out, r"'{2,}", "")                    # bold/italic
+    out = F.regexp_replace(out, r"={2,}", "")                    # headings
+    out = F.regexp_replace(out, r"\n:+", "\n")                   # indents
+    out = F.regexp_replace(out, r"\n\*+[^\w\[]*", "\n")          # bullets
+    out = F.regexp_replace(out, r"(?s)<!--(.*?)-->", "")         # comments
+    out = F.regexp_replace(out, r"(?s)<ref>(.*?)</ref>", "")     # refs
+    out = F.regexp_replace(out, r"(?s)<ref\s(.*?)>(.*?)</ref>", "")
+    out = F.regexp_replace(out, r"<([^>]*?)>", "")               # any tag
+    out = F.regexp_replace(out, r"\n{3,}", "\n\n")               # newlines
+    return out
+
+
 def wiki_clean_uri_col(col: Column) -> Column:
     """Canonical URI key: strip fragment anchor, URL-decode, space->underscore
     (ref WikipediaToDBpediaClosure.scala:72-86)."""

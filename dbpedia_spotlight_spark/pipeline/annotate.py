@@ -63,6 +63,7 @@ def annotate(
     k: int = 1,
     stopwords: frozenset = DEFAULT_STOPWORDS,
     max_context_tokens: int | None = None,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """documents(doc_id, spans) -> annotations (one row per linked mention).
 
@@ -75,12 +76,22 @@ def annotate(
     spots = spot_documents(
         documents, model.surface_forms, stopwords=stopwords, spotter=spotter
     )
+    # The spots/tokens subtrees are consumed by several downstream branches
+    # (candidate join, NIL spot scores, context vectors). Without an exchange
+    # at the fork, Spark recomputes the Python UDF scan once per branch
+    # (~8x measured). A repartition on doc_id makes the fork an Exchange that
+    # ReuseExchange dedupes — the UDF runs exactly once per job, and the
+    # doc_id clustering feeds the downstream per-doc windows.
+    spots = spots.repartition("doc_id")
     spot_cands = generate_candidates(
         spots, model.surface_forms, model.candidates, heads=heads
     )
-    tokens = (
-        tokenize_documents(documents, stopwords=stopwords) if use_context else None
-    )
+    if use_context and tokens is None:
+        tokens = tokenize_documents(documents, stopwords=stopwords).repartition(
+            "doc_id"
+        )
+    elif not use_context:
+        tokens = None
     ctx_col = "doc_id"
     if use_context and max_context_tokens:
         tokens, spot_cands = attach_context_windows(

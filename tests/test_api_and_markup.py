@@ -1,0 +1,61 @@
+"""REST-endpoint parity functions + wiki markup stripping."""
+
+from pyspark.sql import functions as F
+
+from dbpedia_spotlight_spark.functions.text import strip_wiki_markup_col
+from dbpedia_spotlight_spark.io.sources import parse_spot_xml
+from dbpedia_spotlight_spark.pipeline.api import (
+    annotate_endpoint,
+    candidates,
+    disambiguate,
+    spot,
+)
+
+
+def test_spot_endpoint(world):
+    s = spot(world.documents, world.model)
+    assert s.count() > 0
+    assert {"doc_id", "offset", "surface_form", "spot_prob"} <= set(s.columns)
+
+
+def test_candidates_endpoint_ranked_lists(world):
+    c = candidates(world.documents, world.model, k=3)
+    per_spot = c.groupBy("doc_id", "offset").agg(F.max("rank").alias("m"))
+    assert per_spot.filter(F.col("m") > 1).count() > 0  # real ranked lists
+    assert per_spot.agg(F.max("m")).collect()[0][0] <= 3
+
+
+def test_disambiguate_endpoint_with_xml_spots(spark, world):
+    xml = (
+        '<annotation text="Berlin is in Germany">'
+        '<surfaceForm name="Berlin" offset="0"/></annotation>'
+    )
+    spots, docs_flat = parse_spot_xml(spark, xml)
+    from dbpedia_spotlight_spark.operators.tokenizer import flat_to_interleaved
+
+    docs = flat_to_interleaved(docs_flat)
+    out = disambiguate(spots, docs, world.model, use_context=False).collect()
+    assert len(out) == 1 and out[0]["uri"] == "Berlin"
+
+
+def test_annotate_endpoint_filters(world):
+    out = annotate_endpoint(world.documents, world.model, confidence=0.1, support=10)
+    assert out.count() > 0
+    assert out.filter(F.col("support") <= 10).count() == 0
+
+
+def test_strip_wiki_markup(spark):
+    markup = (
+        "'''Apple''' is a <ref>Some ref</ref>fruit.<!-- hidden -->\n"
+        "== See also ==\n* [[Banana]]\n\n"
+        "==History==\nGrown __TOC__ for <b>centuries</b>.\n:indented\n"
+        "* bullet item\n\n\n\nEnd."
+    )
+    df = spark.createDataFrame([(markup,)], "t string")
+    out = df.select(strip_wiki_markup_col(F.col("t")).alias("s")).collect()[0]["s"]
+    assert "'''" not in out and "<ref>" not in out and "hidden" not in out
+    assert "__TOC__" not in out and "<b>" not in out
+    assert "See also" not in out and "Banana" not in out  # section dropped
+    assert "History" in out and "centuries" in out        # content kept
+    assert "\n\n\n" not in out
+    assert "Apple" in out and "fruit." in out

@@ -203,3 +203,22 @@ def test_context_windowing(spark):
     # offset 0 -> window 0 (toks 0-30); 55 inside window 1 (40-70); 90 -> window 2
     assert spot_wins == {0: "d1#0", 55: "d1#1", 90: "d1#2"}
     assert sp.count() == 3  # exactly one window per spot
+
+
+def test_spotter_tuner(spark, world):
+    """M12: tuned weights must score gold spots above non-gold spots."""
+    from dbpedia_spotlight_spark.operators.spotter import spot_documents
+    from dbpedia_spotlight_spark.operators.tuner import (
+        tune_spot_weights,
+        write_spot_weights,
+    )
+
+    spots = spot_documents(world.documents, world.model.surface_forms)
+    w = tune_spot_weights(spots, world.gold, world.model.surface_forms)
+    assert len(w) == 4
+    # gold-heavy sfs have annot_prob 1.0 (total=-1); weight must be positive
+    assert w[0] > 0
+    import tempfile, os
+    p = os.path.join(tempfile.mkdtemp(), "spotter_thresholds.txt")
+    write_spot_weights(w, p)
+    assert len(open(p).read().split()) == 4

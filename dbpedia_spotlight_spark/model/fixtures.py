@@ -174,22 +174,29 @@ def build_model(spark: SparkSession) -> SpotlightModel:
         for u, c in sorted(pairs.items())
     ]
 
-    # vocabulary: all context words + filler words + common template words
+    # vocabulary: all context words + filler words, STEMMED with the same
+    # stem() the tokenizer applies at query time (SnowballStemmer parity —
+    # the model vocab must live in stem space; collisions sum)
+    from dbpedia_spotlight_spark.operators.tokenizer import stem as _stem
+
     vocab_counts: dict = {}
     for ctx in CONTEXT.values():
         for tok, c in ctx.items():
-            vocab_counts[tok] = vocab_counts.get(tok, 0) + c
+            s = _stem(tok)
+            vocab_counts[s] = vocab_counts.get(s, 0) + c
     for w in FILLER_WORDS:
-        vocab_counts[w] = vocab_counts.get(w, 0) + 20
+        s = _stem(w)
+        vocab_counts[s] = vocab_counts.get(s, 0) + 20
     tokens_sorted = sorted(vocab_counts)
     token_id = {t: i + 1 for i, t in enumerate(tokens_sorted)}  # 0 reserved
     tok_rows = [(token_id[t], t, vocab_counts[t]) for t in tokens_sorted]
 
-    ctx_rows = [
-        (res_id[u], token_id[t], c)
-        for u, ctx in sorted(CONTEXT.items())
-        for t, c in sorted(ctx.items())
-    ]
+    ctx_agg: dict = {}
+    for u, ctx in sorted(CONTEXT.items()):
+        for t, c in sorted(ctx.items()):
+            key = (res_id[u], token_id[_stem(t)])
+            ctx_agg[key] = ctx_agg.get(key, 0) + c
+    ctx_rows = [(r, t, c) for (r, t), c in sorted(ctx_agg.items())]
 
     stop_rows = [(w,) for w in sorted({"the", "a", "an", "of", "is", "in", "and"})]
 

@@ -13,10 +13,10 @@ tokens, keyed by (doc_id, span_pos) so downstream stages can re-assemble the
 original span order (per-row invariant, BASELINE.json input_hint).
 
 Stemming: the reference wraps a Snowball stemmer
-(core/.../db/stem/SnowballStemmer.scala:12-16 — lowercase then stem); this
-container has no snowball lib, so the default stemmer is lowercase-identity.
-It is applied identically at model-build and query time, so token-type
-lookups stay consistent (documented deviation).
+(core/.../db/stem/SnowballStemmer.scala:12-16 — lowercase then stem); we
+implement the Snowball English (Porter2) algorithm from its public spec
+(functions/stemmer.py) and apply it identically at model-build and query
+time.
 """
 
 from __future__ import annotations
@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dbpedia_spotlight_spark.functions.stemmer import porter2_stem
 from dbpedia_spotlight_spark.model.schemas import TOKENS_SCHEMA
 
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
@@ -43,8 +44,8 @@ DEFAULT_STOPWORDS = frozenset(
 
 
 def stem(token: str) -> str:
-    """Lowercase-identity stemmer (see module docstring)."""
-    return token.lower()
+    """Lowercase + Snowball English (ref SnowballStemmer.scala:12-16)."""
+    return porter2_stem(token.lower())
 
 
 def sentence_spans(text: str) -> list[tuple[int, int]]:

@@ -89,8 +89,10 @@ def test_context_scores_match_hand_math(spark, model):
     }
     nil_got = nil_context_scores(query).collect()[0]["nil_context_score"]
 
+    from dbpedia_spotlight_spark.operators.tokenizer import stem
+
     rows = _model_rows(model)
-    doc_tokens = text.split()
+    doc_tokens = [stem(t) for t in text.split()]
     score, nil = _hand_scores(rows, doc_tokens)
 
     assert nil_got == pytest.approx(nil(), rel=1e-9)
@@ -108,7 +110,7 @@ def test_query_vector_counts(spark, model):
     vocab = {r["token_id"]: r["token"] for r in model.token_types.collect()}
     for r in q:
         by_tok[vocab[r["token_id"]]] = r["c"]
-    assert by_tok == {"iphone": 2.0, "mac": 1.0}  # unknown excluded
+    assert by_tok == {"iphon": 2.0, "mac": 1.0}  # stems; unknown excluded
 
 
 def test_softmax_and_second_rank(spark, world):

@@ -36,7 +36,8 @@ def test_fsa_build_threshold():
 
 def test_fsa_nested_accepts():
     d = _dict([("new york", 10, 10), ("new york city", 10, 10), ("york", 10, 10)])
-    spans = _fsa_spans(["new", "york", "city"], d.trie)
+    # the FSA walks stem space: "city" stems to "citi"
+    spans = _fsa_spans(["new", "york", "citi"], d.trie)
     assert set(spans) == {(0, 2, "m"), (0, 3, "m"), (1, 2, "m")}
 
 
@@ -98,7 +99,7 @@ def test_ahocorasick_matches():
 def test_tokenize_offsets():
     toks = tokenize_text("Apple is big. Paris too.", frozenset(["is"]))
     # (sent_id, token, stem, offset, is_stopword, eos)
-    assert toks[0][:4] == (0, "Apple", "apple", 0)
+    assert toks[0][:4] == (0, "Apple", "appl", 0)  # snowball stem
     assert toks[1][4] is True  # 'is' stopword
     assert [t for t in toks if t[1] == "Paris"][0][0] == 1  # second sentence
     eos = [t[1] for t in toks if t[5]]

@@ -22,7 +22,7 @@ split). A standalone multi-JVM cluster was evaluated and rejected: on one
 host, 9 JVMs + python workers self-contend and AQE stage latency
 dominates, measuring the box, not the job.
 
-Env knobs: BENCH_REPLICATE (default 4), BENCH_TEXT_X (default 4, in-doc
+Env knobs: BENCH_REPLICATE (default 8), BENCH_TEXT_X (default 4, in-doc
 text amplification so per-task compute dominates scheduling),
 BENCH_SKIP_SCALING=1 to skip the scaling measurement.
 """

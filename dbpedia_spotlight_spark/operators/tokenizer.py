@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import re
 from collections.abc import Iterator
+from functools import lru_cache
 
 import pandas as pd
 
@@ -43,8 +44,11 @@ DEFAULT_STOPWORDS = frozenset(
 )
 
 
+@lru_cache(maxsize=1 << 20)
 def stem(token: str) -> str:
-    """Lowercase + Snowball English (ref SnowballStemmer.scala:12-16)."""
+    """Lowercase + Snowball English (ref SnowballStemmer.scala:12-16).
+    LRU-cached per worker process: corpora repeat tokens heavily, so the
+    amortized cost is a dict hit, not an algorithm run."""
     return porter2_stem(token.lower())
 
 

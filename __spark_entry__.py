@@ -433,6 +433,33 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: MinHash-LSH pairs -> connected components ->
+    canonical representative per cluster."""
+    from dbpedia_spotlight_spark.datapipe.dedup import dedup_clusters
+
+    return dedup_clusters(_docs(spark, sf_dir), threshold=0.8)
+
+
+def q_wikilink_corpus(spark, sf_dir):
+    """Eval-corpus reader: [[uri|sf]] markup synthesized deterministically
+    over the documents table -> clean text + gold occurrences."""
+    from dbpedia_spotlight_spark.io.corpora import (
+        gold_occurrences,
+        read_wikilink_corpus,
+    )
+
+    marked = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("[[Apache Spark|spark]] report: "),
+            "text",
+            F.lit(" via [[Paris]]"),
+        ).alias("text"),
+    )
+    return gold_occurrences(read_wikilink_corpus(marked))
+
+
 def q_annotate_e2e(spark, sf_dir):
     """Full north-star DAG: interleave -> model build -> FSA spot -> candidate
     join -> generative disambiguation -> annotations."""
@@ -483,6 +510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_buckets": q_simhash_buckets,
         "lsh_topk": q_lsh_topk,
         "doc_fingerprint": q_doc_fingerprint,
+        "dedup_clusters": q_dedup_clusters,
+        "wikilink_corpus": q_wikilink_corpus,
         "annotate_e2e": q_annotate_e2e,
     }
 
@@ -617,6 +646,16 @@ occ_sel AS (
 SELECT o.doc_id, o.occ_offset, t.tok_idx, t.stem
 FROM occ_sel o JOIN tkc t ON o.doc_id = t.doc_id
 WHERE t.tok_idx BETWEEN o.occ_idx - 3 AND o.occ_idx + 3
+"""
+
+    sql["wikilink_corpus"] = """
+SELECT doc_id::VARCHAR AS doc_id, 0 AS offset,
+       'spark' AS surface_form, 'Apache_Spark' AS uri,
+       1.0::DOUBLE AS confidence
+FROM documents
+UNION ALL
+SELECT doc_id::VARCHAR, length(text) + 19, 'Paris', 'Paris', 1.0::DOUBLE
+FROM documents
 """
 
     sql["dedup_prefix"] = r"""

@@ -187,6 +187,86 @@ def minhash_near_duplicates(
     return ngram_jaccard_pairs(df, pairs, text_col, id_col, shingle_k, threshold)
 
 
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Union near-dup pairs (a, b) into clusters: (doc_id, component) where
+    component = min doc_id reachable. Large-star/small-star style label
+    propagation — each iteration is join + groupBy-min, converging in
+    O(log n) rounds; localCheckpoint truncates lineage. The canonical keep
+    decision (min id per component) then falls out of a groupBy."""
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.min("dst"), F.min("src")).alias("component"))
+        .withColumnRenamed("src", "doc_id")
+    )
+    for _ in range(max_iterations):
+        # propagate: my new label = min(my label, labels of my neighbors)
+        neigh = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"),
+                    F.col("component").alias("_n_comp"),
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_n_comp").alias("_min_neigh"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("_min_neigh"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **minhash_kwargs,
+) -> DataFrame:
+    """Full near-dup dedup: MinHash-LSH pairs -> connected components ->
+    keep the min-id representative per cluster.
+    -> (doc_id, component, keep) with keep=false for rows to drop."""
+    pairs = minhash_near_duplicates(df, text_col, id_col, **minhash_kwargs)
+    comp = connected_components(pairs.select("a", "b"))
+    keep_flag = F.col("doc_id") == F.col("component")
+    clustered = comp.withColumn("keep", keep_flag)
+    singletons = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(comp.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("component", F.col("doc_id"))
+        .withColumn("keep", F.lit(True))
+    )
+    return clustered.unionByName(singletons)
+
+
 def simhash_buckets(
     df: DataFrame,
     text_col: str = "text",

@@ -189,3 +189,28 @@ def test_bucketed_storage_roundtrip(spark, docs, tmp_path):
     import os
     parts = [d for d in os.listdir(path) if d.startswith("_bucket=")]
     assert 1 <= len(parts) <= 4
+
+
+def test_connected_components_chain(spark):
+    from dbpedia_spotlight_spark.datapipe.dedup import connected_components
+
+    # chain 1-2-3-4 plus isolated pair 8-9
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (8, 9)], "a long, b long"
+    )
+    comp = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    assert comp[8] == comp[9] == 8
+
+
+def test_dedup_clusters_end_to_end(spark, docs):
+    from dbpedia_spotlight_spark.datapipe.dedup import dedup_clusters
+
+    out = dedup_clusters(docs, num_hashes=64, bands=32, shingle_k=3, threshold=0.5)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    # docs 1,2,3 form one near-dup cluster; only min id kept
+    assert rows[1]["component"] == rows[2]["component"] == 1
+    assert rows[1]["keep"] is True and rows[2]["keep"] is False
+    # singletons keep themselves
+    assert rows[4]["keep"] is True and rows[5]["keep"] is True

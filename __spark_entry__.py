@@ -462,7 +462,9 @@ def q_wikilink_corpus(spark, sf_dir):
 
 def q_annotate_e2e(spark, sf_dir):
     """Full north-star DAG: interleave -> model build -> FSA spot -> candidate
-    join -> generative disambiguation -> annotations."""
+    join -> generative disambiguation -> annotations. Array columns are
+    serialized (array_join) and floats rounded so the driver's pandas
+    canonicalization can sort/hash the result."""
     docs = _docs(spark, sf_dir)
     iv = flat_to_interleaved_media(docs)
     occ = _occs(spark, sf_dir).select(
@@ -474,7 +476,60 @@ def q_annotate_e2e(spark, sf_dir):
     # reused across jobs (bench.py scaling run does exactly that).
     tokens = tokenize_documents(iv)
     model = build_model_from_occurrences(iv, occ, tokens)
-    return annotate(iv, model, use_context=True)
+    ann = annotate(iv, model, use_context=True)
+    return ann.select(
+        "doc_id",
+        "span_pos",
+        "offset",
+        "surface_form",
+        "uri",
+        F.round("similarity_score", 6).alias("similarity_score"),
+        F.round("percentage_second_rank", 6).alias("percentage_second_rank"),
+        F.round("contextual_score", 6).alias("contextual_score"),
+        F.array_join(F.col("types").cast("array<string>"), ",").alias("types"),
+        "res_id",
+        "support",
+        "rank",
+    )
+
+
+def q_annotate_prior(spark, sf_dir):
+    """Flagship relational twin with a full oracle: the library annotate()
+    path (candidate join -> prior scoring -> NIL filter -> rank -> softmax ->
+    best) driven by injected micro-world spots, use_context=False — every
+    stage is ANSI-SQL-expressible, so the disambiguation core is hash-checked
+    end to end (ref DBTwoStepDisambiguator.scala:120-246, contextStore==null
+    branch :161-164)."""
+    docs = _docs(spark, sf_dir)
+    iv = flat_to_interleaved_media(docs)
+    occ = _occs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "surface_form", "uri"
+    )
+    tokens = tokenize_documents(iv)
+    model = build_model_from_occurrences(iv, occ, tokens)
+    spots = _spots(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(0).alias("span_pos"),
+        _char_offset().cast("int").alias("offset"),
+        "surface_form",
+        F.lit(1.0).alias("spot_prob"),
+        F.lit("m").alias("spot_type"),
+        F.array().cast("array<string>").alias("token_stems"),
+    )
+    ann = annotate(iv, model, use_context=False, spots=spots)
+    return ann.select(
+        "doc_id",
+        "span_pos",
+        "offset",
+        "surface_form",
+        "uri",
+        F.round("similarity_score", 6).alias("similarity_score"),
+        F.round("percentage_second_rank", 6).alias("percentage_second_rank"),
+        F.round("contextual_score", 6).alias("contextual_score"),
+        "res_id",
+        "support",
+        "rank",
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -512,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_clusters": q_dedup_clusters,
         "wikilink_corpus": q_wikilink_corpus,
+        "annotate_prior": q_annotate_prior,
         "annotate_e2e": q_annotate_e2e,
     }
 
@@ -656,6 +712,54 @@ FROM documents
 UNION ALL
 SELECT doc_id::VARCHAR, length(text) + 19, 'Paris', 'Paris', 1.0::DOUBLE
 FROM documents
+"""
+
+    # Flagship relational twin: model build + candidate join + prior scoring
+    # + NIL filter + rank + softmax, all from the micro-world occs.
+    sql["annotate_prior"] = _BASE_CTES + f""",
+occ2 AS (SELECT doc_id::VARCHAR AS doc_id, surface_form, uri FROM occs),
+sfs AS (SELECT surface_form, count(*)::DOUBLE AS annotated_count
+        FROM occ2 GROUP BY surface_form),
+res AS (
+  SELECT uri, n AS support,
+         (row_number() OVER (ORDER BY uri) - 1)::INT AS res_id
+  FROM (SELECT uri, count(*) AS n FROM occ2 GROUP BY uri)
+),
+cand AS (SELECT surface_form, uri, count(*)::DOUBLE AS pair_count
+         FROM occ2 GROUP BY surface_form, uri),
+tot AS (SELECT count(*)::DOUBLE AS total FROM occ2),
+spots2 AS (
+  SELECT doc_id::VARCHAR AS doc_id, 0 AS span_pos,
+         ({_SQL_OFFSET})::INT AS off, surface_form
+  FROM spots
+),
+scored AS (
+  SELECT s.doc_id, s.span_pos, s.off, s.surface_form,
+         r.uri, r.res_id, r.support,
+         ln(r.support / t.total) + ln(c.pair_count / f.annotated_count)
+           AS score,
+         ln(1.0 / t.total) AS nil_score
+  FROM spots2 s
+  JOIN sfs f USING (surface_form)
+  JOIN cand c USING (surface_form)
+  JOIN res r ON c.uri = r.uri
+  CROSS JOIN tot t
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id, span_pos, off
+      ORDER BY score DESC, res_id ASC) AS rank
+  FROM scored WHERE score > nil_score
+)
+SELECT doc_id, span_pos, off AS "offset", surface_form, uri,
+  round(exp(score - (greatest(score, nil_score)
+    + ln(exp(score - greatest(score, nil_score))
+        + exp(nil_score - greatest(score, nil_score))))), 6)
+    AS similarity_score,
+  (-1.0)::DOUBLE AS percentage_second_rank,
+  (0.5)::DOUBLE AS contextual_score,
+  res_id, support, rank
+FROM ranked WHERE rank = 1
 """
 
     sql["dedup_prefix"] = r"""

@@ -64,6 +64,7 @@ def annotate(
     stopwords: frozenset = DEFAULT_STOPWORDS,
     max_context_tokens: int | None = None,
     tokens: DataFrame | None = None,
+    spots: DataFrame | None = None,
 ) -> DataFrame:
     """documents(doc_id, spans) -> annotations (one row per linked mention).
 
@@ -72,10 +73,14 @@ def annotate(
     max_context_tokens enables D2 context windowing (long documents are
     scored against per-window context vectors instead of the whole doc;
     ref DBTwoStepDisambiguator.scala:89-119, MAX_CONTEXT=250).
+    `spots` injects a pre-computed spot table (SPOTS_SCHEMA) in place of the
+    built-in spotters — the reference's pluggable-Spotter seam
+    (rest/.../SpotlightInterface.java:124-137 takes any Spotter impl).
     """
-    spots = spot_documents(
-        documents, model.surface_forms, stopwords=stopwords, spotter=spotter
-    )
+    if spots is None:
+        spots = spot_documents(
+            documents, model.surface_forms, stopwords=stopwords, spotter=spotter
+        )
     # The spots/tokens subtrees are consumed by several downstream branches
     # (candidate join, NIL spot scores, context vectors). Without an exchange
     # at the fork, Spark recomputes the Python UDF scan once per branch

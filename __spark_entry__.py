@@ -424,7 +424,10 @@ def q_lsh_topk(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     q = emb.filter(F.col("vec_id") < 5)
-    return lsh_topk(emb, q, dim=64, k=10, num_planes=6, num_tables=4)
+    out = lsh_topk(emb, q, dim=64, k=10, num_planes=6, num_tables=4)
+    return out.select(
+        "query_id", "cand_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
 
 
 def q_doc_fingerprint(spark, sf_dir):
@@ -835,6 +838,145 @@ s AS (
   SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
          list_cosine_similarity(q.v, e.v) AS cos
   FROM q CROSS JOIN e WHERE q.vec_id <> e.vec_id
+)
+SELECT query_id, cand_id, round(cos, 4) AS cosine, "rank" FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS "rank"
+  FROM s
+) WHERE "rank" <= 10
+"""
+
+    # ---- dedup/LSH family: brute-force / constant-replay oracles ---------
+
+    _SH_TOKS = (
+        r"list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), "
+        r"x -> x <> '')"
+    )
+    # exact shingle sets (twin of datapipe.dedup.shingles / shingles_col)
+    _SH_SETS = rf"""
+tk AS (SELECT doc_id, {_SH_TOKS} AS toks FROM documents),
+shs AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+         WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+         ELSE list_distinct([array_to_string(toks[i:i+4], ' ')
+                             FOR i IN generate_series(1, len(toks) - 4)])
+    END AS s
+  FROM tk
+),
+sets AS (SELECT doc_id, s, len(s) AS n FROM shs),
+allp AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+    len(list_intersect(x.s, y.s))::DOUBLE AS inter,
+    (x.n + y.n - len(list_intersect(x.s, y.s)))::DOUBLE AS un
+  FROM sets x JOIN sets y ON x.doc_id < y.doc_id
+),
+vp AS (SELECT a, b, inter / un AS jaccard FROM allp
+       WHERE un > 0 AND inter / un >= 0.8)
+"""
+
+    sql["minhash_near_dups"] = (
+        "WITH "
+        + _SH_SETS.lstrip()
+        + "SELECT a, b, round(jaccard, 4) AS jaccard FROM vp"
+    )
+
+    sql["dedup_clusters"] = (
+        "WITH RECURSIVE "
+        + _SH_SETS.lstrip()
+        + """,
+e AS (SELECT a AS s, b AS d FROM vp UNION SELECT b, a FROM vp),
+walk(doc_id, reach) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT w.doc_id, e2.d FROM walk w JOIN e e2 ON w.reach = e2.s
+),
+comp AS (SELECT doc_id, least(min(reach), doc_id) AS component
+         FROM walk GROUP BY doc_id)
+SELECT doc_id, component, doc_id = component AS keep FROM comp
+UNION ALL
+SELECT doc_id, doc_id, true FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+"""
+    )
+
+    sql["doc_fingerprint"] = rf"""
+WITH w AS (SELECT doc_id, {_SH_TOKS} AS words FROM documents)
+SELECT doc_id, list_reduce(
+  list_prepend(0::BIGINT,
+    [ (('0x' || substr(md5(x), 25, 8))::BIGINT % 2147483647)
+      FOR x IN words ]),
+  (a, h) -> (a * 1000003 + h) % 2147483647) AS fp
+FROM w
+"""
+
+    sql["simhash_buckets"] = rf"""
+WITH w AS (SELECT doc_id, {_SH_TOKS} AS toks FROM documents),
+h AS (
+  SELECT doc_id,
+    [{{'hi': ('0x' || substr(md5(t), 17, 8))::BIGINT,
+       'lo': ('0x' || substr(md5(t), 25, 8))::BIGINT}} FOR t IN toks] AS hs
+  FROM w
+),
+acc AS (
+  SELECT doc_id,
+    [ coalesce(list_sum([
+        CASE WHEN (CASE WHEN i < 32 THEN (s.lo >> i)
+                        ELSE (s.hi >> (i - 32)) END) % 2 = 1
+             THEN 1 ELSE -1 END FOR s IN hs ]), 0)
+      FOR i IN generate_series(0, 63) ] AS a
+  FROM h
+),
+cv AS (
+  SELECT doc_id,
+    [ list_sum([ CASE WHEN a[c * 16 + j + 1] > 0
+                      THEN (1 << j)::BIGINT ELSE 0::BIGINT END
+                 FOR j IN generate_series(0, 15) ])::BIGINT
+      FOR c IN generate_series(0, 3) ] AS cvs
+  FROM acc
+)
+SELECT doc_id,
+  lpad(lower(to_hex(cvs[4])), 4, '0') || lpad(lower(to_hex(cvs[3])), 4, '0')
+    || lpad(lower(to_hex(cvs[2])), 4, '0')
+    || lpad(lower(to_hex(cvs[1])), 4, '0') AS simhash_hex,
+  generate_subscripts(cvs, 1) - 1 AS chunk,
+  unnest(cvs) AS chunk_val
+FROM cv
+"""
+
+    # lsh_topk: replay the exact hyperplane constants (same numpy seeds as
+    # datapipe.similarity.lsh_topk) so bucketing, candidate union and cosine
+    # re-rank are all reproduced in SQL.
+    import numpy as _np
+
+    def _bucket_expr(vec: str, seed: int) -> str:
+        rng = _np.random.RandomState(seed)
+        planes = rng.normal(size=(6, 64))
+        terms = []
+        for i in range(6):
+            consts = ", ".join(repr(float(x)) for x in planes[i])
+            terms.append(
+                f"(CASE WHEN list_inner_product({vec}, [{consts}]) > 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    _lsh_tables = "\nUNION\n".join(
+        f"SELECT q.query_id, c.vec_id AS cand_id FROM q JOIN e c "
+        f"ON {_bucket_expr('q.qv', 42 + t)} = {_bucket_expr('c.v', 42 + t)} "
+        f"AND q.query_id <> c.vec_id"
+        for t in range(4)
+    )
+    sql["lsh_topk"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+pairs AS (
+{_lsh_tables}
+),
+s AS (
+  SELECT p.query_id, p.cand_id,
+         list_cosine_similarity(q.qv, c.v) AS cos
+  FROM pairs p JOIN q USING (query_id) JOIN e c ON p.cand_id = c.vec_id
 )
 SELECT query_id, cand_id, round(cos, 4) AS cosine, "rank" FROM (
   SELECT *, row_number() OVER (

@@ -143,6 +143,24 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
     )
 
 
+def shingles_col(text, k: int = 5):
+    """Native (codegen) twin of `shingles()`: distinct k-token shingle array
+    via transform(sequence, slice) — no per-row Python."""
+    toks = F.filter(F.split(F.trim(F.lower(text)), r"\s+"), lambda w: w != "")
+    n = F.size(toks)
+    many = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, F.lit(k))),
+        )
+    )
+    return (
+        F.when(n == 0, F.array().cast("array<string>"))
+        .when(n < k, F.array(F.concat_ws(" ", toks)))
+        .otherwise(many)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,
@@ -152,11 +170,17 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Verify candidate pairs with exact shingle Jaccard.
-    -> (a, b, jaccard) for pairs >= threshold."""
-    sh_schema = T.ArrayType(T.StringType())
-    sh_udf = F.udf(lambda t: sorted(shingles(t or "", shingle_k)), sh_schema)
+    -> (a, b, jaccard) for pairs >= threshold.
+
+    Scale: shingles are built natively (no UDF) and immediately collapsed to
+    xxhash64 values, so the verify join shuffles array<long> instead of full
+    shingle strings (~4x smaller); hash-set Jaccard equals string-set Jaccard
+    absent 64-bit collisions."""
     sets_df = df.select(
-        F.col(id_col).alias("doc_id"), sh_udf(F.col(text_col)).alias("sh")
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            shingles_col(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)
+        ).alias("sh"),
     )
     joined = (
         pairs.join(sets_df.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sh_a"), "a")
@@ -191,10 +215,13 @@ def connected_components(
     pairs: DataFrame, max_iterations: int = 20
 ) -> DataFrame:
     """Union near-dup pairs (a, b) into clusters: (doc_id, component) where
-    component = min doc_id reachable. Large-star/small-star style label
-    propagation — each iteration is join + groupBy-min, converging in
-    O(log n) rounds; localCheckpoint truncates lineage. The canonical keep
-    decision (min id per component) then falls out of a groupBy."""
+    component = min doc_id reachable. Min-label propagation with pointer
+    doubling (each round also adopts the label *of* the current label, so
+    chains collapse in O(log diameter) rounds, not O(diameter));
+    localCheckpoint truncates lineage. The canonical keep decision (min id
+    per component) then falls out of a groupBy. Raises RuntimeError if the
+    loop exhausts max_iterations without converging — a silent early exit
+    would split one cluster across several keep=true representatives."""
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(
@@ -207,8 +234,10 @@ def connected_components(
         .agg(F.least(F.min("dst"), F.min("src")).alias("component"))
         .withColumnRenamed("src", "doc_id")
     )
+    converged = False
     for _ in range(max_iterations):
-        # propagate: my new label = min(my label, labels of my neighbors)
+        # propagate: my new label = min(my label, labels of my neighbors,
+        # label of my label) — the last term is the pointer-doubling hop
         neigh = (
             edges.join(
                 labels.select(
@@ -221,13 +250,19 @@ def connected_components(
             .agg(F.min("_n_comp").alias("_min_neigh"))
             .withColumnRenamed("src", "doc_id")
         )
+        hop = labels.select(
+            F.col("doc_id").alias("component"),
+            F.col("component").alias("_comp_of_comp"),
+        )
         new_labels = (
             labels.join(neigh, "doc_id", "left")
+            .join(hop, "component", "left")
             .select(
                 "doc_id",
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("_min_neigh"), F.col("component")),
+                    F.coalesce(F.col("_comp_of_comp"), F.col("component")),
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)
@@ -241,7 +276,13 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations; raise max_iterations"
+        )
     return labels
 
 
@@ -271,46 +312,57 @@ def simhash_buckets(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_chunks: int = 4,
 ) -> DataFrame:
     """64-bit SimHash per doc + pigeonhole chunk keys for near-dup bucketing.
-    -> (doc_id, simhash, chunk, chunk_val) — docs within Hamming distance
-    < num_chunks share at least one chunk."""
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", df.schema[id_col].dataType),
-            T.StructField("simhash", T.LongType()),
-        ]
-    )
+    -> (doc_id, simhash_hex, chunk, chunk_val) — docs within Hamming
+    distance < 4 share at least one of the 4 16-bit chunks.
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, hashes = [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                toks = (text or "").lower().split()
-                acc = np.zeros(64, dtype=np.int64)
-                shift = np.arange(64, dtype=np.uint64)
-                for t in toks:
-                    h = np.uint64(stable_hash64(t))
-                    bits = ((h >> shift) & np.uint64(1)).astype(np.int64)
-                    acc += 2 * bits - 1
-                sh = 0
-                for i in range(64):
-                    if acc[i] > 0:
-                        sh |= 1 << i
-                ids.append(doc_id)
-                hashes.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
-            yield pd.DataFrame({"doc_id": ids, "simhash": hashes})
-
-    sim = df.select(id_col, text_col).mapInPandas(run, schema)
-    bits_per_chunk = 64 // num_chunks
-    mask = (1 << bits_per_chunk) - 1
-    vals = F.array(
-        *[
-            F.shiftright("simhash", i * bits_per_chunk).bitwiseAND(F.lit(mask))
-            for i in range(num_chunks)
-        ]
+    Pure column math, zero Python: per token, the 64-bit hash is the low
+    16 hex chars of md5 (two 32-bit halves via conv); the per-bit majority
+    vote is an `aggregate` fold with a 64-slot counter array, all inside
+    whole-stage codegen. Per-doc cost is O(tokens·64) JVM ops with one md5
+    per token — no shuffle, no UDF (and exactly reproducible in ANSI SQL)."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda w: w != ""
     )
-    return sim.select(
-        "doc_id", "simhash", F.posexplode(vals).alias("chunk", "chunk_val")
+    out = df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+    # (hi, lo) 32-bit halves per token, md5 computed once per token
+    out = out.withColumn(
+        "_h",
+        F.expr(
+            "transform(_toks, w -> named_struct("
+            "'hi', cast(conv(substring(md5(w), 17, 8), 16, 10) as bigint), "
+            "'lo', cast(conv(substring(md5(w), 25, 8), 16, 10) as bigint)))"
+        ),
+    )
+    # 64 majority counters: acc[i] += (bit i of token hash) ? 1 : -1
+    out = out.withColumn(
+        "_acc",
+        F.expr(
+            "aggregate(_h, array_repeat(0, 64), (acc, h) -> zip_with(acc, "
+            "transform(sequence(0, 63), i -> CASE WHEN i < 32 "
+            "THEN cast(shiftright(h.lo, i) % 2 as int) "
+            "ELSE cast(shiftright(h.hi, i - 32) % 2 as int) END), "
+            "(a, b) -> a + 2 * b - 1))"
+        ),
+    )
+    # 4 x 16-bit chunk values from the sign of each counter
+    out = out.withColumn(
+        "_cvs",
+        F.expr(
+            "transform(sequence(0, 3), c -> aggregate(sequence(0, 15), "
+            "cast(0 as bigint), (s, j) -> s + CASE WHEN "
+            "element_at(_acc, c * 16 + j + 1) > 0 "
+            "THEN cast(shiftleft(1, j) as bigint) ELSE cast(0 as bigint) END))"
+        ),
+    )
+    hex_chunk = lambda i: F.lpad(  # noqa: E731
+        F.lower(F.hex(F.element_at("_cvs", i))), 4, "0"
+    )
+    return out.select(
+        "doc_id",
+        F.concat(hex_chunk(4), hex_chunk(3), hex_chunk(2), hex_chunk(1)).alias(
+            "simhash_hex"
+        ),
+        F.posexplode("_cvs").alias("chunk", "chunk_val"),
     )

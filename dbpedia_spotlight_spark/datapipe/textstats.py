@@ -81,9 +81,27 @@ def language_id(text: Column) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+FP_MOD = (1 << 31) - 1  # Mersenne prime 2^31-1
+FP_BASE = 1000003
+
+
 def fingerprint(text: Column) -> Column:
-    """64-bit document fingerprint over the normalized word sequence."""
-    return F.xxhash64(F.array_join(words_col(text), " "))
+    """Polynomial rolling-hash document fingerprint over the normalized word
+    sequence: Horner fold acc -> (acc*B + h(w)) mod p with h(w) = low 32 md5
+    bits mod p. Pure column math (whole-stage codegen), and — unlike
+    xxhash64 — exactly reproducible in ANSI SQL for oracle checking.
+    acc < p ~ 2^31 and B ~ 2^20, so acc*B + h stays well inside int64."""
+    words = F.filter(words_col(text), lambda w: w != "")
+    hashes = F.transform(
+        words,
+        lambda w: F.conv(F.substring(F.md5(w), 25, 8), 16, 10).cast("long")
+        % F.lit(FP_MOD),
+    )
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(FP_BASE) + h) % F.lit(FP_MOD),
+    )
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -48,11 +48,14 @@ def write_bucketed(
     spark = df.sparkSession
     parts = list(extra_partition_cols or [])
     if iceberg_available(spark):
-        writer = df.writeTo(path_or_table).using("iceberg")
-        for p in parts:
-            writer = writer.partitionedBy(F.col(p))
-        writer = writer.partitionedBy(
+        # One partitionedBy call with all transforms: repeated calls REPLACE
+        # the previous partitioning (CreateTableWriter assigns, not appends),
+        # which would silently drop the extra partition columns.
+        transforms = [F.col(p) for p in parts] + [
             F.bucket(num_buckets, F.col(bucket_col))
+        ]
+        writer = df.writeTo(path_or_table).using("iceberg").partitionedBy(
+            transforms[0], *transforms[1:]
         )
         (writer.createOrReplace() if mode == "overwrite" else writer.append())
         return

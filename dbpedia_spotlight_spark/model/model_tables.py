@@ -96,6 +96,23 @@ class SpotlightModel:
     def vocabulary_size(self) -> float:
         return self._total("vocab_size", lambda: self.token_types.count())
 
+    @property
+    def candidates_count(self) -> float:
+        """Row count of the candidate fact table — drives the automatic
+        broadcast-vs-two-stage join decision in annotate()."""
+        return self._total("candidates_count", lambda: self.candidates.count())
+
+    def head_ids(self, top_n: int = 1000) -> list:
+        """Skew-head sf_ids (largest fanout x frequency), computed once per
+        model and cached — the model-build-time statistic the two-stage
+        candidate join broadcasts."""
+        key = f"head_ids_{top_n}"
+        if key not in self._totals:
+            from dbpedia_spotlight_spark.operators.candidates import head_sf_ids
+
+            self._totals[key] = head_sf_ids(self.candidates, top_n)
+        return self._totals[key]
+
     def resource_token_totals(self) -> DataFrame:
         """Per-resource total context token count
         (ref MemoryContextStore.scala:99-107 computes on load)."""

@@ -29,6 +29,12 @@ from dbpedia_spotlight_spark.functions.text import normalize_surface_form_col
 
 MAX_CANDIDATES = 20  # ref DBTwoStepDisambiguator.scala:69
 
+# Above this many candidate rows the single-shot broadcast of the whole
+# candidate fact table (fine for test models) would burst executor memory at
+# real-model scale (~10^7 pairs); annotate() then switches to the two-stage
+# broadcast(head)+shuffle(tail) plan automatically.
+AUTO_BROADCAST_MAX = 2_000_000
+
 
 def resolve_surface_forms(spots: DataFrame, surface_forms: DataFrame) -> DataFrame:
     """Attach (sf_id, annotated_count, total_count) to spots; unresolved spots
@@ -95,11 +101,13 @@ def join_candidates(
     candidates: DataFrame,
     heads: list | None = None,
 ) -> DataFrame:
-    """spots_sf ⋈ candidates on sf_id, two-stage broadcast-then-shuffle."""
+    """spots_sf ⋈ candidates on sf_id, two-stage broadcast-then-shuffle.
+    The head membership test is `isin` over the head id list — Catalyst
+    converts it to an O(1) InSet hash probe above
+    spark.sql.optimizer.inSetConversionThreshold (default 10)."""
     cand = candidates.select("sf_id", "res_id", "pair_count")
     if heads:
-        head_lit = F.array([F.lit(h) for h in heads])
-        is_head = F.array_contains(head_lit, F.col("sf_id"))
+        is_head = F.col("sf_id").isin(list(heads))
         head_join = spots_sf.filter(is_head).join(
             F.broadcast(cand.filter(is_head)), "sf_id", "inner"
         )

@@ -303,9 +303,12 @@ def attach_context_windows(
     """Assign a ctx_id = doc#window composite to tokens and spots.
 
     window_id = floor(token_ordinal / max_tokens) per document; a spot
-    belongs to the window whose token-offset range contains its offset (a
-    spot's offset is always the offset of its first token, so membership is
-    exact). Returns (tokens_with_ctx, spots_with_ctx) — feed both to
+    belongs to the *last* window whose start offset <= its offset (the
+    reference's takeWhile assigns every occurrence to a window —
+    DBTwoStepDisambiguator.scala:89-119). Range containment would silently
+    drop a spot whose offset falls between windows when tokenizer and
+    spotter offsets disagree; here such spots fall back to the first
+    window. Returns (tokens_with_ctx, spots_with_ctx) — feed both to
     score_candidates(ctx_col='ctx_id').
     """
     w = Window.partitionBy("doc_id").orderBy("offset")
@@ -314,16 +317,31 @@ def attach_context_windows(
         F.floor((F.row_number().over(w) - 1) / F.lit(max_tokens)).cast("int"),
     ).withColumn("ctx_id", F.concat_ws("#", "doc_id", "window_id"))
     ranges = tk.groupBy("doc_id", "window_id", "ctx_id").agg(
-        F.min("offset").alias("_w_start"), F.max("offset").alias("_w_end")
+        F.min("offset").alias("_w_start")
     )
-    spots_ctx = (
-        spots.join(ranges, "doc_id")
-        .filter(
-            (F.col("offset") >= F.col("_w_start"))
-            & (F.col("offset") <= F.col("_w_end"))
+    offsets = spots.select("doc_id", "offset").distinct()
+    cand = offsets.join(ranges, "doc_id").filter(
+        F.col("offset") >= F.col("_w_start")
+    )
+    pw = Window.partitionBy("doc_id", "offset").orderBy(F.desc("_w_start"))
+    pick = (
+        cand.withColumn("_rn", F.row_number().over(pw))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "offset", F.col("ctx_id").alias("_pick_ctx"))
+    )
+    first_win = ranges.groupBy("doc_id").agg(
+        F.min_by("ctx_id", "_w_start").alias("_first_ctx")
+    )
+    assigned = (
+        offsets.join(pick, ["doc_id", "offset"], "left")
+        .join(first_win, "doc_id", "left")
+        .select(
+            "doc_id",
+            "offset",
+            F.coalesce("_pick_ctx", "_first_ctx").alias("ctx_id"),
         )
-        .drop("_w_start", "_w_end", "window_id")
     )
+    spots_ctx = spots.join(assigned, ["doc_id", "offset"])
     return tk, spots_ctx
 
 

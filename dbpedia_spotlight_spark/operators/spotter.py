@@ -213,36 +213,39 @@ def _extract_doc_spots(
 
 def drop_overlapping_spots(spots: list) -> list:
     """Sequential conflict resolution (exact semantics of
-    ref DBSpotter.scala:129-179). spots: (offset, sf, prob, type[, stems]).
+    ref DBSpotter.scala:129-179, including its `remove += i-1` quirk: when
+    the new spot beats the *tracked* lastSpot, the reference removes the
+    literal previous index — which may already be removed — so on chains of
+    >=3 overlapping spots an earlier survivor can be kept alongside the new
+    winner). spots: (offset, sf, prob, type[, stems]).
     Dedup key = (offset, sf) (SurfaceFormOccurrence identity)."""
     seen: dict = {}
     for s in spots:
         seen.setdefault((s[0], s[1]), s)
     sorted_spots = sorted(seen.values(), key=lambda s: (s[0], len(s[1])))
     remove = set()
-    last = None  # (index, spot)
+    last = None
     for i, spot in enumerate(sorted_spots):
-        if last is not None and _intersects(last[1], spot):
-            li, lspot = last
-            spot_better_type = TYPE_ORDER.index(spot[3]) < TYPE_ORDER.index(lspot[3])
-            spot_longer = len(spot[1]) > len(lspot[1])
-            if spot_longer and spot[2] > lspot[2] / 2.0:
-                remove.add(li)
-                last = (i, spot)
-            elif not spot_longer and not (spot[2] > lspot[2] * 2.0):
+        if last is not None and _intersects(last, spot):
+            spot_better_type = TYPE_ORDER.index(spot[3]) < TYPE_ORDER.index(last[3])
+            spot_longer = len(spot[1]) > len(last[1])
+            if spot_longer and spot[2] > last[2] / 2.0:
+                remove.add(i - 1)
+                last = spot
+            elif not spot_longer and not (spot[2] > last[2] * 2.0):
                 remove.add(i)
-            elif spot[2] == lspot[2] and spot_better_type:
-                remove.add(li)
-                last = (i, spot)
-            elif spot[2] == lspot[2] and not spot_better_type:
+            elif spot[2] == last[2] and spot_better_type:
+                remove.add(i - 1)
+                last = spot
+            elif spot[2] == last[2] and not spot_better_type:
                 remove.add(i)
-            elif spot[2] > lspot[2]:
-                remove.add(li)
-                last = (i, spot)
+            elif spot[2] > last[2]:
+                remove.add(i - 1)
+                last = spot
             else:
                 remove.add(i)
         else:
-            last = (i, spot)
+            last = spot
     return [s for i, s in enumerate(sorted_spots) if i not in remove]
 
 

@@ -22,7 +22,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dbpedia_spotlight_spark.model.model_tables import SpotlightModel
-from dbpedia_spotlight_spark.operators.candidates import generate_candidates
+from dbpedia_spotlight_spark.operators.candidates import (
+    AUTO_BROADCAST_MAX,
+    generate_candidates,
+)
 from dbpedia_spotlight_spark.operators.disambiguate import (
     attach_context_windows,
     best_k,
@@ -81,6 +84,12 @@ def annotate(
         spots = spot_documents(
             documents, model.surface_forms, stopwords=stopwords, spotter=spotter
         )
+    # Skew plan (north rule): heads=None auto-selects — small candidate
+    # tables broadcast whole; big ones switch to the two-stage
+    # broadcast(head)+shuffle(tail) join on the cached head-sf statistic.
+    # Pass heads=[] to force the single broadcast, or an explicit id list.
+    if heads is None and model.candidates_count > AUTO_BROADCAST_MAX:
+        heads = model.head_ids()
     # The spots/tokens subtrees are consumed by several downstream branches
     # (candidate join, NIL spot scores, context vectors). Without an exchange
     # at the fork, Spark recomputes the Python UDF scan once per branch

@@ -106,15 +106,23 @@ def run_checkpointed(
         out = result.join(
             docs_b.select("doc_id", "_bucket").distinct(), "doc_id", "left"
         ).withColumn("bucket", F.coalesce(F.col("_bucket"), F.lit(-1))).drop("_bucket")
+        data_path = os.path.join(output_path, "data")
         (
             out.repartition("bucket")
             .write.mode("append")
             .partitionBy("bucket")
-            .parquet(os.path.join(output_path, "data"))
+            .parquet(data_path)
         )
+        # Count from the parquet just written, not by recomputing `out` —
+        # a second pass over the pipeline DAG would double every wave's cost.
+        # Grouping on the partition column reads only file metadata.
         per_bucket = {
             str(r["bucket"]): r["n"]
-            for r in out.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+            for r in spark.read.parquet(data_path)
+            .filter(F.col("bucket").isin(wave))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"))
+            .collect()
         }
         n = sum(per_bucket.values())
         rows_written += n

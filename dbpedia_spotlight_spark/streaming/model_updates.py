@@ -53,11 +53,43 @@ def _atomic_overwrite(df: DataFrame, path: str) -> None:
     os.rename(tmp, path)
 
 
+def _last_applied_batch(model_dir: str) -> int:
+    marker = os.path.join(model_dir, "_last_batch")
+    if not os.path.exists(marker):
+        return -1
+    with open(marker) as f:
+        return int(f.read().strip() or -1)
+
+
+def _record_applied_batch(model_dir: str, batch_id: int) -> None:
+    marker = os.path.join(model_dir, "_last_batch")
+    tmp = marker + ".tmp"
+    os.makedirs(model_dir, exist_ok=True)
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, marker)
+
+
 def apply_occurrence_delta(
-    spark: SparkSession, occs_delta: DataFrame, model_dir: str
+    spark: SparkSession,
+    occs_delta: DataFrame,
+    model_dir: str,
+    batch_id: int | None = None,
 ) -> None:
     """Fold a batch of new occurrences into uri_counts + pair_counts tables
-    under model_dir (creates them on first batch)."""
+    under model_dir (creates them on first batch).
+
+    Idempotence under foreachBatch's at-least-once replay: when batch_id is
+    given, batches <= the recorded last-applied id are skipped, so a crash
+    after the table swaps but before the streaming checkpoint commits does
+    not double-count on restart. (A crash *between* the uri and pair swaps
+    still leaves the two tables one batch apart until that batch replays —
+    true multi-table atomicity needs the Iceberg MERGE INTO path noted in
+    io/storage.py.)"""
+    if batch_id is not None and batch_id <= _last_applied_batch(model_dir):
+        return
     uri_path = os.path.join(model_dir, "uri_counts")
     pair_path = os.path.join(model_dir, "pair_counts")
 
@@ -78,6 +110,8 @@ def apply_occurrence_delta(
     dp = d_pair.localCheckpoint(eager=True)
     _atomic_overwrite(du, uri_path)
     _atomic_overwrite(dp, pair_path)
+    if batch_id is not None:
+        _record_applied_batch(model_dir, batch_id)
 
 
 def occurrence_update_stream(
@@ -94,7 +128,7 @@ def occurrence_update_stream(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        apply_occurrence_delta(spark, batch_df, model_dir)
+        apply_occurrence_delta(spark, batch_df, model_dir, batch_id=batch_id)
 
     writer = (
         stream.writeStream.foreachBatch(process)

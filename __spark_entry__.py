@@ -463,6 +463,34 @@ def q_wikilink_corpus(spark, sf_dir):
     return gold_occurrences(read_wikilink_corpus(marked))
 
 
+def q_wiki_dump_source(spark, sf_dir):
+    """S1 full: synthesize an XML dump page per document (markup, templates,
+    refs, a see-also section), then run the dump parser — strip, paragraph
+    split, anchor harvest with clean-text offsets. The synthesis is
+    deterministic, so the oracle computes the expected occurrences directly
+    from the documents table."""
+    from dbpedia_spotlight_spark.io.corpora import gold_occurrences
+    from dbpedia_spotlight_spark.io.wikidump import dump_corpus
+
+    xml = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("<page><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(
+                "</title><ns>0</ns><revision><text>"
+                "'''Intro''' __NOTOC__ {{Infobox|a=b}}\n\n"
+            ),
+            F.col("text"),
+            F.lit(
+                " has<ref>c</ref> [[Apache Spark|spark]] and"
+                " [[The Paris (city)]]\n\n"
+                "== See also ==\n* [[Other]]\n\n</text></revision></page>"
+            ),
+        ).alias("value")
+    )
+    return gold_occurrences(dump_corpus(xml))
+
+
 def q_annotate_e2e(spark, sf_dir):
     """Full north-star DAG: interleave -> model build -> FSA spot -> candidate
     join -> generative disambiguation -> annotations. Array columns are
@@ -570,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_clusters": q_dedup_clusters,
         "wikilink_corpus": q_wikilink_corpus,
+        "wiki_dump_source": q_wiki_dump_source,
         "annotate_prior": q_annotate_prior,
         "annotate_e2e": q_annotate_e2e,
     }
@@ -705,6 +734,18 @@ occ_sel AS (
 SELECT o.doc_id, o.occ_offset, t.tok_idx, t.stem
 FROM occ_sel o JOIN tkc t ON o.doc_id = t.doc_id
 WHERE t.tok_idx BETWEEN o.occ_idx - 3 AND o.occ_idx + 3
+"""
+
+    sql["wiki_dump_source"] = """
+WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents)
+SELECT 'Doc_' || doc_id::VARCHAR || '-p2' AS doc_id, L + 5 AS "offset",
+       'spark' AS surface_form, 'Apache_Spark' AS uri,
+       1.0::DOUBLE AS confidence
+FROM d
+UNION ALL
+SELECT 'Doc_' || doc_id::VARCHAR || '-p2', L + 15,
+       'Paris', 'The_Paris_(city)', 1.0::DOUBLE
+FROM d
 """
 
     sql["wikilink_corpus"] = """

@@ -463,6 +463,26 @@ def q_wikilink_corpus(spark, sf_dir):
     return gold_occurrences(read_wikilink_corpus(marked))
 
 
+def q_m14_aux_stats(spark, sf_dir):
+    """M14: topic signatures + web-prior query strings
+    (ref ExtractTopicSignatures.scala:33-68, GetWebPriors.scala:53-95,
+    KeywordExtractor.scala:44-75 — minus the dead Yahoo BOSS network call)."""
+    from dbpedia_spotlight_spark.operators.auxstats import (
+        topic_signatures,
+        uri_token_counts,
+        web_query_strings,
+    )
+
+    occ = _occs(spark, sf_dir)
+    toks = _tok(spark, sf_dir).select("doc_id", "token")
+    utc = uri_token_counts(occ, toks)
+    sig = topic_signatures(utc, stopwords=_EN_STOP, n_keywords=3)
+    wq = web_query_strings(utc, stopwords=_EN_STOP, n_keywords=3).select(
+        "uri", "must", "query"
+    )
+    return sig.join(wq, "uri").select("uri", "keywords", "must", "query")
+
+
 def q_wiki_dump_source(spark, sf_dir):
     """S1 full: synthesize an XML dump page per document (markup, templates,
     refs, a see-also section), then run the dump parser — strip, paragraph
@@ -599,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "wikilink_corpus": q_wikilink_corpus,
         "wiki_dump_source": q_wiki_dump_source,
+        "m14_aux_stats": q_m14_aux_stats,
         "annotate_prior": q_annotate_prior,
         "annotate_e2e": q_annotate_e2e,
     }
@@ -734,6 +755,47 @@ occ_sel AS (
 SELECT o.doc_id, o.occ_offset, t.tok_idx, t.stem
 FROM occ_sel o JOIN tkc t ON o.doc_id = t.doc_id
 WHERE t.tok_idx BETWEEN o.occ_idx - 3 AND o.occ_idx + 3
+"""
+
+    stop_lower = ", ".join(f"'{s}'" for s in _EN_STOP)
+    sql["m14_aux_stats"] = _BASE_CTES + rf""",
+du AS (SELECT DISTINCT doc_id, uri FROM occs),
+utc AS (
+  SELECT d.uri, t.token, count(*) AS cnt
+  FROM tok t JOIN du d ON t.doc_id = d.doc_id
+  WHERE lower(t.token) NOT IN ({stop_lower})
+  GROUP BY d.uri, t.token
+),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY uri ORDER BY cnt DESC, token ASC) AS rk
+  FROM utc
+),
+sig AS (
+  SELECT uri, string_agg(token, ' ' ORDER BY rk) AS keywords
+  FROM rk WHERE rk <= 3 GROUP BY uri
+),
+mu AS (
+  SELECT DISTINCT uri,
+    CASE WHEN regexp_matches(replace(uri, '_', ' '), '^(.+?) \((.+?)\)$')
+      THEN '+"' || regexp_extract(replace(uri, '_', ' '),
+                                  '^(.+?) \((.+?)\)$', 1)
+           || '" +"' || regexp_extract(replace(uri, '_', ' '),
+                                       '^(.+?) \((.+?)\)$', 2) || '"'
+      ELSE '+"' || replace(uri, '_', ' ') || '"' END AS must
+  FROM utc
+),
+wq AS (
+  SELECT uri, string_agg(token, ' ' ORDER BY rk2) AS kw2
+  FROM (
+    SELECT c.uri, c.token, row_number() OVER (
+        PARTITION BY c.uri ORDER BY c.rk) AS rk2
+    FROM rk c JOIN mu m ON c.uri = m.uri
+    WHERE c.rk <= 6 AND NOT contains(lower(m.must), lower(c.token))
+  ) WHERE rk2 <= 3 GROUP BY uri
+)
+SELECT s.uri, s.keywords, m.must, m.must || ' ' || w.kw2 AS query
+FROM sig s JOIN mu m ON s.uri = m.uri JOIN wq w ON s.uri = w.uri
 """
 
     sql["wiki_dump_source"] = """

@@ -33,6 +33,7 @@ import re
 from collections.abc import Iterator
 from dataclasses import dataclass
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -56,16 +57,58 @@ TYPE_ORDER = ("Capital_Sequences", "m")  # ref FSASpotter.scala:52
 # Dictionary structures (driver-built, broadcast)
 # ---------------------------------------------------------------------------
 
+class CompactStats:
+    """Read-only mapping sf -> (annotated_count, total_count) backed by one
+    interning dict + a 2-column int64 numpy table — drops the per-entry
+    tuple/int objects of a plain dict (~80 bytes/sf at 1M surface forms)."""
+
+    __slots__ = ("index", "counts")
+
+    def __init__(self, index: dict, counts: "np.ndarray"):
+        self.index = index
+        self.counts = counts
+
+    def get(self, sf, default=None):
+        i = self.index.get(sf)
+        if i is None:
+            return default
+        row = self.counts[i]
+        return (int(row[0]), int(row[1]))
+
+    def keys(self):
+        return self.index.keys()
+
+    def __contains__(self, sf) -> bool:
+        return sf in self.index
+
+    def __len__(self) -> int:
+        return len(self.index)
+
+
 @dataclass
 class SpotterDictionary:
-    """Broadcast payload: sf stats map + stem-trie of dictionary paths.
+    """Broadcast payload: sf stats map + a compact token-id FSA.
 
-    sf_stats: surface_form -> (annotated_count, total_count)
-    trie: nested dict over stemmed tokens; "$" key marks accepting.
+    The reference stores the FSA as flat transition arrays over interned
+    token ids (FSASpotter.scala:148-181); a nested Python dict-of-dicts trie
+    is several times bigger at reference scale (3.35M surface forms need 4GB
+    of JVM heap for the strings alone — LingPipeSpotter.scala:36-41). Layout:
+
+      sf_stats:  surface_form -> (annotated_count, total_count)
+      token_ids: stem -> interned int id (each stem string stored once)
+      root_next: np.int32[V] — state after consuming token t from the root
+                 (-1 = reject); dense array because the root has one edge
+                 per distinct first stem, and most walks end after step 1
+      edges:     flat dict {(node << 32) | token_id: next_node} for all
+                 non-root transitions (ints only, one hashtable total)
+      accept:    np.bool_[n_nodes] accepting-state flags
     """
 
     sf_stats: dict
-    trie: dict
+    token_ids: dict
+    root_next: "np.ndarray"
+    edges: dict
+    accept: "np.ndarray"
 
     @classmethod
     def build(
@@ -76,19 +119,47 @@ class SpotterDictionary:
         """surface_forms_rows: iterable of (surface_form, annotated_count,
         total_count). FSA paths only for sfs with annotationProbability >=
         threshold (ref FSASpotter.scala:108)."""
-        sf_stats: dict = {}
-        trie: dict = {}
+        sf_index: dict = {}
+        sf_counts: list = []
+        token_ids: dict = {}
+        root_edges: dict = {}  # tid -> node
+        edges: dict = {}
+        accept_nodes: set = set()
+        n_nodes = 1  # 0 is the root
         for sf, annotated, total in surface_forms_rows:
-            sf_stats[sf] = (int(annotated), int(total))
+            sf_index[sf] = len(sf_counts)
+            sf_counts.append((int(annotated), int(total)))
             if annotation_probability(annotated, total) >= min_annotation_probability:
                 stems = [stem(m.group(0)) for m in re.finditer(r"\w+", sf)]
                 if not stems:
                     continue
-                node = trie
+                node = 0
                 for s in stems:
-                    node = node.setdefault(s, {})
-                node["$"] = True
-        return cls(sf_stats=sf_stats, trie=trie)
+                    tid = token_ids.setdefault(s, len(token_ids))
+                    table = root_edges if node == 0 else edges
+                    key = tid if node == 0 else (node << 32) | tid
+                    nxt = table.get(key)
+                    if nxt is None:
+                        nxt = n_nodes
+                        n_nodes += 1
+                        table[key] = nxt
+                    node = nxt
+                accept_nodes.add(node)
+        root_next = np.full(max(len(token_ids), 1), -1, dtype=np.int32)
+        for tid, node in root_edges.items():
+            root_next[tid] = node
+        accept = np.zeros(n_nodes, dtype=bool)
+        accept[list(accept_nodes)] = True
+        sf_stats = CompactStats(
+            sf_index, np.array(sf_counts or [(0, 0)], dtype=np.int64)
+        )
+        return cls(
+            sf_stats=sf_stats,
+            token_ids=token_ids,
+            root_next=root_next,
+            edges=edges,
+            accept=accept,
+        )
 
 
 def annotation_probability(annotated: int, total: int) -> float:
@@ -126,21 +197,32 @@ def surface_form_match(sf: str, sf_stats: dict, weights) -> bool:
 # Per-sentence span generation (reference algorithms, pure Python per doc)
 # ---------------------------------------------------------------------------
 
-def _fsa_spans(stems: list, trie: dict) -> list:
+def _fsa_spans(stems: list, dictionary: "SpotterDictionary") -> list:
     """All (start, end_exclusive) token ranges whose stem path is accepting
-    (ref FSASpotter.scala:23-50)."""
+    (ref FSASpotter.scala:23-50), walking the compact token-id FSA."""
     spans = []
     n = len(stems)
+    token_ids = dictionary.token_ids
+    root_next = dictionary.root_next
+    edges = dictionary.edges
+    accept = dictionary.accept
+    tids = [token_ids.get(s, -1) for s in stems]
     for i in range(n):
-        node = trie
+        tid = tids[i]
+        if tid < 0:
+            continue
+        node = int(root_next[tid])
         j = i
-        while j < n:
-            node = node.get(stems[j])
-            if node is None:
-                break
+        while node >= 0:
             j += 1
-            if "$" in node:
+            if accept[node]:
                 spans.append((i, j, "m"))
+            if j >= n:
+                break
+            tid = tids[j]
+            if tid < 0:
+                break
+            node = edges.get((node << 32) | tid, -1)
         # rejecting state or end of sentence
     return spans
 
@@ -183,7 +265,7 @@ def _extract_doc_spots(
         tokens = [t[0] for t in sent]
         stems_ = [t[1] for t in sent]
         offs = [t[2] for t in sent]
-        spans = _uppercase_spans(tokens) + _fsa_spans(stems_, dictionary.trie)
+        spans = _uppercase_spans(tokens) + _fsa_spans(stems_, dictionary)
         # opennlp Span ordering: start asc, longer (end desc) first
         spans.sort(key=lambda s: (s[0], -s[1]))
         for first, end, span_type in spans:

@@ -222,3 +222,34 @@ def test_spotter_tuner(spark, world):
     p = os.path.join(tempfile.mkdtemp(), "spotter_thresholds.txt")
     write_spot_weights(w, p)
     assert len(open(p).read().split()) == 4
+
+
+def test_m14_topic_signatures_and_web_queries(spark):
+    """M14 (ExtractTopicSignatures + GetWebPriors query construction)."""
+    from dbpedia_spotlight_spark.operators.auxstats import (
+        topic_signatures,
+        uri_token_counts,
+        web_query_strings,
+    )
+    from pyspark.sql import functions as F
+
+    occs = spark.createDataFrame(
+        [("d1", "Spark_(fire)"), ("d2", "Spark_(fire)")],
+        "doc_id string, uri string",
+    )
+    toks = spark.createDataFrame(
+        [("d1", w) for w in ["flame", "flame", "heat", "the", "spark"]]
+        + [("d2", w) for w in ["heat", "ember", "the"]],
+        "doc_id string, token string",
+    )
+    utc = uri_token_counts(occs, toks)
+    sig = topic_signatures(utc, stopwords=["the"], n_keywords=3).collect()
+    # flame(2) heat(2) ember(1)/spark(1) -> tie broken token asc
+    assert sig[0]["keywords"] == "heat flame ember".replace(
+        "heat flame", "flame heat"
+    )
+    wq = web_query_strings(utc, stopwords=["the"], n_keywords=3).collect()[0]
+    assert wq["must"] == '+"Spark" +"fire"'
+    # 'spark' is contained in the must clause -> excluded from extras
+    assert "spark" not in wq["keywords"].split()
+    assert wq["query"].startswith('+"Spark" +"fire" ')

@@ -30,14 +30,14 @@ def test_annotation_probability():
 def test_fsa_build_threshold():
     d = _dict([("high prob", 50, 100), ("low prob", 1, 100)])
     # low prob (0.01 < 0.1) not inserted into the FSA
-    assert _fsa_spans(["high", "prob"], d.trie) == [(0, 2, "m")]
-    assert _fsa_spans(["low", "prob"], d.trie) == []
+    assert _fsa_spans(["high", "prob"], d) == [(0, 2, "m")]
+    assert _fsa_spans(["low", "prob"], d) == []
 
 
 def test_fsa_nested_accepts():
     d = _dict([("new york", 10, 10), ("new york city", 10, 10), ("york", 10, 10)])
     # the FSA walks stem space: "city" stems to "citi"
-    spans = _fsa_spans(["new", "york", "citi"], d.trie)
+    spans = _fsa_spans(["new", "york", "citi"], d)
     assert set(spans) == {(0, 2, "m"), (0, 3, "m"), (1, 2, "m")}
 
 

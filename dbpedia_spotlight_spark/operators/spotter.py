@@ -250,10 +250,17 @@ def _extract_doc_spots(
     dictionary: SpotterDictionary,
     weights,
     stopwords: frozenset,
+    generators: tuple = (),
+    type_order: tuple = TYPE_ORDER,
 ) -> list:
     """DBSpotter.extract for one text span: sentences -> candidate spans ->
     sub-span search -> overlap resolution. Returns
-    [(offset, surface_form, spot_prob, spot_type, token_stems), ...]."""
+    [(offset, surface_form, spot_prob, spot_type, token_stems), ...].
+
+    `generators` injects model-based candidate-span sources (P2/P12 — the
+    reference's OpenNLPSpotter.generateCandidates:40-62 adds chunker/NER
+    spans on top of the uppercase sequences); when any are given, the FSA
+    walk is skipped, matching the reference's OpenNLP spotter shape."""
     toks = tokenize_text(text, stopwords)
     # group into sentences
     sentences: dict = {}
@@ -265,7 +272,12 @@ def _extract_doc_spots(
         tokens = [t[0] for t in sent]
         stems_ = [t[1] for t in sent]
         offs = [t[2] for t in sent]
-        spans = _uppercase_spans(tokens) + _fsa_spans(stems_, dictionary)
+        spans = _uppercase_spans(tokens)
+        if generators:
+            for g in generators:
+                spans += list(g(tokens))
+        else:
+            spans += _fsa_spans(stems_, dictionary)
         # opennlp Span ordering: start asc, longer (end desc) first
         spans.sort(key=lambda s: (s[0], -s[1]))
         for first, end, span_type in spans:
@@ -290,10 +302,17 @@ def _extract_doc_spots(
                         )
                     )
                     break
-    return drop_overlapping_spots(spots)
+    return drop_overlapping_spots(spots, type_order)
 
 
-def drop_overlapping_spots(spots: list) -> list:
+def _type_rank(type_order: tuple, spot_type: str) -> int:
+    try:
+        return type_order.index(spot_type)
+    except ValueError:
+        return len(type_order)
+
+
+def drop_overlapping_spots(spots: list, type_order: tuple = TYPE_ORDER) -> list:
     """Sequential conflict resolution (exact semantics of
     ref DBSpotter.scala:129-179, including its `remove += i-1` quirk: when
     the new spot beats the *tracked* lastSpot, the reference removes the
@@ -309,7 +328,9 @@ def drop_overlapping_spots(spots: list) -> list:
     last = None
     for i, spot in enumerate(sorted_spots):
         if last is not None and _intersects(last, spot):
-            spot_better_type = TYPE_ORDER.index(spot[3]) < TYPE_ORDER.index(last[3])
+            spot_better_type = _type_rank(type_order, spot[3]) < _type_rank(
+                type_order, last[3]
+            )
             spot_longer = len(spot[1]) > len(last[1])
             if spot_longer and spot[2] > last[2] / 2.0:
                 remove.add(i - 1)
@@ -442,19 +463,25 @@ def spot_documents(
     stopwords: frozenset = DEFAULT_STOPWORDS,
     spotter: str = "fsa",
     min_annotation_probability: float = 0.1,
+    generators: tuple = (),
+    type_order: tuple = TYPE_ORDER,
 ) -> DataFrame:
     """documents(doc_id, spans) -> spots (SPOTS_SCHEMA). One mapInPandas pass;
-    dictionary broadcast; media spans skipped (order preserved via span_pos)."""
+    dictionary broadcast; media spans skipped (order preserved via span_pos).
+    `generators` (P2/P12) inject model-based candidate-span sources; they are
+    broadcast with the dictionary, so each must be picklable."""
     spark = documents.sparkSession
     dictionary = _collect_dictionary(surface_forms, min_annotation_probability)
     if spotter == "ahocorasick":
         automaton = AhoCorasick(list(dictionary.sf_stats.keys()))
     else:
         automaton = None
-    bc = spark.sparkContext.broadcast((dictionary, automaton, weights, stopwords))
+    bc = spark.sparkContext.broadcast(
+        (dictionary, automaton, weights, stopwords, tuple(generators), type_order)
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        dic, ac, w, sw = bc.value
+        dic, ac, w, sw, gens, torder = bc.value
         for pdf in batches:
             rows = {
                 "doc_id": [], "span_pos": [], "offset": [],
@@ -484,7 +511,9 @@ def spot_documents(
                             for s, e in leftmost_longest(hits)
                         ]
                     else:
-                        found = _extract_doc_spots(text, base, dic, w, sw)
+                        found = _extract_doc_spots(
+                            text, base, dic, w, sw, gens, torder
+                        )
                     for off, sf, prob, st, stems_ in found:
                         rows["doc_id"].append(doc_id)
                         rows["span_pos"].append(span_pos)

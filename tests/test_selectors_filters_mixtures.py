@@ -253,3 +253,43 @@ def test_m14_topic_signatures_and_web_queries(spark):
     # 'spark' is contained in the must clause -> excluded from extras
     assert "spark" not in wq["keywords"].split()
     assert wq["query"].startswith('+"Spark" +"fire" ')
+
+
+def test_cooccurrence_selector_learns_gold_membership(spark):
+    """P13 WEKA selector twin: retrained from gold membership, it must learn
+    to keep high-annot-prob multi-word spots and drop common words."""
+    from dbpedia_spotlight_spark.operators.cooccurrence_selector import (
+        cooccurrence_selector,
+        train_cooccurrence_selector,
+    )
+
+    sfs = spark.createDataFrame(
+        [(0, "New York", "new york", 90, 100),
+         (1, "the", "the", 1, 10000),
+         (2, "house", "house", 5, 5000),
+         (3, "Apache Spark", "apache spark", 80, 90)],
+        "sf_id int, surface_form string, surface_form_norm string, "
+        "annotated_count long, total_count long",
+    )
+    rows = []
+    gold_rows = []
+    for i in range(40):
+        d = f"d{i}"
+        rows += [(d, 0, 0, "New York", 1.0, "m", []),
+                 (d, 0, 10, "the", 0.1, "m", []),
+                 (d, 0, 20, "house", 0.1, "m", []),
+                 (d, 0, 30, "Apache Spark", 1.0, "m", [])]
+        gold_rows += [(d, 0, "New York"), (d, 30, "Apache Spark")]
+    spots = spark.createDataFrame(
+        rows,
+        "doc_id string, span_pos int, offset int, surface_form string, "
+        "spot_prob double, spot_type string, token_stems array<string>",
+    )
+    gold = spark.createDataFrame(
+        gold_rows, "doc_id string, offset int, surface_form string"
+    )
+    model = train_cooccurrence_selector(spots, gold, sfs)
+    kept = {r["surface_form"]
+            for r in cooccurrence_selector(spots, sfs, model).collect()}
+    assert "New York" in kept and "Apache Spark" in kept
+    assert "the" not in kept and "house" not in kept

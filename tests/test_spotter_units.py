@@ -131,3 +131,46 @@ def test_overlap_pairwise_still_exact():
     c = (0, "abcdef", 0.6, "m", ())
     d = (1, "bcd", 0.9, "m", ())
     assert drop_overlapping_spots([c, d]) == [c]
+
+
+def test_rule_ner_generator_types():
+    from dbpedia_spotlight_spark.operators.model_spotter import RuleNERGenerator
+
+    g = RuleNERGenerator()
+    toks = "Dr Alice Smith works at Acme Corp near Paris".split()
+    spans = {(s, e): t for s, e, t in g(toks)}
+    assert spans[(1, 3)] == "person"        # after 'Dr'
+    assert spans[(5, 7)] == "organization"  # trailing 'Corp'
+    assert spans[(8, 9)] == "location"      # after 'near'
+
+
+def test_model_spotter_end_to_end(spark):
+    """P12: NE spans feed the shared sub-span dictionary match and the
+    NE-first overlap type order (ref OpenNLPSpotter.scala:40-64)."""
+    from dbpedia_spotlight_spark.operators.model_spotter import (
+        spot_documents_model,
+    )
+
+    docs = spark.createDataFrame(
+        [("d1", [{"kind": "text",
+                  "text": "Report by Dr Alice Smith uses iPhone at Acme Corp",
+                  "media_ref": None, "offset": 0}])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    sfs = spark.createDataFrame(
+        [(0, "Alice Smith", "alice smith", 80, 100),
+         (1, "Acme Corp", "acme corp", 90, 100),
+         (2, "iPhone", "iphone", 95, 100)],
+        "sf_id int, surface_form string, surface_form_norm string, "
+        "annotated_count long, total_count long",
+    )
+    spots = {(r["surface_form"], r["spot_type"])
+             for r in spot_documents_model(docs, sfs).collect()}
+    # capital-sequence spans are listed before model spans (reference
+    # OpenNLPSpotter order), so on identical spans the CS type wins...
+    assert ("Alice Smith", "Capital_Sequences") in spots
+    assert ("Acme Corp", "Capital_Sequences") in spots
+    # ...but lowercase-start entities are reachable ONLY via the model
+    # generator — the capital-sequence spotter can never see iPhone
+    assert ("iPhone", "misc") in spots

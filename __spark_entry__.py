@@ -511,6 +511,23 @@ def q_wiki_dump_source(spark, sf_dir):
     return gold_occurrences(dump_corpus(xml))
 
 
+def q_eval_linking(spark, sf_dir):
+    """North-rule evidence: triple-level linking P/R (pipeline/evaluate.py
+    linking_metrics_df) of the prior-disambiguation flagship twin against
+    the micro-world gold — the metric computation itself is oracle-checked
+    (ref EvaluateParagraphDisambiguator.scala:93-101)."""
+    from dbpedia_spotlight_spark.pipeline.evaluate import linking_metrics_df
+
+    pred = q_annotate_prior(spark, sf_dir)
+    gold = _occs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        _char_offset().cast("int").alias("offset"),
+        "surface_form",
+        "uri",
+    )
+    return linking_metrics_df(pred, gold)
+
+
 def q_annotate_e2e(spark, sf_dir):
     """Full north-star DAG: interleave -> model build -> FSA spot -> candidate
     join -> generative disambiguation -> annotations. Array columns are
@@ -621,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wiki_dump_source": q_wiki_dump_source,
         "m14_aux_stats": q_m14_aux_stats,
         "annotate_prior": q_annotate_prior,
+        "eval_linking": q_eval_linking,
         "annotate_e2e": q_annotate_e2e,
     }
 
@@ -822,7 +840,8 @@ FROM documents
 
     # Flagship relational twin: model build + candidate join + prior scoring
     # + NIL filter + rank + softmax, all from the micro-world occs.
-    sql["annotate_prior"] = _BASE_CTES + f""",
+    # The CTE chain is shared with the eval_linking oracle below.
+    _PRIOR_CTES = _BASE_CTES + f""",
 occ2 AS (SELECT doc_id::VARCHAR AS doc_id, surface_form, uri FROM occs),
 sfs AS (SELECT surface_form, count(*)::DOUBLE AS annotated_count
         FROM occ2 GROUP BY surface_form),
@@ -856,7 +875,9 @@ ranked AS (
       PARTITION BY doc_id, span_pos, off
       ORDER BY score DESC, res_id ASC) AS rank
   FROM scored WHERE score > nil_score
-)
+)"""
+
+    sql["annotate_prior"] = _PRIOR_CTES + """
 SELECT doc_id, span_pos, off AS "offset", surface_form, uri,
   round(exp(score - (greatest(score, nil_score)
     + ln(exp(score - greatest(score, nil_score))
@@ -866,6 +887,30 @@ SELECT doc_id, span_pos, off AS "offset", surface_form, uri,
   (0.5)::DOUBLE AS contextual_score,
   res_id, support, rank
 FROM ranked WHERE rank = 1
+"""
+
+    sql["eval_linking"] = _PRIOR_CTES + f""",
+pred AS (SELECT DISTINCT doc_id, off, surface_form, uri
+         FROM ranked WHERE rank = 1),
+gd AS (SELECT DISTINCT doc_id::VARCHAR AS doc_id,
+              ({_SQL_OFFSET})::INT AS off, surface_form, uri
+       FROM occs),
+m AS (
+  SELECT
+    (SELECT count(*) FROM pred p JOIN gd g
+       ON p.doc_id = g.doc_id AND p.off = g.off
+      AND p.surface_form = g.surface_form AND p.uri = g.uri) AS tp,
+    (SELECT count(*) FROM pred) AS predicted,
+    (SELECT count(*) FROM gd) AS gold
+)
+SELECT tp, predicted, gold,
+  round(tp / greatest(predicted, 1), 6) AS precision,
+  round(tp / greatest(gold, 1), 6) AS recall,
+  round(CASE WHEN tp / greatest(predicted, 1) + tp / greatest(gold, 1) > 0
+    THEN 2 * (tp / greatest(predicted, 1)) * (tp / greatest(gold, 1))
+         / (tp / greatest(predicted, 1) + tp / greatest(gold, 1))
+    ELSE 0.0 END, 6) AS f1
+FROM m
 """
 
     sql["dedup_prefix"] = r"""

@@ -52,9 +52,12 @@ HEADLINE = [
     "minhash_near_dups",
     "simhash_buckets",
     "knn_cosine",
+    "lsh_topk",
     "text_stats",
     "dedup_exact",
     "lang_id",
+    "doc_fingerprint",
+    "wiki_dump_source",
 ]
 
 

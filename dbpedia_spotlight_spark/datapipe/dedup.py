@@ -318,51 +318,56 @@ def simhash_buckets(
     distance < 4 share at least one of the 4 16-bit chunks.
 
     Pure column math, zero Python: per token, the 64-bit hash is the low
-    16 hex chars of md5 (two 32-bit halves via conv); the per-bit majority
-    vote is an `aggregate` fold with a 64-slot counter array, all inside
-    whole-stage codegen. Per-doc cost is O(tokens·64) JVM ops with one md5
-    per token — no shuffle, no UDF (and exactly reproducible in ANSI SQL)."""
+    16 hex chars of md5 (two 32-bit halves via conv). Tokens are exploded
+    and the per-bit majority vote is one groupBy(doc_id) with 64 flat sum
+    aggregates over bit tests — every expression stays inside whole-stage
+    codegen (array higher-order functions would fall back to interpreted
+    evaluation, measured ~100x slower), with map-side partial aggregation
+    so the shuffle carries 64 longs per doc, not per token. Exactly
+    reproducible in ANSI SQL."""
     toks = F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda w: w != ""
     )
-    out = df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
-    # (hi, lo) 32-bit halves per token, md5 computed once per token
-    out = out.withColumn(
-        "_h",
-        F.expr(
-            "transform(_toks, w -> named_struct("
-            "'hi', cast(conv(substring(md5(w), 17, 8), 16, 10) as bigint), "
-            "'lo', cast(conv(substring(md5(w), 25, 8), 16, 10) as bigint)))"
-        ),
+    # explode_outer keeps zero-token docs (their counters sum to 0)
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode_outer(toks).alias("_w")
     )
-    # 64 majority counters: acc[i] += (bit i of token hash) ? 1 : -1
-    out = out.withColumn(
-        "_acc",
-        F.expr(
-            "aggregate(_h, array_repeat(0, 64), (acc, h) -> zip_with(acc, "
-            "transform(sequence(0, 63), i -> CASE WHEN i < 32 "
-            "THEN cast(shiftright(h.lo, i) % 2 as int) "
-            "ELSE cast(shiftright(h.hi, i - 32) % 2 as int) END), "
-            "(a, b) -> a + 2 * b - 1))"
-        ),
+    m = F.md5("_w")
+    tok = tok.select(
+        "doc_id",
+        F.conv(F.substring(m, 17, 8), 16, 10).cast("long").alias("_hi"),
+        F.conv(F.substring(m, 25, 8), 16, 10).cast("long").alias("_lo"),
     )
-    # 4 x 16-bit chunk values from the sign of each counter
-    out = out.withColumn(
-        "_cvs",
-        F.expr(
-            "transform(sequence(0, 3), c -> aggregate(sequence(0, 15), "
-            "cast(0 as bigint), (s, j) -> s + CASE WHEN "
-            "element_at(_acc, c * 16 + j + 1) > 0 "
-            "THEN cast(shiftleft(1, j) as bigint) ELSE cast(0 as bigint) END))"
-        ),
+
+    def vote(i: int):
+        half = F.col("_lo") if i < 32 else F.col("_hi")
+        bit = F.shiftright(half, i % 32).bitwiseAND(F.lit(1))
+        return F.sum(
+            F.when(F.col("_lo").isNull(), 0).otherwise(bit * 2 - 1)
+        ).alias(f"_b{i}")
+
+    acc = tok.groupBy("doc_id").agg(*[vote(i) for i in range(64)])
+
+    def chunk_val(c: int):
+        total = F.lit(0).cast("long")
+        for j in range(16):
+            total = total + F.when(
+                F.col(f"_b{c * 16 + j}") > 0, F.lit(1 << j).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return total
+
+    cvs = F.array(*[chunk_val(c) for c in range(4)])
+    hex_chunk = lambda arr, i: F.lpad(  # noqa: E731
+        F.lower(F.hex(F.element_at(arr, i))), 4, "0"
     )
-    hex_chunk = lambda i: F.lpad(  # noqa: E731
-        F.lower(F.hex(F.element_at("_cvs", i))), 4, "0"
-    )
+    out = acc.select("doc_id", cvs.alias("_cvs"))
     return out.select(
         "doc_id",
-        F.concat(hex_chunk(4), hex_chunk(3), hex_chunk(2), hex_chunk(1)).alias(
-            "simhash_hex"
-        ),
+        F.concat(
+            hex_chunk(F.col("_cvs"), 4),
+            hex_chunk(F.col("_cvs"), 3),
+            hex_chunk(F.col("_cvs"), 2),
+            hex_chunk(F.col("_cvs"), 1),
+        ).alias("simhash_hex"),
         F.posexplode("_cvs").alias("chunk", "chunk_val"),
     )

@@ -33,7 +33,8 @@ import re
 from collections.abc import Iterator
 from dataclasses import dataclass
 
-import numpy as np
+import array
+
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -59,21 +60,24 @@ TYPE_ORDER = ("Capital_Sequences", "m")  # ref FSASpotter.scala:52
 
 class CompactStats:
     """Read-only mapping sf -> (annotated_count, total_count) backed by one
-    interning dict + a 2-column int64 numpy table — drops the per-entry
-    tuple/int objects of a plain dict (~80 bytes/sf at 1M surface forms)."""
+    interning dict + two flat array.array('q') columns — drops the
+    per-entry tuple/int objects of a plain dict (~80 bytes/sf at 1M
+    surface forms). array.array, not numpy: scalar indexing must stay at
+    C-dict speed because spot_score sits in the sub-span search hot loop
+    (numpy scalar reads cost ~1us each and measurably slowed annotate)."""
 
-    __slots__ = ("index", "counts")
+    __slots__ = ("index", "annotated", "total")
 
-    def __init__(self, index: dict, counts: "np.ndarray"):
+    def __init__(self, index: dict, annotated, total):
         self.index = index
-        self.counts = counts
+        self.annotated = annotated
+        self.total = total
 
     def get(self, sf, default=None):
         i = self.index.get(sf)
         if i is None:
             return default
-        row = self.counts[i]
-        return (int(row[0]), int(row[1]))
+        return (self.annotated[i], self.total[i])
 
     def keys(self):
         return self.index.keys()
@@ -96,19 +100,22 @@ class SpotterDictionary:
 
       sf_stats:  surface_form -> (annotated_count, total_count)
       token_ids: stem -> interned int id (each stem string stored once)
-      root_next: np.int32[V] — state after consuming token t from the root
-                 (-1 = reject); dense array because the root has one edge
-                 per distinct first stem, and most walks end after step 1
+      root_next: array('i')[V] — state after consuming token t from the
+                 root (-1 = reject); dense array because the root has one
+                 edge per distinct first stem, and most walks end at step 1
       edges:     flat dict {(node << 32) | token_id: next_node} for all
                  non-root transitions (ints only, one hashtable total)
-      accept:    np.bool_[n_nodes] accepting-state flags
+      accept:    bytearray[n_nodes] accepting-state flags
+    array.array/bytearray rather than numpy: the FSA walk does scalar
+    reads per token and numpy scalar indexing is ~10x slower than C-array
+    indexing (it allocates a numpy scalar object per read).
     """
 
     sf_stats: dict
     token_ids: dict
-    root_next: "np.ndarray"
+    root_next: "array.array"
     edges: dict
-    accept: "np.ndarray"
+    accept: bytearray
 
     @classmethod
     def build(
@@ -145,13 +152,16 @@ class SpotterDictionary:
                         table[key] = nxt
                     node = nxt
                 accept_nodes.add(node)
-        root_next = np.full(max(len(token_ids), 1), -1, dtype=np.int32)
+        root_next = array.array("i", [-1]) * max(len(token_ids), 1)
         for tid, node in root_edges.items():
             root_next[tid] = node
-        accept = np.zeros(n_nodes, dtype=bool)
-        accept[list(accept_nodes)] = True
+        accept = bytearray(n_nodes)
+        for node in accept_nodes:
+            accept[node] = 1
         sf_stats = CompactStats(
-            sf_index, np.array(sf_counts or [(0, 0)], dtype=np.int64)
+            sf_index,
+            array.array("q", (c[0] for c in sf_counts)),
+            array.array("q", (c[1] for c in sf_counts)),
         )
         return cls(
             sf_stats=sf_stats,
@@ -211,7 +221,7 @@ def _fsa_spans(stems: list, dictionary: "SpotterDictionary") -> list:
         tid = tids[i]
         if tid < 0:
             continue
-        node = int(root_next[tid])
+        node = root_next[tid]
         j = i
         while node >= 0:
             j += 1
@@ -252,6 +262,7 @@ def _extract_doc_spots(
     stopwords: frozenset,
     generators: tuple = (),
     type_order: tuple = TYPE_ORDER,
+    score_memo: dict | None = None,
 ) -> list:
     """DBSpotter.extract for one text span: sentences -> candidate spans ->
     sub-span search -> overlap resolution. Returns
@@ -290,12 +301,24 @@ def _extract_doc_spots(
                 s_off = offs[s_tok]
                 e_off = offs[e_tok] + len(tokens[e_tok])
                 spot = text[s_off:e_off]
-                if surface_form_match(spot, dictionary.sf_stats, weights):
+                # spot strings repeat heavily across documents; memoize the
+                # linear score per batch (weights are fixed for the pass)
+                if score_memo is None:
+                    sc = spot_score(spot, dictionary.sf_stats, weights)
+                else:
+                    sc = score_memo.get(spot)
+                    if sc is None:
+                        sc = spot_score(spot, dictionary.sf_stats, weights)
+                        score_memo[spot] = sc
+                matched = (
+                    sc >= 0.5 if weights is not None else sc >= 0.25
+                )  # ref DBSpotter.scala:112-117
+                if matched:
                     spots.append(
                         (
                             base_offset + s_off,
                             spot,
-                            spot_score(spot, dictionary.sf_stats, weights),
+                            sc,
                             span_type,
                             # ref DBSpotter.scala:82 slice(startToken, lastToken)
                             tuple(stems_[s_tok:last]),
@@ -483,6 +506,7 @@ def spot_documents(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         dic, ac, w, sw, gens, torder = bc.value
         for pdf in batches:
+            score_memo: dict = {}
             rows = {
                 "doc_id": [], "span_pos": [], "offset": [],
                 "surface_form": [], "spot_prob": [], "spot_type": [],
@@ -512,7 +536,7 @@ def spot_documents(
                         ]
                     else:
                         found = _extract_doc_spots(
-                            text, base, dic, w, sw, gens, torder
+                            text, base, dic, w, sw, gens, torder, score_memo
                         )
                     for off, sf, prob, st, stems_ in found:
                         rows["doc_id"].append(doc_id)

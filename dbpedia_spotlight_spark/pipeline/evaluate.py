@@ -60,6 +60,38 @@ def linking_metrics(
             "predicted": np_, "gold": ng}
 
 
+def linking_metrics_df(
+    annotations: DataFrame, gold: DataFrame, redirects: DataFrame | None = None
+) -> DataFrame:
+    """Lazy one-row DataFrame twin of linking_metrics (same formulas,
+    EvaluateParagraphDisambiguator.scala:93-101) — usable as a driver query
+    / pipeline stage without driver-side collects."""
+    g = (
+        resolve_gold(gold, redirects)
+        .select("doc_id", "offset", "surface_form", "uri")
+        .distinct()
+    )
+    p = annotations.select("doc_id", "offset", "surface_form", "uri").distinct()
+    keys = ["doc_id", "offset", "surface_form", "uri"]
+    tp = p.join(g, keys, "inner").agg(F.count("*").alias("tp"))
+    np_ = p.agg(F.count("*").alias("predicted"))
+    ng = g.agg(F.count("*").alias("gold"))
+    row = tp.crossJoin(np_).crossJoin(ng)
+    prec = F.col("tp") / F.greatest(F.col("predicted"), F.lit(1))
+    rec = F.col("tp") / F.greatest(F.col("gold"), F.lit(1))
+    return row.select(
+        "tp",
+        "predicted",
+        "gold",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(
+            F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(0.0),
+            6,
+        ).alias("f1"),
+    )
+
+
 def disambiguation_metrics(
     ranked: DataFrame, gold: DataFrame, redirects: DataFrame | None = None
 ) -> dict:

@@ -75,12 +75,21 @@ def minhash_signatures(
     shingle_k: int = 5,
     seed: int = 42,
 ) -> DataFrame:
-    """-> (doc_id, sig array<long>). Vectorized: per Arrow batch, numpy
-    universal hashing (a*x+b mod p) over shingle hashes."""
+    """-> (doc_id, sig array<long>).
+
+    Fully vectorized signature pass: per batch, each DISTINCT token is
+    hashed once (memoized blake2b), shingle hashes are a k-step numpy
+    rolling polynomial over the token-hash array (no shingle strings are
+    ever built, no per-shingle Python hashing), and the minhash itself is
+    the usual (num_hashes, n_shingles) multiply-shift min. The signature
+    hash only drives LSH candidate generation — verification uses exact
+    shingle Jaccard independently — so it need not match the verifier's
+    shingle identity."""
     rng = np.random.RandomState(seed)
     # odd multipliers + offsets, uint64 wraparound multiply-shift hashing
     a = (rng.randint(1, 1 << 62, size=num_hashes).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
     b = rng.randint(0, 1 << 62, size=num_hashes).astype(np.uint64)
+    B = np.uint64(0x9E3779B97F4A7C15)  # odd rolling-combine multiplier
 
     schema = T.StructType(
         [
@@ -90,25 +99,36 @@ def minhash_signatures(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tok_memo: dict = {}
+
+        def th(tok: str) -> int:
+            h = tok_memo.get(tok)
+            if h is None:
+                h = stable_hash64(tok)
+                tok_memo[tok] = h
+            return h
+
         for pdf in batches:
-            ids, sigs = [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                sh = shingles(text or "", shingle_k)
-                if not sh:
-                    ids.append(doc_id)
-                    sigs.append([0] * num_hashes)
-                    continue
-                x = np.fromiter(
-                    (stable_hash64(s) for s in sh), dtype=np.uint64, count=len(sh)
-                )
-                # (num_hashes, n_shingles) broadcasted multiply-shift, min
-                with np.errstate(over="ignore"):
+            sigs = []
+            with np.errstate(over="ignore"):
+                for text in pdf[text_col]:
+                    toks = (text or "").lower().split()
+                    n = len(toks)
+                    if n == 0:
+                        sigs.append([0] * num_hashes)
+                        continue
+                    t = np.fromiter((th(w) for w in toks), np.uint64, count=n)
+                    k = min(shingle_k, n)
+                    m = n - k + 1
+                    x = np.zeros(m, dtype=np.uint64)
+                    for j in range(k):  # k numpy ops, not m*k Python ops
+                        x = x * B + t[j : j + m]
+                    x = np.unique(x)  # set semantics (distinct shingles)
                     hv = a[:, None] * x[None, :] + b[:, None]
-                sigs.append(
-                    (hv.min(axis=1) >> np.uint64(1)).astype(np.int64).tolist()
-                )
-                ids.append(doc_id)
-            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
+                    sigs.append(
+                        (hv.min(axis=1) >> np.uint64(1)).astype(np.int64).tolist()
+                    )
+            yield pd.DataFrame({"doc_id": pdf[id_col], "sig": sigs})
 
     return df.select(id_col, text_col).mapInPandas(run, schema)
 
@@ -172,15 +192,26 @@ def ngram_jaccard_pairs(
     """Verify candidate pairs with exact shingle Jaccard.
     -> (a, b, jaccard) for pairs >= threshold.
 
-    Scale: shingles are built natively (no UDF) and immediately collapsed to
-    xxhash64 values, so the verify join shuffles array<long> instead of full
-    shingle strings (~4x smaller); hash-set Jaccard equals string-set Jaccard
+    Scale: only docs that appear in a candidate pair are shingled (left-semi
+    restriction — candidates are a tiny fraction of the corpus); shingles
+    are built natively (no UDF) and immediately collapsed to xxhash64
+    values, so the verify join shuffles array<long> instead of full shingle
+    strings (~4x smaller); hash-set Jaccard equals string-set Jaccard
     absent 64-bit collisions."""
-    sets_df = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.transform(
-            shingles_col(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)
-        ).alias("sh"),
+    pair_ids = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    sets_df = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+        .join(pair_ids, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.transform(
+                shingles_col(F.col("_t"), shingle_k), lambda s: F.xxhash64(s)
+            ).alias("sh"),
+        )
     )
     joined = (
         pairs.join(sets_df.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sh_a"), "a")

@@ -106,3 +106,16 @@ def test_context_windowed_annotate(world):
                    max_context_tokens=250)
     m = linking_metrics(ann, world.gold, redirects=world.model.redirects)
     assert m["precision"] >= 0.9 and m["recall"] >= 0.9, m
+
+
+def test_annotate_plan_reuses_spot_exchange(world):
+    """Regression guard (round-1 VERDICT watch item): the spots/tokens
+    mapInPandas subtrees fork into several consumers; the repartition at
+    the fork must stay a reusable Exchange or the Python scan silently
+    recomputes once per branch (~8x). Assert the final adaptive plan
+    contains ReusedExchange nodes."""
+    df = annotate(world.documents, world.model, use_context=True)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") > 0, plan[:2000]

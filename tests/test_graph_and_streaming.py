@@ -124,3 +124,36 @@ def test_occurrence_delta_replay_idempotent(spark, tmp_path):
     apply_occurrence_delta(spark, batch, model_dir, batch_id=1)
     uri = spark.read.parquet(f"{model_dir}/uri_counts").collect()
     assert {(r["uri"], r["support"]) for r in uri} == {("Apache_Spark", 4)}
+
+
+def test_stateful_dedup_stream(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator: a doc seen in an
+    earlier micro-batch is never emitted again; first-seen wins."""
+    import time
+
+    from dbpedia_spotlight_spark.streaming.dedup_stream import run_dedup_stream
+
+    inp = tmp_path / "in"
+    outp = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    inp.mkdir()
+
+    b1 = spark.createDataFrame(
+        [("d1", "alpha beta"), ("d2", "alpha beta"), ("d3", "gamma")],
+        "doc_id string, text string",
+    )
+    b1.write.mode("append").parquet(str(inp))
+    q = run_dedup_stream(spark, str(inp), outp, ckpt)
+    q.awaitTermination(120)
+
+    # second batch: d4 repeats d1's text (cross-batch dup), d5 is new
+    b2 = spark.createDataFrame(
+        [("d4", "alpha beta"), ("d5", "delta")], "doc_id string, text string"
+    )
+    b2.write.mode("append").parquet(str(inp))
+    q2 = run_dedup_stream(spark, str(inp), outp, ckpt)
+    q2.awaitTermination(120)
+    time.sleep(1)
+
+    rows = {r["doc_id"]: r["text"] for r in spark.read.parquet(outp).collect()}
+    assert rows == {"d1": "alpha beta", "d3": "gamma", "d5": "delta"}

@@ -951,32 +951,43 @@ SELECT doc_id, n_tokens, n_bpe_tokens,
 FROM m
 """
 
+    from dbpedia_spotlight_spark.datapipe.textstats import (
+        _LANG_MARKERS,
+        _SCRIPTS,
+    )
+
     marker_rows = ", ".join(
         "('{}', [{}])".format(lang, ", ".join(f"'{m}'" for m in markers))
-        for lang, markers in [
-            ("en", ["the", "and", "with", "from", "this"]),
-            ("de", ["der", "die", "das", "und", "nicht"]),
-            ("fr", ["le", "la", "les", "et", "dans"]),
-            ("es", ["el", "los", "las", "que", "por"]),
-            ("zh", ["de", "shi", "zai", "bu", "le"]),
-        ]
+        for lang, markers in _LANG_MARKERS.items()
+    )
+    script_cases = " ".join(
+        f"WHEN len(regexp_extract_all(text, '{cls}')) "
+        f"/ greatest(length(text), 1) > {thr} THEN '{lang}'"
+        for lang, cls, thr in _SCRIPTS
     )
     sql["lang_id"] = rf"""
 WITH w AS (
-  SELECT doc_id, lang,
+  SELECT doc_id, lang, text,
          regexp_split_to_array(trim(lower(text)), '\s+') AS words
   FROM documents
+),
+script AS (
+  SELECT doc_id, CASE {script_cases} END AS spick FROM w
 ),
 scored AS (
   SELECT w.doc_id, w.lang, m.mlang,
          len(list_filter(w.words, x -> list_contains(m.markers, x))) AS hits
   FROM w CROSS JOIN (VALUES {marker_rows}) m(mlang, markers)
+),
+mpick AS (
+  SELECT doc_id, lang,
+         CASE WHEN hits > 0 THEN mlang ELSE 'und' END AS mp
+  FROM scored
+  QUALIFY row_number() OVER (
+    PARTITION BY doc_id ORDER BY hits DESC, mlang DESC) = 1
 )
-SELECT doc_id, lang,
-       CASE WHEN hits > 0 THEN mlang ELSE 'und' END AS lang_pred
-FROM scored
-QUALIFY row_number() OVER (
-  PARTITION BY doc_id ORDER BY hits DESC, mlang DESC) = 1
+SELECT m.doc_id, m.lang, coalesce(s.spick, m.mp) AS lang_pred
+FROM mpick m JOIN script s ON m.doc_id = s.doc_id
 """
 
     sql["knn_cosine"] = """

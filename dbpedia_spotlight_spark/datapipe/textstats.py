@@ -15,14 +15,27 @@ from pyspark.sql import functions as F
 
 _EN_STOP = ["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"]
 
-# tiny marker lexicons for the language-ID heuristic
+# marker lexicons for the language-ID heuristic over Latin-script text;
+# non-Latin scripts are detected by Unicode-range character fractions first
 _LANG_MARKERS = {
-    "en": ["the", "and", "with", "from", "this"],
-    "de": ["der", "die", "das", "und", "nicht"],
-    "fr": ["le", "la", "les", "et", "dans"],
-    "es": ["el", "los", "las", "que", "por"],
-    "zh": ["de", "shi", "zai", "bu", "le"],
+    "en": ["the", "and", "with", "from", "this", "that", "have", "was"],
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein", "mit"],
+    "fr": ["le", "la", "les", "et", "dans", "est", "une", "pour"],
+    "es": ["el", "los", "las", "que", "por", "una", "con", "para"],
+    "it": ["il", "che", "di", "non", "per", "una", "sono", "del"],
+    "pt": ["o", "de", "que", "em", "um", "uma", "com", "nao"],
 }
+
+# script character classes (Java regex and RE2/DuckDB both accept the
+# \uXXXX-range form inside a character class)
+_SCRIPTS = [
+    ("ja", r"[぀-ヿ]", 0.05),   # kana is uniquely Japanese
+    ("zh", r"[一-鿿]", 0.30),   # Han without kana
+    ("ko", r"[가-힯]", 0.30),   # Hangul
+    ("ru", r"[Ѐ-ӿ]", 0.30),   # Cyrillic
+    ("ar", r"[؀-ۿ]", 0.30),   # Arabic
+    ("el", r"[Ͱ-Ͽ]", 0.30),   # Greek
+]
 
 
 def words_col(text: Column) -> Column:
@@ -68,8 +81,20 @@ def quality_score(text: Column) -> Column:
 
 
 def language_id(text: Column) -> Column:
-    """argmax over marker-word hit counts; 'und' (undetermined) when no
-    marker hits."""
+    """Two-stage heuristic: (1) Unicode-script character fractions decide
+    non-Latin languages (kana -> ja before Han -> zh, Hangul, Cyrillic,
+    Arabic, Greek); (2) otherwise argmax over marker-word hit counts;
+    'und' (undetermined) when nothing fires. Pure codegen column math."""
+    n_chars = F.greatest(F.length(text), F.lit(1))
+    script_pick = F.lit(None).cast("string")
+    # first match wins: build the chain in order, earlier condition first
+    chain = None
+    for lang, cls, thr in _SCRIPTS:
+        frac = F.size(F.regexp_extract_all(text, F.lit(cls), 0)) / n_chars
+        cond = frac > thr
+        chain = F.when(cond, lang) if chain is None else chain.when(cond, lang)
+    script_pick = chain.otherwise(F.lit(None).cast("string"))
+
     words = words_col(text)
     scores = []
     for lang, markers in _LANG_MARKERS.items():
@@ -78,7 +103,8 @@ def language_id(text: Column) -> Column:
         )
         scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
     best = F.array_max(F.array(*scores))
-    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    marker_pick = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return F.coalesce(script_pick, marker_pick)
 
 
 FP_MOD = (1 << 31) - 1  # Mersenne prime 2^31-1

@@ -227,3 +227,26 @@ def test_dedup_clusters_end_to_end(spark, docs):
     assert rows[1]["keep"] is True and rows[2]["keep"] is False
     # singletons keep themselves
     assert rows[4]["keep"] is True and rows[5]["keep"] is True
+
+
+def test_language_id_scripts_and_markers(spark):
+    from dbpedia_spotlight_spark.datapipe.textstats import language_id
+
+    rows = [
+        (1, "the cat and the dog have this thing"),
+        (2, "der hund und die katze ist nicht da"),
+        (3, "これは日本語のテキストです"),
+        (4, "这是一段中文文本没有假名"),
+        (5, "это русский текст для теста"),
+        (6, "한국어 텍스트 입니다 감사합니다"),
+        (7, "xyzzy qwerty plugh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["p"]
+        for r in df.select("doc_id", language_id(F.col("text")).alias("p")).collect()
+    }
+    assert got[1] == "en" and got[2] == "de"
+    assert got[3] == "ja" and got[4] == "zh"
+    assert got[5] == "ru" and got[6] == "ko"
+    assert got[7] == "und"

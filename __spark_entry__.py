@@ -511,6 +511,148 @@ def q_wiki_dump_source(spark, sf_dir):
     return gold_occurrences(dump_corpus(xml))
 
 
+def q_f_filter_chain(spark, sf_dir):
+    """F1+F2+F3 on the flagship prior twin: confidence (sim threshold),
+    second-rank, and support filters (ref AnnotationFilter.scala:71-87)."""
+    from dbpedia_spotlight_spark.operators.filters import (
+        confidence_filter,
+        second_rank_filter,
+        support_filter,
+    )
+
+    ann = q_annotate_prior(spark, sf_dir)
+    # thresholds chosen to actually discriminate on this corpus: the F1 sim
+    # threshold keeps its REST semantics (0.2 at confidence=0.5); support
+    # and a raw similarity cut split the sf0.01 distribution (~287..631 and
+    # ~0.993..0.998) roughly at their medians
+    out = support_filter(
+        second_rank_filter(confidence_filter(ann, confidence=0.5), 0.5),
+        support=312,
+    ).filter(F.col("similarity_score") >= 0.9937)
+    return out.select("doc_id", "offset", "surface_form", "uri", "support")
+
+
+def q_m9_resolve(spark, sf_dir):
+    """M8+M9 applied to link targets: redirect-closure canonicalization +
+    disambiguation-page exclusion (ref WikipediaToDBpediaClosure.scala:
+    72-103). Some occurrence targets are rewritten onto redirect chains;
+    'A' resolves through B->C->D and D is a disambiguation page, so those
+    rows drop."""
+    from dbpedia_spotlight_spark.operators.closure import (
+        redirect_closure,
+        resolve_uris,
+    )
+
+    occ = _occs(spark, sf_dir).withColumn(
+        "uri",
+        F.when(F.col("pos") % 7 == 0, F.lit("A"))
+        .when(F.col("pos") % 5 == 0, F.lit("Old_Spark"))
+        .otherwise(F.col("uri")),
+    )
+    redirects = spark.createDataFrame(REDIRECTS, "src_uri string, dst_uri string")
+    disamb = spark.createDataFrame([("D",)], "uri string")
+    out = resolve_uris(occ, redirect_closure(redirects), "uri", disamb)
+    return out.select("doc_id", "pos", "surface_form", "uri")
+
+
+def q_d2_windows(spark, sf_dir):
+    """D2 context windowing: token-ordinal windows of 10, every spot
+    assigned to the last window whose start <= its offset
+    (ref DBTwoStepDisambiguator.scala:89-119, MAX_CONTEXT)."""
+    from dbpedia_spotlight_spark.operators.disambiguate import (
+        attach_context_windows,
+    )
+
+    tokens = _tok(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        _char_offset().cast("int").alias("offset"),
+    )
+    spots = _spots(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        _char_offset().cast("int").alias("offset"),
+        "surface_form",
+    )
+    _tk, spots_ctx = attach_context_windows(tokens, spots, max_tokens=10)
+    return spots_ctx.select("doc_id", "offset", "surface_form", "ctx_id")
+
+
+def q_c1_candidates(spark, sf_dir):
+    """C1+C2: surface-form resolution with the normalized fallback (spots at
+    pos%4==0 are uppercased -> exact miss -> normalized-key hit, keeping the
+    original spot string; ref MemorySurfaceFormStore.scala:40-41,105-116)
+    and the pruned candidate join."""
+    from dbpedia_spotlight_spark.operators.candidates import generate_candidates
+    from dbpedia_spotlight_spark.operators.modelbuild import (
+        build_model_from_occurrences,
+    )
+    from dbpedia_spotlight_spark.operators.tokenizer import tokenize_documents
+
+    docs = _docs(spark, sf_dir)
+    iv = flat_to_interleaved_media(docs)
+    occ = _occs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "surface_form", "uri"
+    )
+    model = build_model_from_occurrences(iv, occ, tokenize_documents(iv))
+    spots = _spots(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(0).alias("span_pos"),
+        F.col("pos").cast("int").alias("offset"),
+        F.when(
+            F.col("pos") % 4 == 0, F.upper(F.col("surface_form"))
+        ).otherwise(F.col("surface_form")).alias("surface_form"),
+    )
+    out = generate_candidates(spots, model.surface_forms, model.candidates)
+    return out.select(
+        "doc_id",
+        F.col("offset").alias("pos"),
+        "surface_form",
+        "sf_id",
+        "res_id",
+        "pair_count",
+    )
+
+
+def q_d6_tficf(spark, sf_dir):
+    """D6 TF-ICF scoring (the legacy Lucene-stack similarity,
+    ref TFICFSimilarity.scala:25-97) over an unstemmed relational twin of
+    the model's context vectors — every stage mirrored in SQL."""
+    from dbpedia_spotlight_spark.operators.disambiguate import (
+        build_query_vectors,
+        tficf_scores,
+    )
+    from dbpedia_spotlight_spark.operators.modelbuild import (
+        build_model_from_occurrences,
+    )
+
+    docs = _docs(spark, sf_dir)
+    iv = flat_to_interleaved_media(docs)
+    occ = _occs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "surface_form", "uri"
+    )
+    tokens = _tok(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("token").alias("stem"),
+        F.lit(False).alias("is_stopword"),
+    )
+    model = build_model_from_occurrences(iv, occ, tokens)
+    query = build_query_vectors(tokens, model, "doc_id")
+    spots = _spots(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "surface_form"
+    )
+    cand_pairs = (
+        spots.join(
+            model.surface_forms.select("surface_form", "sf_id"), "surface_form"
+        )
+        .join(model.candidates.select("sf_id", "res_id"), "sf_id")
+        .select("doc_id", "res_id")
+        .distinct()
+    )
+    out = tficf_scores(query, cand_pairs, model, "doc_id")
+    return out.select(
+        "doc_id", "res_id", F.round("tficf", 6).alias("tficf")
+    )
+
+
 def q_eval_linking(spark, sf_dir):
     """North-rule evidence: triple-level linking P/R (pipeline/evaluate.py
     linking_metrics_df) of the prior-disambiguation flagship twin against
@@ -638,6 +780,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wiki_dump_source": q_wiki_dump_source,
         "m14_aux_stats": q_m14_aux_stats,
         "annotate_prior": q_annotate_prior,
+        "f_filter_chain": q_f_filter_chain,
+        "m9_resolve": q_m9_resolve,
+        "d2_windows": q_d2_windows,
+        "c1_candidates": q_c1_candidates,
+        "d6_tficf": q_d6_tficf,
         "eval_linking": q_eval_linking,
         "annotate_e2e": q_annotate_e2e,
     }
@@ -887,6 +1034,144 @@ SELECT doc_id, span_pos, off AS "offset", surface_form, uri,
   (0.5)::DOUBLE AS contextual_score,
   res_id, support, rank
 FROM ranked WHERE rank = 1
+"""
+
+    # F1 (idx=round(3*0.5)=2 -> thr 0.2) + F2 (psr <= 0.75) + F3 (support>1)
+    sql["f_filter_chain"] = _PRIOR_CTES + """,
+ann AS (
+  SELECT doc_id, off, surface_form, uri, support,
+    round(exp(score - (greatest(score, nil_score)
+      + ln(exp(score - greatest(score, nil_score))
+          + exp(nil_score - greatest(score, nil_score))))), 6) AS sim
+  FROM ranked WHERE rank = 1
+)
+SELECT doc_id, off AS "offset", surface_form, uri, support
+FROM ann
+WHERE sim >= 0.2 AND (-1.0) <= 0.75 AND support > 312 AND sim >= 0.9937
+"""
+
+    sql["m9_resolve"] = (
+        "WITH RECURSIVE" + _BASE_CTES.lstrip()[4:] + f""",
+occ3 AS (
+  SELECT doc_id, pos, surface_form,
+    CASE WHEN pos % 7 = 0 THEN 'A'
+         WHEN pos % 5 = 0 THEN 'Old_Spark'
+         ELSE uri END AS uri
+  FROM occs
+),
+redir(src_uri, dst_uri) AS (VALUES {_redirect_values()}),
+walk(src_uri, final_uri) AS (
+  SELECT src_uri, dst_uri FROM redir
+  UNION ALL
+  SELECT w.src_uri, e.dst_uri FROM walk w
+  JOIN redir e ON w.final_uri = e.src_uri
+),
+fin AS (SELECT src_uri, final_uri FROM walk
+        WHERE final_uri NOT IN (SELECT src_uri FROM redir))
+SELECT o.doc_id, o.pos, o.surface_form,
+       coalesce(f.final_uri, o.uri) AS uri
+FROM occ3 o LEFT JOIN fin f ON o.uri = f.src_uri
+WHERE coalesce(f.final_uri, o.uri) <> 'D'
+"""
+    )
+
+    sql["d2_windows"] = _BASE_CTES + f""",
+tkw AS (
+  SELECT doc_id::VARCHAR AS doc_id, ({_SQL_OFFSET})::INT AS off,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY ({_SQL_OFFSET})) AS rn
+  FROM tok
+),
+win AS (SELECT doc_id, off, ((rn - 1) // 10) AS wid FROM tkw),
+sp AS (SELECT doc_id::VARCHAR AS doc_id, ({_SQL_OFFSET})::INT AS off,
+              surface_form
+       FROM spots)
+SELECT s.doc_id, s.off AS "offset", s.surface_form,
+       s.doc_id || '#' || w.wid::VARCHAR AS ctx_id
+FROM sp s JOIN win w ON s.doc_id = w.doc_id AND s.off = w.off
+"""
+
+    sql["c1_candidates"] = _BASE_CTES + """,
+occ2 AS (SELECT doc_id::VARCHAR AS doc_id, surface_form, uri FROM occs),
+sfs AS (
+  SELECT surface_form, count(*) AS annotated_count,
+         (row_number() OVER (ORDER BY surface_form) - 1)::INT AS sf_id
+  FROM occ2 GROUP BY surface_form
+),
+res AS (SELECT uri, (row_number() OVER (ORDER BY uri) - 1)::INT AS res_id
+        FROM (SELECT DISTINCT uri FROM occ2)),
+cand AS (
+  SELECT s.sf_id, r.res_id, count(*) AS pair_count
+  FROM occ2 o JOIN sfs s USING (surface_form) JOIN res r USING (uri)
+  GROUP BY s.sf_id, r.res_id
+),
+spots2 AS (
+  SELECT doc_id::VARCHAR AS doc_id, pos,
+    CASE WHEN pos % 4 = 0 THEN upper(surface_form)
+         ELSE surface_form END AS ssf
+  FROM spots
+),
+resolved AS (
+  SELECT p.doc_id, p.pos, p.ssf AS surface_form, s.sf_id
+  FROM spots2 p JOIN sfs s ON p.ssf = s.surface_form
+  UNION ALL
+  SELECT p.doc_id, p.pos, p.ssf, s.sf_id
+  FROM spots2 p JOIN sfs s ON lower(p.ssf) = s.surface_form
+  WHERE NOT EXISTS (SELECT 1 FROM sfs x WHERE x.surface_form = p.ssf)
+)
+SELECT r.doc_id, r.pos, r.surface_form, r.sf_id, c.res_id, c.pair_count
+FROM resolved r JOIN cand c ON r.sf_id = c.sf_id
+"""
+
+    sql["d6_tficf"] = _BASE_CTES + """,
+occ2 AS (SELECT doc_id::VARCHAR AS doc_id, surface_form, uri FROM occs),
+du AS (SELECT DISTINCT doc_id, uri FROM occ2),
+tk2 AS (SELECT doc_id::VARCHAR AS doc_id, token FROM tok),
+tcnt AS (SELECT d.uri, t.token, count(*) AS cnt
+         FROM tk2 t JOIN du d USING (doc_id) GROUP BY d.uri, t.token),
+vocab AS (SELECT token, row_number() OVER (ORDER BY token) AS token_id
+          FROM (SELECT DISTINCT token FROM tcnt)),
+res AS (SELECT uri, (row_number() OVER (ORDER BY uri) - 1)::INT AS res_id
+        FROM (SELECT DISTINCT uri FROM occ2)),
+cc AS (SELECT r.res_id, v.token_id, t.cnt
+       FROM tcnt t JOIN vocab v USING (token) JOIN res r USING (uri)),
+qv AS (SELECT DISTINCT q.doc_id, v.token_id
+       FROM (SELECT DISTINCT doc_id, token FROM tk2) q
+       JOIN vocab v USING (token)),
+sfs2 AS (SELECT surface_form,
+                (row_number() OVER (ORDER BY surface_form) - 1)::INT AS sf_id
+         FROM (SELECT DISTINCT surface_form FROM occ2)),
+candm AS (SELECT DISTINCT s.sf_id, r.res_id
+          FROM occ2 o JOIN sfs2 s USING (surface_form)
+          JOIN res r USING (uri)),
+cp AS (SELECT DISTINCT sp.doc_id, c.res_id
+       FROM (SELECT DISTINCT doc_id::VARCHAR AS doc_id, surface_form
+             FROM spots) sp
+       JOIN sfs2 USING (surface_form)
+       JOIN candm c ON sfs2.sf_id = c.sf_id),
+n_cand AS (SELECT doc_id, count(DISTINCT res_id) AS nc FROM cp
+           GROUP BY doc_id),
+cand_tokens AS (SELECT p.doc_id, p.res_id, c.token_id, c.cnt
+                FROM cp p JOIN cc c USING (res_id)),
+n_with AS (SELECT doc_id, token_id, count(DISTINCT res_id) AS nw
+           FROM cand_tokens GROUP BY doc_id, token_id),
+nrm AS (SELECT res_id, count(DISTINCT token_id) AS nrm FROM cc
+        GROUP BY res_id),
+present AS (
+  SELECT ct.doc_id, ct.res_id, ct.cnt, w.nw, n.nc
+  FROM qv q
+  JOIN cand_tokens ct ON q.doc_id = ct.doc_id AND q.token_id = ct.token_id
+  JOIN n_with w ON ct.doc_id = w.doc_id AND ct.token_id = w.token_id
+  JOIN n_cand n ON ct.doc_id = n.doc_id
+),
+summed AS (SELECT doc_id, res_id,
+                  sum(cnt * (ln(nc / nw) + 1.0)) AS s
+           FROM present GROUP BY doc_id, res_id)
+SELECT p.doc_id, p.res_id,
+  round(coalesce(s.s, 0.0) / greatest(n.nrm, 1), 6) AS tficf
+FROM cp p
+LEFT JOIN summed s ON p.doc_id = s.doc_id AND p.res_id = s.res_id
+LEFT JOIN nrm n ON p.res_id = n.res_id
 """
 
     sql["eval_linking"] = _PRIOR_CTES + f""",

@@ -36,10 +36,82 @@ MEDIA_FEATURES_SCHEMA = T.StructType(
 
 
 def default_decode(kind: str, payload: bytes):
-    """Real decoders (PIL/librosa/av) are not available in this container."""
+    """Dispatch: raw self-describing formats (PPM/PGM images, WAV audio)
+    decode natively below with zero external libraries; compressed codecs
+    (JPEG/PNG/MP3/H.264) need PIL/librosa/av, which this container does not
+    ship — those stay an explicit stub (inject decode_fn with a real codec
+    in production)."""
+    if payload[:2] in (b"P6", b"P5"):
+        return decode_pnm(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
     raise NotImplementedError(
-        "media decode requires an image/audio library; inject decode_fn"
+        "compressed media decode requires an image/audio library; "
+        "inject decode_fn"
     )
+
+
+def decode_pnm(payload: bytes):
+    """Real decoder for binary PPM (P6) / PGM (P5) images — pure bytes +
+    numpy. Returns (width, height, n_frames=1, 8-dim feature) where the
+    feature is the mean intensity of an 8-band horizontal split."""
+    parts: list = []
+    i = 0
+    # header: magic, width, height, maxval as whitespace-separated tokens
+    # (comment lines start with '#')
+    while len(parts) < 4 and i < len(payload):
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        parts.append(payload[i:j])
+        i = j
+    magic, w, h, maxval = parts[0], int(parts[1]), int(parts[2]), int(parts[3])
+    i += 1  # single whitespace after maxval
+    channels = 3 if magic == b"P6" else 1
+    n = w * h * channels
+    px = np.frombuffer(payload[i : i + n], dtype=np.uint8).astype(np.float32)
+    if channels == 3:
+        px = px.reshape(-1, 3).mean(axis=1)
+    bands = np.array_split(px, 8)
+    feature = [float(b.mean() / max(maxval, 1)) if b.size else 0.0 for b in bands]
+    return w, h, 1, feature
+
+
+def decode_wav(payload: bytes):
+    """Real decoder for PCM WAV audio (RIFF header walk, 16-bit samples).
+    width=sample_rate, height=channels, n_frames=sample count; the 8-dim
+    feature is per-band RMS of an 8-way split."""
+    import struct
+
+    i = 12
+    rate, channels, bits = 0, 1, 16
+    samples = np.zeros(0, dtype=np.float32)
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            _fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+        elif cid == b"data" and bits == 16:
+            samples = (
+                np.frombuffer(body[: len(body) - len(body) % 2], dtype="<i2")
+                .astype(np.float32)
+                / 32768.0
+            )
+        i += 8 + size + (size % 2)
+    n_frames = int(samples.size // max(channels, 1))
+    bands = np.array_split(samples, 8)
+    feature = [
+        float(np.sqrt((b * b).mean())) if b.size else 0.0 for b in bands
+    ]
+    return int(rate), int(channels), n_frames, feature
 
 
 def fake_decode(kind: str, payload: bytes):

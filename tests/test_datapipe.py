@@ -250,3 +250,43 @@ def test_language_id_scripts_and_markers(spark):
     assert got[3] == "ja" and got[4] == "zh"
     assert got[5] == "ru" and got[6] == "ko"
     assert got[7] == "und"
+
+
+def test_real_pnm_and_wav_decoders(spark):
+    """default_decode handles raw self-describing formats natively; only
+    compressed codecs remain stubbed."""
+    import struct
+
+    import numpy as np
+
+    from dbpedia_spotlight_spark.datapipe.multimodal import (
+        default_decode,
+        extract_media_features,
+    )
+
+    # 4x2 P6 PPM, all pixels (200, 100, 0) -> mean intensity 100/255
+    ppm = b"P6\n# comment\n4 2\n255\n" + bytes([200, 100, 0] * 8)
+    w, h, nf, feat = default_decode("image", ppm)
+    assert (w, h, nf) == (4, 2, 1)
+    assert abs(feat[0] - 100.0 / 255.0) < 1e-6
+
+    # mono 16-bit WAV, 8 samples of a constant half-amplitude
+    data = struct.pack("<8h", *([16384] * 8))
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    rate, ch, n, feat = default_decode("audio", wav)
+    assert (rate, ch, n) == (8000, 1, 8)
+    assert abs(feat[0] - 0.5) < 1e-3
+
+    # end to end through the Spark operator with the REAL default decoder
+    media = spark.createDataFrame(
+        [("img://p", "image", bytearray(ppm)), ("aud://w", "audio", bytearray(wav))],
+        "media_ref string, kind string, payload binary",
+    )
+    rows = {r["media_ref"]: r for r in extract_media_features(media).collect()}
+    assert rows["img://p"]["width"] == 4 and rows["img://p"]["height"] == 2
+    assert rows["aud://w"]["n_frames"] == 8

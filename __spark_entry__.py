@@ -653,6 +653,92 @@ def q_d6_tficf(spark, sf_dir):
     )
 
 
+def q_s7_token_bags(spark, sf_dir):
+    """S7 TokenOccurrenceSource: Pig-bag strings `{(t,c),...}` synthesized
+    deterministically per document, then parsed back by the no-UDF bag
+    parser (twin: PigTokenOccurrenceParser.scala) — round trip checked
+    against the direct relational derivation."""
+    from dbpedia_spotlight_spark.io.sources import parse_token_bags
+
+    t5 = _tok(spark, sf_dir).filter(F.col("pos") < 5)
+    bags = (
+        t5.groupBy("doc_id")
+        .agg(
+            F.concat(
+                F.lit("{"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "token"))
+                        ),
+                        lambda s: F.concat(
+                            F.lit("("),
+                            s["token"],
+                            F.lit(","),
+                            (s["pos"] + 1).cast("string"),
+                            F.lit(")"),
+                        ),
+                    ),
+                    ",",
+                ),
+                F.lit("}"),
+            ).alias("bag")
+        )
+        .select(
+            F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("uri"),
+            "bag",
+        )
+    )
+    return parse_token_bags(bags)
+
+
+def q_d9_mixtures(spark, sf_dir):
+    """D9 score mixtures (LinearRegression / Fader / Fader2 / OnlySimScore,
+    ref disambiguate/mixtures/*.scala) over prior P(e|s) and the TF-ICF
+    context score — pure column formulas, fully mirrored in SQL."""
+    from dbpedia_spotlight_spark.operators.mixtures import (
+        fader2_mixture,
+        fader_mixture,
+        linear_regression_mixture,
+        only_sim_score_mixture,
+    )
+
+    tficf = q_d6_tficf(spark, sf_dir)  # (doc_id, res_id, tficf)
+    d = F.broadcast(_dict_df(spark))
+    occ = _occs(spark, sf_dir)
+    # prior P(e|s) from the micro-world counts; candidate rows per (doc, sf, res)
+    annot = occ.groupBy("surface_form").agg(F.count("*").alias("annot"))
+    pair = occ.groupBy("surface_form", "uri").agg(F.count("*").alias("pc"))
+    res_ids = (
+        occ.select("uri")
+        .distinct()
+        .withColumn(
+            "res_id",
+            (F.row_number().over(Window.orderBy("uri")) - 1).cast("int"),
+        )
+    )
+    spots = _spots(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "surface_form"
+    ).distinct()
+    rows = (
+        spots.join(pair, "surface_form")
+        .join(annot, "surface_form")
+        .join(res_ids, "uri")
+        .join(tficf, ["doc_id", "res_id"])
+        .withColumn("prior", F.col("pc") / F.col("annot"))
+    )
+    pr, cs = F.col("prior"), F.col("tficf")
+    return rows.select(
+        "doc_id",
+        "res_id",
+        "surface_form",
+        F.round(linear_regression_mixture(pr, cs), 6).alias("lr"),
+        F.round(fader2_mixture(cs, pr, 0.7, 10.0), 6).alias("fader2"),
+        F.round(fader_mixture(cs, pr, 0.7, 10.0, 5), 6).alias("fader"),
+        F.round(only_sim_score_mixture(cs), 6).alias("sim_only"),
+    )
+
+
 def q_eval_linking(spark, sf_dir):
     """North-rule evidence: triple-level linking P/R (pipeline/evaluate.py
     linking_metrics_df) of the prior-disambiguation flagship twin against
@@ -785,6 +871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d2_windows": q_d2_windows,
         "c1_candidates": q_c1_candidates,
         "d6_tficf": q_d6_tficf,
+        "s7_token_bags": q_s7_token_bags,
+        "d9_mixtures": q_d9_mixtures,
         "eval_linking": q_eval_linking,
         "annotate_e2e": q_annotate_e2e,
     }
@@ -1123,7 +1211,7 @@ SELECT r.doc_id, r.pos, r.surface_form, r.sf_id, c.res_id, c.pair_count
 FROM resolved r JOIN cand c ON r.sf_id = c.sf_id
 """
 
-    sql["d6_tficf"] = _BASE_CTES + """,
+    _D6_CTES = _BASE_CTES + """,
 occ2 AS (SELECT doc_id::VARCHAR AS doc_id, surface_form, uri FROM occs),
 du AS (SELECT DISTINCT doc_id, uri FROM occ2),
 tk2 AS (SELECT doc_id::VARCHAR AS doc_id, token FROM tok),
@@ -1166,12 +1254,53 @@ present AS (
 ),
 summed AS (SELECT doc_id, res_id,
                   sum(cnt * (ln(nc / nw) + 1.0)) AS s
-           FROM present GROUP BY doc_id, res_id)
+           FROM present GROUP BY doc_id, res_id)"""
+
+    _D6_FINAL = """
 SELECT p.doc_id, p.res_id,
   round(coalesce(s.s, 0.0) / greatest(n.nrm, 1), 6) AS tficf
 FROM cp p
 LEFT JOIN summed s ON p.doc_id = s.doc_id AND p.res_id = s.res_id
 LEFT JOIN nrm n ON p.res_id = n.res_id
+"""
+    sql["d6_tficf"] = _D6_CTES + _D6_FINAL
+
+    sql["s7_token_bags"] = _BASE_CTES + """
+SELECT 'doc' || doc_id::VARCHAR AS uri, token, (pos + 1)::BIGINT AS count
+FROM tok WHERE pos < 5
+"""
+
+    _cw, _alpha, _sur = 0.7, 10.0, 5
+    sql["d9_mixtures"] = _D6_CTES + f""",
+d6 AS (
+  SELECT p.doc_id, p.res_id,
+         round(coalesce(s.s, 0.0) / greatest(n.nrm, 1), 6) AS cs
+  FROM cp p
+  LEFT JOIN summed s ON p.doc_id = s.doc_id AND p.res_id = s.res_id
+  LEFT JOIN nrm n ON p.res_id = n.res_id
+),
+annot AS (SELECT surface_form, count(*)::DOUBLE AS annot
+          FROM occ2 GROUP BY surface_form),
+pairc AS (SELECT surface_form, uri, count(*)::DOUBLE AS pc
+          FROM occ2 GROUP BY surface_form, uri),
+spd AS (SELECT DISTINCT doc_id::VARCHAR AS doc_id, surface_form FROM spots),
+rws AS (
+  SELECT sp.doc_id, r.res_id, sp.surface_form,
+         p.pc / a.annot AS prior, d.cs
+  FROM spd sp
+  JOIN pairc p USING (surface_form)
+  JOIN annot a USING (surface_form)
+  JOIN res r ON p.uri = r.uri
+  JOIN d6 d ON sp.doc_id = d.doc_id AND r.res_id = d.res_id
+)
+SELECT doc_id, res_id, surface_form,
+  round(prior * {344.597!r} + cs * {1.1247!r} + ({-0.0055!r}), 6) AS lr,
+  round(cs * {_cw!r} + (1.0 + ln(1.0 + prior * {_alpha!r}))
+        * {(1.0 - _cw)!r}, 6) AS fader2,
+  round(cs * ({_cw / _sur!r} + (1.0 + ln(1.0 + prior * {_alpha!r}))
+        * {(1.0 - _cw)!r}), 6) AS fader,
+  round(cs, 6) AS sim_only
+FROM rws
 """
 
     sql["eval_linking"] = _PRIOR_CTES + f""",

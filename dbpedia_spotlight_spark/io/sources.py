@@ -70,11 +70,10 @@ def read_pair_counts(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def read_token_counts(spark: SparkSession, path: str) -> DataFrame:
-    """S7: `wikiurl \\t {(t1,c1),(t2,c2)}` Pig bag -> exploded (uri, token,
+def parse_token_bags(raw: DataFrame) -> DataFrame:
+    """S7 core: (uri, bag `{(t1,c1),(t2,c2)}`) rows -> exploded (uri, token,
     count). Bag parsing is regexp_extract_all + explode — no UDF
     (parser twin: index/.../db/io/util/PigTokenOccurrenceParser.scala)."""
-    raw = spark.read.option("sep", "\t").schema("uri string, bag string").csv(path)
     pairs = F.expr(r"regexp_extract_all(bag, '\\(([^,()]+),([0-9]+)\\)', 0)")
     return (
         raw.select("uri", F.explode(pairs).alias("pair"))
@@ -86,6 +85,13 @@ def read_token_counts(spark: SparkSession, path: str) -> DataFrame:
             .alias("count"),
         )
     )
+
+
+def read_token_counts(spark: SparkSession, path: str) -> DataFrame:
+    """S7: `wikiurl \\t {(t1,c1),(t2,c2)}` Pig bag file -> exploded
+    (uri, token, count)."""
+    raw = spark.read.option("sep", "\t").schema("uri string, bag string").csv(path)
+    return parse_token_bags(raw)
 
 
 def read_ntriples(spark: SparkSession, path: str) -> DataFrame:

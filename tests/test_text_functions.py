@@ -39,3 +39,36 @@ def test_wiki_clean_uri(spark):
     got = [r[0] for r in df.select(wiki_clean_uri_col(F.col("u"))).collect()]
     assert got == [wiki_clean_uri_py(c) for c in cases]
     assert got == ["Apple", "New_York", "Big_Apple"]
+
+
+def test_reference_tsv_fixture_parity(spark, tmp_path):
+    """Lines taken verbatim from the reference's own test corpus
+    (core/src/test/.../AnnotatedTextSourceTest.scala:35,44 — the de-facto
+    golden 5-col format): field mapping and the repeats->one-paragraph
+    grouping must match AnnotatedTextSource.fromOccurrencesString."""
+    from dbpedia_spotlight_spark.io.sources import read_annotated_tsv
+
+    rep = (
+        "Frankfort-pl16\tFrankfort_%28village%29,_New_York\tFrankfort\t"
+        "Frankfort (village), New York, within the town of Frankfort\t0\n"
+    )
+    occ = (
+        "Terra_Vibe_Park-p10l10\tMarilyn_Manson\tMarilyn Manson\t"
+        "Iron Maiden Black Sabbath Velvet Revolver Marilyn Manson\t32\n"
+    )
+    p = tmp_path / "occs.tsv"
+    p.write_text(rep * 5 + occ)
+    df = read_annotated_tsv(spark, str(p))
+    rows = df.collect()
+    assert len(rows) == 6
+    # repeats: 5 identical texts -> one paragraph id (ref `repeats` test)
+    paras = {r["paragraph_id"] for r in rows if r["surface_form"] == "Frankfort"}
+    assert len(paras) == 1
+    # field mapping incl. URL-encoded URI carried through untouched
+    m = next(r for r in rows if r["occ_id"] == "Terra_Vibe_Park-p10l10")
+    assert m["uri"] == "Marilyn_Manson" and m["offset"] == 32
+    assert m["text"].startswith("Iron Maiden")
+    fr = next(r for r in rows if r["surface_form"] == "Frankfort")
+    assert fr["uri"] == "Frankfort_%28village%29,_New_York"
+    # distinct paragraphs overall: 2
+    assert len({r["paragraph_id"] for r in rows}) == 2

@@ -739,6 +739,62 @@ def q_d9_mixtures(spark, sf_dir):
     )
 
 
+def q_d16_pagerank(spark, sf_dir):
+    """D16 collective disambiguation core: per-document referent graph
+    (entity co-occurrence arcs + sf->candidate arcs) + weighted personalized
+    PageRank, 3 power iterations (ref GraphBasedDisambiguator.scala:140-180,
+    WeightedPageRankPowerMethod.java) — the full iteration unrolled in the
+    SQL twin."""
+    from dbpedia_spotlight_spark.operators.graph import (
+        referent_graph_arcs,
+        resource_edges,
+        weighted_personalized_pagerank,
+    )
+    from dbpedia_spotlight_spark.operators.modelbuild import cooccurrence_edges
+
+    occ = _occs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "pos",
+        "surface_form",
+        "uri",
+    )
+    res_ids = (
+        occ.select("uri")
+        .distinct()
+        .withColumn(
+            "res_id",
+            (F.row_number().over(Window.orderBy("uri")) - 1).cast("int"),
+        )
+    )
+    cooc = cooccurrence_edges(occ, min_count=3)
+    edges = resource_edges(cooc, res_ids.select("res_id", "uri"))
+    d = F.broadcast(_dict_df(spark))
+    spot_cands = (
+        _spots(spark, sf_dir)
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.lit(0).alias("span_pos"),
+            F.col("pos").cast("int").alias("offset"),
+            "surface_form",
+        )
+        .join(d.select("surface_form", "uri", "prior"), "surface_form")
+        .join(res_ids, "uri")
+        .select(
+            "doc_id", "span_pos", "offset", "res_id",
+            F.col("prior").cast("double").alias("contextual_score"),
+        )
+    )
+    arcs = referent_graph_arcs(spot_cands, edges)
+    sf_node = F.concat_ws(":", F.lit("s"), F.col("span_pos"), F.col("offset"))
+    sf_nodes = spot_cands.select("doc_id", sf_node.alias("node")).distinct()
+    n_sf = sf_nodes.groupBy("doc_id").agg(F.count("*").alias("_n"))
+    preference = sf_nodes.join(n_sf, "doc_id").select(
+        "doc_id", "node", (F.lit(1.0) / F.col("_n")).alias("pref")
+    )
+    ranks = weighted_personalized_pagerank(arcs, preference, iterations=3)
+    return ranks.select("doc_id", "node", F.round("rank", 6).alias("rank"))
+
+
 def q_eval_linking(spark, sf_dir):
     """North-rule evidence: triple-level linking P/R (pipeline/evaluate.py
     linking_metrics_df) of the prior-disambiguation flagship twin against
@@ -873,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d6_tficf": q_d6_tficf,
         "s7_token_bags": q_s7_token_bags,
         "d9_mixtures": q_d9_mixtures,
+        "d16_pagerank": q_d16_pagerank,
         "eval_linking": q_eval_linking,
         "annotate_e2e": q_annotate_e2e,
     }
@@ -1301,6 +1358,91 @@ SELECT doc_id, res_id, surface_form,
         * {(1.0 - _cw)!r}), 6) AS fader,
   round(cs, 6) AS sim_only
 FROM rws
+"""
+
+    # D16: 3 power iterations of weighted personalized PageRank, unrolled
+    # (recursive CTEs cannot aggregate per step); constants via repr so the
+    # doubles match Spark's literals exactly.
+    _pg_a = 0.85
+    _pg_iters = []
+    _prev = "pr0"
+    for _i in range(1, 4):
+        _pg_iters.append(f""",
+dang{_i} AS (
+  SELECT r.doc_id, sum(r.rank) AS dm
+  FROM {_prev} r
+  LEFT JOIN hasout h ON r.doc_id = h.doc_id AND r.node = h.node
+  WHERE h.node IS NULL GROUP BY r.doc_id
+),
+infl{_i} AS (
+  SELECT a.doc_id, a.dst_node AS node, sum(r.rank * a.p) AS inflow
+  FROM {_prev} r
+  JOIN narcs a ON r.doc_id = a.doc_id AND r.node = a.src_node
+  GROUP BY a.doc_id, a.dst_node
+),
+pr{_i} AS (
+  SELECT p.doc_id, p.node,
+    ({(1.0 - _pg_a)!r})::DOUBLE * p.pref + ({_pg_a!r})::DOUBLE
+      * (coalesce(i.inflow, 0.0) + coalesce(d.dm, 0.0) * p.pref) AS rank
+  FROM prefv p
+  LEFT JOIN infl{_i} i ON p.doc_id = i.doc_id AND p.node = i.node
+  LEFT JOIN dang{_i} d ON p.doc_id = d.doc_id
+)""")
+        _prev = f"pr{_i}"
+
+    sql["d16_pagerank"] = _BASE_CTES + """,
+occ2 AS (SELECT doc_id::VARCHAR AS doc_id, pos, surface_form, uri FROM occs),
+res AS (SELECT uri, (row_number() OVER (ORDER BY uri) - 1)::INT AS res_id
+        FROM (SELECT DISTINCT uri FROM occ2)),
+duu AS (SELECT DISTINCT doc_id, uri FROM occ2),
+cooc AS (SELECT a.uri AS su, b.uri AS du, count(*) AS cnt
+         FROM duu a JOIN duu b ON a.doc_id = b.doc_id AND a.uri < b.uri
+         GROUP BY a.uri, b.uri HAVING count(*) >= 3),
+eres AS (SELECT r1.res_id AS src, r2.res_id AS dst, cnt::DOUBLE AS w
+         FROM cooc JOIN res r1 ON cooc.su = r1.uri
+         JOIN res r2 ON cooc.du = r2.uri),
+sc AS (SELECT s.doc_id::VARCHAR AS doc_id, 0 AS span_pos, s.pos::INT AS off,
+              r.res_id, d.prior::DOUBLE AS cs
+       FROM spots s JOIN dict d ON s.surface_form = d.surface_form
+       JOIN res r ON d.uri = r.uri),
+dc AS (SELECT DISTINCT doc_id, res_id FROM sc),
+e1 AS (SELECT d1.doc_id, 'r:' || e.src::VARCHAR AS src_node,
+              'r:' || e.dst::VARCHAR AS dst_node, e.w
+       FROM dc d1 JOIN eres e ON d1.res_id = e.src
+       JOIN dc d2 ON d2.doc_id = d1.doc_id AND d2.res_id = e.dst),
+arcs AS (
+  SELECT doc_id, src_node, dst_node, w FROM e1
+  UNION ALL SELECT doc_id, dst_node, src_node, w FROM e1
+  UNION ALL
+  SELECT doc_id, 's:' || span_pos::VARCHAR || ':' || off::VARCHAR,
+         'r:' || res_id::VARCHAR, cs
+  FROM sc WHERE cs > 0
+),
+outw AS (SELECT doc_id, src_node, sum(w) AS ow FROM arcs
+         GROUP BY doc_id, src_node),
+narcs AS (SELECT a.doc_id, a.src_node, a.dst_node, a.w / o.ow AS p
+          FROM arcs a
+          JOIN outw o ON a.doc_id = o.doc_id AND a.src_node = o.src_node),
+sfn AS (SELECT DISTINCT doc_id,
+               's:' || span_pos::VARCHAR || ':' || off::VARCHAR AS node
+        FROM sc),
+nsf AS (SELECT doc_id, count(*) AS n FROM sfn GROUP BY doc_id),
+prefin AS (SELECT s.doc_id, s.node, (1.0::DOUBLE) / f.n AS pref
+           FROM sfn s JOIN nsf f ON s.doc_id = f.doc_id),
+nodes AS (
+  SELECT DISTINCT doc_id, node FROM (
+    SELECT doc_id, src_node AS node FROM arcs
+    UNION ALL SELECT doc_id, dst_node FROM arcs
+    UNION ALL SELECT doc_id, node FROM prefin)
+),
+prefv AS (SELECT n.doc_id, n.node, coalesce(p.pref, 0.0::DOUBLE) AS pref
+          FROM nodes n
+          LEFT JOIN prefin p ON n.doc_id = p.doc_id AND n.node = p.node),
+hasout AS (SELECT DISTINCT doc_id, src_node AS node FROM outw),
+pr0 AS (SELECT doc_id, node, pref AS rank FROM prefv)""" + "".join(
+        _pg_iters
+    ) + """
+SELECT doc_id, node, round(rank, 6) AS rank FROM pr3
 """
 
     sql["eval_linking"] = _PRIOR_CTES + f""",

@@ -40,10 +40,9 @@ def _dedup_group(
         return  # hash already emitted in an earlier batch: drop everything
     first: dict[str, Any] | None = None
     for pdf in pdfs:
-        for _, row in pdf.sort_values("doc_id").iterrows():
-            first = {"doc_id": row["doc_id"], "text": row["text"]}
-            break
-        if first is not None:
+        if len(pdf):
+            i = pdf["doc_id"].idxmin()
+            first = {"doc_id": pdf.at[i, "doc_id"], "text": pdf.at[i, "text"]}
             break
     state.update((True,))
     if first is not None:

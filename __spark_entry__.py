@@ -407,7 +407,7 @@ def q_interleave_roundtrip(spark, sf_dir):
     )
 
 
-# ---- rows-only entries (non-SQL-expressible: UDF spotting, LSH, pipeline) --
+# ---- dedup/LSH/pipeline family (brute-force / constant-replay oracles) ----
 
 def q_minhash_near_dups(spark, sf_dir):
     return minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.8).select(

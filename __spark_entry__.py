@@ -27,7 +27,7 @@ from dbpedia_spotlight_spark.datapipe.dedup import (
 from dbpedia_spotlight_spark.datapipe.similarity import brute_force_topk, lsh_topk
 from dbpedia_spotlight_spark.datapipe.textstats import (
     bpe_ish_token_count,
-    fingerprint,
+    fingerprint_df,
     language_id,
     punct_ratio,
     quality_score,
@@ -431,9 +431,9 @@ def q_lsh_topk(spark, sf_dir):
 
 
 def q_doc_fingerprint(spark, sf_dir):
-    return _docs(spark, sf_dir).select(
-        "doc_id", fingerprint(F.col("text")).alias("fp")
-    )
+    return fingerprint_df(
+        _docs(spark, sf_dir).select("doc_id", "text"), out="fp"
+    ).select("doc_id", "fp")
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -884,6 +884,113 @@ def q_annotate_prior(spark, sf_dir):
     )
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup candidate pairs: any shared 16-bit chunk
+    (pigeonhole: covers Hamming < 4) + exact Hamming distance, codegen
+    popcount. Cap can't trigger at sf<=0.01 corpus sizes (buckets are
+    birthday-sparse over 2^16 values), so the uncapped oracle is exact."""
+    from dbpedia_spotlight_spark.datapipe.dedup import simhash_candidate_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return simhash_candidate_pairs(simhash_buckets(docs))
+
+
+def q_m4_token_counts(spark, sf_dir):
+    """M4 direct oracle: per-URI context token bags (token_counts.pig
+    semantics — a link's context is its document's token bag, counted once
+    per distinct link target). Injected plain tokenization so the stemmer
+    stays out of the oracle surface (the stemmer has its own ref-fixture
+    parity tests)."""
+    from dbpedia_spotlight_spark.operators.modelbuild import token_counts
+
+    occ = _occs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "surface_form", "uri"
+    )
+    tokens = _tok(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("token").alias("stem"),
+        F.lit(False).alias("is_stopword"),
+    )
+    return token_counts(tokens, occ).select("uri", "stem", "count")
+
+
+def q_m10_concepts(spark, sf_dir):
+    """M10 direct oracle: the candidate-map extraction inside
+    build_model_from_occurrences — dense sf/res id assignment + the
+    pair-count fact table joined back to both dims (ref
+    ExtractCandidateMap set ops; closure/exclusion set ops are separately
+    green via m8/m9)."""
+    occ = _occs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "surface_form", "uri"
+    )
+    tokens = _tok(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("token").alias("stem"),
+        F.lit(False).alias("is_stopword"),
+    )
+    docs = _docs(spark, sf_dir)
+    model = build_model_from_occurrences(
+        flat_to_interleaved_media(docs), occ, tokens
+    )
+    return (
+        model.candidates.join(
+            model.surface_forms.select("sf_id", "surface_form"), "sf_id"
+        )
+        .join(model.resources.select("res_id", "uri", "support"), "res_id")
+        .select("sf_id", "surface_form", "res_id", "uri", "pair_count", "support")
+    )
+
+
+def q_d3_generative(spark, sf_dir):
+    """D3-D5 hash-checked: the generative context-scoring path (query
+    vectors -> present-pair context scores -> NIL context + NIL spot scores
+    -> UnweightedMixture -> best_k with k=2, exercising top-k,
+    percentageOfSecondRank AND the candidate∪NIL softmax over real context
+    scores). Same library code path as the flagship (use_context=True,
+    operators/disambiguate.py:95-173) — only the tokenizer is replaced by
+    an injected plain whitespace tokenization so every stage (including the
+    model's token_types/context_counts build) is ANSI-SQL-expressible.
+    Ref GenerativeContextSimilarity.scala:26-78,
+    DBTwoStepDisambiguator.scala:120-246."""
+    docs = _docs(spark, sf_dir)
+    iv = flat_to_interleaved_media(docs)
+    occ = _occs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "surface_form", "uri"
+    )
+    tokens = _tok(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        _char_offset().cast("int").alias("offset"),
+        F.col("token").alias("stem"),
+        F.lit(False).alias("is_stopword"),
+    )
+    model = build_model_from_occurrences(iv, occ, tokens)
+    spots = _spots(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(0).alias("span_pos"),
+        _char_offset().cast("int").alias("offset"),
+        "surface_form",
+        F.lit(1.0).alias("spot_prob"),
+        F.lit("m").alias("spot_type"),
+        F.array(F.col("surface_form")).alias("token_stems"),
+    )
+    ann = annotate(
+        iv, model, use_context=True, spots=spots, tokens=tokens, k=2
+    )
+    return ann.select(
+        "doc_id",
+        "span_pos",
+        "offset",
+        "surface_form",
+        "uri",
+        F.round("similarity_score", 6).alias("similarity_score"),
+        F.round("percentage_second_rank", 6).alias("percentage_second_rank"),
+        F.round("contextual_score", 6).alias("contextual_score"),
+        "res_id",
+        "support",
+        "rank",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG construction over interleaved docs at sf0.001 -> NIF
     (subj, pred, obj) mention triples."""
@@ -922,6 +1029,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wiki_dump_source": q_wiki_dump_source,
         "m14_aux_stats": q_m14_aux_stats,
         "annotate_prior": q_annotate_prior,
+        "d3_generative": q_d3_generative,
+        "m4_token_counts": q_m4_token_counts,
+        "m10_concepts": q_m10_concepts,
+        "simhash_pairs": q_simhash_pairs,
         "f_filter_chain": q_f_filter_chain,
         "m9_resolve": q_m9_resolve,
         "d2_windows": q_d2_windows,
@@ -1179,6 +1290,184 @@ SELECT doc_id, span_pos, off AS "offset", surface_form, uri,
   (0.5)::DOUBLE AS contextual_score,
   res_id, support, rank
 FROM ranked WHERE rank = 1
+"""
+
+    sql["m4_token_counts"] = _BASE_CTES + """
+SELECT u.uri, t.stem, count(*)::BIGINT AS count
+FROM (SELECT doc_id::VARCHAR AS doc_id, unnest(toks) AS stem FROM tk) t
+JOIN (SELECT DISTINCT doc_id::VARCHAR AS doc_id, uri FROM occs) u
+  ON t.doc_id = u.doc_id
+GROUP BY u.uri, t.stem
+"""
+
+    sql["m10_concepts"] = _BASE_CTES + """,
+occ2 AS (SELECT doc_id::VARCHAR AS doc_id, surface_form, uri FROM occs),
+sfd AS (
+  SELECT surface_form,
+         (row_number() OVER (ORDER BY surface_form) - 1)::INT AS sf_id
+  FROM (SELECT DISTINCT surface_form FROM occ2)
+),
+resd AS (
+  SELECT uri, n::BIGINT AS support,
+         (row_number() OVER (ORDER BY uri) - 1)::INT AS res_id
+  FROM (SELECT uri, count(*) AS n FROM occ2 GROUP BY uri)
+)
+SELECT s.sf_id, p.surface_form, r.res_id, p.uri,
+       p.n::BIGINT AS pair_count, r.support
+FROM (SELECT surface_form, uri, count(*) AS n
+      FROM occ2 GROUP BY surface_form, uri) p
+JOIN sfd s USING (surface_form)
+JOIN resd r USING (uri)
+"""
+
+    # D3-D5 generative context scoring (GenerativeContextSimilarity.scala:
+    # 26-78): model token tables from the injected plain tokenization, query
+    # vectors, present-pair logaddexp deltas + per-doc NIL context score,
+    # NIL spot scores, UnweightedMixture, NIL filter, top-2, second-rank,
+    # and the candidate∪NIL log-sum-exp softmax — replayed term by term
+    # (λ=0.2; logaddexp = greatest + ln(1+exp(least-greatest)); the softmax
+    # replicates Spark's exp(ln(Σ)) double-rounding structurally).
+    sql["d3_generative"] = _BASE_CTES + f""",
+occ2 AS (SELECT doc_id::VARCHAR AS doc_id, surface_form, uri FROM occs),
+toks2 AS (SELECT doc_id::VARCHAR AS doc_id, token AS stem FROM tok),
+doc_uris AS (SELECT DISTINCT doc_id, uri FROM occ2),
+tokc AS (
+  SELECT u.uri, t.stem, count(*)::BIGINT AS cnt
+  FROM toks2 t JOIN doc_uris u ON t.doc_id = u.doc_id
+  GROUP BY u.uri, t.stem
+),
+vocab AS (
+  SELECT stem, sum(cnt)::BIGINT AS vcount,
+         row_number() OVER (ORDER BY stem) AS token_id
+  FROM tokc GROUP BY stem
+),
+scal AS (
+  SELECT (SELECT sum(vcount) FROM vocab)::DOUBLE AS total_tokens,
+         (SELECT count(*) FROM vocab)::DOUBLE AS vocab_size,
+         (SELECT count(*) FROM occ2)::DOUBLE AS total_support,
+         (SELECT count(*) FROM occ2)::DOUBLE AS total_annotated
+),
+sfs AS (SELECT surface_form, count(*)::DOUBLE AS annotated_count
+        FROM occ2 GROUP BY surface_form),
+res AS (
+  SELECT uri, n::BIGINT AS support,
+         (row_number() OVER (ORDER BY uri) - 1)::INT AS res_id
+  FROM (SELECT uri, count(*) AS n FROM occ2 GROUP BY uri)
+),
+cand AS (SELECT surface_form, uri, count(*)::DOUBLE AS pair_count
+         FROM occ2 GROUP BY surface_form, uri),
+ctxc AS (
+  SELECT r.res_id, v.token_id, t.cnt::DOUBLE AS cnt
+  FROM tokc t JOIN vocab v USING (stem) JOIN res r ON t.uri = r.uri
+),
+rtot AS (SELECT res_id, sum(cnt)::DOUBLE AS total_count
+         FROM ctxc GROUP BY res_id),
+query AS (
+  SELECT t.doc_id, v.token_id, count(*)::DOUBLE AS c,
+         ln(v.vcount + 1.0) - ln(s.total_tokens + s.vocab_size) AS plm
+  FROM toks2 t JOIN vocab v USING (stem) CROSS JOIN scal s
+  GROUP BY t.doc_id, v.token_id, v.vcount, s.total_tokens, s.vocab_size
+),
+nil_doc AS (
+  SELECT doc_id, sum(ln(c) + ln((0.8)::DOUBLE) + plm) AS nil_context_score
+  FROM query GROUP BY doc_id
+),
+spots2 AS (
+  SELECT doc_id::VARCHAR AS doc_id, 0 AS span_pos,
+         ({_SQL_OFFSET})::INT AS off, surface_form
+  FROM spots
+),
+cpair AS (
+  SELECT DISTINCT s.doc_id, r.res_id
+  FROM spots2 s JOIN cand c USING (surface_form) JOIN res r ON c.uri = r.uri
+),
+delta AS (
+  SELECT p.doc_id, p.res_id,
+    sum(
+      greatest(ln((0.2)::DOUBLE) + ln(cc.cnt / rt.total_count),
+               ln((0.8)::DOUBLE) + q.plm)
+      + ln(1 + exp(least(ln((0.2)::DOUBLE) + ln(cc.cnt / rt.total_count),
+                         ln((0.8)::DOUBLE) + q.plm)
+                   - greatest(ln((0.2)::DOUBLE) + ln(cc.cnt / rt.total_count),
+                              ln((0.8)::DOUBLE) + q.plm)))
+      - (ln((0.8)::DOUBLE) + q.plm)
+    ) AS sum_delta
+  FROM cpair p
+  JOIN ctxc cc ON cc.res_id = p.res_id
+  JOIN query q ON q.doc_id = p.doc_id AND q.token_id = cc.token_id
+  JOIN rtot rt ON rt.res_id = p.res_id
+  GROUP BY p.doc_id, p.res_id
+),
+pc AS (
+  SELECT p.doc_id, p.res_id,
+         coalesce(d.sum_delta, 0.0) + coalesce(n.nil_context_score, 0.0) AS p_c
+  FROM cpair p
+  JOIN (SELECT res_id FROM rtot WHERE total_count > 0) hc
+    ON p.res_id = hc.res_id
+  LEFT JOIN delta d ON d.doc_id = p.doc_id AND d.res_id = p.res_id
+  LEFT JOIN nil_doc n ON n.doc_id = p.doc_id
+),
+nils AS (
+  SELECT s.doc_id, s.span_pos, s.off, s.surface_form,
+         ln((0.8)::DOUBLE) + ln(coalesce(v.vcount, 0) + 1.0)
+           - ln(sc.total_tokens + sc.vocab_size) AS nil_s
+  FROM spots2 s
+  LEFT JOIN vocab v ON s.surface_form = v.stem
+  CROSS JOIN scal sc
+),
+scored AS (
+  SELECT s.doc_id, s.span_pos, s.off, s.surface_form, r.uri, r.res_id,
+         r.support,
+         ln(r.support / sc.total_support)
+           + ln(c.pair_count / f.annotated_count) + p.p_c AS score,
+         p.p_c AS p_c,
+         ln(1.0 / sc.total_annotated) + coalesce(nd.nil_context_score, 0.0)
+           + ni.nil_s AS nil_score,
+         coalesce(nd.nil_context_score, 0.0) AS ncs
+  FROM spots2 s
+  JOIN sfs f USING (surface_form)
+  JOIN cand c USING (surface_form)
+  JOIN res r ON c.uri = r.uri
+  CROSS JOIN scal sc
+  LEFT JOIN pc p ON p.doc_id = s.doc_id AND p.res_id = r.res_id
+  LEFT JOIN nil_doc nd ON nd.doc_id = s.doc_id
+  JOIN nils ni ON ni.doc_id = s.doc_id AND ni.span_pos = s.span_pos
+              AND ni.off = s.off AND ni.surface_form = s.surface_form
+),
+kept AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, span_pos, off
+             ORDER BY score DESC, res_id ASC) AS rank
+  FROM scored
+  WHERE score IS NOT NULL AND score > nil_score
+),
+topk AS (SELECT * FROM kept WHERE rank <= 2),
+stats AS (
+  SELECT *,
+    lead(score) OVER (PARTITION BY doc_id, span_pos, off
+                      ORDER BY score DESC, res_id ASC) AS next_score,
+    greatest(max(score) OVER (PARTITION BY doc_id, span_pos, off),
+             nil_score) AS m_sim,
+    greatest(max(p_c) OVER (PARTITION BY doc_id, span_pos, off),
+             ncs) AS m_ctx
+  FROM topk
+),
+sums AS (
+  SELECT *,
+    sum(exp(score - m_sim)) OVER (PARTITION BY doc_id, span_pos, off)
+      AS se_sim,
+    sum(exp(p_c - m_ctx)) OVER (PARTITION BY doc_id, span_pos, off)
+      AS se_ctx
+  FROM stats
+)
+SELECT doc_id, span_pos, off AS "offset", surface_form, uri,
+  round(exp(score - (m_sim + ln(exp(ln(se_sim)) + exp(nil_score - m_sim)))),
+        6) AS similarity_score,
+  round(coalesce(exp(next_score - score), -1.0), 6)
+    AS percentage_second_rank,
+  round(exp(p_c - (m_ctx + ln(exp(ln(se_ctx)) + exp(ncs - m_ctx)))), 6)
+    AS contextual_score,
+  res_id, support, rank
+FROM sums
 """
 
     # F1 (idx=round(3*0.5)=2 -> thr 0.2) + F2 (psr <= 0.75) + F3 (support>1)
@@ -1625,7 +1914,7 @@ SELECT doc_id, list_reduce(
 FROM w
 """
 
-    sql["simhash_buckets"] = rf"""
+    _SIMHASH_CTES = rf"""
 WITH w AS (SELECT doc_id, {_SH_TOKS} AS toks FROM documents),
 h AS (
   SELECT doc_id,
@@ -1649,7 +1938,9 @@ cv AS (
                  FOR j IN generate_series(0, 15) ])::BIGINT
       FOR c IN generate_series(0, 3) ] AS cvs
   FROM acc
-)
+)"""
+
+    sql["simhash_buckets"] = _SIMHASH_CTES + """
 SELECT doc_id,
   lpad(lower(to_hex(cvs[4])), 4, '0') || lpad(lower(to_hex(cvs[3])), 4, '0')
     || lpad(lower(to_hex(cvs[2])), 4, '0')
@@ -1657,6 +1948,24 @@ SELECT doc_id,
   generate_subscripts(cvs, 1) - 1 AS chunk,
   unnest(cvs) AS chunk_val
 FROM cv
+"""
+
+    # simhash_pairs: docs sharing any 16-bit chunk (pigeonhole candidates,
+    # Hamming < 4 guaranteed covered) + the exact Hamming distance —
+    # bit_count per chunk XOR == popcount over the full 64-bit XOR.
+    sql["simhash_pairs"] = _SIMHASH_CTES + """,
+ch AS (
+  SELECT doc_id, cvs, generate_subscripts(cvs, 1) AS chunk,
+         unnest(cvs) AS chunk_val
+  FROM cv
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+  ( bit_count(xor(x.cvs[1], y.cvs[1])) + bit_count(xor(x.cvs[2], y.cvs[2]))
+  + bit_count(xor(x.cvs[3], y.cvs[3])) + bit_count(xor(x.cvs[4], y.cvs[4]))
+  )::INT AS hamming
+FROM ch x JOIN ch y
+  ON x.chunk = y.chunk AND x.chunk_val = y.chunk_val
+ AND x.doc_id < y.doc_id
 """
 
     # lsh_topk: replay the exact hyperplane constants (same numpy seeds as

@@ -133,9 +133,27 @@ def minhash_signatures(
     return df.select(id_col, text_col).mapInPandas(run, schema)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 16,
+    max_bucket_size: int | None = 1000,
+    log_dropped: bool = False,
+) -> DataFrame:
     """Band the signatures, bucket-join within (band, band_hash).
-    -> (a, b) candidate pairs, a < b."""
+    -> (a, b) candidate pairs, a < b.
+
+    Mega-bucket guard: on a real web corpus, every empty/boilerplate
+    document collapses to the same signature, so one (band, band_hash)
+    bucket holds millions of rows and the self-join emits O(b²) pairs —
+    the standard failure of LSH dedup at 100 TB. Buckets larger than
+    max_bucket_size are dropped wholesale BEFORE the self-join (a window
+    count over the same partitioning the join needs anyway — no extra
+    shuffle). Dropping is deterministic (whole bucket or nothing), so an
+    oracle can model it exactly; at the default cap a dropped bucket can
+    only arise from >max_bucket_size mutually-near-identical docs, which
+    exact-dedup upstream should have removed first. With log_dropped=True
+    the dropped bucket/row counts are counted eagerly (one extra job) and
+    logged at WARNING."""
     n = len(signatures.select("sig").first()["sig"])
     rows_per_band = n // bands
     banded = signatures.select(
@@ -149,6 +167,27 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
             )
         ).alias("band", "band_hash"),
     )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "band_hash")
+        sized = banded.withColumn("_bn", F.count("*").over(w))
+        if log_dropped:
+            import logging
+
+            dropped = (
+                sized.filter(F.col("_bn") > max_bucket_size)
+                .agg(
+                    F.countDistinct("band", "band_hash").alias("buckets"),
+                    F.count("*").alias("rows"),
+                )
+                .first()
+            )
+            if dropped["rows"]:
+                logging.getLogger(__name__).warning(
+                    "lsh_candidate_pairs: dropped %d over-cap buckets "
+                    "(%d rows > max_bucket_size=%d)",
+                    dropped["buckets"], dropped["rows"], max_bucket_size,
+                )
+        banded = sized.filter(F.col("_bn") <= max_bucket_size).drop("_bn")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -234,11 +273,12 @@ def minhash_near_duplicates(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.8,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> bands -> candidate
-    pairs -> exact-Jaccard verification."""
+    pairs (mega-buckets capped) -> exact-Jaccard verification."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    pairs = lsh_candidate_pairs(sigs, bands)
+    pairs = lsh_candidate_pairs(sigs, bands, max_bucket_size=max_bucket_size)
     return ngram_jaccard_pairs(df, pairs, text_col, id_col, shingle_k, threshold)
 
 
@@ -401,4 +441,54 @@ def simhash_buckets(
             hex_chunk(F.col("_cvs"), 1),
         ).alias("simhash_hex"),
         F.posexplode("_cvs").alias("chunk", "chunk_val"),
+    )
+
+
+def simhash_candidate_pairs(
+    buckets: DataFrame, max_bucket_size: int | None = 1000
+) -> DataFrame:
+    """Near-dup candidate pairs from simhash_buckets output: docs sharing
+    any (chunk, chunk_val) 16-bit bucket (pigeonhole: covers all pairs at
+    Hamming distance < 4). -> (a, b) pairs, a < b, with the Hamming
+    distance between the two 64-bit simhashes attached.
+
+    Same mega-bucket guard as lsh_candidate_pairs: every empty document
+    simhashes to 0, so chunk buckets skew pathologically on web corpora —
+    buckets over max_bucket_size are dropped (deterministically, whole
+    bucket) before the self-join."""
+    b = buckets.select("doc_id", "simhash_hex", "chunk", "chunk_val")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("chunk", "chunk_val")
+        b = (
+            b.withColumn("_bn", F.count("*").over(w))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+    x, y = b.alias("x"), b.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.chunk_val") == F.col("y.chunk_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            F.col("x.simhash_hex").alias("_ha"),
+            F.col("y.simhash_hex").alias("_hb"),
+        )
+        .distinct()
+    )
+    # Hamming distance = popcount of XOR of the two 64-bit values: split hex
+    # into two 32-bit halves (conv of 16 hex chars overflows long), XOR, and
+    # count bits via the bin() string — all codegen, no UDF.
+    def half(col, start):
+        return F.conv(F.substring(col, start, 8), 16, 10).cast("long")
+
+    xor_hi = half(F.col("_ha"), 1).bitwiseXOR(half(F.col("_hb"), 1))
+    xor_lo = half(F.col("_ha"), 9).bitwiseXOR(half(F.col("_hb"), 9))
+    popcnt = lambda c: F.length(F.regexp_replace(F.bin(c), "0", ""))  # noqa: E731
+    return pairs.select(
+        "a", "b", (popcnt(xor_hi) + popcnt(xor_lo)).alias("hamming")
     )

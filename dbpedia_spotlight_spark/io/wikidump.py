@@ -154,6 +154,40 @@ _LINK_RE = re.compile(r"\[\[(.*?)\]\]")
 _PAREN_SUFFIX_RE = re.compile(r" \(.+?\)$")
 _LEADING_ARTICLE_RE = re.compile(r"^(The|A) ")
 
+# Namespaces whose links carry no occurrence (the reference resolves the
+# parsed Namespace and keeps Namespace.Main only). A bare ":" test is NOT a
+# namespace check — Main-namespace titles legitimately contain colons
+# ("Star Trek: First Contact"), so only a *known* prefix before the colon
+# demotes a link. Standard MediaWiki namespaces + their common aliases +
+# interwiki/interlanguage codes (2-3 lowercase letters, optionally
+# region-qualified, e.g. "fr", "pt-br", "zh-min-nan").
+_NON_MAIN_NAMESPACES = frozenset(
+    ns.lower()
+    for ns in (
+        "Media", "Special", "Talk", "User", "User talk", "Wikipedia",
+        "Wikipedia talk", "Project", "Project talk", "File", "File talk",
+        "Image", "Image talk", "MediaWiki", "MediaWiki talk", "Template",
+        "Template talk", "Help", "Help talk", "Category", "Category talk",
+        "Portal", "Portal talk", "Book", "Draft", "TimedText", "Module",
+        "Wikt", "Wiktionary", "Wikisource", "Wikibooks", "Wikiquote",
+        "Wikinews", "Wikiversity", "Wikivoyage", "Wikidata", "Commons",
+        "Meta", "Incubator", "Species",
+    )
+)
+_LANG_CODE_RE = re.compile(r"^[a-z]{2,3}(-[a-z-]+)?$")
+
+
+def _is_main_namespace(dest: str) -> bool:
+    head, sep, _ = dest.partition(":")
+    if not sep:
+        return True
+    prefix = head.strip().lower()
+    if prefix == "":  # "[[:Category:X]]"-style escaped links
+        return False
+    return not (
+        prefix in _NON_MAIN_NAMESPACES or _LANG_CODE_RE.match(prefix)
+    )
+
 
 def parse_paragraph_links(markup: str) -> tuple:
     """-> (clean_text, [(uri, surface_form, offset, 1.0)]). Exact twin of
@@ -180,7 +214,7 @@ def parse_paragraph_links(markup: str) -> tuple:
         offset = length
         clean.append(sf)
         length += len(sf)
-        if sf and ":" not in dest:  # Main namespace only (:155)
+        if sf and _is_main_namespace(dest):  # Main namespace only (:155)
             uri = dest.strip().replace(" ", "_")
             gold.append((uri, sf, offset, 1.0))
         last = m.end()

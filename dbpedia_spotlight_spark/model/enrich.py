@@ -8,7 +8,7 @@ Reference (index/src/main/scala/org/dbpedia/spotlight/lucene/index/):
   - CompressIndex.scala — merge/optimize segments.
 On Spark the "index" is the model tables, so each enricher is a broadcast
 join producing a new table version (overwrite-partition under Iceberg,
-path swap under parquet — see streaming/model_updates._atomic_overwrite).
+path swap under parquet — see the versioned CURRENT commit in streaming/model_updates).
 """
 
 from __future__ import annotations

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from dataclasses import dataclass
 
@@ -101,12 +102,32 @@ def run_checkpointed(
         if fail_after_waves is not None and wi >= fail_after_waves:
             raise RuntimeError(f"simulated kill after {wi} waves")
         t0 = time.time()
+        # Result rows whose doc_id is absent from the input land in a
+        # per-wave pseudo-bucket -(min(wave)+1) rather than a shared -1:
+        # that keeps them attributable (and countable) per wave, and makes
+        # crash cleanup a plain partition-directory delete. The key is
+        # derived from the wave's bucket ids, so a resumed (re-run) wave
+        # maps to the same pseudo-bucket.
+        pseudo = -(min(wave) + 1)
+        data_path = os.path.join(output_path, "data")
+        # Crash recovery: a kill between the parquet append and the manifest
+        # append leaves orphan partition dirs for this wave; appending again
+        # would double the rows AND the count. Any partition dir for a
+        # not-yet-manifested bucket of this wave is stale — drop it before
+        # re-running. (On object storage / Iceberg this is the same move:
+        # delete uncommitted data files, or let the table format's atomic
+        # commit do it.)
+        for k in list(wave) + [pseudo]:
+            d = os.path.join(data_path, f"bucket={k}")
+            if k not in done and os.path.exists(d):
+                shutil.rmtree(d)
         subset = docs_b.filter(F.col("_bucket").isin(wave))
         result = pipeline_fn(subset.drop("_bucket"))
         out = result.join(
             docs_b.select("doc_id", "_bucket").distinct(), "doc_id", "left"
-        ).withColumn("bucket", F.coalesce(F.col("_bucket"), F.lit(-1))).drop("_bucket")
-        data_path = os.path.join(output_path, "data")
+        ).withColumn(
+            "bucket", F.coalesce(F.col("_bucket"), F.lit(pseudo))
+        ).drop("_bucket")
         (
             out.repartition("bucket")
             .write.mode("append")
@@ -115,11 +136,12 @@ def run_checkpointed(
         )
         # Count from the parquet just written, not by recomputing `out` —
         # a second pass over the pipeline DAG would double every wave's cost.
-        # Grouping on the partition column reads only file metadata.
+        # Grouping on the partition column reads only file metadata. The
+        # pseudo-bucket is included so unknown-doc rows are counted too.
         per_bucket = {
             str(r["bucket"]): r["n"]
             for r in spark.read.parquet(data_path)
-            .filter(F.col("bucket").isin(wave))
+            .filter(F.col("bucket").isin(list(wave) + [pseudo]))
             .groupBy("bucket")
             .agg(F.count("*").alias("n"))
             .collect()

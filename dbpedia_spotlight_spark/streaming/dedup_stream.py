@@ -38,12 +38,19 @@ def _dedup_group(
 ) -> Iterator[pd.DataFrame]:
     if state.exists:
         return  # hash already emitted in an earlier batch: drop everything
+    # applyInPandasWithState may split one group's batch rows across several
+    # pandas chunks — track the running min(doc_id) across ALL chunks, so
+    # the emitted representative is the batch-global min, not
+    # min-within-first-chunk (which would be chunking-dependent).
     first: dict[str, Any] | None = None
     for pdf in pdfs:
         if len(pdf):
             i = pdf["doc_id"].idxmin()
-            first = {"doc_id": pdf.at[i, "doc_id"], "text": pdf.at[i, "text"]}
-            break
+            if first is None or pdf.at[i, "doc_id"] < first["doc_id"]:
+                first = {
+                    "doc_id": pdf.at[i, "doc_id"],
+                    "text": pdf.at[i, "text"],
+                }
     state.update((True,))
     if first is not None:
         yield pd.DataFrame(

@@ -290,3 +290,52 @@ def test_real_pnm_and_wav_decoders(spark):
     rows = {r["media_ref"]: r for r in extract_media_features(media).collect()}
     assert rows["img://p"]["width"] == 4 and rows["img://p"]["height"] == 2
     assert rows["aud://w"]["n_frames"] == 8
+
+
+def test_lsh_bucket_cap_keeps_pairs_linear(spark):
+    """VERDICT r2 item 4: 500 identical docs collapse to one signature in
+    every band — uncapped, the bucket self-join emits O(n²) pairs; with the
+    cap the whole mega-bucket is dropped and the pair count stays linear
+    (here: zero from the capped bucket, plus the small distinct-doc
+    pairs)."""
+    from dbpedia_spotlight_spark.datapipe.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    rows = [(i, "boiler plate empty page text") for i in range(500)]
+    rows += [(1000 + i, f"unique document number {i} talks about topic {i}")
+             for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs, num_hashes=16, shingle_k=3)
+
+    uncapped = lsh_candidate_pairs(sigs, bands=4, max_bucket_size=None)
+    assert uncapped.count() >= 500 * 499 // 2  # the quadratic trap
+
+    capped = lsh_candidate_pairs(sigs, bands=4, max_bucket_size=100)
+    n = capped.count()
+    assert n < 500  # linear, not quadratic
+    # no capped pair touches the boilerplate cluster
+    touching = capped.filter((F.col("a") < 500) | (F.col("b") < 500)).count()
+    assert touching == 0
+
+
+def test_simhash_candidate_pairs_hamming_and_cap(spark):
+    from dbpedia_spotlight_spark.datapipe.dedup import (
+        simhash_buckets,
+        simhash_candidate_pairs,
+    )
+
+    rows = [(i, "all the same words here") for i in range(50)]
+    rows.append((100, "entirely unrelated content with different vocabulary"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    buckets = simhash_buckets(docs)
+
+    pairs = simhash_candidate_pairs(buckets, max_bucket_size=None)
+    identical = pairs.filter((F.col("a") < 100) & (F.col("b") < 100))
+    # identical docs share all 4 chunks -> distinct pairs, hamming 0
+    assert identical.count() == 50 * 49 // 2
+    assert identical.filter(F.col("hamming") != 0).count() == 0
+
+    capped = simhash_candidate_pairs(buckets, max_bucket_size=10)
+    assert capped.filter((F.col("a") < 100) & (F.col("b") < 100)).count() == 0

@@ -67,8 +67,51 @@ def test_two_stage_candidate_join_plan(spark):
 
 
 def test_annotate_auto_heads_threshold(monkeypatch):
-    """annotate() flips to two-stage when candidates_count exceeds the
-    broadcast ceiling (no Spark needed — just the decision logic)."""
+    """annotate() flips to the two-stage join when candidates_count exceeds
+    the broadcast ceiling: above it, model.head_ids() is fetched and passed
+    through to generate_candidates; below it, heads stays None (single
+    broadcast). No Spark needed — generate_candidates is stubbed to capture
+    the decision."""
+    import pytest
+
     from dbpedia_spotlight_spark.operators import candidates as C
+    from dbpedia_spotlight_spark.pipeline import annotate as A
 
     assert C.AUTO_BROADCAST_MAX >= 1_000_000  # a real-model-scale ceiling
+
+    captured = {}
+
+    class _Stop(Exception):
+        pass
+
+    def fake_generate(spots, surface_forms, candidates, heads=None):
+        captured["heads"] = heads
+        raise _Stop
+
+    monkeypatch.setattr(A, "generate_candidates", fake_generate)
+
+    class _FakeSpots:
+        def repartition(self, *cols):
+            return self
+
+    class _BigModel:
+        surface_forms = None
+        candidates = None
+        candidates_count = C.AUTO_BROADCAST_MAX + 1
+
+        def head_ids(self):
+            return [7, 8, 9]
+
+    class _SmallModel(_BigModel):
+        candidates_count = 10
+
+        def head_ids(self):
+            raise AssertionError("small model must not compute heads")
+
+    with pytest.raises(_Stop):
+        A.annotate(None, _BigModel(), spots=_FakeSpots())
+    assert captured["heads"] == [7, 8, 9]
+
+    with pytest.raises(_Stop):
+        A.annotate(None, _SmallModel(), spots=_FakeSpots())
+    assert captured["heads"] is None

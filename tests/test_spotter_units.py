@@ -174,3 +174,58 @@ def test_model_spotter_end_to_end(spark):
     # ...but lowercase-start entities are reachable ONLY via the model
     # generator — the capital-sequence spotter can never see iPhone
     assert ("iPhone", "misc") in spots
+
+
+def test_spacy_generator_contract(monkeypatch):
+    """P2/P12: the SpacyNERGenerator integration contract, exercised against
+    a faked spaCy module (the container has no spaCy and installs are
+    prohibited — see COVERAGE.md P2 note): pre-tokenized Doc construction,
+    pipeline invocation, label mapping, and the pickle-by-model-name
+    round-trip that broadcasting relies on."""
+    import pickle
+    import sys
+    import types
+
+    from dbpedia_spotlight_spark.operators.model_spotter import (
+        SpacyNERGenerator,
+    )
+
+    class FakeEnt:
+        def __init__(self, start, end, label):
+            self.start, self.end, self.label_ = start, end, label
+
+    class FakeDoc:
+        def __init__(self, vocab, words):
+            self.vocab, self.words, self.ents = vocab, list(words), []
+
+    class FakeNER:
+        def __call__(self, doc):
+            for i, w in enumerate(doc.words):
+                if w == "Berlin":
+                    doc.ents.append(FakeEnt(i, i + 1, "GPE"))
+                elif w == "Alice":
+                    doc.ents.append(FakeEnt(i, i + 2, "PERSON"))
+                elif w == "Zorp":
+                    doc.ents.append(FakeEnt(i, i + 1, "WEIRD_LABEL"))
+            return doc
+
+    class FakeNLP:
+        vocab = object()
+        pipeline = [("ner", FakeNER())]
+
+    fake_spacy = types.ModuleType("spacy")
+    fake_spacy.load = lambda name: FakeNLP()
+    fake_tokens = types.ModuleType("spacy.tokens")
+    fake_tokens.Doc = FakeDoc
+    fake_spacy.tokens = fake_tokens
+    monkeypatch.setitem(sys.modules, "spacy", fake_spacy)
+    monkeypatch.setitem(sys.modules, "spacy.tokens", fake_tokens)
+
+    gen = SpacyNERGenerator("en_core_web_sm")
+    # pickle round-trip: weights never travel, only the model name
+    gen2 = pickle.loads(pickle.dumps(gen))
+    assert gen2._nlp is None and gen2.model == "en_core_web_sm"
+    spans = gen2(["Alice", "Smith", "visited", "Berlin", "Zorp"])
+    assert (0, 2, "person") in spans
+    assert (3, 4, "location") in spans
+    assert (4, 5, "misc") in spans  # unknown labels map to misc

@@ -884,6 +884,20 @@ def q_annotate_prior(spark, sf_dir):
     )
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs over the embeddings table:
+    hyperplane-LSH buckets (4 tables x 6 planes, plane constants replayed
+    into the oracle), bare-id pair dedupe, vectors joined once, exact
+    numpy-cosine verify at 0.3."""
+    from dbpedia_spotlight_spark.datapipe.dedup import embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_near_duplicates(
+        emb, dim=64, threshold=0.3, num_planes=6, num_tables=4
+    )
+    return out.select("a", "b", F.round("cosine", 4).alias("cosine"))
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup candidate pairs: any shared 16-bit chunk
     (pigeonhole: covers Hamming < 4) + exact Hamming distance, codegen
@@ -1033,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_token_counts": q_m4_token_counts,
         "m10_concepts": q_m10_concepts,
         "simhash_pairs": q_simhash_pairs,
+        "dedup_embedding": q_dedup_embedding,
         "f_filter_chain": q_f_filter_chain,
         "m9_resolve": q_m9_resolve,
         "d2_windows": q_d2_windows,
@@ -1991,6 +2006,28 @@ FROM ch x JOIN ch y
         f"AND q.query_id <> c.vec_id"
         for t in range(4)
     )
+    # dedup_embedding: same plane replay; candidate pairs inside any of the
+    # 4 tables' buckets, verified at exact cosine >= 0.3 (filter on the
+    # unrounded value, round after — matching the Spark order).
+    _emb_tables = "\nUNION\n".join(
+        f"SELECT a.vec_id AS a, b.vec_id AS b FROM e a JOIN e b "
+        f"ON {_bucket_expr('a.v', 42 + t)} = {_bucket_expr('b.v', 42 + t)} "
+        f"AND a.vec_id < b.vec_id"
+        for t in range(4)
+    )
+    sql["dedup_embedding"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+{_emb_tables}
+)
+SELECT p.a, p.b,
+       round(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
+FROM (SELECT DISTINCT a, b FROM pairs) p
+JOIN e ea ON p.a = ea.vec_id
+JOIN e eb ON p.b = eb.vec_id
+WHERE list_cosine_similarity(ea.v, eb.v) >= (0.3)::DOUBLE
+"""
+
     sql["lsh_topk"] = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),

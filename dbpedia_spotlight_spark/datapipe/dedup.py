@@ -444,6 +444,65 @@ def simhash_buckets(
     )
 
 
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    num_planes: int = 12,
+    num_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: random-hyperplane LSH buckets
+    (num_tables independent tables), candidate pairs only inside a bucket,
+    exact numpy-cosine verification at `threshold`.
+    -> (a, b, cosine), a < b.
+
+    Scale shape mirrors minhash LSH: the bucket self-join and the pair
+    dedupe carry bare ids; vectors are joined back exactly once for the
+    verify; buckets above max_bucket_size are dropped whole (the all-zeros
+    embedding of empty docs is the classic mega-bucket). Recall is the
+    standard LSH trade: P(candidate) = 1-(1-(1-θ/π)^planes)^tables for
+    angle θ — tune planes/tables to the threshold."""
+    from dbpedia_spotlight_spark.datapipe.similarity import (
+        hyperplane_signature,
+        with_cosine,
+    )
+
+    ids = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    pairs = None
+    for t in range(num_tables):
+        sig = hyperplane_signature(
+            ids, dim, num_planes, "v", seed=42 + t
+        ).select("vec_id", "bucket")
+        if max_bucket_size is not None:
+            w = Window.partitionBy("bucket")
+            sig = (
+                sig.withColumn("_bn", F.count("*").over(w))
+                .filter(F.col("_bn") <= max_bucket_size)
+                .drop("_bn")
+            )
+        x, y = sig.alias("x"), sig.alias("y")
+        p = x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        ).select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.dropDuplicates(["a", "b"])
+    enriched = pairs.join(
+        ids.select(F.col("vec_id").alias("a"), F.col("v").alias("va")), "a"
+    ).join(ids.select(F.col("vec_id").alias("b"), F.col("v").alias("vb")), "b")
+    return (
+        with_cosine(enriched, "va", "vb")
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("a", "b", "cosine")
+    )
+
+
 def simhash_candidate_pairs(
     buckets: DataFrame, max_bucket_size: int | None = 1000
 ) -> DataFrame:

@@ -27,7 +27,6 @@ from dbpedia_spotlight_spark.datapipe.dedup import (
 from dbpedia_spotlight_spark.datapipe.similarity import brute_force_topk, lsh_topk
 from dbpedia_spotlight_spark.datapipe.textstats import (
     bpe_ish_token_count,
-    fingerprint_df,
     language_id,
     punct_ratio,
     quality_score,
@@ -431,9 +430,11 @@ def q_lsh_topk(spark, sf_dir):
 
 
 def q_doc_fingerprint(spark, sf_dir):
-    return fingerprint_df(
+    from dbpedia_spotlight_spark.datapipe.textstats import fingerprint_agg
+
+    return fingerprint_agg(
         _docs(spark, sf_dir).select("doc_id", "text"), out="fp"
-    ).select("doc_id", "fp")
+    )
 
 
 def q_dedup_clusters(spark, sf_dir):

@@ -885,6 +885,25 @@ def q_annotate_prior(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k: fixed seeded-gaussian coarse quantizer (16
+    cells — replayed into the oracle as constants, same move as the LSH
+    plane replay; the k-means-trained quantizer path is exercised by
+    pytest since oracle SQL must be data-independent), nprobe=4, exact
+    cosine re-rank."""
+    import numpy as _np
+
+    from dbpedia_spotlight_spark.datapipe.similarity import ivf_topk
+
+    cents = _np.random.RandomState(7).normal(size=(16, 64))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = ivf_topk(emb, q, cents, k=10, nprobe=4)
+    return out.select(
+        "query_id", "cand_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs over the embeddings table:
     hyperplane-LSH buckets (4 tables x 6 planes, plane constants replayed
@@ -1049,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m10_concepts": q_m10_concepts,
         "simhash_pairs": q_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
+        "ivf_topk": q_ivf_topk,
         "f_filter_chain": q_f_filter_chain,
         "m9_resolve": q_m9_resolve,
         "d2_windows": q_d2_windows,
@@ -2007,6 +2027,52 @@ FROM ch x JOIN ch y
         f"AND q.query_id <> c.vec_id"
         for t in range(4)
     )
+    # ivf_topk: replay the seeded-gaussian centroids; cell assignment is
+    # argmin over (|c|² - 2·x·c) with first-min tie-break (list_indexof =
+    # numpy stable argsort), queries probe their 4 nearest cells.
+    _ivf_cents = _np.random.RandomState(7).normal(size=(16, 64))
+    _ivf_cnorm = (_ivf_cents * _ivf_cents).sum(axis=1)
+
+    def _ivf_scores(vec: str) -> str:
+        terms = []
+        for j in range(16):
+            consts = ", ".join(repr(float(x)) for x in _ivf_cents[j])
+            terms.append(
+                f"({repr(float(_ivf_cnorm[j]))}"
+                f" - 2.0 * list_inner_product({vec}, [{consts}]))"
+            )
+        return "[" + ", ".join(terms) + "]"
+
+    sql["ivf_topk"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+es AS (SELECT vec_id, v, {_ivf_scores('v')} AS sc FROM e),
+cell AS (SELECT vec_id, v, list_indexof(sc, list_min(sc)) - 1 AS cell
+         FROM es),
+q AS (SELECT vec_id AS query_id, v AS qv, sc FROM es WHERE vec_id < 5),
+qprobe AS (
+  SELECT query_id, cell FROM (
+    SELECT query_id, gs.i - 1 AS cell,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sc[gs.i] ASC, gs.i ASC) AS rn
+    FROM q, generate_series(1, 16) AS gs(i)
+  ) WHERE rn <= 4
+),
+pairs AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS cand_id
+  FROM qprobe p JOIN cell c ON p.cell = c.cell
+  WHERE p.query_id <> c.vec_id
+),
+s AS (
+  SELECT p.query_id, p.cand_id, list_cosine_similarity(q2.qv, c.v) AS cos
+  FROM pairs p JOIN q q2 USING (query_id) JOIN e c ON p.cand_id = c.vec_id
+)
+SELECT query_id, cand_id, round(cos, 4) AS cosine, "rank" FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS "rank"
+  FROM s
+) WHERE "rank" <= 10
+"""
+
     # dedup_embedding: same plane replay; candidate pairs inside any of the
     # 4 tables' buckets, verified at exact cosine >= 0.3 (filter on the
     # unrounded value, round after — matching the Spark order).

@@ -130,6 +130,105 @@ def hyperplane_signature(
     return df.mapInPandas(gen, schema)
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    num_cells: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 5,
+) -> np.ndarray:
+    """Coarse quantizer for IVF: k-means centroids over (a sample of) the
+    corpus. Deterministic given the seed, so the centroid matrix can be
+    replayed into an oracle as constants. Uses pyspark.ml KMeans (the
+    distributed trainer — at 100 TB train on a sample, e.g.
+    `.sample(0.001)`); returns a (num_cells x dim) float64 matrix."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = embeddings.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    km = KMeans(k=num_cells, seed=seed, maxIter=max_iter, initMode="random")
+    model = km.fit(train)
+    return np.array(
+        [np.asarray(c, dtype=np.float64) for c in model.clusterCenters()]
+    )
+
+
+def assign_ivf_cells(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str,
+    out: str = "cell",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Attach the nprobe nearest-centroid cell ids (array<int> exploded to
+    one row per probed cell). Distance ranking uses the |c|² - 2·x·c form
+    (|x|² is constant per row), computed as one numpy matmul per Arrow
+    batch; ties break to the lowest cell id (argsort is stable)."""
+    cnorm = (centroids * centroids).sum(axis=1)  # |c_k|²
+    fields = list(df.schema.fields)
+    schema = StructType(fields + [StructField(out, LongType())])
+    cols = [f.name for f in fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = _stack(pdf[vec_col], centroids.shape[1])
+            scores = cnorm[None, :] - 2.0 * (M @ centroids.T)
+            order = np.argsort(scores, axis=1, kind="stable")[:, :nprobe]
+            for j in range(order.shape[1]):
+                # assign() copies: each yielded batch must own its column
+                yield pdf.assign(**{out: order[:, j]})[cols + [out]]
+
+    return df.mapInPandas(gen, schema)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are bucketed by nearest
+    centroid (the inverted file); each query probes its nprobe nearest
+    cells and re-ranks the union exactly by cosine.
+
+    Scale shape: the corpus-side assignment is one matmul pass and the
+    probe join is an equi-join on cell id — at 100 TB the inverted file is
+    the partitioning (write the corpus bucketed BY cell); recall is tuned
+    by nprobe, cost by num_cells. Pairs travel as bare ids; vectors join
+    back once for the re-rank."""
+    q_ids = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c_ids = embeddings.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    cells = assign_ivf_cells(c_ids, centroids, "c_vec", nprobe=1).select(
+        "cand_id", "cell"
+    )
+    probes = assign_ivf_cells(q_ids, centroids, "q_vec", nprobe=nprobe).select(
+        "query_id", "cell"
+    )
+    pairs = (
+        F.broadcast(probes)
+        .join(cells, "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    enriched = pairs.join(F.broadcast(q_ids), "query_id").join(c_ids, "cand_id")
+    scored = with_cosine(enriched, "q_vec", "c_vec")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

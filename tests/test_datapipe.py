@@ -339,3 +339,48 @@ def test_simhash_candidate_pairs_hamming_and_cap(spark):
 
     capped = simhash_candidate_pairs(buckets, max_bucket_size=10)
     assert capped.filter((F.col("a") < 100) & (F.col("b") < 100)).count() == 0
+
+
+def test_ivf_topk_trained_quantizer(spark):
+    """IVF with a real pyspark.ml KMeans coarse quantizer: assignment is
+    total (every vector lands in exactly one cell), every returned pair's
+    cosine equals the exact cosine (re-rank is exact), and raising nprobe
+    to num_cells recovers the exact brute-force top-k."""
+    import numpy as np
+
+    from dbpedia_spotlight_spark.datapipe.similarity import (
+        assign_ivf_cells,
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(0)
+    rows = [(i, rng.normal(size=8).tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_ivf_centroids(df, num_cells=4, dim=8, seed=11)
+    assert cents.shape == (4, 8)
+
+    ids = df.select(F.col("vec_id").alias("cand_id"),
+                    F.col("embedding").alias("c_vec"))
+    cells = assign_ivf_cells(ids, cents, "c_vec", nprobe=1)
+    assert cells.count() == 60  # total assignment, one cell each
+    assert cells.select("cand_id").distinct().count() == 60
+
+    q = df.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["cand_id"]): r["cosine"]
+        for r in brute_force_topk(df, q, k=59).collect()
+    }
+    approx = ivf_topk(df, q, cents, k=5, nprobe=2).collect()
+    assert len(approx) > 0
+    for r in approx:
+        assert abs(exact[(r["query_id"], r["cand_id"])] - r["cosine"]) < 1e-9
+
+    # probing every cell == exact search
+    full = ivf_topk(df, q, cents, k=5, nprobe=4).collect()
+    want = {
+        (r["query_id"], r["cand_id"])
+        for r in brute_force_topk(df, q, k=5).collect()
+    }
+    assert {(r["query_id"], r["cand_id"]) for r in full} == want

@@ -157,7 +157,13 @@ def fingerprint_agg(
     at one long per doc. Exactly reproducible in ANSI SQL; docs with no
     words fingerprint to 0 (explode_outer keeps them).
     -> (id_col, out) only — use fingerprint_df to append to a wide table."""
-    words = F.filter(words_col(F.col(text_col)), lambda w: w != "")
+    # split-on-\s+ of trimmed text yields '' entries ONLY for empty text, so
+    # the empty-word filter is a whole-text CASE, not an array-HOF lambda —
+    # this keeps the entire fingerprint plan lambda-free (regression-tested)
+    t = F.col(text_col)
+    words = F.when(
+        F.trim(t) == "", F.array().cast("array<string>")
+    ).otherwise(words_col(t))
     tok = df.select(
         F.col(id_col).alias(id_col),
         F.posexplode_outer(F.reverse(words)).alias("_e", "_w"),

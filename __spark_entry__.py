@@ -885,6 +885,26 @@ def q_annotate_prior(spark, sf_dir):
     )
 
 
+def q_events_windowed(spark, sf_dir):
+    """Event-time tumbling-window counts + top-3 per window — the batch
+    twin of the watermarked streaming aggregation (streaming/trending.py;
+    the watermark is a no-op on batch, so this checks the exact same
+    plan). Window starts align to the hour in both engines."""
+    from dbpedia_spotlight_spark.streaming.trending import (
+        top_trending,
+        trending_counts,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    counts = trending_counts(ev, ts_col="ts", key_col="event_type")
+    return top_trending(counts, k=3).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+        "event_type",
+        "n",
+        "rank",
+    )
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF approximate top-k: fixed seeded-gaussian coarse quantizer (16
     cells — replayed into the oracle as constants, same move as the LSH
@@ -1069,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
         "ivf_topk": q_ivf_topk,
+        "events_windowed": q_events_windowed,
         "f_filter_chain": q_f_filter_chain,
         "m9_resolve": q_m9_resolve,
         "d2_windows": q_d2_windows,
@@ -2027,6 +2048,19 @@ FROM ch x JOIN ch y
         f"AND q.query_id <> c.vec_id"
         for t in range(4)
     )
+    sql["events_windowed"] = """
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS ws, event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS ws, event_type, n, "rank"
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY ws ORDER BY n DESC, event_type ASC) AS "rank"
+  FROM c
+) WHERE "rank" <= 3
+"""
+
     # ivf_topk: replay the seeded-gaussian centroids; cell assignment is
     # argmin over (|c|² - 2·x·c) with first-min tie-break (list_indexof =
     # numpy stable argsort), queries probe their 4 nearest cells.

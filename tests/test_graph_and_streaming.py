@@ -157,3 +157,68 @@ def test_stateful_dedup_stream(spark, tmp_path):
 
     rows = {r["doc_id"]: r["text"] for r in spark.read.parquet(outp).collect()}
     assert rows == {"d1": "alpha beta", "d3": "gamma", "d5": "delta"}
+
+
+def test_trending_stream_watermark_late_data(spark, tmp_path):
+    """Watermarked window counts in append mode across two availableNow
+    runs: run 1 ingests hour-1 and hour-2 events (watermark advances to
+    hour-2 minus 10 min, closing the hour-1 window -> it is emitted with
+    its in-time late event); run 2 ingests an event for the already-closed
+    hour-1 window, which the watermark drops — the emitted hour-1 count
+    never changes."""
+    import os
+    import time as _t
+
+    from pyspark.sql import types as T
+
+    from dbpedia_spotlight_spark.streaming.trending import trending_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(in_dir)
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    import datetime as dt
+
+    h1 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    h2 = dt.datetime(2024, 1, 1, 11, 30, 0)
+    # hour-1 events (incl. one 5-min-late arrival, same file for determinism)
+    write_batch(
+        [(h1, "view"), (h1.replace(minute=20), "view"),
+         (h1.replace(minute=40), "click")],
+        "b1",
+    )
+    q = trending_stream(spark, in_dir, schema, out_dir, ck)
+    q.awaitTermination(120)
+    # advance event time: hour-2 events push the watermark past hour-1's end
+    write_batch([(h2, "view"), (h2.replace(minute=45), "click")], "b2")
+    q = trending_stream(spark, in_dir, schema, out_dir, ck)
+    q.awaitTermination(120)
+
+    def read_out():
+        _t.sleep(0.2)
+        return {
+            (r["window_start"].hour, r["event_type"]): r["n"]
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    got = read_out()
+    assert got[(10, "view")] == 2 and got[(10, "click")] == 1
+    assert (11, "view") not in got  # hour-2 window still open
+
+    # a drastically late hour-1 event arrives after the window closed
+    write_batch([(h1.replace(minute=50), "view")], "b3")
+    q = trending_stream(spark, in_dir, schema, out_dir, ck)
+    q.awaitTermination(120)
+    got = read_out()
+    assert got[(10, "view")] == 2  # late event dropped, no double emission

@@ -51,14 +51,11 @@ def default_decode(kind: str, payload: bytes):
     )
 
 
-def decode_pnm(payload: bytes):
-    """Real decoder for binary PPM (P6) / PGM (P5) images — pure bytes +
-    numpy. Returns (width, height, n_frames=1, 8-dim feature) where the
-    feature is the mean intensity of an 8-band horizontal split."""
+def _parse_pnm_header(payload: bytes):
+    """-> (magic, width, height, maxval, pixel_offset) for binary PPM/PGM.
+    Header tokens are whitespace-separated; '#' lines are comments."""
     parts: list = []
     i = 0
-    # header: magic, width, height, maxval as whitespace-separated tokens
-    # (comment lines start with '#')
     while len(parts) < 4 and i < len(payload):
         while i < len(payload) and payload[i : i + 1].isspace():
             i += 1
@@ -72,12 +69,43 @@ def decode_pnm(payload: bytes):
         parts.append(payload[i:j])
         i = j
     magic, w, h, maxval = parts[0], int(parts[1]), int(parts[2]), int(parts[3])
-    i += 1  # single whitespace after maxval
+    return magic, w, h, maxval, i + 1  # single whitespace after maxval
+
+
+def decode_pnm_pixels(payload: bytes):
+    """-> ((height, width, channels) uint8 array, maxval) for P6/P5."""
+    magic, w, h, maxval, off = _parse_pnm_header(payload)
     channels = 3 if magic == b"P6" else 1
     n = w * h * channels
-    px = np.frombuffer(payload[i : i + n], dtype=np.uint8).astype(np.float32)
-    if channels == 3:
-        px = px.reshape(-1, 3).mean(axis=1)
+    px = np.frombuffer(payload[off : off + n], dtype=np.uint8)
+    return px.reshape(h, w, channels), maxval
+
+
+def encode_pnm(arr: np.ndarray, maxval: int = 255) -> bytes:
+    """(h, w, c) uint8 array -> binary PPM (c=3) / PGM (c=1) bytes."""
+    h, w, c = arr.shape
+    magic = b"P6" if c == 3 else b"P5"
+    header = b"%s\n%d %d\n%d\n" % (magic, w, h, maxval)
+    return header + arr.astype(np.uint8).tobytes()
+
+
+def resize_nn(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w, c) array — two numpy index
+    gathers, no loops."""
+    h, w, _c = arr.shape
+    rows = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    cols = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return arr[rows][:, cols]
+
+
+def decode_pnm(payload: bytes):
+    """Real decoder for binary PPM (P6) / PGM (P5) images — pure bytes +
+    numpy. Returns (width, height, n_frames=1, 8-dim feature) where the
+    feature is the mean intensity of an 8-band horizontal split."""
+    arr, maxval = decode_pnm_pixels(payload)
+    h, w, channels = arr.shape
+    px = arr.reshape(-1, channels).astype(np.float32)
+    px = px.mean(axis=1) if channels == 3 else px[:, 0]
     bands = np.array_split(px, 8)
     feature = [float(b.mean() / max(maxval, 1)) if b.size else 0.0 for b in bands]
     return w, h, 1, feature
@@ -156,6 +184,52 @@ def extract_media_features(
     return media.select(
         F.col(ref_col), F.col(kind_col), F.col(bytes_col)
     ).mapInPandas(run, MEDIA_FEATURES_SCHEMA)
+
+
+def resize_images(
+    media: DataFrame,
+    out_width: int,
+    out_height: int,
+    ref_col: str = "media_ref",
+    bytes_col: str = "payload",
+) -> DataFrame:
+    """Batch nearest-neighbor image resize, binary in -> binary out:
+    (media_ref, payload) -> (media_ref, width, height, payload) with the
+    payload re-encoded in its own format. Fully real for PPM/PGM (the
+    native decode path, no stub); undecodable payloads pass through with
+    width/height -1 so one bad file never kills a 100 TB pass. Arrow
+    batches keep the bytes off the driver; at scale this is the canonical
+    'normalize the image column before training' map stage."""
+    schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_ref": [], "width": [], "height": [], "payload": []}
+            for ref, payload in zip(pdf[ref_col], pdf[bytes_col]):
+                payload = bytes(payload) if payload is not None else b""
+                out["media_ref"].append(ref)
+                try:
+                    arr, maxval = decode_pnm_pixels(payload)
+                    resized = resize_nn(arr, out_width, out_height)
+                    out["width"].append(out_width)
+                    out["height"].append(out_height)
+                    out["payload"].append(encode_pnm(resized, maxval))
+                except Exception:  # noqa: BLE001 — pass-through, don't fail the job
+                    out["width"].append(-1)
+                    out["height"].append(-1)
+                    out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    return media.select(F.col(ref_col), F.col(bytes_col)).mapInPandas(
+        run, schema
+    )
 
 
 def media_spans(documents: DataFrame) -> DataFrame:

@@ -423,3 +423,37 @@ def test_lsh_topk_dedupes_ids_before_vectors(spark):
     assert dedupes, "expected a dedupe Aggregate on (query_id, cand_id)"
     for keys, out in dedupes:
         assert "vec" not in keys and "vec" not in out
+
+
+def test_resize_images_roundtrip_and_passthrough(spark):
+    """resize_images: real nearest-neighbor resize for the native PNM path,
+    byte-identical re-encode format; undecodable payloads pass through with
+    width/height -1 instead of failing the batch."""
+    import numpy as np
+
+    from dbpedia_spotlight_spark.datapipe.multimodal import (
+        decode_pnm_pixels,
+        encode_pnm,
+        resize_images,
+        resize_nn,
+    )
+
+    # 4x4 checkerboard PPM; NN-downsample to 2x2 picks exact source pixels
+    arr = np.zeros((4, 4, 3), dtype=np.uint8)
+    arr[::2, ::2] = [255, 0, 0]
+    arr[1::2, 1::2] = [0, 255, 0]
+    ppm = encode_pnm(arr)
+    expected = resize_nn(arr, 2, 2)
+    media = spark.createDataFrame(
+        [("img://a", bytearray(ppm)), ("bad://b", bytearray(b"\x89PNG junk"))],
+        "media_ref string, payload binary",
+    )
+    rows = {r["media_ref"]: r for r in resize_images(media, 2, 2).collect()}
+    good = rows["img://a"]
+    assert (good["width"], good["height"]) == (2, 2)
+    out_arr, maxval = decode_pnm_pixels(bytes(good["payload"]))
+    assert maxval == 255
+    assert np.array_equal(out_arr, expected)
+    bad = rows["bad://b"]
+    assert (bad["width"], bad["height"]) == (-1, -1)
+    assert bytes(bad["payload"]) == b"\x89PNG junk"

@@ -30,13 +30,19 @@ from pyspark.sql import types as T
 
 def read_annotated_tsv(spark: SparkSession, path: str) -> DataFrame:
     """S2: golden 5-col corpus -> (occ_id, uri, surface_form, text, offset);
-    paragraph grouping = dense_rank over identical text (sorted input)."""
+    paragraph grouping = dense ids over distinct text (== dense_rank over
+    identical text, but assigned on the distinct-text dim and joined back —
+    no single-partition global window over the fact rows)."""
+    from dbpedia_spotlight_spark.operators.skew import dense_sorted_id
+
     schema = "occ_id string, uri string, surface_form string, text string, offset int"
     df = spark.read.option("sep", "\t").schema(schema).csv(path)
-    from pyspark.sql import Window
-
-    w = Window.orderBy("text")
-    return df.withColumn("paragraph_id", F.dense_rank().over(w))
+    paras = dense_sorted_id(
+        df.select("text").distinct(), ["text"], "paragraph_id", start=1
+    ).withColumn("paragraph_id", F.col("paragraph_id").cast("int"))
+    return df.join(paras, "text").select(
+        "occ_id", "uri", "surface_form", "text", "offset", "paragraph_id"
+    )
 
 
 def read_sf_and_total_counts(spark: SparkSession, path: str) -> DataFrame:

@@ -60,7 +60,7 @@ def add_surface_forms(
     only (ref AddSurfaceFormsToIndex.scala). extra_sfs: (surface_form,
     annotated_count?, total_count?)."""
     from dbpedia_spotlight_spark.functions.text import normalize_surface_form_col
-    from pyspark.sql import Window
+    from dbpedia_spotlight_spark.operators.skew import dense_sorted_id
 
     cols = extra_sfs.columns
     new = extra_sfs.select(
@@ -73,9 +73,10 @@ def add_surface_forms(
         surface_forms.select("surface_form"), "surface_form", "left_anti"
     )
     max_id = surface_forms.agg(F.max("sf_id")).collect()[0][0] or 0
-    w = Window.orderBy("surface_form")
-    new = new.withColumn(
-        "sf_id", (F.row_number().over(w) + F.lit(max_id)).cast("int")
+    new = dense_sorted_id(
+        new, ["surface_form"], "sf_id", start=max_id + 1
+    ).withColumn(
+        "sf_id", F.col("sf_id").cast("int")
     ).withColumn(
         "surface_form_norm", normalize_surface_form_col(F.col("surface_form"))
     )

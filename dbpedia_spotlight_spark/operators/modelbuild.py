@@ -13,7 +13,7 @@ CandidateMapSource.scala:41-61).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dbpedia_spotlight_spark.model.model_tables import SpotlightModel
@@ -201,16 +201,19 @@ def build_model_from_occurrences(
     """Full CreateSpotlightModel equivalent (SURVEY.md §3.2): the four Pig
     aggregations + closure, with dense integer ids assigned per dim.
 
-    Id assignment uses row_number over a global sort — at 100 TB scale this
-    is one shuffle per dim table (dims are orders of magnitude smaller than
-    the corpus); the fact tables then join the dims to pick up ids.
+    Id assignment is sorted-dense per dim via skew.dense_sorted_id (range
+    partition + parallel windows + prefix offsets) — identical ids to a
+    global row_number window, but no single-partition sort stage even at
+    the 10M+ surface forms a full-dump build produces; the fact tables
+    then join the dims to pick up ids.
     """
+    from .skew import dense_sorted_id
+
     occs = canonicalize_occurrences(occs, redirects, disambiguations)
 
     sf_counts = sf_and_total_counts(occs)
-    w_sf = Window.orderBy("surface_form")
-    surface_forms = sf_counts.withColumn(
-        "sf_id", (F.row_number().over(w_sf) - 1).cast("int")
+    surface_forms = dense_sorted_id(sf_counts, ["surface_form"], "sf_id").withColumn(
+        "sf_id", F.col("sf_id").cast("int")
     ).withColumn(
         "surface_form_norm", normalize_surface_form_col(F.col("surface_form"))
     ).select(
@@ -219,9 +222,8 @@ def build_model_from_occurrences(
     )
 
     res_counts = uri_counts(occs)
-    w_res = Window.orderBy("uri")
-    resources = res_counts.withColumn(
-        "res_id", (F.row_number().over(w_res) - 1).cast("int")
+    resources = dense_sorted_id(res_counts, ["uri"], "res_id").withColumn(
+        "res_id", F.col("res_id").cast("int")
     ).withColumn("types", F.array().cast("array<smallint>")).select(
         "res_id", "uri", F.col("support").cast("long").alias("support"), "types"
     )
@@ -235,9 +237,8 @@ def build_model_from_occurrences(
 
     tok_counts = token_counts(tokens, occs)
     vocab = tok_counts.groupBy("stem").agg(F.sum("count").alias("count"))
-    w_tok = Window.orderBy("stem")
-    token_types = vocab.withColumn(
-        "token_id", F.row_number().over(w_tok).cast("int")  # 0 reserved
+    token_types = dense_sorted_id(vocab, ["stem"], "token_id", start=1).withColumn(
+        "token_id", F.col("token_id").cast("int")  # 0 reserved
     ).select("token_id", F.col("stem").alias("token"), F.col("count").cast("long").alias("count"))
 
     context_counts = (

@@ -77,3 +77,64 @@ def salted_distinct_count(
     return partial.groupBy(*group_cols).agg(
         F.sum("_part").cast("long").alias("n_distinct")
     )
+
+
+def dense_sorted_id(
+    df: DataFrame,
+    order_cols: list,
+    id_col: str,
+    start: int = 0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Dense, gap-free integer ids in global `order_cols` sort order WITHOUT
+    a single-partition global window.
+
+    `row_number() over (order by k)` moves the whole table through one
+    partition — fine for a 20-row test dim, a straggler at the 10M+ surface
+    forms / resources / vocab the reference's model build produces
+    (core/.../memory/MemoryStore.scala keeps each dim fully indexed by a
+    dense int id, so the ids themselves are non-negotiable). Instead:
+
+      1. range-repartition by the sort key (partition i's keys all sort
+         before partition i+1's; equal keys co-locate),
+      2. row_number within each partition (parallel windows),
+      3. add per-partition prefix offsets (one tiny P-row collect).
+
+    The result is byte-identical to the global window (same dense ids in
+    the same sort order) but every stage is parallel; the only driver-side
+    data is one count per partition. The range-partitioned frame is
+    persisted so the count pass and the id pass see identical partition
+    bounds.
+    """
+    sess = df.sparkSession
+    if partitions is None:
+        partitions = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    parts = (
+        df.repartitionByRange(partitions, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = dict(
+        parts.groupBy("_pid").count().select("_pid", "count").collect()
+    )
+    offsets, acc = {}, start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_expr = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in offsets.items() for x in kv]
+            ),
+            F.col("_pid"),
+        ),
+        F.lit(start),
+    ) if offsets else F.lit(start)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    out = parts.withColumn(
+        id_col, (F.row_number().over(w) - 1 + offset_expr).cast("long")
+    ).drop("_pid")
+    return out

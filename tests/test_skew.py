@@ -115,3 +115,34 @@ def test_annotate_auto_heads_threshold(monkeypatch):
     with pytest.raises(_Stop):
         A.annotate(None, _SmallModel(), spots=_FakeSpots())
     assert captured["heads"] is None
+
+
+def test_dense_sorted_id_matches_global_window(spark):
+    """dense_sorted_id == row_number over a global sort (same dense ids in
+    the same key order), with no single-partition window in the plan."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from dbpedia_spotlight_spark.operators.skew import dense_sorted_id
+
+    df = spark.range(0, 500).withColumn(
+        "k", F.format_string("sf%04d", (F.col("id") * 37) % 500)
+    )
+    got = {
+        r["k"]: r["kid"]
+        for r in dense_sorted_id(df, ["k"], "kid", start=3, partitions=8).collect()
+    }
+    want = {
+        r["k"]: r["kid"]
+        for r in df.withColumn(
+            "kid", F.row_number().over(Window.orderBy("k")) + 2
+        ).collect()
+    }
+    assert got == want
+
+    out = dense_sorted_id(df, ["k"], "kid", partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every Window node must be partitioned (partitionBy _pid), never global
+    for line in plan.splitlines():
+        if "Window " in line or line.strip().startswith("Window"):
+            assert "_pid" in line, line

@@ -414,6 +414,18 @@ def q_minhash_near_dups(spark, sf_dir):
     )
 
 
+def q_ngram_jaccard_dups(spark, sf_dir):
+    """Lossless prefix-filter set-similarity self-join (Bayardo/Vernica) at
+    a looser threshold/shorter shingle than the minhash query, so the two
+    dedup paths are exercised on different pair sets. Oracle: brute-force
+    all-pairs shingle Jaccard (prefix filtering is exact, so they agree)."""
+    from dbpedia_spotlight_spark.datapipe.dedup import prefix_filter_jaccard_join
+
+    return prefix_filter_jaccard_join(
+        _docs(spark, sf_dir), shingle_k=3, threshold=0.5
+    ).select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+
+
 def q_simhash_buckets(spark, sf_dir):
     return simhash_buckets(_docs(spark, sf_dir))
 
@@ -1087,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_token_counts": q_m4_token_counts,
         "m10_concepts": q_m10_concepts,
         "simhash_pairs": q_simhash_pairs,
+        "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "dedup_embedding": q_dedup_embedding,
         "ivf_topk": q_ivf_topk,
         "events_windowed": q_events_windowed,
@@ -1941,6 +1954,30 @@ vp AS (SELECT a, b, inter / un AS jaccard FROM allp
         + _SH_SETS.lstrip()
         + "SELECT a, b, round(jaccard, 4) AS jaccard FROM vp"
     )
+
+    # ngram_jaccard_dups: same brute-force construction at k=3, t=0.5 —
+    # the Spark side's prefix filter is lossless, so brute force is the twin
+    sql["ngram_jaccard_dups"] = rf"""
+WITH tk AS (SELECT doc_id, {_SH_TOKS} AS toks FROM documents),
+shs AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                             FOR i IN generate_series(1, len(toks) - 2)])
+    END AS s
+  FROM tk
+),
+sets AS (SELECT doc_id, s, len(s) AS n FROM shs WHERE len(s) > 0),
+allp AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+    len(list_intersect(x.s, y.s))::DOUBLE AS inter,
+    (x.n + y.n - len(list_intersect(x.s, y.s)))::DOUBLE AS un
+  FROM sets x JOIN sets y ON x.doc_id < y.doc_id
+)
+SELECT a, b, round(inter / un, 4) AS jaccard FROM allp
+WHERE un > 0 AND inter / un >= (0.5)::DOUBLE
+"""
 
     sql["dedup_clusters"] = (
         "WITH RECURSIVE "

@@ -551,3 +551,80 @@ def simhash_candidate_pairs(
     return pairs.select(
         "a", "b", (popcnt(xor_hi) + popcnt(xor_lo)).alias("hamming")
     )
+
+
+def prefix_filter_jaccard_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    max_bucket: int | None = None,
+    log_dropped: bool = False,
+) -> DataFrame:
+    """Exact n-gram-Jaccard self-join via prefix filtering (the classic
+    set-similarity join of Bayardo/Vernica) -> (a, b, jaccard) for all
+    pairs with shingle Jaccard >= threshold. Unlike MinHash+LSH this is
+    LOSSLESS: output == brute-force all-pairs, but candidates form only on
+    shared *prefix* shingles.
+
+    Shape for 100 TB: shingles are ranked globally rare-first (explode ->
+    count -> join), each doc keeps the |S| - ceil(t*|S|) + 1 rarest
+    shingles as its prefix, and the candidate self-join keys on prefix
+    shingles — common shingles never create buckets by construction, and a
+    size filter (t <= |A|/|B| <= 1/t) prunes cross-size pairs before the
+    exact verify. Degenerate corpora (thousands of byte-identical docs)
+    still share rare prefixes — run exact_duplicates first, or set
+    max_bucket to drop prefix keys with more than that many docs (their
+    real O(n^2) pair output is the problem, not the join)."""
+    sets_df = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            shingles_col(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)
+        ).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    ex = sets_df.select("doc_id", F.explode("sh").alias("s"))
+    freq = ex.groupBy("s").agg(F.count("*").alias("c"))
+    ranked = (
+        ex.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("c", "s"))).alias("arr"))
+        .withColumn("n", F.size("arr"))
+        .withColumn(
+            "plen",
+            (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int"),
+        )
+    )
+    prefix = ranked.select(
+        "doc_id", "n", F.explode(F.slice("arr", 1, F.col("plen"))).alias("ps")
+    ).select("doc_id", "n", F.col("ps.s").alias("s"))
+    if max_bucket is not None:
+        sizes = prefix.groupBy("s").agg(F.count("*").alias("_bn"))
+        if log_dropped:
+            import logging
+
+            dropped = sizes.filter(F.col("_bn") > max_bucket).count()
+            if dropped:
+                logging.getLogger(__name__).warning(
+                    "prefix_filter_jaccard_join: dropping %d prefix keys "
+                    "over max_bucket=%d", dropped, max_bucket,
+                )
+        prefix = (
+            prefix.join(sizes, "s").filter(F.col("_bn") <= max_bucket).drop("_bn")
+        )
+    x, y = prefix.alias("x"), prefix.alias("y")
+    cands = (
+        x.join(
+            y,
+            (F.col("x.s") == F.col("y.s"))
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (F.col("x.n") * threshold <= F.col("y.n"))
+            & (F.col("y.n") * threshold <= F.col("x.n")),
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    return ngram_jaccard_pairs(
+        df, cands, text_col=text_col, id_col=id_col,
+        shingle_k=shingle_k, threshold=threshold,
+    )

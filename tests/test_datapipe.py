@@ -457,3 +457,54 @@ def test_resize_images_roundtrip_and_passthrough(spark):
     bad = rows["bad://b"]
     assert (bad["width"], bad["height"]) == (-1, -1)
     assert bytes(bad["payload"]) == b"\x89PNG junk"
+
+
+def test_prefix_filter_jaccard_lossless_and_capped(spark):
+    """Prefix filtering must equal brute-force all-pairs Jaccard (it is a
+    lossless candidate filter); max_bucket drops oversized prefix keys."""
+    import pyspark.sql.functions as F
+
+    from dbpedia_spotlight_spark.datapipe.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_join,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "the quick brown fox jumps over the lazy cat tonight",
+        "completely different text about spark shuffles and joins",
+        "completely different text about spark shuffles and sorts",
+        "short one",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(base)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r["a"], r["b"], round(r["jaccard"], 4))
+        for r in prefix_filter_jaccard_join(
+            docs, shingle_k=3, threshold=0.4
+        ).collect()
+    )
+    ids = docs.select("doc_id")
+    allp = (
+        ids.alias("x")
+        .join(ids.alias("y"), F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+    )
+    want = sorted(
+        (r["a"], r["b"], round(r["jaccard"], 4))
+        for r in ngram_jaccard_pairs(
+            docs, allp, shingle_k=3, threshold=0.4
+        ).collect()
+    )
+    assert got == want and got, got
+
+    # 50 identical docs: every prefix key holds all 50 -> cap drops them all
+    clones = spark.createDataFrame(
+        [(i, "same same same same text body here") for i in range(50)],
+        "doc_id long, text string",
+    )
+    capped = prefix_filter_jaccard_join(
+        clones, shingle_k=3, threshold=0.8, max_bucket=10
+    )
+    assert capped.count() == 0

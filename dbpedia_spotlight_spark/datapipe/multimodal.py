@@ -36,15 +36,17 @@ MEDIA_FEATURES_SCHEMA = T.StructType(
 
 
 def default_decode(kind: str, payload: bytes):
-    """Dispatch: raw self-describing formats (PPM/PGM images, WAV audio)
-    decode natively below with zero external libraries; compressed codecs
-    (JPEG/PNG/MP3/H.264) need PIL/librosa/av, which this container does not
-    ship — those stay an explicit stub (inject decode_fn with a real codec
-    in production)."""
+    """Dispatch: raw self-describing formats (PPM/PGM images, WAV audio,
+    YUV4MPEG2 video) decode natively below with zero external libraries;
+    compressed codecs (JPEG/PNG/MP3/H.264) need PIL/librosa/av, which this
+    container does not ship — those stay an explicit stub (inject decode_fn
+    with a real codec in production)."""
     if payload[:2] in (b"P6", b"P5"):
         return decode_pnm(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
+    if payload[:9] == b"YUV4MPEG2":
+        return decode_y4m(payload)
     raise NotImplementedError(
         "compressed media decode requires an image/audio library; "
         "inject decode_fn"
@@ -254,11 +256,139 @@ def frame_sample_plan(
     features: DataFrame, every_n: int = 10, max_frames: int = 16
 ) -> DataFrame:
     """Deterministic frame-sampling plan for video rows: which frame indices
-    a downstream decoder should extract (plumbing only — the decode itself is
-    stubbed). Pure column math."""
+    a downstream decoder should extract. Pure column math; `sample_frames`
+    below applies the same rule with a real extraction for y4m payloads."""
     idx = F.sequence(
         F.lit(0),
         F.greatest(F.col("n_frames") - 1, F.lit(0)),
         F.lit(every_n),
     )
     return features.withColumn("sample_frames", F.slice(idx, 1, max_frames))
+
+
+def _parse_y4m_header(payload: bytes):
+    """-> (width, height, frame_bytes, data_offset) for a YUV4MPEG2 stream.
+    Only 8-bit planar chroma layouts (C420*, C422, C444, Cmono); the frame
+    payload size follows from the subsampling tag."""
+    nl = payload.index(b"\n")
+    fields = payload[:nl].split(b" ")
+    if fields[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    chroma = b"420"
+    for f in fields[1:]:
+        if f[:1] == b"W":
+            w = int(f[1:])
+        elif f[:1] == b"H":
+            h = int(f[1:])
+        elif f[:1] == b"C":
+            chroma = f[1:]
+    if not w or not h:
+        raise ValueError("y4m header missing W/H")
+    luma = w * h
+    if chroma.startswith(b"420"):
+        frame_bytes = luma * 3 // 2
+    elif chroma == b"422":
+        frame_bytes = luma * 2
+    elif chroma == b"444":
+        frame_bytes = luma * 3
+    elif chroma == b"mono":
+        frame_bytes = luma
+    else:
+        raise ValueError(f"unsupported y4m chroma {chroma!r}")
+    return w, h, frame_bytes, nl + 1
+
+
+def iter_y4m_luma(payload: bytes):
+    """Yield (frame_idx, (h, w) uint8 luma plane) for each FRAME in a y4m
+    stream — chroma planes are skipped without copying."""
+    w, h, frame_bytes, off = _parse_y4m_header(payload)
+    idx = 0
+    while off < len(payload):
+        nl = payload.index(b"\n", off)
+        if payload[off : off + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {off}")
+        off = nl + 1
+        luma = np.frombuffer(payload[off : off + w * h], dtype=np.uint8)
+        if luma.size < w * h:
+            break  # truncated tail frame
+        yield idx, luma.reshape(h, w)
+        off += frame_bytes
+        idx += 1
+
+
+def encode_y4m(frames: "list[np.ndarray]") -> bytes:
+    """(h, w) uint8 luma planes -> Cmono y4m bytes (test/fixture helper)."""
+    h, w = frames[0].shape
+    out = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 Cmono\n" % (w, h)]
+    for fr in frames:
+        out.append(b"FRAME\n")
+        out.append(fr.astype(np.uint8).tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes):
+    """Real video decoder for the default_decode dispatch: returns
+    (width, height, n_frames, 8-dim feature) where the feature is the mean
+    luma of 8 evenly-spaced temporal segments."""
+    w, h, frame_bytes, off = _parse_y4m_header(payload)
+    means = [float(luma.mean()) for _, luma in iter_y4m_luma(payload)]
+    n = len(means)
+    if n == 0:
+        return w, h, 0, [0.0] * 8
+    seg = np.array_split(np.asarray(means, dtype=np.float64), 8)
+    feature = [float(s.mean() / 255.0) if s.size else 0.0 for s in seg]
+    return w, h, n, feature
+
+
+def sample_frames(
+    media: DataFrame,
+    every_n: int = 10,
+    max_frames: int = 16,
+    ref_col: str = "media_ref",
+    bytes_col: str = "payload",
+) -> DataFrame:
+    """REAL frame sampling for y4m video payloads: one output row per
+    sampled frame, the frame re-encoded as a standalone PGM image so every
+    downstream image operator (resize_images, extract_media_features)
+    composes directly. Sampling indices follow frame_sample_plan's rule
+    (every_n-th frame, at most max_frames). Undecodable payloads emit zero
+    rows rather than failing the batch. One Arrow pass; frames never touch
+    the driver."""
+    schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_ref": [], "frame_idx": [],
+                "width": [], "height": [], "payload": [],
+            }
+            for ref, payload in zip(pdf[ref_col], pdf[bytes_col]):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    taken = 0
+                    for idx, luma in iter_y4m_luma(payload):
+                        if taken >= max_frames:
+                            break
+                        if idx % every_n:
+                            continue
+                        h, w = luma.shape
+                        out["media_ref"].append(ref)
+                        out["frame_idx"].append(idx)
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["payload"].append(encode_pnm(luma[:, :, None]))
+                        taken += 1
+                except Exception:  # noqa: BLE001 — skip bad payloads
+                    continue
+            yield pd.DataFrame(out)
+
+    return media.select(F.col(ref_col), F.col(bytes_col)).mapInPandas(run, schema)

@@ -508,3 +508,34 @@ def test_prefix_filter_jaccard_lossless_and_capped(spark):
         clones, shingle_k=3, threshold=0.8, max_bucket=10
     )
     assert capped.count() == 0
+
+
+def test_y4m_decode_and_frame_sampling(spark):
+    """Native YUV4MPEG2 path: default_decode reports real frame counts and
+    luma features; sample_frames extracts every_n-th frame as a standalone
+    PGM that the image operators can consume directly."""
+    import numpy as np
+
+    from dbpedia_spotlight_spark.datapipe.multimodal import (
+        decode_pnm_pixels,
+        default_decode,
+        encode_y4m,
+        sample_frames,
+    )
+
+    frames = [np.full((4, 6), 10 * i, dtype=np.uint8) for i in range(12)]
+    y4m = encode_y4m(frames)
+    w, h, nf, feat = default_decode("video", y4m)
+    assert (w, h, nf) == (6, 4, 12)
+    assert abs(feat[0] - np.mean([0, 10]) / 255.0) < 1e-6
+
+    media = spark.createDataFrame(
+        [("vid://a", bytearray(y4m)), ("bad://b", bytearray(b"nope"))],
+        "media_ref string, payload binary",
+    )
+    rows = sample_frames(media, every_n=5, max_frames=2).collect()
+    got = sorted((r["media_ref"], r["frame_idx"]) for r in rows)
+    assert got == [("vid://a", 0), ("vid://a", 5)]
+    fr = next(r for r in rows if r["frame_idx"] == 5)
+    arr, maxval = decode_pnm_pixels(bytes(fr["payload"]))
+    assert arr.shape == (4, 6, 1) and int(arr[0, 0, 0]) == 50

@@ -58,6 +58,11 @@ HEADLINE = [
     "lang_id",
     "doc_fingerprint",
     "wiki_dump_source",
+    "d3_generative",
+    "ivf_topk",
+    "dedup_embedding",
+    "events_windowed",
+    "ngram_jaccard_dups",
 ]
 
 

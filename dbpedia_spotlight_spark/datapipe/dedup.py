@@ -553,6 +553,59 @@ def simhash_candidate_pairs(
     )
 
 
+def shingle_hash_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """-> (doc_id, sh array<long>): each doc's DISTINCT k-token shingle set
+    as 64-bit hashes, via the same vectorized pass as minhash_signatures
+    (memoized token hash + k-step numpy rolling polynomial — no shingle
+    strings, no per-shingle Python hashing). The codegen-looking
+    shingles_col alternative is in fact ~20x slower: nested array
+    higher-order functions (transform over sequence+slice+concat_ws)
+    evaluate INTERPRETED, the same trap BENCH.md measured on simhash.
+    Hash-set Jaccard equals string-set Jaccard absent 64-bit collisions."""
+    B = np.uint64(0x9E3779B97F4A7C15)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", df.schema[id_col].dataType),
+            T.StructField("sh", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tok_memo: dict = {}
+
+        def th(tok: str) -> int:
+            h = tok_memo.get(tok)
+            if h is None:
+                h = stable_hash64(tok)
+                tok_memo[tok] = h
+            return h
+
+        for pdf in batches:
+            out = []
+            with np.errstate(over="ignore"):
+                for text in pdf[text_col]:
+                    toks = (text or "").lower().split()
+                    n = len(toks)
+                    if n == 0:
+                        out.append([])
+                        continue
+                    t = np.fromiter((th(w) for w in toks), np.uint64, count=n)
+                    k = min(shingle_k, n)
+                    m = n - k + 1
+                    x = np.zeros(m, dtype=np.uint64)
+                    for j in range(k):
+                        x = x * B + t[j : j + m]
+                    out.append(np.unique(x).astype(np.int64).tolist())
+            yield pd.DataFrame({"doc_id": pdf[id_col], "sh": out})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
 def prefix_filter_jaccard_join(
     df: DataFrame,
     text_col: str = "text",
@@ -568,20 +621,19 @@ def prefix_filter_jaccard_join(
     LOSSLESS: output == brute-force all-pairs, but candidates form only on
     shared *prefix* shingles.
 
-    Shape for 100 TB: shingles are ranked globally rare-first (explode ->
-    count -> join), each doc keeps the |S| - ceil(t*|S|) + 1 rarest
-    shingles as its prefix, and the candidate self-join keys on prefix
+    Shape for 100 TB: one vectorized Arrow pass hashes each doc's shingle
+    set (shingle_hash_sets); shingles are ranked globally rare-first
+    (explode -> count -> join), each doc keeps the |S| - ceil(t*|S|) + 1
+    rarest as its prefix, and the candidate self-join keys on prefix
     shingles — common shingles never create buckets by construction, and a
-    size filter (t <= |A|/|B| <= 1/t) prunes cross-size pairs before the
-    exact verify. Degenerate corpora (thousands of byte-identical docs)
-    still share rare prefixes — run exact_duplicates first, or set
-    max_bucket to drop prefix keys with more than that many docs (their
-    real O(n^2) pair output is the problem, not the join)."""
-    sets_df = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.transform(
-            shingles_col(F.col(text_col), shingle_k), lambda s: F.xxhash64(s)
-        ).alias("sh"),
+    size filter (t <= |A|/|B| <= 1/t) prunes cross-size pairs. The exact
+    verify then joins the already-built hash sets back (no re-shingling)
+    and intersects natively. Degenerate corpora (thousands of
+    byte-identical docs) still share rare prefixes — run exact_duplicates
+    first, or set max_bucket to drop prefix keys with more than that many
+    docs (their real O(n^2) pair output is the problem, not the join)."""
+    sets_df = shingle_hash_sets(
+        df, text_col=text_col, id_col=id_col, shingle_k=shingle_k
     ).filter(F.size("sh") > 0)
     ex = sets_df.select("doc_id", F.explode("sh").alias("s"))
     freq = ex.groupBy("s").agg(F.count("*").alias("c"))
@@ -624,7 +676,19 @@ def prefix_filter_jaccard_join(
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
-    return ngram_jaccard_pairs(
-        df, cands, text_col=text_col, id_col=id_col,
-        shingle_k=shingle_k, threshold=threshold,
+    joined = (
+        cands.join(
+            sets_df.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")),
+            "a",
+        ).join(
+            sets_df.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")),
+            "b",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        joined.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(0.0))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
     )

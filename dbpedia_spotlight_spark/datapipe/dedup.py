@@ -232,25 +232,22 @@ def ngram_jaccard_pairs(
     -> (a, b, jaccard) for pairs >= threshold.
 
     Scale: only docs that appear in a candidate pair are shingled (left-semi
-    restriction — candidates are a tiny fraction of the corpus); shingles
-    are built natively (no UDF) and immediately collapsed to xxhash64
-    values, so the verify join shuffles array<long> instead of full shingle
-    strings (~4x smaller); hash-set Jaccard equals string-set Jaccard
-    absent 64-bit collisions."""
+    restriction — candidates are a tiny fraction of the corpus); shingle
+    sets are built in one vectorized Arrow pass (shingle_hash_sets — the
+    codegen-looking shingles_col is interpreted and ~20x slower), so the
+    verify join shuffles array<long> instead of full shingle strings;
+    hash-set Jaccard equals string-set Jaccard absent 64-bit collisions."""
     pair_ids = (
         pairs.select(F.col("a").alias("doc_id"))
         .unionByName(pairs.select(F.col("b").alias("doc_id")))
         .distinct()
     )
-    sets_df = (
+    sets_df = shingle_hash_sets(
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
-        .join(pair_ids, "doc_id", "left_semi")
-        .select(
-            "doc_id",
-            F.transform(
-                shingles_col(F.col("_t"), shingle_k), lambda s: F.xxhash64(s)
-            ).alias("sh"),
-        )
+        .join(pair_ids, "doc_id", "left_semi"),
+        text_col="_t",
+        id_col="doc_id",
+        shingle_k=shingle_k,
     )
     joined = (
         pairs.join(sets_df.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sh_a"), "a")

@@ -449,6 +449,61 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing (emails/URLs/IPv4/phones -> typed placeholders) with
+    per-category counts. The word-soup corpus has no natural PII, so the
+    query injects deterministic doc_id-derived PII — including an
+    email-shaped string INSIDE a URL, which must count as URL (replacement
+    order is part of the contract). Identical injection in the oracle."""
+    from dbpedia_spotlight_spark.datapipe.pii import pii_stats
+
+    d = F.col("doc_id")
+    s = d.cast("string")
+    injected = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.when(
+                d % 3 == 0,
+                F.concat(F.lit("contact user"), s, F.lit("@example.org")),
+            ).otherwise(F.lit("no email here")),
+            F.when(
+                d % 4 == 0,
+                F.concat(F.lit("see https://ex.org/page/"), s, F.lit("?u=a@b.io")),
+            ).otherwise(F.lit("-")),
+            F.when(
+                d % 5 == 0,
+                F.concat(F.lit("host 10.0."), (d % 200).cast("string"), F.lit(".7")),
+            ).otherwise(F.lit("-")),
+            F.when(
+                d % 7 == 0,
+                F.concat(
+                    F.lit("call +1 555-01"),
+                    F.lpad((d % 100).cast("string"), 2, "0"),
+                ),
+            ).otherwise(F.lit("-")),
+        ).alias("text"),
+    )
+    return pii_stats(injected)
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals (dup-word / top-word /
+    dup-bigram fractions) — the standard boilerplate-and-spam gate for LLM
+    training corpora."""
+    from dbpedia_spotlight_spark.datapipe.textstats import repetition_stats
+
+    out = repetition_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        F.round("top_word_frac", 6).alias("top_word_frac"),
+        F.round("dup_2gram_frac", 6).alias("dup_2gram_frac"),
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering: MinHash-LSH pairs -> connected components ->
     canonical representative per cluster."""
@@ -1103,6 +1158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "ivf_topk": q_ivf_topk,
         "events_windowed": q_events_windowed,
+        "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
         "f_filter_chain": q_f_filter_chain,
         "m9_resolve": q_m9_resolve,
         "d2_windows": q_d2_windows,
@@ -2096,6 +2153,88 @@ FROM (
     PARTITION BY ws ORDER BY n DESC, event_type ASC) AS "rank"
   FROM c
 ) WHERE "rank" <= 3
+"""
+
+    # pii_scrub: same injection, same regexes (taken from PII_PATTERNS so
+    # Spark and oracle can't drift), same replacement order. DuckDB regexes
+    # are RE2; every pattern is lookaround-free so Java-regex and RE2
+    # semantics coincide. regexp_replace needs the 'g' flag (DuckDB
+    # replaces first-match-only by default; Spark replaces all).
+    from dbpedia_spotlight_spark.datapipe.pii import PII_PATTERNS
+
+    _pii = """
+WITH s0 AS (
+  SELECT doc_id,
+    concat_ws(' ', text,
+      CASE WHEN doc_id % 3 = 0
+           THEN 'contact user' || doc_id::VARCHAR || '@example.org'
+           ELSE 'no email here' END,
+      CASE WHEN doc_id % 4 = 0
+           THEN 'see https://ex.org/page/' || doc_id::VARCHAR || '?u=a@b.io'
+           ELSE '-' END,
+      CASE WHEN doc_id % 5 = 0
+           THEN 'host 10.0.' || (doc_id % 200)::VARCHAR || '.7'
+           ELSE '-' END,
+      CASE WHEN doc_id % 7 = 0
+           THEN 'call +1 555-01' || lpad((doc_id % 100)::VARCHAR, 2, '0')
+           ELSE '-' END) AS t0
+  FROM documents
+)"""
+    for _i, (_name, _pat, _repl) in enumerate(PII_PATTERNS):
+        _pii += (
+            ", s{n} AS (SELECT doc_id, "
+            "len(regexp_extract_all(t{i}, '{p}')) AS n_{name}, "
+            "regexp_replace(t{i}, '{p}', '{r}', 'g') AS t{n}"
+            "{carry} FROM s{i})"
+        ).format(
+            i=_i,
+            n=_i + 1,
+            p=_pat,
+            r=_repl,
+            name=_name,
+            carry="".join(
+                f", n_{nm}" for nm, _, _ in PII_PATTERNS[:_i]
+            ),
+        )
+    _pii += (
+        "\nSELECT doc_id, "
+        + ", ".join(f"n_{nm}" for nm, _, _ in PII_PATTERNS)
+        + f", t{len(PII_PATTERNS)} AS scrubbed FROM s{len(PII_PATTERNS)}"
+    )
+    sql["pii_scrub"] = _pii
+
+    sql["repetition_stats"] = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(words) AS w, generate_subscripts(words, 1) AS p
+  FROM w
+),
+big AS (
+  SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+  FROM tok
+),
+agg AS (
+  SELECT doc_id, count(w) AS n_words, count(DISTINCT w) AS nd,
+         count(w2) AS nb,
+         count(DISTINCT CASE WHEN w2 IS NOT NULL
+                             THEN w || ' ' || w2 END) AS ndb
+  FROM big GROUP BY doc_id
+),
+top AS (
+  SELECT doc_id, max(c) AS topc FROM (
+    SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w
+  ) GROUP BY doc_id
+)
+SELECT a.doc_id, a.n_words,
+  round(CASE WHEN a.n_words = 0 THEN 0 ELSE 1 - a.nd / a.n_words END, 6)
+    AS dup_word_frac,
+  round(coalesce(t.topc, 0) / greatest(a.n_words, 1), 6) AS top_word_frac,
+  round(CASE WHEN a.nb = 0 THEN 0 ELSE 1 - a.ndb / a.nb END, 6)
+    AS dup_2gram_frac
+FROM agg a LEFT JOIN top t ON a.doc_id = t.doc_id
 """
 
     # ivf_topk: replay the seeded-gaussian centroids; cell assignment is

@@ -192,6 +192,75 @@ def fingerprint_df(
     return df.join(fp, df[id_col] == fp["_fp_id"], "left").drop("_fp_id")
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document (the standard quality
+    gate for LLM training corpora: heavily repetitive pages are boilerplate
+    or spam). -> (id_col, n_words, dup_word_frac, top_word_frac,
+    dup_2gram_frac):
+
+      - dup_word_frac  = 1 - distinct_words / n_words
+      - top_word_frac  = count(most frequent word) / n_words
+      - dup_2gram_frac = 1 - distinct_bigrams / n_bigrams
+
+    Shape at 100 TB: one posexplode, then every aggregation/window keys on
+    the doc id, so all four signals compute in ONE shuffle partitioning
+    (the per-(doc, word) count reuses the exchange of the per-doc agg —
+    AQE coalesces, nothing re-shuffles on a new key). The bigram is a
+    `lead` window over the same doc-id partitioning; map-side partial
+    aggregation keeps the shuffle at a handful of longs per doc. All
+    column math is codegen — no array higher-order functions (the
+    interpreted-HOF trap, BENCH.md)."""
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    words = F.when(
+        F.trim(t) == "", F.array().cast("array<string>")
+    ).otherwise(words_col(t))
+    tok = df.select(
+        F.col(id_col), F.posexplode_outer(words).alias("_p", "_w")
+    )
+    w = Window.partitionBy(id_col).orderBy("_p")
+    big = tok.withColumn("_w2", F.lead("_w").over(w))
+    per_doc = big.groupBy(id_col).agg(
+        F.count("_w").alias("n_words"),
+        F.countDistinct("_w").alias("_nd"),
+        F.count("_w2").alias("_nb"),
+        F.countDistinct(
+            F.when(F.col("_w2").isNotNull(), F.concat_ws(" ", "_w", "_w2"))
+        ).alias("_ndb"),
+    )
+    # most-frequent-word count: second agg over the SAME doc-id keying
+    top = (
+        tok.where(F.col("_w").isNotNull())
+        .groupBy(id_col, "_w")
+        .count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("_top"))
+    )
+    def frac(num: Column, den: Column) -> Column:
+        # 0.0 (not 1.0) when the denominator is empty: an empty doc is not
+        # "fully repetitive"
+        return F.when(den == 0, F.lit(0.0)).otherwise(
+            F.lit(1.0) - num / den
+        )
+
+    return (
+        per_doc.join(top, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_words",
+            frac(F.col("_nd"), F.col("n_words")).alias("dup_word_frac"),
+            (
+                F.coalesce(F.col("_top"), F.lit(0))
+                / F.greatest("n_words", F.lit(1))
+            ).alias("top_word_frac"),
+            frac(F.col("_ndb"), F.col("_nb")).alias("dup_2gram_frac"),
+        )
+    )
+
+
 def text_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -539,3 +539,64 @@ def test_y4m_decode_and_frame_sampling(spark):
     fr = next(r for r in rows if r["frame_idx"] == 5)
     arr, maxval = decode_pnm_pixels(bytes(fr["payload"]))
     assert arr.shape == (4, 6, 1) and int(arr[0, 0, 0]) == 50
+
+
+def test_pii_scrub_order_and_counts(spark):
+    """Replacement order is the contract: an email inside a URL is URL, a
+    dotted quad is IP (not phone digits), and masking is idempotent."""
+    from dbpedia_spotlight_spark.datapipe.pii import pii_stats, scrub_pii
+
+    rows = [
+        (1, "mail me at bob.smith+x@corp.example.com today"),
+        (2, "see https://ex.org/u?mail=a@b.io&x=1 now"),
+        (3, "server 192.168.1.250 and backup 10.0.0.7"),
+        (4, "call +44 20 7946-0958 or +1 555-0142"),
+        (5, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_stats(df).collect()}
+
+    assert out[1]["n_email"] == 1 and "<EMAIL>" in out[1]["scrubbed"]
+    # the email-shaped string inside the URL was consumed by <URL>
+    assert out[2]["n_url"] == 1 and out[2]["n_email"] == 0
+    assert out[2]["scrubbed"] == "see <URL> now"
+    assert out[3]["n_ipv4"] == 2 and out[3]["n_phone"] == 0
+    assert out[4]["n_phone"] == 2
+    assert out[5]["scrubbed"] == rows[4][1]
+
+    # idempotent: scrubbing a scrubbed text changes nothing
+    twice = df.select(
+        (scrub_pii(scrub_pii(F.col("text"))) == scrub_pii(F.col("text"))).alias("ok")
+    )
+    assert all(r["ok"] for r in twice.collect())
+
+
+def test_repetition_stats_known_values(spark):
+    from dbpedia_spotlight_spark.datapipe.textstats import repetition_stats
+
+    rows = [
+        (1, "a a a a"),                     # 4 words, 1 distinct, 3 bigrams all "a a"
+        (2, "w x y z"),                     # no repetition at all
+        (3, "spam ham spam ham spam"),      # top word 3/5, bigrams alternate
+        (4, ""),                            # empty -> zeros
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+
+    assert out[1]["n_words"] == 4
+    assert out[1]["dup_word_frac"] == pytest.approx(0.75)
+    assert out[1]["top_word_frac"] == pytest.approx(1.0)
+    assert out[1]["dup_2gram_frac"] == pytest.approx(2 / 3)
+
+    assert out[2]["dup_word_frac"] == 0.0
+    assert out[2]["top_word_frac"] == pytest.approx(0.25)
+    assert out[2]["dup_2gram_frac"] == 0.0
+
+    assert out[3]["top_word_frac"] == pytest.approx(3 / 5)
+    # bigrams: sh hs sh hs -> 4 bigrams 2 distinct
+    assert out[3]["dup_2gram_frac"] == pytest.approx(0.5)
+
+    assert out[4]["n_words"] == 0
+    assert out[4]["dup_word_frac"] == 0.0
+    assert out[4]["top_word_frac"] == 0.0
+    assert out[4]["dup_2gram_frac"] == 0.0

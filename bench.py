@@ -63,6 +63,8 @@ HEADLINE = [
     "dedup_embedding",
     "events_windowed",
     "ngram_jaccard_dups",
+    "pii_scrub",
+    "repetition_stats",
 ]
 
 

@@ -207,9 +207,19 @@ def build_model_from_occurrences(
     the 10M+ surface forms a full-dump build produces; the fact tables
     then join the dims to pick up ids.
     """
+    from pyspark import StorageLevel
+
     from .skew import dense_sorted_id
 
-    occs = canonicalize_occurrences(occs, redirects, disambiguations)
+    # The canonicalized occurrences feed FOUR scans (sf/res dims, pair
+    # counts, token counts) and the dim builds collect eagerly, so without
+    # a persist the redirect-closure canonicalization recomputes per scan.
+    # MEMORY_AND_DISK: at full-dump scale this is the standard "write the
+    # reused intermediate once" trade — recomputing the closure joins four
+    # times costs far more than one spill copy.
+    occs = canonicalize_occurrences(occs, redirects, disambiguations).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     sf_counts = sf_and_total_counts(occs)
     surface_forms = dense_sorted_id(sf_counts, ["surface_form"], "sf_id").withColumn(
@@ -235,7 +245,11 @@ def build_model_from_occurrences(
         .select("sf_id", "res_id", F.col("pair_count").cast("long").alias("pair_count"))
     )
 
-    tok_counts = token_counts(tokens, occs)
+    # tok_counts is already aggregated to (uri, stem) — persisting HERE
+    # (rather than the raw per-token table) covers both its consumers
+    # (vocab dim collect + context_counts) while caching the small
+    # aggregate, not the corpus-sized token stream.
+    tok_counts = token_counts(tokens, occs).persist(StorageLevel.MEMORY_AND_DISK)
     vocab = tok_counts.groupBy("stem").agg(F.sum("count").alias("count"))
     token_types = dense_sorted_id(vocab, ["stem"], "token_id", start=1).withColumn(
         "token_id", F.col("token_id").cast("int")  # 0 reserved

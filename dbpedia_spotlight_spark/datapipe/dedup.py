@@ -463,33 +463,38 @@ def embedding_near_duplicates(
     standard LSH trade: P(candidate) = 1-(1-(1-θ/π)^planes)^tables for
     angle θ — tune planes/tables to the threshold."""
     from dbpedia_spotlight_spark.datapipe.similarity import (
-        hyperplane_signature,
+        hyperplane_signatures_multi,
         with_cosine,
     )
 
     ids = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
     )
-    pairs = None
-    for t in range(num_tables):
-        sig = hyperplane_signature(
-            ids, dim, num_planes, "v", seed=42 + t
-        ).select("vec_id", "bucket")
-        if max_bucket_size is not None:
-            w = Window.partitionBy("bucket")
-            sig = (
-                sig.withColumn("_bn", F.count("*").over(w))
-                .filter(F.col("_bn") <= max_bucket_size)
-                .drop("_bn")
-            )
-        x, y = sig.alias("x"), sig.alias("y")
-        p = x.join(
+    # every table's signature in one Arrow pass (one scan, not num_tables),
+    # then ONE (t, bucket) window for the cap and ONE self-join — per-table
+    # buckets are bit-identical to the per-seed formulation the oracle
+    # replays
+    sig = hyperplane_signatures_multi(
+        ids, dim, num_planes, num_tables, seed_base=42
+    )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("t", "bucket")
+        sig = (
+            sig.withColumn("_bn", F.count("*").over(w))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+    x, y = sig.alias("x"), sig.alias("y")
+    pairs = (
+        x.join(
             y,
-            (F.col("x.bucket") == F.col("y.bucket"))
+            (F.col("x.t") == F.col("y.t"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
             & (F.col("x.vec_id") < F.col("y.vec_id")),
-        ).select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
-        pairs = p if pairs is None else pairs.unionByName(p)
-    pairs = pairs.dropDuplicates(["a", "b"])
+        )
+        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
     enriched = pairs.join(
         ids.select(F.col("vec_id").alias("a"), F.col("v").alias("va")), "a"
     ).join(ids.select(F.col("vec_id").alias("b"), F.col("v").alias("vb")), "b")

@@ -98,36 +98,61 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(
+def hyperplane_signatures_multi(
     df: DataFrame,
     dim: int,
-    num_planes: int = 16,
-    vec_col: str = "embedding",
-    seed: int = 42,
-    out: str = "bucket",
+    num_planes: int,
+    num_tables: int,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    seed_base: int = 42,
 ) -> DataFrame:
-    """Sign pattern over random hyperplanes -> integer bucket id. One numpy
-    `(batch x dim) @ planes.T` matmul per Arrow batch; the plane matrix is
-    closed over (tiny — num_planes x dim floats), so no broadcast needed."""
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(num_planes, dim))
-    weights = (1 << np.arange(num_planes, dtype=np.int64))
-    fields = list(df.schema.fields)
-    schema = StructType(fields + [StructField(out, LongType())])
-    cols = [f.name for f in fields]
+    """All hash tables' signatures in ONE Arrow pass over the vectors:
+    -> (id_col, t, bucket), one row per (vector, table).
+
+    Table t's bucket is the sign pattern of the vector against the
+    `RandomState(seed_base + t).normal(size=(num_planes, dim))` planes,
+    bit j weighted 2^j — exactly the per-seed formulation the SQL oracles
+    replay plane constants for. The input is scanned once instead of
+    num_tables times and the downstream bucket-cap window / self-join runs
+    once over (t, bucket) instead of per table — one einsum against the
+    stacked (T x P x dim) plane tensor replaces T matmul passes. Output
+    carries bare ids only."""
+    planes = np.stack(
+        [
+            np.random.RandomState(seed_base + t).normal(size=(num_planes, dim))
+            for t in range(num_tables)
+        ]
+    )
+    weights = 1 << np.arange(num_planes, dtype=np.int64)
+    id_field = next(f for f in df.schema.fields if f.name == id_col)
+    schema = StructType(
+        [
+            id_field,
+            StructField("t", LongType()),
+            StructField("bucket", LongType()),
+        ]
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if len(pdf) == 0:
-                pdf[out] = np.zeros(0, dtype=np.int64)
-                yield pdf[cols + [out]]
+            n = len(pdf)
+            if n == 0:
                 continue
             M = _stack(pdf[vec_col], dim)
-            bits = (M @ planes.T) > 0
-            pdf[out] = bits.astype(np.int64) @ weights
-            yield pdf[cols + [out]]
+            bits = np.einsum("tpd,nd->tnp", planes, M) > 0
+            buckets = bits.astype(np.int64) @ weights  # (T, n)
+            yield pd.DataFrame(
+                {
+                    id_col: np.tile(pdf[id_col].to_numpy(), len(planes)),
+                    "t": np.repeat(
+                        np.arange(len(planes), dtype=np.int64), n
+                    ),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
 
-    return df.mapInPandas(gen, schema)
+    return df.select(id_col, vec_col).mapInPandas(gen, schema)
 
 
 def train_ivf_centroids(
@@ -248,22 +273,24 @@ def lsh_topk(
     broadcast in both places (queries are few by construction)."""
     q_ids = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     c_ids = embeddings.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
-    cands = None
-    for t in range(num_tables):
-        qb = hyperplane_signature(
-            q_ids, dim, num_planes, "q_vec", seed=42 + t
-        ).select("query_id", "bucket")
-        cb = hyperplane_signature(
-            c_ids, dim, num_planes, "c_vec", seed=42 + t
-        ).select("cand_id", "bucket")
-        pairs = (
-            F.broadcast(qb)
-            .join(cb, "bucket")
-            .filter(F.col("query_id") != F.col("cand_id"))
-            .select("query_id", "cand_id")
-        )
-        cands = pairs if cands is None else cands.unionByName(pairs)
-    cands = cands.dropDuplicates(["query_id", "cand_id"])
+    # all tables' signatures in one Arrow pass per side (one scan each, not
+    # num_tables), one (t, bucket) equi-join instead of per-table
+    # join+union — buckets bit-identical to the per-seed formulation
+    qb = hyperplane_signatures_multi(
+        q_ids, dim, num_planes, num_tables, id_col="query_id",
+        vec_col="q_vec",
+    )
+    cb = hyperplane_signatures_multi(
+        c_ids, dim, num_planes, num_tables, id_col="cand_id",
+        vec_col="c_vec",
+    )
+    cands = (
+        F.broadcast(qb)
+        .join(cb, ["t", "bucket"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .dropDuplicates(["query_id", "cand_id"])
+    )
     enriched = cands.join(F.broadcast(q_ids), "query_id").join(c_ids, "cand_id")
     scored = with_cosine(enriched, "q_vec", "c_vec")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))

@@ -46,5 +46,14 @@ _, t2 = B._annotate_throughput(
     spark, B.SF_DIR, repl=repl, text_x=tx, partitions=3 * cores
 )
 t = min(t1, t2)
-print(f"RESULT cores={cores} docs={nd} sec={t:.2f} dps={nd/t:.1f}", flush=True)
+# sec1/sec2 let the caller pick a policy: min for the isolated probes
+# (noise suppression), sec2 for the concurrent 4x2 control (all instances
+# are deep in overlapping work by their second run — taking the min there
+# would reward an instance whose run happened to dodge the contention the
+# control exists to create)
+print(
+    f"RESULT cores={cores} docs={nd} sec={t:.2f} sec1={t1:.2f} "
+    f"sec2={t2:.2f} dps={nd/t:.1f}",
+    flush=True,
+)
 spark.stop()

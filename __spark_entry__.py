@@ -504,6 +504,31 @@ def q_repetition_stats(spark, sf_dir):
     )
 
 
+def q_seq_pack(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing at 512 tokens per chunk:
+    the global token stream (docs in doc_id order) cut into fixed chunks,
+    one row per (chunk, contributing doc span) incl. the sliced text.
+    Distributed prefix sum (range partition + partition offsets) — no
+    single-partition window."""
+    from dbpedia_spotlight_spark.datapipe.packing import sequence_pack
+
+    return sequence_pack(_docs(spark, sf_dir), budget=512)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic domain-mixing sampler: per-source keep rates decided
+    by an md5 hash bucket of doc_id (reproducible across runs/cluster
+    sizes; exactly replayable in SQL)."""
+    from dbpedia_spotlight_spark.datapipe.packing import stratified_sample
+
+    out = stratified_sample(
+        _docs(spark, sf_dir),
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+    )
+    return out.select("doc_id", "source")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering: MinHash-LSH pairs -> connected components ->
     canonical representative per cluster."""
@@ -1160,6 +1185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
+        "seq_pack": q_seq_pack,
+        "stratified_sample": q_stratified_sample,
         "f_filter_chain": q_f_filter_chain,
         "m9_resolve": q_m9_resolve,
         "d2_windows": q_d2_windows,
@@ -2235,6 +2262,50 @@ SELECT a.doc_id, a.n_words,
   round(CASE WHEN a.nb = 0 THEN 0 ELSE 1 - a.ndb / a.nb END, 6)
     AS dup_2gram_frac
 FROM agg a LEFT JOIN top t ON a.doc_id = t.doc_id
+"""
+
+    # seq_pack: the same concat-and-chunk math over a plain window prefix
+    # sum (the oracle may funnel through one partition; the Spark side may
+    # not — that asymmetry is the point of the distributed prefix sum)
+    sql["seq_pack"] = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+  FROM documents
+),
+n AS (
+  SELECT doc_id, words, len(words)::BIGINT AS n_tok FROM t
+),
+c AS (
+  SELECT doc_id, words, n_tok,
+    coalesce(SUM(n_tok) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+      AS tok_offset
+  FROM n
+),
+s AS (
+  SELECT doc_id, words, n_tok, tok_offset,
+    unnest(generate_series(tok_offset // 512,
+                           (tok_offset + n_tok - 1) // 512)) AS chunk_id
+  FROM c WHERE n_tok > 0
+),
+b AS (
+  SELECT chunk_id, doc_id, words, n_tok, tok_offset,
+    greatest(chunk_id * 512 - tok_offset, 0)::BIGINT AS tok_start,
+    least((chunk_id + 1) * 512 - tok_offset, n_tok)::BIGINT AS tok_end
+  FROM s
+)
+SELECT chunk_id, doc_id, tok_start,
+  (tok_end - tok_start)::BIGINT AS n_tok_slice,
+  array_to_string(list_slice(words, tok_start + 1, tok_end), ' ')
+    AS chunk_text
+FROM b
+"""
+
+    sql["stratified_sample"] = r"""
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 25, 8))::BIGINT % 10000 <
+  CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+              WHEN 'src2' THEN 2500 ELSE 1000 END
 """
 
     # ivf_topk: replay the seeded-gaussian centroids; cell assignment is

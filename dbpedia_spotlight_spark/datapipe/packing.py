@@ -1,0 +1,176 @@
+"""Sequence packing + stratified sampling — training-data assembly ops.
+
+Two operators a 100-TB pretraining pipeline runs after cleaning/dedup:
+
+  - sequence_pack: GPT-style concat-and-chunk. Conceptually concatenate
+    every document's tokens in a deterministic global order and cut the
+    stream into fixed-size chunks; emit one row per (chunk, contributing
+    document span). No concatenation actually happens: each doc only
+    needs the GLOBAL TOKEN OFFSET where it starts, which is a prefix sum
+    — computed distributed (range partition -> per-partition sums -> one
+    P-row collect of partition offsets), the same shape as
+    operators/skew.py:dense_sorted_id. Everything else is per-row column
+    math + one explode; no single-partition window anywhere.
+
+  - stratified_sample: deterministic per-stratum Bernoulli sampling (the
+    "domain mixing" knob: keep 100% of wiki, 10% of common-crawl, ...).
+    The keep decision hashes the document id — reproducible across runs
+    and cluster sizes, no RNG state — via the md5-bucket recipe that is
+    bit-identical in Spark and DuckDB, so the op is oracle-checkable.
+
+Reference scope note: the reference engine stops at corpus indexing
+(index/.../TokenOccurrenceSource et al.); packing/mixing are the
+SURVEY §2.8 "beyond the reference" training-data ops, same family as
+datapipe/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dbpedia_spotlight_spark.datapipe.textstats import token_count, words_col
+
+
+def prefix_token_offsets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partitions: int | None = None,
+) -> DataFrame:
+    """-> docs + (n_tok, tok_offset): each document's whitespace token
+    count and the number of stream tokens strictly before it in global
+    `id_col` order.
+
+    Distributed prefix sum: range-repartition on the order key, sum
+    within each partition with a parallel window, then add per-partition
+    offsets (one collect of P partial sums — the only driver-side data).
+    Byte-identical to `sum(n) over (order by id rows unbounded preceding
+    ... 1 preceding)` without funnelling the corpus through one task."""
+    sess = docs.sparkSession
+    if partitions is None:
+        partitions = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
+    parts = (
+        docs.withColumn("n_tok", token_count(F.col(text_col)).cast("long"))
+        .repartitionByRange(partitions, F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    sums = dict(
+        parts.groupBy("_pid").agg(F.sum("n_tok").alias("s")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    offset_expr = (
+        F.coalesce(
+            F.element_at(
+                F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+                F.col("_pid"),
+            ),
+            F.lit(0),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return parts.withColumn(
+        "tok_offset",
+        (F.coalesce(F.sum("n_tok").over(w), F.lit(0)) + offset_expr).cast(
+            "long"
+        ),
+    ).drop("_pid")
+
+
+def sequence_pack(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    emit_text: bool = True,
+) -> DataFrame:
+    """Concat-and-chunk packing at a fixed `budget` tokens per chunk.
+
+    -> (chunk_id, doc_id, tok_start, n_tok_slice[, chunk_text]) — one row
+    per (chunk, document span): document tokens [tok_start, tok_start +
+    n_tok_slice) land in chunk `chunk_id`; a document longer than the
+    remaining room spans multiple consecutive chunks. Grouping by
+    chunk_id (order by doc_id) reassembles exactly `budget` tokens per
+    chunk (except the tail).
+
+    All per-row codegen after the prefix sum: first/last chunk ids from
+    the global offset, one `sequence` explode for multi-chunk docs, and
+    the text slice via slice+array_join (no Python)."""
+    with_off = prefix_token_offsets(docs, id_col=id_col, text_col=text_col)
+    b = F.lit(budget)
+    first = (F.col("tok_offset") / b).cast("long")
+    last = ((F.col("tok_offset") + F.col("n_tok") - 1) / b).cast("long")
+    spans = (
+        with_off.filter(F.col("n_tok") > 0)
+        .withColumn("chunk_id", F.explode(F.sequence(first, last)))
+        .withColumn(
+            "tok_start",
+            F.greatest(F.col("chunk_id") * b - F.col("tok_offset"), F.lit(0)),
+        )
+        .withColumn(
+            "n_tok_slice",
+            (
+                F.least(
+                    (F.col("chunk_id") + 1) * b - F.col("tok_offset"),
+                    F.col("n_tok"),
+                )
+                - F.col("tok_start")
+            ).cast("long"),
+        )
+        .withColumn("tok_start", F.col("tok_start").cast("long"))
+    )
+    cols = ["chunk_id", id_col, "tok_start", "n_tok_slice"]
+    if emit_text:
+        spans = spans.withColumn(
+            "chunk_text",
+            F.array_join(
+                F.slice(
+                    words_col(F.col(text_col)),
+                    F.col("tok_start").cast("int") + 1,
+                    F.col("n_tok_slice").cast("int"),
+                ),
+                " ",
+            ),
+        )
+        cols.append("chunk_text")
+    return spans.select(*cols)
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Keep each row of stratum s with probability rates[s], decided by a
+    deterministic hash of the row id (not an RNG): bucket =
+    md5-tail-int(id) mod `buckets`, keep iff bucket < rate * buckets.
+    Reproducible across runs, retries, and cluster sizes — the property
+    that matters when a 100-TB mixing job is resumed — and exactly
+    replayable in SQL (DuckDB computes the identical md5 buckets).
+    Rows whose stratum is not in `rates` get `default_rate`."""
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 25, 8), 16, 10
+        ).cast("long"),
+        F.lit(buckets),
+    )
+    thresh = F.lit(int(default_rate * buckets))
+    for s, r in sorted(rates.items()):
+        thresh = F.when(
+            F.col(stratum_col) == s, F.lit(int(r * buckets))
+        ).otherwise(thresh)
+    return docs.filter(bucket < thresh)

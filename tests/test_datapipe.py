@@ -600,3 +600,62 @@ def test_repetition_stats_known_values(spark):
     assert out[4]["dup_word_frac"] == 0.0
     assert out[4]["top_word_frac"] == 0.0
     assert out[4]["dup_2gram_frac"] == 0.0
+
+
+# --- sequence packing + stratified sampling -------------------------------
+
+
+def test_sequence_pack_partitions_exactly(spark):
+    from dbpedia_spotlight_spark.datapipe.packing import sequence_pack
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(7 + i % 5))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = sequence_pack(docs, budget=16).collect()
+    total = sum(r.n_tok_slice for r in out)
+    n_toks = sum(7 + i % 5 for i in range(40))
+    assert total == n_toks  # every token lands in exactly one chunk
+    # each chunk holds exactly `budget` tokens except the last
+    from collections import defaultdict
+
+    per_chunk = defaultdict(int)
+    for r in out:
+        per_chunk[r.chunk_id] += r.n_tok_slice
+    last = max(per_chunk)
+    for cid, n in per_chunk.items():
+        assert n == 16 or (cid == last and n <= 16)
+    # spans are contiguous within each doc and the sliced text matches
+    for r in out:
+        words = r.chunk_text.split(" ") if r.chunk_text else []
+        assert len(words) == r.n_tok_slice
+        assert words[0] == f"w{r.doc_id}_{r.tok_start}"
+
+
+def test_sequence_pack_doc_longer_than_budget(spark):
+    from dbpedia_spotlight_spark.datapipe.packing import sequence_pack
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{j}" for j in range(50)))], "doc_id long, text string"
+    )
+    out = sorted(sequence_pack(docs, budget=16).collect(), key=lambda r: r.chunk_id)
+    assert [r.n_tok_slice for r in out] == [16, 16, 16, 2]
+    assert [r.tok_start for r in out] == [0, 16, 32, 48]
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from dbpedia_spotlight_spark.datapipe.packing import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "x", "a" if i % 2 == 0 else "b") for i in range(2000)],
+        "doc_id long, text string, source string",
+    )
+    kept = stratified_sample(docs, {"a": 1.0, "b": 0.25}, default_rate=0.0)
+    rows = kept.collect()
+    a = [r for r in rows if r.source == "a"]
+    b = [r for r in rows if r.source == "b"]
+    assert len(a) == 1000  # rate 1.0 keeps everything
+    assert 150 <= len(b) <= 350  # ~25% of 1000, hash-binomial spread
+    # deterministic: same rows on a second run
+    again = {r.doc_id for r in kept.collect()}
+    assert again == {r.doc_id for r in rows}

@@ -504,6 +504,32 @@ def q_repetition_stats(spark, sf_dir):
     )
 
 
+def q_quality_filter(spark, sf_dir):
+    """Gopher-style composite quality gate: keep/drop + the ordered list
+    of failed checks per document (repetition, top-word, punctuation,
+    stopword, length thresholds) — the standard explainable drop
+    decision for LLM corpus filtering."""
+    from dbpedia_spotlight_spark.datapipe.textstats import quality_filter
+
+    return quality_filter(_docs(spark, sf_dir))
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """CCNet-style quality signal: per-document mean log-probability
+    under an add-one-smoothed corpus unigram LM (two-pass: build the LM,
+    score docs via a pre-aggregated (doc, token, count) join)."""
+    from dbpedia_spotlight_spark.datapipe.textstats import (
+        unigram_doc_logprob,
+        unigram_model,
+    )
+
+    docs = _docs(spark, sf_dir)
+    out = unigram_doc_logprob(docs, unigram_model(docs))
+    return out.select(
+        "doc_id", "n_words", F.round("logprob", 6).alias("logprob")
+    )
+
+
 def q_seq_pack(spark, sf_dir):
     """GPT-style concat-and-chunk sequence packing at 512 tokens per chunk:
     the global token stream (docs in doc_id order) cut into fixed chunks,
@@ -1187,6 +1213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "seq_pack": q_seq_pack,
         "stratified_sample": q_stratified_sample,
+        "quality_filter": q_quality_filter,
+        "unigram_logprob": q_unigram_logprob,
         "f_filter_chain": q_f_filter_chain,
         "m9_resolve": q_m9_resolve,
         "d2_windows": q_d2_windows,
@@ -2409,6 +2437,87 @@ SELECT doc_id,
   CASE WHEN n >= 2 THEN 'img://' || doc_id::VARCHAR END AS media_ref,
   true AS ok
 FROM t
+"""
+
+    # quality_filter: the Gopher composite gate — repetition signals +
+    # punct/stopword ratios, all rounded to 6 dp BEFORE thresholding so
+    # keep/drop is bit-stable; concat_ws skips NULL CASE arms in both
+    # engines, giving identical reason strings
+    sql["quality_filter"] = rf"""
+WITH w AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS words
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(words) AS w, generate_subscripts(words, 1) AS p
+  FROM w
+),
+big AS (
+  SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+  FROM tok
+),
+agg AS (
+  SELECT doc_id, count(w) AS n_words, count(DISTINCT w) AS nd,
+         count(w2) AS nb,
+         count(DISTINCT CASE WHEN w2 IS NOT NULL
+                             THEN w || ' ' || w2 END) AS ndb
+  FROM big GROUP BY doc_id
+),
+top AS (
+  SELECT doc_id, max(c) AS topc FROM (
+    SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w
+  ) GROUP BY doc_id
+),
+sig AS (
+  SELECT a.doc_id, a.n_words,
+    round(CASE WHEN a.n_words = 0 THEN 0
+               ELSE 1 - a.nd / a.n_words END, 6) AS dwf,
+    round(coalesce(t.topc, 0) / greatest(a.n_words, 1), 6) AS twf,
+    round(CASE WHEN a.nb = 0 THEN 0 ELSE 1 - a.ndb / a.nb END, 6) AS dbf
+  FROM agg a LEFT JOIN top t ON a.doc_id = t.doc_id
+),
+pr AS (
+  SELECT doc_id,
+    round((length(text) - length(regexp_replace(text, '[[:punct:]]', '',
+          'g'))) / greatest(length(text), 1), 6) AS praw,
+    round(len(list_intersect(words, [{stop_list}]))
+      / greatest(len(list_distinct(words)), 1), 6) AS sraw
+  FROM w
+),
+fl AS (
+  SELECT s.doc_id, s.n_words,
+    concat_ws(',',
+      CASE WHEN s.dbf > (0.2)::DOUBLE THEN 'dup_2grams' END,
+      CASE WHEN s.dwf > (0.3)::DOUBLE THEN 'dup_words' END,
+      CASE WHEN p.sraw = (0.0)::DOUBLE THEN 'no_stopwords' END,
+      CASE WHEN p.praw > (0.3)::DOUBLE THEN 'punct_heavy' END,
+      CASE WHEN s.n_words > 100000 THEN 'too_long' END,
+      CASE WHEN s.n_words < 50 THEN 'too_short' END,
+      CASE WHEN s.twf > (0.2)::DOUBLE THEN 'top_word' END
+    ) AS reasons
+  FROM sig s JOIN pr p ON s.doc_id = p.doc_id
+)
+SELECT doc_id, n_words, (reasons = '') AS keep, reasons FROM fl
+"""
+
+    # unigram_logprob: add-one-smoothed corpus unigram LM, per-doc mean
+    # log-probability (ln parity Spark/DuckDB holds; 6 dp absorbs float
+    # summation order)
+    sql["unigram_logprob"] = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(words) AS token FROM w),
+cnt AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+tot AS (SELECT sum(n)::DOUBLE AS nn, count(*)::DOUBLE AS vv FROM cnt),
+lm AS (SELECT token, ln((n + 1.0) / (nn + vv)) AS logp FROM cnt, tot),
+per AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token)
+SELECT p.doc_id, sum(p.c)::BIGINT AS n_words,
+       round(sum(p.c * l.logp) / sum(p.c), 6) AS logprob
+FROM per p JOIN lm l ON p.token = l.token
+GROUP BY p.doc_id
 """
 
     return sql

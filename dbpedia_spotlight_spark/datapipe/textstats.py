@@ -276,3 +276,104 @@ def text_stats(
         }
     )
     return fingerprint_df(stats, text_col=text_col, id_col=id_col)
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    max_dup_word_frac: float = 0.3,
+    max_top_word_frac: float = 0.2,
+    max_dup_2gram_frac: float = 0.2,
+    max_punct_ratio: float = 0.3,
+) -> DataFrame:
+    """Gopher-style composite quality gate -> (id_col, n_words, keep,
+    reasons): a document is kept iff it passes every check; `reasons`
+    lists the failed checks (fixed order, comma-joined) so downstream
+    can audit WHY a page was dropped — the standard practice for LLM
+    corpus filtering (drop decisions must be explainable and reversible).
+
+    All signals reuse repetition_stats' single doc-id shuffle plus
+    per-row column math; the reason string is one concat_ws over
+    nullable CASE flags (concat_ws skips NULLs — identical semantics in
+    ANSI SQL, so the whole gate is oracle-checkable). Signals are
+    rounded to 6 dp BEFORE threshold comparison so the keep/drop
+    decision is bit-stable across engines."""
+    rep = repetition_stats(df, text_col, id_col)
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.round(punct_ratio(t), 6).alias("_pr"),
+        F.round(stopword_ratio(t), 6).alias("_sr"),
+    )
+    j = rep.join(base, id_col)
+    checks = [
+        ("dup_2grams", F.round("dup_2gram_frac", 6) > max_dup_2gram_frac),
+        ("dup_words", F.round("dup_word_frac", 6) > max_dup_word_frac),
+        ("no_stopwords", F.col("_sr") == 0.0),
+        ("punct_heavy", F.col("_pr") > max_punct_ratio),
+        ("too_long", F.col("n_words") > max_words),
+        ("too_short", F.col("n_words") < min_words),
+        ("top_word", F.round("top_word_frac", 6) > max_top_word_frac),
+    ]
+    reasons = F.concat_ws(",", *[F.when(c, F.lit(n)) for n, c in checks])
+    return j.select(
+        F.col(id_col),
+        "n_words",
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
+def unigram_model(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Corpus unigram language model -> (token, n, logp) with add-one
+    smoothing: logp = ln((n+1) / (N+V)). The N/V totals are one scalar
+    aggregate broadcast back over the count table (a 1-row crossJoin —
+    no second scan of the corpus)."""
+    tok = df.select(F.explode(words_col(F.col(text_col))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count("*").alias("n"))
+    tot = counts.agg(
+        F.sum("n").cast("double").alias("_N"),
+        F.count("*").cast("double").alias("_V"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "token",
+        "n",
+        F.log((F.col("n") + 1.0) / (F.col("_N") + F.col("_V"))).alias("logp"),
+    )
+
+
+def unigram_doc_logprob(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style quality signal: mean unigram log-probability per
+    document under `model` (unigram_model output, possibly from a
+    different reference corpus) -> (id_col, n_words, logprob).
+
+    Shape at 100 TB: documents pre-aggregate to (doc, token, c) — the
+    join probes one row per DISTINCT token per doc, not per occurrence —
+    then an equi-join on token against the model dim. The model is NOT
+    broadcast by default (a web-scale vocabulary is 100M+ rows); the
+    token key is Zipf-skewed, which AQE skew-join splitting handles
+    (hot tokens like 'the' land on many distinct docs, so salting is
+    rarely needed once pre-aggregated). Tokens absent from the model are
+    dropped from the mean (documented; same-corpus scoring has none)."""
+    per = (
+        df.select(
+            F.col(id_col), F.explode(words_col(F.col(text_col))).alias("token")
+        )
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("c"))
+    )
+    joined = per.join(model.select("token", "logp"), "token")
+    return joined.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_words"),
+        (F.sum(F.col("c") * F.col("logp")) / F.sum("c")).alias("logprob"),
+    )

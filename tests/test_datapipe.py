@@ -659,3 +659,54 @@ def test_stratified_sample_rates_and_determinism(spark):
     # deterministic: same rows on a second run
     again = {r.doc_id for r in kept.collect()}
     assert again == {r.doc_id for r in rows}
+
+
+def test_quality_filter_reasons(spark):
+    from dbpedia_spotlight_spark.datapipe.textstats import quality_filter
+
+    docs = spark.createDataFrame(
+        [
+            # passes every check: all-distinct words incl. a few stopwords
+            (1, "the and of " + " ".join(f"w{i}" for i in range(50))),
+            # too short + heavily repetitive
+            (2, "spam spam spam spam spam"),
+            # punctuation-heavy and no stopwords
+            (3, "!!! ??? ### $$$ %%%"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in quality_filter(docs, min_words=40).collect()}
+    assert rows[1].keep and rows[1].reasons == ""
+    assert not rows[2].keep
+    assert "too_short" in rows[2].reasons
+    assert "dup_words" in rows[2].reasons
+    assert "top_word" in rows[2].reasons
+    assert not rows[3].keep
+    assert "punct_heavy" in rows[3].reasons
+    assert "no_stopwords" in rows[3].reasons
+    # reasons are ordered and comma-joined (deterministic audit string)
+    assert rows[2].reasons == ",".join(sorted(rows[2].reasons.split(",")))
+
+
+def test_unigram_logprob_math(spark):
+    import math
+
+    from dbpedia_spotlight_spark.datapipe.textstats import (
+        unigram_doc_logprob,
+        unigram_model,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    # counts: a=2 b=2 c=1, N=5, V=3 -> p(a)=3/8, p(b)=3/8, p(c)=2/8
+    lm = {r.token: r.logp for r in unigram_model(docs).collect()}
+    assert abs(lm["a"] - math.log(3 / 8)) < 1e-12
+    assert abs(lm["c"] - math.log(2 / 8)) < 1e-12
+    out = {
+        r.doc_id: r
+        for r in unigram_doc_logprob(docs, unigram_model(docs)).collect()
+    }
+    assert out[1].n_words == 3
+    expected = (2 * math.log(3 / 8) + math.log(3 / 8)) / 3
+    assert abs(out[1].logprob - expected) < 1e-12

@@ -504,6 +504,20 @@ def q_repetition_stats(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs (doc_id % 97 != 0)
+    sharing any 3-token shingle with the deterministic eval split
+    (doc_id % 97 == 0) — eval n-gram hash set broadcast, corpus scanned
+    once. Oracle counts shared shingle STRINGS (hash-set membership ==
+    string-set membership absent collisions, as for ngram_jaccard)."""
+    from dbpedia_spotlight_spark.datapipe.dedup import ngram_contamination
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    return ngram_contamination(tr, ev, shingle_k=3)
+
+
 def q_quality_filter(spark, sf_dir):
     """Gopher-style composite quality gate: keep/drop + the ordered list
     of failed checks per document (repetition, top-word, punctuation,
@@ -1215,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "quality_filter": q_quality_filter,
         "unigram_logprob": q_unigram_logprob,
+        "decontaminate": q_decontaminate,
         "f_filter_chain": q_f_filter_chain,
         "m9_resolve": q_m9_resolve,
         "d2_windows": q_d2_windows,
@@ -2518,6 +2533,26 @@ SELECT p.doc_id, sum(p.c)::BIGINT AS n_words,
        round(sum(p.c * l.logp) / sum(p.c), 6) AS logprob
 FROM per p JOIN lm l ON p.token = l.token
 GROUP BY p.doc_id
+"""
+
+    # decontaminate: shared-shingle counts on strings (Spark counts the
+    # same sets as 64-bit hashes)
+    sql["decontaminate"] = rf"""
+WITH tk AS (SELECT doc_id, {_SH_TOKS} AS toks FROM documents),
+shs AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+         WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                             FOR i IN generate_series(1, len(toks) - 2)])
+    END AS s
+  FROM tk
+),
+ev AS (SELECT DISTINCT unnest(s) AS g FROM shs WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, unnest(s) AS g FROM shs WHERE doc_id % 97 <> 0)
+SELECT t.doc_id, count(*)::BIGINT AS n_hit
+FROM tr t JOIN ev e ON t.g = e.g
+GROUP BY t.doc_id
 """
 
     return sql

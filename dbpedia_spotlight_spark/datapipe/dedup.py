@@ -694,3 +694,35 @@ def prefix_filter_jaccard_join(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    shingle_k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination -> (id_col, n_hit): every training
+    document that shares at least one k-token shingle with the eval
+    corpus, with the count of its distinct shingles that hit. The
+    standard pre-training hygiene pass (eval n-grams must not leak into
+    the training set).
+
+    Shape at 100 TB: both sides shingle through the same vectorized
+    rolling-polynomial pass as minhash (shingle_hash_sets — hashes, not
+    strings, so the probe join carries longs); the eval n-gram set is
+    tiny relative to the corpus (benchmarks are millions of n-grams, not
+    billions) and is broadcast, so the training side is scanned once
+    with a map-side hash probe — no shuffle of the corpus at all.
+    Hash-set membership equals string-set membership absent 64-bit
+    collisions (the same equivalence the Jaccard oracle relies on)."""
+    tr = shingle_hash_sets(train, text_col, id_col, shingle_k)
+    ev = shingle_hash_sets(eval_df, text_col, id_col, shingle_k)
+    ev_h = ev.select(F.explode("sh").alias("_h")).distinct()
+    tr_h = tr.select(F.col("doc_id").alias(id_col), F.explode("sh").alias("_h"))
+    return (
+        tr_h.join(F.broadcast(ev_h), "_h")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )

@@ -710,3 +710,21 @@ def test_unigram_logprob_math(spark):
     assert out[1].n_words == 3
     expected = (2 * math.log(3 / 8) + math.log(3 / 8)) / 3
     assert abs(out[1].logprob - expected) < 1e-12
+
+
+def test_ngram_contamination_hits(spark):
+    from dbpedia_spotlight_spark.datapipe.dedup import ngram_contamination
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),  # contains eval 3-gram
+            (2, "totally unrelated words here now"),
+            (3, "beta gamma delta repeated beta gamma delta"),  # distinct hit once
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "xx beta gamma delta yy")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.n_hit for r in ngram_contamination(train, ev, shingle_k=3).collect()}
+    assert out == {1: 1, 3: 1}  # doc 2 clean; repeats count once (distinct sets)

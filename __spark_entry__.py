@@ -426,6 +426,52 @@ def q_ngram_jaccard_dups(spark, sf_dir):
     ).select("a", "b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def _boilerplate_docs(spark, sf_dir):
+    """Documents with deterministic doc_id-keyed boilerplate appended — the
+    corpus is word soup with no natural repeated passages, so the span-dedup
+    query injects them: every %6 doc gets tail A (10 tokens), every %8 doc
+    tail B, and %24 docs get A+B contiguously (exercising island merge).
+    Non-injected slots get a doc-unique token so they can't collide.
+    Identical construction in the oracle SQL."""
+    d = F.col("doc_id")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.when(
+                d % 6 == 0,
+                F.lit("the quick brown fox jumps over the lazy dog today"),
+            ).otherwise(F.concat(F.lit("a"), d.cast("string"))),
+            F.when(
+                d % 8 == 0,
+                F.lit("terms of service apply to all content on this site"),
+            ).otherwise(F.concat(F.lit("b"), d.cast("string"))),
+        ).alias("text"),
+    )
+
+
+def q_dedup_spans(spark, sf_dir):
+    """Exact duplicated-substring spans (Lee et al. 2022 style, k-gram
+    certificate): maximal merged token spans covered by any 5-gram that
+    occurs >= 2 times corpus-wide. Span-level dedup is the family member
+    whole-doc exact/minhash/simhash can't express — it finds the pasted
+    boilerplate paragraph inside otherwise-unique pages. Oracle: identical
+    construction over gram STRINGS (the Spark side ships only 64-bit
+    rolling hashes; hash-equality == string-equality absent collisions)."""
+    from dbpedia_spotlight_spark.datapipe.dedup import duplicate_spans
+
+    out = duplicate_spans(
+        _boilerplate_docs(spark, sf_dir), shingle_k=5, min_count=2
+    )
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+    )
+
+
 def q_simhash_buckets(spark, sf_dir):
     return simhash_buckets(_docs(spark, sf_dir))
 
@@ -1220,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m10_concepts": q_m10_concepts,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "dedup_spans": q_dedup_spans,
         "dedup_embedding": q_dedup_embedding,
         "ivf_topk": q_ivf_topk,
         "events_windowed": q_events_windowed,
@@ -2104,6 +2151,44 @@ allp AS (
 )
 SELECT a, b, round(inter / un, 4) AS jaccard FROM allp
 WHERE un > 0 AND inter / un >= (0.5)::DOUBLE
+"""
+
+    # dedup_spans: duplicated 5-gram positions over the boilerplate-injected
+    # corpus, merged to maximal spans by the standard gaps-and-islands window
+    sql["dedup_spans"] = rf"""
+WITH docs2 AS (
+  SELECT doc_id,
+    concat_ws(' ', text,
+      CASE WHEN doc_id % 6 = 0
+           THEN 'the quick brown fox jumps over the lazy dog today'
+           ELSE 'a' || doc_id::VARCHAR END,
+      CASE WHEN doc_id % 8 = 0
+           THEN 'terms of service apply to all content on this site'
+           ELSE 'b' || doc_id::VARCHAR END) AS text
+  FROM documents),
+tk AS (SELECT doc_id, {_SH_TOKS} AS toks FROM docs2),
+grams AS (
+  SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+    SELECT doc_id,
+      unnest([{{'pos': i - 1, 'g': array_to_string(toks[i:i+4], ' ')}}
+              FOR i IN generate_series(1, len(toks) - 4)]) AS u
+    FROM tk WHERE len(toks) >= 5)),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+flag AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+         THEN 1 ELSE 0 END AS nw
+  FROM hits),
+isl AS (
+  SELECT doc_id, pos,
+    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS UNBOUNDED PRECEDING) AS island
+  FROM flag)
+SELECT doc_id, min(pos)::BIGINT AS span_start,
+       (max(pos) + 4)::BIGINT AS span_end,
+       (max(pos) + 5 - min(pos))::BIGINT AS span_tokens
+FROM isl GROUP BY doc_id, island
 """
 
     sql["dedup_clusters"] = (

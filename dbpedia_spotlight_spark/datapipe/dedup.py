@@ -696,6 +696,176 @@ def prefix_filter_jaccard_join(
     )
 
 
+def shingle_hash_positions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 8,
+) -> DataFrame:
+    """-> (doc_id, pos, h): EVERY k-token shingle with its 0-based start
+    token index — NOT deduplicated, because position identity is the whole
+    point (exact-substring dedup needs to know *where* a duplicated run
+    sits, not just that it exists). Same vectorized rolling-polynomial
+    pass as shingle_hash_sets (memoized token hashes, one numpy fold per
+    doc, no shingle strings); docs shorter than k emit nothing — a run
+    shorter than the window cannot certify a duplicated substring."""
+    B = np.uint64(0x9E3779B97F4A7C15)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", df.schema[id_col].dataType),
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("h", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tok_memo: dict = {}
+
+        def th(tok: str) -> int:
+            h = tok_memo.get(tok)
+            if h is None:
+                h = stable_hash64(tok)
+                tok_memo[tok] = h
+            return h
+
+        for pdf in batches:
+            ids, poss, hs = [], [], []
+            with np.errstate(over="ignore"):
+                for did, text in zip(pdf[id_col], pdf[text_col]):
+                    toks = (text or "").lower().split()
+                    n = len(toks)
+                    if n < shingle_k:
+                        continue
+                    t = np.fromiter((th(w) for w in toks), np.uint64, count=n)
+                    m = n - shingle_k + 1
+                    x = np.zeros(m, dtype=np.uint64)
+                    for j in range(shingle_k):
+                        x = x * B + t[j : j + m]
+                    ids.append(np.full(m, did))
+                    poss.append(np.arange(m, dtype=np.int32))
+                    hs.append(x.astype(np.int64))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids),
+                        "pos": np.concatenate(poss),
+                        "h": np.concatenate(hs),
+                    }
+                )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def duplicate_spans(
+    df: DataFrame,
+    shingle_k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-substring detection (the span-level member of the
+    dedup family — whole-doc exact/minhash/simhash miss a boilerplate
+    paragraph pasted into otherwise-unique pages). A token position is
+    covered when some k-gram through it occurs >= min_count times in the
+    WHOLE corpus (within-doc repeats count too); overlapping or contiguous
+    covered windows merge into maximal spans.
+
+    -> (doc_id, span_start, span_end, span_tokens): 0-based inclusive
+    token-index spans of duplicated text per document.
+
+    Shape at 100 TB: the corpus is scanned once (one Arrow pass emits
+    (doc_id, pos, hash64) — longs, never shingle strings); the duplicate
+    set is a groupBy on the hash (uniform by construction, map-side
+    partial agg) and comes back as a shuffle semi-join on the same key —
+    no broadcast assumption, the dup set at corpus scale is itself huge.
+    The island merge is a per-document window (documents are bounded), and
+    the k-gram certificate means a duplicated run of length L >= k is
+    found in full while runs < k are ignored — exactly the suffix-array
+    exact-substring dedup contract (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") at 1/k-th
+    the index size. Hash-equality == substring-equality absent 64-bit
+    collisions (same caveat as every shingle operator here)."""
+    grams = shingle_hash_positions(df, text_col, id_col, shingle_k)
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("h")
+    )
+    hits = grams.join(dup, "h", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = hits.withColumn(
+        "_new",
+        F.when(F.col("pos") - F.lag("pos").over(w) > shingle_k, 1).otherwise(0),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("doc_id", "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(shingle_k - 1)).alias("span_end"),
+        )
+        .withColumn(
+            "span_tokens", F.col("span_end") - F.col("span_start") + F.lit(1)
+        )
+        .select("doc_id", "span_start", "span_end", "span_tokens")
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Cut the duplicate_spans() token ranges out of each document
+    -> (id_col, out_col, removed_tokens). Documents with no spans pass
+    through untouched (removed_tokens = 0).
+
+    One Arrow pass over docs ⋈ collected-spans (left join — span lists are
+    per-doc small, the join carries (start, end) int pairs); token split is
+    byte-identical to shingle_hash_positions' so indices line up."""
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    joined = df.select(id_col, text_col).join(per_doc, id_col, "left")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", df.schema[id_col].dataType),
+            T.StructField(out_col, T.StringType()),
+            T.StructField("removed_tokens", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs, removed = [], []
+            for text, sp in zip(pdf[text_col], pdf["_spans"]):
+                toks = (text or "").lower().split()
+                if sp is None or (hasattr(sp, "__len__") and len(sp) == 0):
+                    outs.append(" ".join(toks))
+                    removed.append(0)
+                    continue
+                drop = np.zeros(len(toks), dtype=bool)
+                for rng in sp:
+                    s, e = rng["span_start"], rng["span_end"]
+                    drop[s : e + 1] = True
+                outs.append(" ".join(t for t, d in zip(toks, drop) if not d))
+                removed.append(int(drop.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    out_col: outs,
+                    "removed_tokens": np.asarray(removed, dtype=np.int32),
+                }
+            )
+
+    return joined.mapInPandas(run, schema)
+
+
 def ngram_contamination(
     train: DataFrame,
     eval_df: DataFrame,

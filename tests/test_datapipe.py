@@ -204,6 +204,68 @@ def test_bucketed_storage_roundtrip(spark, docs, tmp_path):
     assert 1 <= len(parts) <= 4
 
 
+def test_duplicate_spans_and_removal(spark):
+    from dbpedia_spotlight_spark.datapipe.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    boiler = "all rights reserved contact the site admin"  # 7 tokens
+    rows = [
+        (1, f"alpha beta gamma delta {boiler} epsilon zeta"),
+        (2, f"one two three four five six {boiler}"),
+        (3, "totally unrelated words without any shared runs here at all"),
+        # within-doc repeat: the same 5-token run twice in one doc
+        (4, "x p q r s t y y p q r s t z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = duplicate_spans(df, shingle_k=5, min_count=2)
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in spans.collect()
+    }
+    # doc1: boiler at tokens 4..10; doc2: at 6..12 — exactly the 7-token run
+    assert got[1] == (4, 10, 7)
+    assert got[2] == (6, 12, 7)
+    assert 3 not in got
+    # doc4: "p q r s t" at 1..5 and 8..12 merge through the island window
+    # only if within k of each other — gap is 8-1=7 > 5, so TWO spans
+    doc4 = sorted(
+        (r["span_start"], r["span_end"])
+        for r in spans.filter(F.col("doc_id") == 4).collect()
+    )
+    assert doc4 == [(1, 5), (8, 12)]
+
+    cleaned = {
+        r["doc_id"]: (r["clean_text"], r["removed_tokens"])
+        for r in remove_duplicate_spans(df, spans).collect()
+    }
+    assert cleaned[1] == ("alpha beta gamma delta epsilon zeta", 7)
+    assert cleaned[2] == ("one two three four five six", 7)
+    assert cleaned[3][1] == 0 and "unrelated" in cleaned[3][0]
+    assert cleaned[4] == ("x y y z", 10)
+
+
+def test_duplicate_spans_island_merge(spark):
+    """Overlapping and contiguous duplicated windows merge into one maximal
+    span: two docs share a 12-token run — every interior 5-gram is
+    duplicated and the merged span covers the full run."""
+    from dbpedia_spotlight_spark.datapipe.dedup import duplicate_spans
+
+    run = "a b c d e f g h i j k l"  # 12 shared tokens
+    df = spark.createDataFrame(
+        [(1, f"u1 {run} v1"), (2, f"u2 w2 {run}")],
+        "doc_id long, text string",
+    )
+    spans = duplicate_spans(df, shingle_k=5, min_count=2)
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in spans.collect()
+    }
+    assert got[1] == (1, 12, 12)
+    assert got[2] == (2, 13, 12)
+
+
 def test_connected_components_chain(spark):
     from dbpedia_spotlight_spark.datapipe.dedup import connected_components
 

@@ -141,3 +141,46 @@ def test_closure_matches_python_fixpoint(spark):
                     cur = mapping[cur]
                     cyc.append(cur)
                 assert got[s] in cyc, (trial, s, got[s], py, cyc)
+
+
+def test_duplicate_spans_matches_python_bruteforce(spark):
+    """Adversarial small-alphabet corpus (3 tokens, 60 docs => dense k-gram
+    collisions, within-doc repeats, spans that touch doc boundaries):
+    duplicate_spans must equal a direct Python reference that counts gram
+    STRINGS and merges covered windows."""
+    from dbpedia_spotlight_spark.datapipe.dedup import duplicate_spans
+
+    rng = np.random.RandomState(11)
+    k = 4
+    docs = []
+    for i in range(60):
+        n = rng.randint(0, 15)
+        docs.append((i, " ".join(rng.choice(["aa", "bb", "cc"], size=n))))
+
+    counts: dict = {}
+    grams_by_doc = {}
+    for did, text in docs:
+        toks = text.split()
+        grams = [tuple(toks[p : p + k]) for p in range(len(toks) - k + 1)]
+        grams_by_doc[did] = grams
+        for g in grams:
+            counts[g] = counts.get(g, 0) + 1
+    expected = set()
+    for did, grams in grams_by_doc.items():
+        hit = [p for p, g in enumerate(grams) if counts[g] >= 2]
+        if not hit:
+            continue
+        start = prev = hit[0]
+        for p in hit[1:]:
+            if p - prev > k:
+                expected.add((did, start, prev + k - 1))
+                start = p
+            prev = p
+        expected.add((did, start, prev + k - 1))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(df, shingle_k=k, min_count=2).collect()
+    }
+    assert got == expected

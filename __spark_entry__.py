@@ -472,6 +472,26 @@ def q_dedup_spans(spark, sf_dir):
     )
 
 
+def q_dedup_spans_clean(spark, sf_dir):
+    """The cut-out half of exact-substring dedup, hash-checked: documents
+    with every duplicated span removed (token-joined, lowercased — the
+    operator's normalization) plus the removed-token count. Oracle rebuilds
+    each doc from its uncovered token positions."""
+    from dbpedia_spotlight_spark.datapipe.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    docs2 = _boilerplate_docs(spark, sf_dir)
+    spans = duplicate_spans(docs2, shingle_k=5, min_count=2)
+    out = remove_duplicate_spans(docs2, spans)
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.col("removed_tokens").cast("long").alias("removed_tokens"),
+    )
+
+
 def q_simhash_buckets(spark, sf_dir):
     return simhash_buckets(_docs(spark, sf_dir))
 
@@ -1267,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "dedup_spans": q_dedup_spans,
+        "dedup_spans_clean": q_dedup_spans_clean,
         "dedup_embedding": q_dedup_embedding,
         "ivf_topk": q_ivf_topk,
         "events_windowed": q_events_windowed,
@@ -2153,9 +2174,9 @@ SELECT a, b, round(inter / un, 4) AS jaccard FROM allp
 WHERE un > 0 AND inter / un >= (0.5)::DOUBLE
 """
 
-    # dedup_spans: duplicated 5-gram positions over the boilerplate-injected
-    # corpus, merged to maximal spans by the standard gaps-and-islands window
-    sql["dedup_spans"] = rf"""
+    # dedup_spans family: duplicated 5-gram positions over the
+    # boilerplate-injected corpus — shared CTE prefix for the two twins
+    _SPAN_CTES = rf"""
 WITH docs2 AS (
   SELECT doc_id,
     concat_ws(' ', text,
@@ -2174,7 +2195,10 @@ grams AS (
               FOR i IN generate_series(1, len(toks) - 4)]) AS u
     FROM tk WHERE len(toks) >= 5)),
 dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
-hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup))"""
+
+    # merged maximal spans via the standard gaps-and-islands window
+    sql["dedup_spans"] = _SPAN_CTES + r""",
 flag AS (
   SELECT doc_id, pos,
     CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
@@ -2189,6 +2213,28 @@ SELECT doc_id, min(pos)::BIGINT AS span_start,
        (max(pos) + 4)::BIGINT AS span_end,
        (max(pos) + 5 - min(pos))::BIGINT AS span_tokens
 FROM isl GROUP BY doc_id, island
+"""
+
+    # cut-out twin: rebuild each doc from its uncovered token positions
+    sql["dedup_spans_clean"] = _SPAN_CTES + r""",
+covered AS (
+  SELECT DISTINCT doc_id, pos + o AS cp
+  FROM hits, unnest(generate_series(0, 4)) AS t(o)),
+words AS (
+  SELECT doc_id, i - 1 AS p, toks[i] AS w
+  FROM tk, unnest(generate_series(1, len(toks))) AS s(i)),
+kept AS (
+  SELECT w.doc_id,
+         array_to_string(list(w.w ORDER BY w.p), ' ') AS clean_text,
+         count(*) AS nkept
+  FROM words w
+  LEFT JOIN covered c ON w.doc_id = c.doc_id AND w.p = c.cp
+  WHERE c.cp IS NULL
+  GROUP BY w.doc_id)
+SELECT tk.doc_id,
+       coalesce(k.clean_text, '') AS clean_text,
+       (len(tk.toks) - coalesce(k.nkept, 0))::BIGINT AS removed_tokens
+FROM tk LEFT JOIN kept k ON tk.doc_id = k.doc_id
 """
 
     sql["dedup_clusters"] = (

@@ -266,6 +266,29 @@ def test_duplicate_spans_island_merge(spark):
     assert got[2] == (2, 13, 12)
 
 
+def test_duplicate_spans_plan_shape(spark):
+    """Scale contract of duplicate_spans: the duplicate-hash aggregation
+    must partial-aggregate map-side (shuffle carries (h, partial count),
+    not raw gram rows), the filtered hash set must come back as a semi
+    join keyed on h (no broadcast assumption, no cartesian product), and
+    the island merge must be a window — one pass, no self-join on docs."""
+    from dbpedia_spotlight_spark.datapipe.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        [(i, "w x y z " * 5) for i in range(10)], "doc_id long, text string"
+    )
+    plan = (
+        duplicate_spans(df, shingle_k=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("partial_count") >= 1  # map-side combine on h
+    assert "LeftSemi" in plan
+    assert "Window" in plan
+
+
 def test_connected_components_chain(spark):
     from dbpedia_spotlight_spark.datapipe.dedup import connected_components
 

@@ -610,6 +610,16 @@ def q_unigram_logprob(spark, sf_dir):
     )
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Per-document sliding windows (max 40 tokens, stride 30 — overlapping)
+    — the long-document splitting recipe for embedding/pretraining context
+    windows. Embarrassingly parallel: no shuffle, no global state, pure
+    codegen explode + slice."""
+    from dbpedia_spotlight_spark.datapipe.packing import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), max_tokens=40, stride=30)
+
+
 def q_seq_pack(spark, sf_dir):
     """GPT-style concat-and-chunk sequence packing at 512 tokens per chunk:
     the global token stream (docs in doc_id order) cut into fixed chunks,
@@ -1294,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "seq_pack": q_seq_pack,
+        "doc_chunks": q_doc_chunks,
         "stratified_sample": q_stratified_sample,
         "quality_filter": q_quality_filter,
         "unigram_logprob": q_unigram_logprob,
@@ -2441,6 +2452,31 @@ FROM agg a LEFT JOIN top t ON a.doc_id = t.doc_id
     # seq_pack: the same concat-and-chunk math over a plain window prefix
     # sum (the oracle may funnel through one partition; the Spark side may
     # not — that asymmetry is the point of the distributed prefix sum)
+    # doc_chunks: sliding windows per doc, max 40 / stride 30
+    sql["doc_chunks"] = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+b AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM t WHERE len(toks) > 0),
+nc AS (
+  SELECT doc_id, toks, n,
+    CASE WHEN n <= 40 THEN 1
+         ELSE 1 + (n - 40 + 29) // 30 END AS n_chunks
+  FROM b),
+ch AS (
+  SELECT doc_id, toks, n,
+    unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+  FROM nc)
+SELECT doc_id, chunk_idx,
+  (chunk_idx * 30)::BIGINT AS tok_start,
+  least(40, n - chunk_idx * 30)::BIGINT AS n_tok_slice,
+  array_to_string(
+    toks[chunk_idx * 30 + 1 : chunk_idx * 30 + least(40, n - chunk_idx * 30)],
+    ' ') AS chunk_text
+FROM ch
+"""
+
     sql["seq_pack"] = r"""
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words

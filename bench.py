@@ -63,6 +63,7 @@ HEADLINE = [
     "dedup_embedding",
     "events_windowed",
     "ngram_jaccard_dups",
+    "dedup_spans",
     "pii_scrub",
     "repetition_stats",
     "seq_pack",

@@ -147,6 +147,67 @@ def sequence_pack(
     return spans.select(*cols)
 
 
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    emit_text: bool = True,
+) -> DataFrame:
+    """Per-document sliding windows: cut each document into chunks of up to
+    `max_tokens` whitespace tokens whose starts advance by `stride`
+    (stride < max_tokens ⇒ overlapping windows, the long-document recipe
+    for embedding models and pretraining context windows; stride defaults
+    to max_tokens ⇒ disjoint chunks).
+
+    -> (doc_id, chunk_idx, tok_start, n_tok_slice[, chunk_text]). Chunks
+    stop once a window reaches the document's end (the last chunk may be
+    short; no window fully contained in its predecessor is emitted); empty
+    documents emit nothing.
+
+    Unlike sequence_pack there is no global state at all — every row is
+    independent, so the op is embarrassingly parallel at any scale: one
+    `sequence` explode for the window starts and slice+array_join for the
+    text, all codegen, no shuffle, no Python."""
+    if stride is None:
+        stride = max_tokens
+    if stride <= 0 or max_tokens <= 0:
+        raise ValueError("max_tokens and stride must be positive")
+    n = token_count(F.col(text_col)).cast("long")
+    # 1 window when n <= max_tokens, else 1 + ceil((n - max_tokens)/stride)
+    n_chunks = F.when(n <= max_tokens, F.lit(1)).otherwise(
+        F.lit(1) + F.ceil((n - F.lit(max_tokens)) / F.lit(stride)).cast("long")
+    )
+    spans = (
+        docs.withColumn("_n", n)
+        .filter(F.col("_n") > 0)
+        .withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .withColumn("tok_start", (F.col("chunk_idx") * F.lit(stride)).cast("long"))
+        .withColumn(
+            "n_tok_slice",
+            F.least(F.lit(max_tokens), F.col("_n") - F.col("tok_start")).cast(
+                "long"
+            ),
+        )
+    )
+    cols = [id_col, "chunk_idx", "tok_start", "n_tok_slice"]
+    if emit_text:
+        spans = spans.withColumn(
+            "chunk_text",
+            F.array_join(
+                F.slice(
+                    words_col(F.col(text_col)),
+                    F.col("tok_start").cast("int") + 1,
+                    F.col("n_tok_slice").cast("int"),
+                ),
+                " ",
+            ),
+        )
+        cols.append("chunk_text")
+    return spans.select(*cols)
+
+
 def stratified_sample(
     docs: DataFrame,
     rates: dict[str, float],

@@ -813,3 +813,52 @@ def test_ngram_contamination_hits(spark):
     )
     out = {r.doc_id: r.n_hit for r in ngram_contamination(train, ev, shingle_k=3).collect()}
     assert out == {1: 1, 3: 1}  # doc 2 clean; repeats count once (distinct sets)
+
+
+def test_chunk_documents_sliding_windows(spark):
+    from dbpedia_spotlight_spark.datapipe.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+            (2, "a b c"),  # shorter than one window
+            (3, " ".join(f"u{i}" for i in range(8))),  # exact cover, no tail
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, max_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["tok_start"], r["n_tok_slice"], r["chunk_text"])
+        )
+    # doc1: starts 0,3,6 then stop (6+4=10 covers the end)
+    assert sorted(by_doc[1]) == [
+        (0, 0, 4, "t0 t1 t2 t3"),
+        (1, 3, 4, "t3 t4 t5 t6"),
+        (2, 6, 4, "t6 t7 t8 t9"),
+    ]
+    # doc2: one short window
+    assert by_doc[2] == [(0, 0, 3, "a b c")]
+    # doc3 (8 tokens): starts 0,3 then 6 is needed? 3+4=7 < 8 so yes: 0,3,6
+    assert sorted(by_doc[3]) == [
+        (0, 0, 4, "u0 u1 u2 u3"),
+        (1, 3, 4, "u3 u4 u5 u6"),
+        (2, 6, 2, "u6 u7"),
+    ]
+    # every token of every doc is covered by at least one window
+    for did, chunks in by_doc.items():
+        covered = set()
+        for _, s, ln, _t in chunks:
+            covered |= set(range(s, s + ln))
+        n = {1: 10, 2: 3, 3: 8}[did]
+        assert covered == set(range(n))
+
+    # default stride = disjoint chunks
+    disjoint = chunk_documents(docs, max_tokens=4).collect()
+    d1 = sorted(
+        (r["tok_start"], r["n_tok_slice"])
+        for r in disjoint
+        if r["doc_id"] == 1
+    )
+    assert d1 == [(0, 4), (4, 4), (8, 2)]

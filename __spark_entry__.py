@@ -1004,6 +1004,61 @@ def q_d16_pagerank(spark, sf_dir):
     return ranks.select("doc_id", "node", F.round("rank", 6).alias("rank"))
 
 
+def q_graph_centrality(spark, sf_dir):
+    """jung-module topical-centrality rescoring
+    (GraphCentralityDisambiguator.scala:96-168): per doc the top-prior
+    candidate is the topical center; every candidate is rescored by its
+    1-hop common-neighbor count with the center in the co-occurrence
+    graph. Same micro-world as d16_pagerank."""
+    from dbpedia_spotlight_spark.operators.graph import (
+        centrality_rescore,
+        resource_edges,
+    )
+    from dbpedia_spotlight_spark.operators.modelbuild import cooccurrence_edges
+
+    occ = _occs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "pos",
+        "surface_form",
+        "uri",
+    )
+    res_ids = (
+        occ.select("uri")
+        .distinct()
+        .withColumn(
+            "res_id",
+            (F.row_number().over(Window.orderBy("uri")) - 1).cast("int"),
+        )
+    )
+    cooc = cooccurrence_edges(occ, min_count=3)
+    edges = resource_edges(cooc, res_ids.select("res_id", "uri"))
+    d = F.broadcast(_dict_df(spark))
+    spot_cands = (
+        _spots(spark, sf_dir)
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.lit(0).alias("span_pos"),
+            F.col("pos").cast("int").alias("offset"),
+            "surface_form",
+        )
+        .join(d.select("surface_form", "uri", "prior"), "surface_form")
+        .join(res_ids, "uri")
+        .select(
+            "doc_id", "span_pos", "offset", "res_id",
+            F.col("prior").cast("double").alias("contextual_score"),
+        )
+    )
+    out = centrality_rescore(spot_cands, edges)
+    return out.select(
+        "doc_id",
+        "offset",
+        "res_id",
+        "central_res",
+        F.col("common_nbrs").cast("long").alias("common_nbrs"),
+        "rank",
+    )
+
+
 def q_eval_linking(spark, sf_dir):
     """North-rule evidence: triple-level linking P/R (pipeline/evaluate.py
     linking_metrics_df) of the prior-disambiguation flagship twin against
@@ -1144,6 +1199,24 @@ def q_dedup_embedding(spark, sf_dir):
         emb, dim=64, threshold=0.3, num_planes=6, num_tables=4
     )
     return out.select("a", "b", F.round("cosine", 4).alias("cosine"))
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): fixed unit-norm random quantizer
+    (16 cells — with unit-norm centroids the L2 argmin is exactly the
+    max-dot/spherical assignment, so directions split the corpus evenly;
+    constants replayed into the oracle), intra-cluster cosine >= 0.35 to a
+    lower-id cluster-mate marks a semantic duplicate. The k-means-trained
+    quantizer path is exercised by pytest (oracle SQL must be
+    data-independent)."""
+    import numpy as _np
+
+    from dbpedia_spotlight_spark.datapipe.dedup import semantic_dedup
+
+    cents = _np.random.RandomState(7).normal(size=(16, 64))
+    cents = cents / _np.linalg.norm(cents, axis=1, keepdims=True)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(emb, cents, threshold=0.35)
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -1299,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "dedup_spans_clean": q_dedup_spans_clean,
         "dedup_embedding": q_dedup_embedding,
+        "semantic_dedup": q_semantic_dedup,
         "ivf_topk": q_ivf_topk,
         "events_windowed": q_events_windowed,
         "pii_scrub": q_pii_scrub,
@@ -1317,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_token_bags": q_s7_token_bags,
         "d9_mixtures": q_d9_mixtures,
         "d16_pagerank": q_d16_pagerank,
+        "graph_centrality": q_graph_centrality,
         "eval_linking": q_eval_linking,
         "annotate_e2e": q_annotate_e2e,
     }
@@ -2010,6 +2085,46 @@ pr0 AS (SELECT doc_id, node, pref AS rank FROM prefv)""" + "".join(
 SELECT doc_id, node, round(rank, 6) AS rank FROM pr3
 """
 
+    # graph_centrality: same micro-world CTEs as d16 up to (sc, eres);
+    # undirected 1-hop neighbor sets, common-neighbor count vs the per-doc
+    # top-prior center, rank by (common desc, score desc, res_id asc).
+    sql["graph_centrality"] = _BASE_CTES + """,
+occ2 AS (SELECT doc_id::VARCHAR AS doc_id, pos, surface_form, uri FROM occs),
+res AS (SELECT uri, (row_number() OVER (ORDER BY uri) - 1)::INT AS res_id
+        FROM (SELECT DISTINCT uri FROM occ2)),
+duu AS (SELECT DISTINCT doc_id, uri FROM occ2),
+cooc AS (SELECT a.uri AS su, b.uri AS du, count(*) AS cnt
+         FROM duu a JOIN duu b ON a.doc_id = b.doc_id AND a.uri < b.uri
+         GROUP BY a.uri, b.uri HAVING count(*) >= 3),
+eres AS (SELECT r1.res_id AS src, r2.res_id AS dst
+         FROM cooc JOIN res r1 ON cooc.su = r1.uri
+         JOIN res r2 ON cooc.du = r2.uri),
+sc AS (SELECT s.doc_id::VARCHAR AS doc_id, 0 AS span_pos, s.pos::INT AS off,
+              r.res_id, d.prior::DOUBLE AS cs
+       FROM spots s JOIN dict d ON s.surface_form = d.surface_form
+       JOIN res r ON d.uri = r.uri),
+nb AS (SELECT src AS r, dst AS nbr FROM eres
+       UNION SELECT dst AS r, src AS nbr FROM eres),
+cen AS (SELECT doc_id, res_id AS central_res FROM (
+          SELECT doc_id, res_id, row_number() OVER (
+            PARTITION BY doc_id ORDER BY cs DESC, res_id ASC) AS rn
+          FROM sc) WHERE rn = 1),
+cnb AS (SELECT c.doc_id, n.nbr FROM cen c JOIN nb n ON c.central_res = n.r),
+dcd AS (SELECT DISTINCT doc_id, res_id FROM sc),
+rnb AS (SELECT d.doc_id, d.res_id, n.nbr FROM dcd d JOIN nb n ON d.res_id = n.r),
+com AS (SELECT r.doc_id, r.res_id, count(*) AS common_nbrs
+        FROM rnb r JOIN cnb c ON r.doc_id = c.doc_id AND r.nbr = c.nbr
+        GROUP BY r.doc_id, r.res_id)
+SELECT s.doc_id, s.off AS "offset", s.res_id, cen.central_res,
+       coalesce(com.common_nbrs, 0)::BIGINT AS common_nbrs,
+       row_number() OVER (PARTITION BY s.doc_id, s.span_pos, s.off
+         ORDER BY coalesce(com.common_nbrs, 0) DESC, s.cs DESC,
+                  s.res_id ASC) AS "rank"
+FROM sc s
+JOIN cen ON s.doc_id = cen.doc_id
+LEFT JOIN com ON s.doc_id = com.doc_id AND s.res_id = com.res_id
+"""
+
     sql["eval_linking"] = _PRIOR_CTES + f""",
 pred AS (SELECT DISTINCT doc_id, off, surface_form, uri
          FROM ranked WHERE rank = 1),
@@ -2533,6 +2648,36 @@ WHERE ('0x' || substr(md5(doc_id::VARCHAR), 25, 8))::BIGINT % 10000 <
                 f" - 2.0 * list_inner_product({vec}, [{consts}]))"
             )
         return "[" + ", ".join(terms) + "]"
+
+    # semantic_dedup: replay the unit-normalized centroids (L2 argmin ==
+    # max-dot assignment); same first-min tie-break as ivf_topk.
+    _sd_cents = _ivf_cents / _np.linalg.norm(_ivf_cents, axis=1, keepdims=True)
+    _sd_cnorm = (_sd_cents * _sd_cents).sum(axis=1)
+
+    def _sd_scores(vec: str) -> str:
+        terms = []
+        for j in range(16):
+            consts = ", ".join(repr(float(x)) for x in _sd_cents[j])
+            terms.append(
+                f"({repr(float(_sd_cnorm[j]))}"
+                f" - 2.0 * list_inner_product({vec}, [{consts}]))"
+            )
+        return "[" + ", ".join(terms) + "]"
+
+    sql["semantic_dedup"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+es AS (SELECT vec_id, v, {_sd_scores('v')} AS sc FROM e),
+cell AS (SELECT vec_id, v,
+                (list_indexof(sc, list_min(sc)) - 1)::BIGINT AS cell
+         FROM es),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= (0.35)::DOUBLE
+)
+SELECT c.vec_id, c.cell, d.vec_id IS NULL AS keep
+FROM cell c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+"""
 
     sql["ivf_topk"] = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -505,6 +505,77 @@ def embedding_near_duplicates(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = 100_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", arXiv:2303.09540): cluster
+    embeddings with a coarse k-means quantizer, then inside each cluster
+    mark any item whose cosine similarity to a LOWER-id cluster-mate meets
+    `threshold` as a semantic duplicate. The paper keeps one exemplar per
+    near-dup group; we pin the deterministic keep rule "lowest id wins"
+    (the paper's choices — random / farthest-from-centroid — are
+    order-dependent) so the result is bit-stable and oracle-checkable.
+
+    centroids: (k x dim) float64 numpy matrix — a FIXED quantizer (train
+    one with similarity.train_ivf_centroids, or replay constants so an
+    oracle can recompute cell assignment).
+    -> (vec_id, cell, keep: boolean) — one row per input embedding.
+
+    100-TB shape: cell assignment is one numpy matmul pass (mapInPandas);
+    candidate pairs only form inside a cell (the cross product is per
+    cluster, never global) and travel as bare ids; vectors join back once
+    for the cosine verify. k controls the cluster size distribution — the
+    paper uses k~50k at web scale, so each cluster is ~corpus/k; clusters
+    above max_cluster_size (dead-centroid pathologies, all-zero embedding
+    clumps) are exempted whole from dedup — their members are kept and the
+    drop is the same declared-cap move as lsh_candidate_pairs."""
+    from dbpedia_spotlight_spark.datapipe.similarity import (
+        assign_ivf_cells,
+        with_cosine,
+    )
+
+    ids = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    cells = assign_ivf_cells(ids, centroids, "v", nprobe=1).select(
+        "vec_id", "cell"
+    )
+    if max_cluster_size is not None:
+        w = Window.partitionBy("cell")
+        cells_for_pairs = (
+            cells.withColumn("_cn", F.count("*").over(w))
+            .filter(F.col("_cn") <= max_cluster_size)
+            .drop("_cn")
+        )
+    else:
+        cells_for_pairs = cells
+    x, y = cells_for_pairs.alias("x"), cells_for_pairs.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.cell") == F.col("y.cell"))
+        & (F.col("x.vec_id") < F.col("y.vec_id")),
+    ).select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+    enriched = pairs.join(
+        ids.select(F.col("vec_id").alias("a"), F.col("v").alias("va")), "a"
+    ).join(ids.select(F.col("vec_id").alias("b"), F.col("v").alias("vb")), "b")
+    dropped = (
+        with_cosine(enriched, "va", "vb")
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select(F.col("b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return cells.join(dropped, "vec_id", "left").select(
+        "vec_id", "cell", F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep")
+    )
+
+
 def simhash_candidate_pairs(
     buckets: DataFrame, max_bucket_size: int | None = 1000
 ) -> DataFrame:

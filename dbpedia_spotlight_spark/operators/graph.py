@@ -205,3 +205,68 @@ def graph_disambiguate(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") == 1
     )
+
+
+def centrality_rescore(
+    spot_cands: DataFrame,
+    edges: DataFrame,
+    score_col: str = "contextual_score",
+) -> DataFrame:
+    """Topical-centrality candidate rescoring — the jung module's
+    GraphCentralityDisambiguator (jung/src/main/scala/org/dbpedia/spotlight/
+    disambiguate/GraphCentralityDisambiguator.scala:96-168): per document,
+    the top-scored candidate is the perceived topical center; every
+    candidate entity is then rescored by its 1-hop adjacency intersection
+    with that center (`AdjacencyList.intersect(a, b, "1hop").length` — the
+    common-neighbor count in the semantic graph).
+
+    spot_cands: SPOT_KEY + res_id + score_col. edges: (src, dst, weight)
+    res_id arcs (resource_edges output; treated as undirected here, as the
+    reference's adjacency lists are).
+    -> spot_cands + central_res + common_nbrs, rank per spot ordered by
+    common-neighbor count desc, then score desc, then res_id asc (the
+    reference iterates a HashSet, so its tie order is unspecified; we pin
+    a deterministic one).
+
+    100-TB shape: the semantic graph is the big table; both join legs hit
+    it as equi-joins on res_id with the per-doc candidate/center side
+    deduped to bare ids first — no cross product, no vectors, and the
+    groupBy keys are (doc_id, res_id) so partial aggregation applies."""
+    nbrs = (
+        edges.select(F.col("src").alias("res"), F.col("dst").alias("nbr"))
+        .unionByName(
+            edges.select(F.col("dst").alias("res"), F.col("src").alias("nbr"))
+        )
+        .distinct()
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.desc(score_col), F.asc("res_id")
+    )
+    central = (
+        spot_cands.withColumn("_rn", F.row_number().over(w_doc))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.col("res_id").alias("central_res"))
+    )
+    central_nbrs = central.join(
+        nbrs.withColumnRenamed("res", "central_res"), "central_res"
+    ).select("doc_id", "nbr")
+    cand_nbrs = (
+        spot_cands.select("doc_id", "res_id")
+        .distinct()
+        .join(nbrs.withColumnRenamed("res", "res_id"), "res_id")
+        .select("doc_id", "res_id", "nbr")
+    )
+    common = (
+        cand_nbrs.join(central_nbrs, ["doc_id", "nbr"])
+        .groupBy("doc_id", "res_id")
+        .agg(F.count("*").alias("common_nbrs"))
+    )
+    scored = (
+        spot_cands.join(common, ["doc_id", "res_id"], "left")
+        .join(central, "doc_id")
+        .withColumn("common_nbrs", F.coalesce(F.col("common_nbrs"), F.lit(0)))
+    )
+    w = Window.partitionBy(*SPOT_KEY).orderBy(
+        F.desc("common_nbrs"), F.desc(score_col), F.asc("res_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w))

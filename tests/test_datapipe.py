@@ -862,3 +862,41 @@ def test_chunk_documents_sliding_windows(spark):
         if r["doc_id"] == 1
     )
     assert d1 == [(0, 4), (4, 4), (8, 2)]
+
+
+def test_semantic_dedup_trained_quantizer(spark):
+    """SemDeDup over a trained k-means quantizer: two tight direction
+    clusters + an outlier. Within each cluster every member duplicates the
+    lowest-id exemplar (cosine ~1 >= 0.9); the exemplar and the outlier
+    survive."""
+    import numpy as np
+
+    from dbpedia_spotlight_spark.datapipe.dedup import semantic_dedup
+    from dbpedia_spotlight_spark.datapipe.similarity import train_ivf_centroids
+
+    base_a = np.ones(8)
+    base_b = np.concatenate([np.ones(4), -np.ones(4)])
+    outlier = np.array([8.0, -8, 8, -8, 8, -8, 8, -8])
+    rows = []
+    for i, eps in enumerate([0.0, 0.01, -0.01]):         # ids 0,1,2: cluster A
+        rows.append((i, (base_a + eps).tolist()))
+    for i, eps in enumerate([0.0, 0.02], start=10):       # ids 10,11: cluster B
+        rows.append((i, (base_b + eps).tolist()))
+    rows.append((20, outlier.tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = train_ivf_centroids(emb, num_cells=3, dim=8, seed=5)
+    out = {r["vec_id"]: r for r in semantic_dedup(emb, cents, 0.9).collect()}
+    assert len(out) == 6
+    assert out[0]["keep"] and not out[1]["keep"] and not out[2]["keep"]
+    assert out[10]["keep"] and not out[11]["keep"]
+    assert out[20]["keep"]
+    # same-direction vectors land in the same k-means cell
+    assert out[0]["cell"] == out[1]["cell"] == out[2]["cell"]
+    assert out[10]["cell"] == out[11]["cell"]
+
+    # cap: a cluster larger than max_cluster_size is exempted whole
+    capped = semantic_dedup(emb, cents, 0.9, max_cluster_size=2)
+    kept = {r["vec_id"] for r in capped.collect() if r["keep"]}
+    assert {0, 1, 2} <= kept          # 3-member cluster A exempt -> all kept
+    assert 10 in kept and 11 not in kept  # 2-member cluster B still deduped

@@ -74,6 +74,41 @@ def test_referent_graph_arcs_shape(spark):
     assert ("s:0:9", "r:2") not in kinds  # zero-score sf arc omitted
 
 
+def test_centrality_rescore_common_neighbors(spark):
+    """jung GraphCentralityDisambiguator shape: doc center = top-scored
+    candidate (C, 0.9); A shares 2 of C's 1-hop neighbors, B shares none,
+    so A outranks B at spot1 despite B's higher contextual score."""
+    from dbpedia_spotlight_spark.operators.graph import centrality_rescore
+
+    cands = spark.createDataFrame(
+        [
+            ("d1", 0, 0, 1, 0.10),   # spot1 -> A
+            ("d1", 0, 0, 2, 0.30),   # spot1 -> B (higher score, no overlap)
+            ("d1", 0, 50, 3, 0.90),  # spot2 -> C (topical center)
+        ],
+        "doc_id string, span_pos int, offset int, res_id int,"
+        " contextual_score double",
+    )
+    # C's neighbors: {4, 5, 1}; A's neighbors: {4, 5, 3}; B's: {6}
+    edges = spark.createDataFrame(
+        [(3, 4, 1.0), (5, 3, 1.0), (1, 3, 1.0), (1, 4, 1.0), (1, 5, 1.0),
+         (2, 6, 1.0)],
+        "src int, dst int, weight double",
+    )
+    out = centrality_rescore(cands, edges).collect()
+    by_res = {r["res_id"]: r for r in out}
+    assert all(r["central_res"] == 3 for r in out)
+    # A ∩ C 1-hop = {4, 5, 3∩1 cross-listed? no: N(A)={3,4,5}, N(C)={4,5,1}} -> {4,5}
+    assert by_res[1]["common_nbrs"] == 2
+    assert by_res[2]["common_nbrs"] == 0
+    # C vs itself: N(C) ∩ N(C) = 3 (self-center candidate keeps full overlap)
+    assert by_res[3]["common_nbrs"] == 3
+    spot1 = sorted(
+        (r["rank"], r["res_id"]) for r in out if r["offset"] == 0
+    )
+    assert spot1 == [(1, 1), (2, 2)]  # A first despite lower score
+
+
 def test_streaming_annotate(spark, world, tmp_path):
     from dbpedia_spotlight_spark.streaming.annotate_stream import (
         annotate_stream,

@@ -645,6 +645,28 @@ def q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
+    bucket LMs for a target slice (doc_id % 11 = 0) vs the raw rest,
+    per-doc log-likelihood-ratio weights, deterministic Gumbel-top-100
+    sampling without replacement (noise replayed from md5(doc_id))."""
+    from dbpedia_spotlight_spark.datapipe.dsir import dsir_select
+
+    docs = _docs(spark, sf_dir)
+    out = dsir_select(
+        docs.where(F.col("doc_id") % 11 != 0),
+        docs.where(F.col("doc_id") % 11 == 0),
+        k=100,
+        buckets=4096,
+    )
+    return out.select(
+        "doc_id",
+        "n_grams",
+        F.round("logw", 6).alias("logw"),
+        F.round("key", 6).alias("key"),
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering: MinHash-LSH pairs -> connected components ->
     canonical representative per cluster."""
@@ -1382,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "quality_filter": q_quality_filter,
         "unigram_logprob": q_unigram_logprob,
+        "dsir_select": q_dsir_select,
         "decontaminate": q_decontaminate,
         "f_filter_chain": q_f_filter_chain,
         "m9_resolve": q_m9_resolve,
@@ -2845,6 +2868,53 @@ SELECT p.doc_id, sum(p.c)::BIGINT AS n_words,
        round(sum(p.c * l.logp) / sum(p.c), 6) AS logprob
 FROM per p JOIN lm l ON p.token = l.token
 GROUP BY p.doc_id
+"""
+
+    # dsir_select: hashed-n-gram bucket LMs (md5-tail % 4096, identical
+    # bits both engines), add-one smoothing over the FIXED bucket vocab,
+    # per-doc log-ratio sum, Gumbel key replayed from md5(doc_id)
+    sql["dsir_select"] = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(
+    ws || [ws[i] || ' ' || ws[i+1] FOR i IN generate_series(1, len(ws) - 1)]
+  ) AS gram
+  FROM base
+),
+feats AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(gram), 25, 8))::BIGINT % 4096 AS bucket,
+         count(*) AS c
+  FROM grams GROUP BY doc_id, bucket
+),
+qn AS (SELECT bucket, sum(c) AS nq FROM feats WHERE doc_id % 11 <> 0 GROUP BY bucket),
+pn AS (SELECT bucket, sum(c) AS np FROM feats WHERE doc_id % 11 = 0 GROUP BY bucket),
+qt AS (SELECT sum(nq)::DOUBLE AS nn FROM qn),
+pt AS (SELECT coalesce(sum(np), 0)::DOUBLE AS nn FROM pn),
+ratio AS (
+  SELECT q.bucket,
+    ln((coalesce(p.np, 0) + 1.0) / (pt.nn + 4096.0))
+      - ln((q.nq + 1.0) / (qt.nn + 4096.0)) AS logr
+  FROM qn q LEFT JOIN pn p ON q.bucket = p.bucket, qt, pt
+),
+w AS (
+  SELECT f.doc_id, sum(f.c)::BIGINT AS n_grams, sum(f.c * r.logr) AS logw
+  FROM feats f JOIN ratio r ON f.bucket = r.bucket
+  WHERE f.doc_id % 11 <> 0
+  GROUP BY f.doc_id
+),
+keyed AS (
+  SELECT doc_id, n_grams, logw,
+    logw + (-ln(-ln(
+      ((('0x' || substr(md5(doc_id::VARCHAR), 25, 8))::BIGINT + 1.0)
+        / 4294967297.0)))) AS key
+  FROM w
+)
+SELECT doc_id, n_grams, round(logw, 6) AS logw, round(key, 6) AS key
+FROM keyed ORDER BY key DESC, doc_id LIMIT 100
 """
 
     # decontaminate: shared-shingle counts on strings (Spark counts the

@@ -1190,6 +1190,24 @@ def q_events_windowed(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based per-user sessionization (session_window, 30-minute gap):
+    the batch twin of the stateful streaming session operator — events of
+    one user closer than the gap merge; session end = last event + gap.
+    Times returned as unix microseconds (timezone-independent)."""
+    from dbpedia_spotlight_spark.streaming.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sessionize(ev, gap="30 minutes")
+    return out.select(
+        "user_id",
+        "session_start_us",
+        "session_end_us",
+        "n_events",
+        F.round("total_value", 6).alias("total_value"),
+    )
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF approximate top-k: fixed seeded-gaussian coarse quantizer (16
     cells — replayed into the oracle as constants, same move as the LSH
@@ -1397,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "ivf_topk": q_ivf_topk,
         "events_windowed": q_events_windowed,
+        "sessionize": q_sessionize,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "seq_pack": q_seq_pack,
@@ -2503,6 +2522,31 @@ FROM (
     PARTITION BY ws ORDER BY n DESC, event_type ASC) AS "rank"
   FROM c
 ) WHERE "rank" <= 3
+"""
+
+    # sessionize: gaps-and-islands twin of session_window — merge test on
+    # the previous event (events sorted by ts, so lag IS the running max),
+    # island id = running sum of breaks, end = last + gap. Spark merges an
+    # event at EXACTLY prev+gap (inclusive window end — probed), so the
+    # break condition is strictly >
+    sql["sessionize"] = """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+  FROM events
+),
+g AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+  epoch_us(min(ts)) AS session_start_us,
+  epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+  count(*)::BIGINT AS n_events,
+  round(sum(value), 6) AS total_value
+FROM g GROUP BY user_id, sid
 """
 
     # pii_scrub: same injection, same regexes (taken from PII_PATTERNS so

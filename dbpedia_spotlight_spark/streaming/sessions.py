@@ -1,0 +1,71 @@
+"""Per-user sessionization — gap-based session windows over an event
+stream, batch/stream agnostic.
+
+The reference's feed module (live/src/main/scala/org/dbpedia/spotlight/
+feed/Feed.scala) has no event-time notion at all; sessionization is the
+other canonical event-time shape next to tumbling windows
+(streaming/trending.py): events of one user closer than `gap` apart
+merge into one session, a quiet period of ≥ `gap` closes it.
+
+Spark-native: `F.session_window` — the built-in merging session window.
+In streaming it is stateful with watermark-driven eviction (state is
+bounded by open sessions, not stream length); on a batch DataFrame the
+same plan computes the same sessions, which is what the DuckDB
+gaps-and-islands oracle checks (`sessionize` query: lag + `<= gap`
+merge test + running-sum island ids — the exact same merge rule: an
+event at EXACTLY last_event_ts + gap still merges (the window end is
+inclusive for merging — probed empirically on pyspark 4.1.2), and the
+reported session end is last_event_ts + gap).
+
+Scale shape at 100 TB of events: one shuffle keyed by user_id (map-side
+partial session merge happens inside the session-window aggregation);
+per-user state is one open session. A pathological single user with
+billions of events is a key-skew concern like any groupBy — AQE skew
+splitting cannot split a session window mid-key, so the mitigation is
+the standard one: bound sessions with `max_events_hint` downstream or
+pre-split such synthetic users at ingest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """-> (user, session_start_us, session_end_us, n_events, total_value):
+    one row per (user, session). Times are unix microseconds
+    (timezone-independent integers; session_end = last event + gap)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(
+            F.col(user_col),
+            F.session_window(F.col(ts_col), gap).alias("sw"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("total_value"),
+        )
+        .select(
+            user_col,
+            # parquet timestamps load as TIMESTAMP_NTZ; the session runs
+            # in UTC (session.py), so the cast is a wall-clock identity
+            F.unix_micros(F.col("sw.start").cast("timestamp")).alias(
+                "session_start_us"
+            ),
+            F.unix_micros(F.col("sw.end").cast("timestamp")).alias(
+                "session_end_us"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )

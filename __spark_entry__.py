@@ -1208,6 +1208,34 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_events_asof(spark, sf_dir):
+    """Point-in-time (as-of) join: each purchase event matched to the
+    user's most recent at-or-before click. Spark has no ASOF JOIN — ours
+    is the union-and-fill composition (one shuffle + per-key sort, merge
+    join cost, no row amplification); the oracle is DuckDB's native
+    ASOF LEFT JOIN."""
+    from dbpedia_spotlight_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join(left, right, on="user_id", ts_col="ts")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return out.select(
+        "event_id",
+        "user_id",
+        us("ts").alias("ts_us"),
+        us("r_ts").alias("click_ts_us"),
+        F.round("r_click_value", 6).alias("click_value"),
+    )
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF approximate top-k: fixed seeded-gaussian coarse quantizer (16
     cells — replayed into the oracle as constants, same move as the LSH
@@ -1416,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "events_windowed": q_events_windowed,
         "sessionize": q_sessionize,
+        "events_asof": q_events_asof,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "seq_pack": q_seq_pack,
@@ -2547,6 +2576,22 @@ SELECT user_id,
   count(*)::BIGINT AS n_events,
   round(sum(value), 6) AS total_value
 FROM g GROUP BY user_id, sid
+"""
+
+    # events_asof: DuckDB's native ASOF LEFT JOIN is the oracle for our
+    # union-and-fill composition; >= keeps the same equal-ts semantics
+    sql["events_asof"] = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+       epoch_us(r.ts) AS click_ts_us,
+       round(r.click_value, 6) AS click_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
     # pii_scrub: same injection, same regexes (taken from PII_PATTERNS so

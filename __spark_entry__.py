@@ -1208,6 +1208,23 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_events_props(spark, sf_dir):
+    """JSON path extraction + grouped aggregation over the events table's
+    props column (get_json_object stays JVM-side; Jackson parse per row,
+    no Python). Typed extraction -> bucket -> count/sum/max."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"), "value")
+        .groupBy("event_type", F.pmod(F.col("k"), F.lit(10)).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def q_events_asof(spark, sf_dir):
     """Point-in-time (as-of) join: each purchase event matched to the
     user's most recent at-or-before click. Spark has no ASOF JOIN — ours
@@ -1445,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "sessionize": q_sessionize,
         "events_asof": q_events_asof,
+        "events_props": q_events_props,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "seq_pack": q_seq_pack,
@@ -2576,6 +2594,20 @@ SELECT user_id,
   count(*)::BIGINT AS n_events,
   round(sum(value), 6) AS total_value
 FROM g GROUP BY user_id, sid
+"""
+
+    # events_props: JSON path extraction twin (json_extract_string =
+    # get_json_object on scalar paths)
+    sql["events_props"] = """
+WITH e AS (
+  SELECT event_type,
+         json_extract_string(props, '$.k')::BIGINT AS k,
+         value
+  FROM events
+)
+SELECT event_type, k % 10 AS k_bucket, count(*)::BIGINT AS n,
+       round(sum(value), 6) AS sum_value, max(k) AS max_k
+FROM e GROUP BY 1, 2
 """
 
     # events_asof: DuckDB's native ASOF LEFT JOIN is the oracle for our

@@ -1,0 +1,45 @@
+"""End-to-end corpus-clean job (jobs/corpus_clean_job.py): stage
+accounting is monotone, output matches the last stage, PII is scrubbed."""
+
+import json
+import os
+import sys
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+def test_corpus_clean_job_stages(spark, tmp_path, capsys):
+    import corpus_clean_job
+
+    out = str(tmp_path / "clean")
+    corpus_clean_job.main(
+        [
+            "--input",
+            f"{SF_DIR}/documents.parquet",
+            "--output",
+            out,
+            "--langs",
+            "en,es",
+            "--min-words",
+            "10",
+            "--buckets",
+            "4",
+        ]
+    )
+    line = [
+        l for l in capsys.readouterr().out.splitlines() if l.startswith("{")
+    ][-1]
+    m = json.loads(line)
+    counts = list(m["stages"].values())
+    assert counts == sorted(counts, reverse=True)  # stages only drop rows
+    assert m["rows_written"] == counts[-1] > 0
+    cleaned = spark.read.parquet(out)
+    assert cleaned.count() == m["rows_written"]
+    assert set(cleaned.columns) >= {"doc_id", "text", "bucket"}

@@ -1225,6 +1225,79 @@ def q_events_props(spark, sf_dir):
     )
 
 
+def q_docs_rollup(spark, sf_dir):
+    """OLAP rollup over documents: (source, lang) hierarchy with subtotal
+    and grand-total rows (native ROLLUP — one pass, map-side partial agg
+    per grouping set). NULL group keys of aggregated-out levels rendered
+    as '<all>' so the sentinel is engine-neutral."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            "n_docs",
+            "avg_chars",
+        )
+    )
+
+
+def q_events_pivot(spark, sf_dir):
+    """Pivot: one row per user, one count column per event type (explicit
+    value list so the schema is static — the scale-safe form: a pivot
+    with an unbounded inferred value list needs a driver-side distinct
+    first). Missing combinations are 0, not null."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+    return out.select(
+        "user_id", *[F.col(t).alias(f"n_{t}") for t in types]
+    )
+
+
+def q_session_events(spark, sf_dir):
+    """Range (interval-containment) join: every event matched back into
+    its user's session interval via bin bucketing (operators/ranges.py —
+    equi-join on (user, bin), exact containment filter; no per-key cross
+    product), then counted per session. The oracle recomputes sessions
+    independently (gaps-and-islands) and joins with a plain BETWEEN."""
+    from dbpedia_spotlight_spark.operators.ranges import (
+        point_in_interval_join,
+    )
+    from dbpedia_spotlight_spark.streaming.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sessions = sessionize(ev, gap="30 minutes").select(
+        "user_id", "session_start_us", "session_end_us"
+    )
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    matched = point_in_interval_join(
+        pts,
+        sessions,
+        on="user_id",
+        ts_col="ts_us",
+        lo_col="session_start_us",
+        hi_col="session_end_us",
+        bin_width=1_800_000_000,  # 30 min in microseconds
+    )
+    return matched.groupBy("user_id", "session_start_us").agg(
+        F.count("*").alias("n_points")
+    )
+
+
 def q_events_asof(spark, sf_dir):
     """Point-in-time (as-of) join: each purchase event matched to the
     user's most recent at-or-before click. Spark has no ASOF JOIN — ours
@@ -1463,6 +1536,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "events_asof": q_events_asof,
         "events_props": q_events_props,
+        "docs_rollup": q_docs_rollup,
+        "events_pivot": q_events_pivot,
+        "session_events": q_session_events,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "seq_pack": q_seq_pack,
@@ -2608,6 +2684,54 @@ WITH e AS (
 SELECT event_type, k % 10 AS k_bucket, count(*)::BIGINT AS n,
        round(sum(value), 6) AS sum_value, max(k) AS max_k
 FROM e GROUP BY 1, 2
+"""
+
+    # docs_rollup / events_pivot: ROLLUP grouping sets and a static-list
+    # pivot as conditional aggregation
+    sql["docs_rollup"] = """
+SELECT coalesce(source, '<all>') AS source,
+       coalesce(lang, '<all>') AS lang,
+       count(*)::BIGINT AS n_docs,
+       round(avg(n_chars), 6) AS avg_chars
+FROM documents GROUP BY ROLLUP(source, lang)
+"""
+
+    sql["events_pivot"] = """
+SELECT user_id,
+  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view
+FROM events GROUP BY user_id
+"""
+
+    # session_events: independent session recomputation + plain BETWEEN
+    # range join checks the binned range join end to end
+    sql["session_events"] = """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+  FROM events
+),
+g AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+s AS (
+  SELECT user_id,
+    epoch_us(min(ts)) AS session_start_us,
+    epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us
+  FROM g GROUP BY user_id, sid
+)
+SELECT s.user_id, s.session_start_us, count(*)::BIGINT AS n_points
+FROM s JOIN events e
+  ON e.user_id = s.user_id
+  AND epoch_us(e.ts) >= s.session_start_us
+  AND epoch_us(e.ts) < s.session_end_us
+GROUP BY 1, 2
 """
 
     # events_asof: DuckDB's native ASOF LEFT JOIN is the oracle for our

@@ -68,6 +68,9 @@ HEADLINE = [
     "repetition_stats",
     "seq_pack",
     "stratified_sample",
+    "dsir_select",
+    "sessionize",
+    "events_asof",
 ]
 
 

@@ -1298,6 +1298,39 @@ def q_session_events(spark, sf_dir):
     )
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Exact continuous percentiles of document length per source
+    (percentile == DuckDB quantile_cont, both R-7 linear interpolation).
+    Exact quantiles shuffle every value of a group to one reducer — fine
+    per-source; at 100 TB the same API swaps to approx_percentile
+    (KLL-sketch, mergeable map-side) when ±ε is acceptable."""
+    docs = _docs(spark, sf_dir)
+    pct = lambda q: F.expr(f"percentile(n_chars, {q})")  # noqa: E731
+    return docs.groupBy("source").agg(
+        F.round(pct(0.5), 6).alias("p50"),
+        F.round(pct(0.9), 6).alias("p90"),
+        F.round(pct(0.99), 6).alias("p99"),
+    )
+
+
+def q_event_value_stats(spark, sf_dir):
+    """Moment aggregates per event type: sample stddev/variance and the
+    value↔json-k Pearson correlation — all single-pass mergeable
+    aggregates (map-side partial moments)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return (
+        ev.select("event_type", F.col("value"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+            F.round(F.var_samp("value"), 6).alias("var_value"),
+            F.round(F.corr("value", "k"), 6).alias("corr_vk"),
+        )
+    )
+
+
 def q_events_asof(spark, sf_dir):
     """Point-in-time (as-of) join: each purchase event matched to the
     user's most recent at-or-before click. Spark has no ASOF JOIN — ours
@@ -1539,6 +1572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_rollup": q_docs_rollup,
         "events_pivot": q_events_pivot,
         "session_events": q_session_events,
+        "length_quantiles": q_length_quantiles,
+        "event_value_stats": q_event_value_stats,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "seq_pack": q_seq_pack,
@@ -2704,6 +2739,29 @@ SELECT user_id,
   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view
 FROM events GROUP BY user_id
+"""
+
+    # length_quantiles / event_value_stats: exact continuous quantiles
+    # (quantile_cont == percentile, R-7) and moment aggregates
+    sql["length_quantiles"] = """
+SELECT source,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99
+FROM documents GROUP BY source
+"""
+
+    sql["event_value_stats"] = """
+WITH e AS (
+  SELECT event_type, value,
+         json_extract_string(props, '$.k')::DOUBLE AS k
+  FROM events
+)
+SELECT event_type, count(*)::BIGINT AS n,
+       round(stddev_samp(value), 6) AS sd_value,
+       round(var_samp(value), 6) AS var_value,
+       round(corr(value, k), 6) AS corr_vk
+FROM e GROUP BY event_type
 """
 
     # session_events: independent session recomputation + plain BETWEEN

@@ -264,6 +264,19 @@ def q_m6_cooccurrence(spark, sf_dir):
     )
 
 
+def q_graph_triangles(spark, sf_dir):
+    """Per-entity triangle counts on the M6 co-occurrence graph —
+    degree-ordered orientation (each triangle enumerated once from its
+    lowest-(degree,id) corner; wedge multiplicity bounded O(sqrt m) even
+    on celebrity nodes), then a corners explode."""
+    from dbpedia_spotlight_spark.operators.graph import triangle_counts
+
+    edges = cooccurrence_edges(_occs(spark, sf_dir), min_count=3)
+    return triangle_counts(edges, "src_uri", "dst_uri").select(
+        F.col("node").alias("uri"), "n_triangles"
+    )
+
+
 def q_m7_sorted_occurrences(spark, sf_dir):
     out = sorted_occurrences(_occs(spark, sf_dir))
     return out.select("uri", F.array_join("surface_forms", ",").alias("sfs"))
@@ -1574,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_events": q_session_events,
         "length_quantiles": q_length_quantiles,
         "event_value_stats": q_event_value_stats,
+        "graph_triangles": q_graph_triangles,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "seq_pack": q_seq_pack,
@@ -1661,6 +1675,25 @@ du AS (SELECT DISTINCT doc_id, uri FROM occs)
 SELECT a.uri AS src_uri, b.uri AS dst_uri, count(*) AS n_cooc
 FROM du a JOIN du b ON a.doc_id = b.doc_id AND a.uri < b.uri
 GROUP BY a.uri, b.uri HAVING count(*) >= 3
+"""
+
+    # graph_triangles: canonical a<b edges -> wedge + closing-edge joins
+    # (orientation is a plan choice; the triangle SET is orientation-free)
+    sql["graph_triangles"] = _BASE_CTES + """,
+du AS (SELECT DISTINCT doc_id, uri FROM occs),
+ed AS (
+  SELECT a.uri AS a, b.uri AS b
+  FROM du a JOIN du b ON a.doc_id = b.doc_id AND a.uri < b.uri
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ed e1
+  JOIN ed e2 ON e2.a = e1.b
+  JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (SELECT unnest([x, y, z]) AS uri FROM tri)
+SELECT uri, count(*)::BIGINT AS n_triangles FROM corners GROUP BY uri
 """
 
     sql["m7_sorted_occurrences"] = _BASE_CTES + """

@@ -270,3 +270,64 @@ def centrality_rescore(
         F.desc("common_nbrs"), F.desc(score_col), F.asc("res_id")
     )
     return scored.withColumn("rank", F.row_number().over(w))
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts on an undirected graph -> (node,
+    n_triangles); zero-triangle nodes are absent (inner joins).
+
+    Degree-ordered orientation (the Cohen / "compact-forward" MapReduce
+    scheme): every edge points from its lower-(degree, id) endpoint to
+    the higher one, so each triangle is enumerated exactly once from its
+    lowest corner and — the 100-TB point — the wedge join's multiplicity
+    per node is its OUT-degree, which orientation bounds by O(sqrt(m))
+    even for celebrity nodes whose raw degree is millions. Three
+    shuffles total (degree agg, wedge self-join, closing-edge join);
+    all equi-joins, no theta join.
+
+    The corners explode at the end counts each triangle for all three
+    of its nodes. No counterpart in the reference (its jung module stops
+    at 1-hop common-neighbor intersections)."""
+    a, b = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.select(
+            F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("n"))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    keyed = (
+        e.join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+    )
+    ka = F.struct(F.col("da").alias("d"), F.col("a").alias("n"))
+    kb = F.struct(F.col("db").alias("d"), F.col("b").alias("n"))
+    o = keyed.select(
+        F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(ka < kb, kb).otherwise(ka).alias("vk"),
+    )
+    wedges = (
+        o.alias("o1")
+        .join(o.alias("o2"), "u")
+        .where(F.col("o1.vk") < F.col("o2.vk"))
+        .select(
+            F.col("u"),
+            F.col("o1.v").alias("x"),
+            F.col("o2.v").alias("y"),
+        )
+    )
+    closing = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closing, ["x", "y"])
+    return (
+        tri.select(F.explode(F.array("u", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )

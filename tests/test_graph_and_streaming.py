@@ -257,3 +257,34 @@ def test_trending_stream_watermark_late_data(spark, tmp_path):
     q.awaitTermination(120)
     got = read_out()
     assert got[(10, "view")] == 2  # late event dropped, no double emission
+
+
+def test_triangle_counts_k4_pendant_and_cycle(spark):
+    from dbpedia_spotlight_spark.operators.graph import triangle_counts
+
+    # K4 (3 triangles per node) + pendant node 5 (zero -> absent)
+    k4 = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)] + [(4, 5)]
+    out = {
+        r.node: r.n_triangles
+        for r in triangle_counts(
+            spark.createDataFrame(k4, "src long, dst long")
+        ).collect()
+    }
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    # 5-cycle: no triangles at all
+    c5 = [(i, (i % 5) + 1) for i in range(1, 6)]
+    assert (
+        triangle_counts(
+            spark.createDataFrame(c5, "src long, dst long")
+        ).count()
+        == 0
+    )
+    # duplicate + reversed edges collapse before counting
+    noisy = k4 + [(j, i) for i, j in k4] + k4
+    out2 = {
+        r.node: r.n_triangles
+        for r in triangle_counts(
+            spark.createDataFrame(noisy, "src long, dst long")
+        ).collect()
+    }
+    assert out2 == out

@@ -1344,6 +1344,54 @@ def q_event_value_stats(spark, sf_dir):
     )
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Ingest-time dedup of a new batch against a base-corpus hash index
+    (base copies canonical, then min-id within the batch). The batch is
+    synthesized deterministically: the doc_id%4==0 slice plus injected
+    base duplicates (+1e6 ids, texts from the base slice) and injected
+    batch-internal duplicates (+2e6 ids, texts already in the batch)."""
+    from dbpedia_spotlight_spark.datapipe.dedup import (
+        exact_hash_index,
+        incremental_exact_dedup,
+    )
+
+    docs = _docs(spark, sf_dir)
+    base = docs.where(F.col("doc_id") % 4 != 0)
+    new = (
+        docs.where(F.col("doc_id") % 4 == 0)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.where(F.col("doc_id") % 10 == 1).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 20 == 0).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return incremental_exact_dedup(new, exact_hash_index(base))
+
+
+def q_event_deltas(spark, sf_dir):
+    """Analytic window functions per user ordered by event time: lag
+    delta, running sum, quartile bucket (one shuffle on user_id, one
+    per-key sort shared by all three frames)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+        F.round(F.sum("value").over(run), 6).alias("running"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 def q_events_asof(spark, sf_dir):
     """Point-in-time (as-of) join: each purchase event matched to the
     user's most recent at-or-before click. Spark has no ASOF JOIN — ours
@@ -1588,6 +1636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,
         "event_value_stats": q_event_value_stats,
         "graph_triangles": q_graph_triangles,
+        "event_deltas": q_event_deltas,
+        "dedup_incremental": q_dedup_incremental,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "seq_pack": q_seq_pack,
@@ -2823,6 +2873,46 @@ FROM s JOIN events e
   AND epoch_us(e.ts) >= s.session_start_us
   AND epoch_us(e.ts) < s.session_end_us
 GROUP BY 1, 2
+"""
+
+    # dedup_incremental: same batch synthesis, same sha256-normalized
+    # equivalence, base wins then min-id-within-batch
+    sql["dedup_incremental"] = r"""
+WITH nb AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 1
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 20 = 0
+),
+bh AS (
+  SELECT DISTINCT sha256(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS h
+  FROM documents WHERE doc_id % 4 <> 0
+),
+nh AS (
+  SELECT doc_id,
+         sha256(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS h,
+         min(doc_id) OVER (
+           PARTITION BY sha256(lower(regexp_replace(text, '\s+', ' ', 'g')))
+         ) AS first_id
+  FROM nb
+)
+SELECT n.doc_id,
+  (b.h IS NULL AND n.doc_id = n.first_id) AS keep,
+  CASE WHEN b.h IS NOT NULL THEN 'base'
+       WHEN n.doc_id <> n.first_id THEN 'batch' END AS reason
+FROM nh n LEFT JOIN bh b ON n.h = b.h
+"""
+
+    # event_deltas: identical analytic window frames in both engines
+    sql["event_deltas"] = """
+SELECT event_id, user_id,
+  round(value - lag(value) OVER w, 6) AS delta,
+  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING), 6) AS running,
+  ntile(4) OVER w AS quartile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
     # events_asof: DuckDB's native ASOF LEFT JOIN is the oracle for our

@@ -967,3 +967,48 @@ def ngram_contamination(
         .groupBy(id_col)
         .agg(F.count("*").cast("long").alias("n_hit"))
     )
+
+
+def exact_hash_index(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Compact (text_hash) index of a corpus snapshot — at 100 TB this is
+    persisted as its own table at ingest time (32 bytes/doc) so each new
+    batch joins the index instead of re-hashing the whole corpus."""
+    return df.select(
+        F.sha2(_norm_text_col(F.col(text_col)), 256).alias("text_hash")
+    ).distinct()
+
+
+def incremental_exact_dedup(
+    new: DataFrame,
+    base_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingest-time dedup of a NEW batch against an existing corpus
+    snapshot -> (doc_id, keep, reason): reason 'base' when the normalized
+    text already exists in the base index (the base copy is canonical),
+    'batch' for non-first duplicates inside the batch (min id kept),
+    null (keep=true) otherwise.
+
+    Scale shape: the batch is hashed once; the base join is an equi-join
+    on the 256-bit hash (uniform key — no skew by construction) against
+    the compact index, broadcast when it fits; the batch-internal
+    canonical pick is one window per hash. The base corpus itself is
+    never re-read."""
+    h = F.sha2(_norm_text_col(F.col(text_col)), 256)
+    nh = new.select(F.col(id_col).alias("doc_id"), h.alias("text_hash"))
+    first = Window.partitionBy("text_hash")
+    nh = nh.withColumn("first_id", F.min("doc_id").over(first))
+    joined = nh.join(
+        base_index.select("text_hash").distinct().withColumn(
+            "_in_base", F.lit(True)
+        ),
+        "text_hash",
+        "left",
+    )
+    reason = F.when(F.col("_in_base"), F.lit("base")).when(
+        F.col("doc_id") != F.col("first_id"), F.lit("batch")
+    )
+    return joined.select(
+        "doc_id", reason.isNull().alias("keep"), reason.alias("reason")
+    )

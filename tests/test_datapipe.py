@@ -900,3 +900,33 @@ def test_semantic_dedup_trained_quantizer(spark):
     kept = {r["vec_id"] for r in capped.collect() if r["keep"]}
     assert {0, 1, 2} <= kept          # 3-member cluster A exempt -> all kept
     assert 10 in kept and 11 not in kept  # 2-member cluster B still deduped
+
+
+def test_incremental_exact_dedup_reasons(spark):
+    from dbpedia_spotlight_spark.datapipe.dedup import (
+        exact_hash_index,
+        incremental_exact_dedup,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "Alpha   Beta"),  # normalized dup of base 1 -> 'base'
+            (11, "delta"),         # fresh -> keep
+            (12, "delta"),         # batch dup of 11 -> 'batch'
+            (13, "ALPHA beta"),    # in base AND in batch -> base wins
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.keep, r.reason)
+        for r in incremental_exact_dedup(new, exact_hash_index(base)).collect()
+    }
+    assert out == {
+        10: (False, "base"),
+        11: (True, None),
+        12: (False, "batch"),
+        13: (False, "base"),
+    }

@@ -1344,6 +1344,21 @@ def q_event_value_stats(spark, sf_dir):
     )
 
 
+def q_zorder_keys(spark, sf_dir):
+    """Morton (Z-order) layout keys over (user_id, json k) — the
+    interleaved-bit clustering key used for two-dimensional min/max data
+    skipping; pure shift/and/or codegen, identical integer SQL in the
+    oracle."""
+    from dbpedia_spotlight_spark.functions.zorder import zorder_key
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        "event_id",
+        zorder_key(F.col("user_id"), k, bits=16).alias("zkey"),
+    )
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Ingest-time dedup of a new batch against a base-corpus hash index
     (base copies canonical, then min-id within the batch). The batch is
@@ -1638,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "event_deltas": q_event_deltas,
         "dedup_incremental": q_dedup_incremental,
+        "zorder_keys": q_zorder_keys,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "seq_pack": q_seq_pack,
@@ -2873,6 +2889,16 @@ FROM s JOIN events e
   AND epoch_us(e.ts) >= s.session_start_us
   AND epoch_us(e.ts) < s.session_end_us
 GROUP BY 1, 2
+"""
+
+    # zorder_keys: the bit-interleave expression generated once and
+    # shared verbatim with the Spark side (zorder_key_sql)
+    from dbpedia_spotlight_spark.functions.zorder import zorder_key_sql
+
+    sql["zorder_keys"] = f"""
+SELECT event_id,
+  {zorder_key_sql("user_id", "json_extract_string(props, '$.k')::BIGINT", 16)} AS zkey
+FROM events
 """
 
     # dedup_incremental: same batch synthesis, same sha256-normalized

@@ -930,3 +930,53 @@ def test_incremental_exact_dedup_reasons(spark):
         12: (False, "batch"),
         13: (False, "base"),
     }
+
+
+def test_zorder_key_matches_python_reference(spark):
+    from dbpedia_spotlight_spark.functions.zorder import zorder_key
+
+    def ref(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = [(3, 5), (0, 0), (65535, 65535), (12345, 54321), (70000, 2)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    from pyspark.sql import functions as SF
+
+    got = df.select("x", "y", zorder_key(SF.col("x"), SF.col("y")).alias("z")).collect()
+    for r in got:
+        assert r.z == ref(r.x & 65535, r.y & 65535), (r.x, r.y)
+
+
+def test_write_zordered_partition_ranges_disjoint(spark, tmp_path):
+    from pyspark.sql import functions as SF
+
+    from dbpedia_spotlight_spark.functions.zorder import (
+        write_zordered,
+        zorder_key,
+    )
+
+    df = spark.range(2000).select(
+        SF.col("id").alias("rid"),
+        (SF.col("id") * 37 % 1000).alias("x"),
+        (SF.col("id") * 91 % 1000).alias("y"),
+    )
+    path = str(tmp_path / "z")
+    write_zordered(df, path, "x", "y", n_files=8)
+    out = (
+        spark.read.parquet(path)
+        .withColumn("f", SF.input_file_name())
+        .withColumn("z", zorder_key(SF.col("x"), SF.col("y")))
+    )
+    assert out.count() == 2000
+    ranges = sorted(
+        (r.lo, r.hi)
+        for r in out.groupBy("f")
+        .agg(SF.min("z").alias("lo"), SF.max("z").alias("hi"))
+        .collect()
+    )
+    for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert lo2 > hi1  # files tile the z-curve: zone maps prune cleanly

@@ -1344,6 +1344,35 @@ def q_event_value_stats(spark, sf_dir):
     )
 
 
+def q_vocab_setops(spark, sf_dir):
+    """Relational set operations over per-source bigram vocabularies:
+    bigrams in BOTH src0 and src1 but NOT src2 (INTERSECT / EXCEPT
+    distinct semantics — hash-aggregate + shuffle on the gram key;
+    bigrams rather than words so the result set is non-trivial on the
+    shared synthetic word pool)."""
+    from dbpedia_spotlight_spark.datapipe.textstats import words_col
+
+    docs = _docs(spark, sf_dir)
+
+    def vocab(src):
+        ex = (
+            docs.where(F.col("source") == src)
+            .select(words_col(F.col("text")).alias("ws"))
+            .select("ws", F.posexplode("ws").alias("pos", "tok"))
+        )
+        return (
+            ex.where(F.col("pos") < F.size("ws") - 1)
+            .select(
+                F.concat_ws(" ", F.col("tok"), F.expr("ws[pos + 1]")).alias(
+                    "gram"
+                )
+            )
+            .distinct()
+        )
+
+    return vocab("src0").intersect(vocab("src1")).subtract(vocab("src2"))
+
+
 def q_zorder_keys(spark, sf_dir):
     """Morton (Z-order) layout keys over (user_id, json k) — the
     interleaved-bit clustering key used for two-dimensional min/max data
@@ -1654,6 +1683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_deltas": q_event_deltas,
         "dedup_incremental": q_dedup_incremental,
         "zorder_keys": q_zorder_keys,
+        "vocab_setops": q_vocab_setops,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "seq_pack": q_seq_pack,
@@ -2889,6 +2919,26 @@ FROM s JOIN events e
   AND epoch_us(e.ts) >= s.session_start_us
   AND epoch_us(e.ts) < s.session_end_us
 GROUP BY 1, 2
+"""
+
+    # vocab_setops: INTERSECT/EXCEPT distinct semantics match exactly
+    # (INTERSECT binds tighter than EXCEPT in both engines)
+    sql["vocab_setops"] = r"""
+WITH w AS (
+  SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+  FROM documents
+),
+b AS (
+  SELECT source,
+         unnest([ws[i] || ' ' || ws[i+1]
+                 FOR i IN generate_series(1, len(ws) - 1)]) AS gram
+  FROM w
+)
+SELECT DISTINCT gram FROM b WHERE source = 'src0'
+INTERSECT
+SELECT DISTINCT gram FROM b WHERE source = 'src1'
+EXCEPT
+SELECT DISTINCT gram FROM b WHERE source = 'src2'
 """
 
     # zorder_keys: the bit-interleave expression generated once and

@@ -184,3 +184,65 @@ def test_duplicate_spans_matches_python_bruteforce(spark):
         for r in duplicate_spans(df, shingle_k=k, min_count=2).collect()
     }
     assert got == expected
+
+
+def test_asof_join_matches_bruteforce_random(spark):
+    """Seeded random tables: asof_join == per-row brute force (latest
+    right.ts <= left.ts per key, None when absent)."""
+    import random
+
+    from dbpedia_spotlight_spark.operators.asof import asof_join
+
+    rng = random.Random(11)
+    left = [
+        (i, rng.randrange(5), rng.randrange(1000)) for i in range(120)
+    ]
+    right = [
+        (rng.randrange(5), t, float(j))
+        for j, t in enumerate(rng.sample(range(1000), 80))
+    ]
+    expected = {}
+    for pid, k, ts in left:
+        best = None
+        for rk, rts, rv in right:
+            if rk == k and rts <= ts and (best is None or rts > best[0]):
+                best = (rts, rv)
+        expected[pid] = best
+    ldf = spark.createDataFrame(left, "pid long, user_id long, ts long")
+    rdf = spark.createDataFrame(right, "user_id long, ts long, v double")
+    got = {
+        r.pid: (None if r.r_ts is None else (r.r_ts, r.r_v))
+        for r in asof_join(ldf, rdf, on="user_id", ts_col="ts").collect()
+    }
+    assert got == expected
+
+
+def test_triangle_counts_match_bruteforce_random(spark):
+    """Seeded G(n, p) graphs: degree-oriented counts == itertools brute
+    force over all vertex triples."""
+    import itertools
+    import random
+
+    from dbpedia_spotlight_spark.operators.graph import triangle_counts
+
+    for seed, n, p in [(1, 12, 0.4), (2, 16, 0.25), (3, 9, 0.7)]:
+        rng = random.Random(seed)
+        edges = [
+            (a, b)
+            for a, b in itertools.combinations(range(n), 2)
+            if rng.random() < p
+        ]
+        es = {frozenset(e) for e in edges}
+        expected = {}
+        for tri in itertools.combinations(range(n), 3):
+            if all(
+                frozenset(pair) in es
+                for pair in itertools.combinations(tri, 2)
+            ):
+                for v in tri:
+                    expected[v] = expected.get(v, 0) + 1
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r.node: r.n_triangles for r in triangle_counts(df).collect()
+        }
+        assert got == expected, (seed, got, expected)

@@ -1344,6 +1344,36 @@ def q_event_value_stats(spark, sf_dir):
     )
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing: per-language tercile thresholds
+    of the unigram-LM document score split the corpus into head / middle
+    / tail quality buckets (head = highest logprob). Thresholds are a
+    tiny per-lang dim (broadcast back); comparisons run on 6-dp-rounded
+    values in BOTH engines so the bucket decision is bit-stable."""
+    from dbpedia_spotlight_spark.datapipe.textstats import (
+        unigram_doc_logprob,
+        unigram_model,
+    )
+
+    docs = _docs(spark, sf_dir)
+    lp = unigram_doc_logprob(docs, unigram_model(docs)).select(
+        "doc_id", F.round("logprob", 6).alias("lp")
+    )
+    j = docs.select("doc_id", "lang").join(lp, "doc_id")
+    th = j.groupBy("lang").agg(
+        F.round(F.expr("percentile(lp, 1.0/3.0)"), 6).alias("t1"),
+        F.round(F.expr("percentile(lp, 2.0/3.0)"), 6).alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("lp") <= F.col("t1"), F.lit("tail"))
+        .when(F.col("lp") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+    )
+    return j.join(F.broadcast(th), "lang").select(
+        "doc_id", "lang", "lp", bucket.alias("bucket")
+    )
+
+
 def q_vocab_setops(spark, sf_dir):
     """Relational set operations over per-source bigram vocabularies:
     bigrams in BOTH src0 and src1 but NOT src2 (INTERSECT / EXCEPT
@@ -1684,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "zorder_keys": q_zorder_keys,
         "vocab_setops": q_vocab_setops,
+        "ccnet_buckets": q_ccnet_buckets,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "seq_pack": q_seq_pack,
@@ -2919,6 +2950,39 @@ FROM s JOIN events e
   AND epoch_us(e.ts) >= s.session_start_us
   AND epoch_us(e.ts) < s.session_end_us
 GROUP BY 1, 2
+"""
+
+    # ccnet_buckets: unigram-LM score (same CTEs as unigram_logprob),
+    # per-lang tercile thresholds (quantile_cont == percentile, R-7),
+    # all comparisons on 6-dp-rounded values
+    sql["ccnet_buckets"] = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(words) AS token FROM w),
+cnt AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+tot AS (SELECT sum(n)::DOUBLE AS nn, count(*)::DOUBLE AS vv FROM cnt),
+lm AS (SELECT token, ln((n + 1.0) / (nn + vv)) AS logp FROM cnt, tot),
+per AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token),
+lp AS (
+  SELECT p.doc_id, round(sum(p.c * l.logp) / sum(p.c), 6) AS lp
+  FROM per p JOIN lm l ON p.token = l.token GROUP BY p.doc_id
+),
+j AS (
+  SELECT d.doc_id, d.lang, lp.lp
+  FROM documents d JOIN lp ON d.doc_id = lp.doc_id
+),
+th AS (
+  SELECT lang, round(quantile_cont(lp, 1.0/3.0), 6) AS t1,
+               round(quantile_cont(lp, 2.0/3.0), 6) AS t2
+  FROM j GROUP BY lang
+)
+SELECT j.doc_id, j.lang, j.lp,
+  CASE WHEN j.lp <= th.t1 THEN 'tail'
+       WHEN j.lp <= th.t2 THEN 'middle'
+       ELSE 'head' END AS bucket
+FROM j JOIN th ON j.lang = th.lang
 """
 
     # vocab_setops: INTERSECT/EXCEPT distinct semantics match exactly

@@ -51,3 +51,26 @@ def test_interval_columns_prefixed(spark):
     )
     # clashing interval column renamed, lo resolves to the renamed side
     assert "iv_ts_us" in out.columns and out.count() == 1
+
+
+def test_range_join_stays_equijoin(spark):
+    # the bin trick must compile to a hash/sort-merge equi-join on
+    # (key, bin) — never a nested-loop/cartesian theta join
+    p = spark.createDataFrame(
+        [(1, 1, 10)], "user_id long, pid long, ts_us long"
+    )
+    iv = spark.createDataFrame(
+        [(1, 5, 20)], "user_id long, lo long, hi long"
+    )
+    plan = (
+        point_in_interval_join(
+            p, iv, on="user_id", ts_col="ts_us", lo_col="lo", hi_col="hi",
+            bin_width=8,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_bin" in plan

@@ -1344,6 +1344,22 @@ def q_event_value_stats(spark, sf_dir):
     )
 
 
+def q_dtw_series(spark, sf_dir):
+    """Per-user DTW distance between the click and view value curves —
+    groupBy().cogroup().applyInPandas with a numpy DP (one co-partitioned
+    shuffle per side; the O(n·m) alignment lattice has no SQL form, so
+    this is a rows-only query; the DP is pinned against a pure-Python
+    reference in tests/test_cogroup_ops.py)."""
+    from dbpedia_spotlight_spark.operators.cogroup_ops import cogrouped_dtw
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cogrouped_dtw(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "view"),
+        band=32,
+    )
+
+
 def q_ccnet_buckets(spark, sf_dir):
     """CCNet-style perplexity bucketing: per-language tercile thresholds
     of the unigram-LM document score split the corpus into head / middle
@@ -1715,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_keys": q_zorder_keys,
         "vocab_setops": q_vocab_setops,
         "ccnet_buckets": q_ccnet_buckets,
+        "dtw_series": q_dtw_series,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "seq_pack": q_seq_pack,

@@ -1344,6 +1344,57 @@ def q_event_value_stats(spark, sf_dir):
     )
 
 
+def q_tpch_pricing(spark, sf_dir):
+    """TPC-H Q1-style pricing summary over lineitem, issued through the
+    spark.sql endpoint (temp view -> SQL text -> the same Catalyst plan
+    as the DataFrame API): one scan with the shipdate filter pushed to
+    parquet, map-side partial aggregation on the 4-group key."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "v_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 6) AS sum_qty,
+               round(sum(l_extendedprice), 6) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)
+                 AS sum_charge,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM v_lineitem
+        WHERE l_shipdate <= timestamp'2000-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+def q_tpch_revenue(spark, sf_dir):
+    """TPC-H Q5-style revenue per nation: lineitem ⋈ orders ⋈ customer ⋈
+    nation with a one-year order-date window. The fact-side joins hash
+    on the fact keys; nation is a broadcast dim; revenue aggregates with
+    map-side combine."""
+    for t in ("lineitem", "orders", "customer", "nation"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(
+            f"v_{t}"
+        )
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+               count(*) AS n_items
+        FROM v_lineitem l
+        JOIN v_orders o ON l.l_orderkey = o.o_orderkey
+        JOIN v_customer c ON o.o_custkey = c.c_custkey
+        JOIN v_nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= timestamp'1997-01-01 00:00:00'
+          AND o.o_orderdate < timestamp'1998-01-01 00:00:00'
+        GROUP BY n.n_name
+        """
+    )
+
+
 def q_dtw_series(spark, sf_dir):
     """Per-user DTW distance between the click and view value curves —
     groupBy().cogroup().applyInPandas with a numpy DP (one co-partitioned
@@ -1732,6 +1783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_setops": q_vocab_setops,
         "ccnet_buckets": q_ccnet_buckets,
         "dtw_series": q_dtw_series,
+        "tpch_pricing": q_tpch_pricing,
+        "tpch_revenue": q_tpch_revenue,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
         "seq_pack": q_seq_pack,
@@ -2967,6 +3020,36 @@ FROM s JOIN events e
   AND epoch_us(e.ts) >= s.session_start_us
   AND epoch_us(e.ts) < s.session_end_us
 GROUP BY 1, 2
+"""
+
+    # tpch_pricing / tpch_revenue: classic OLAP twins on the TPC-H-ish
+    # tables (identical SQL semantics both engines)
+    sql["tpch_pricing"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)
+         AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= timestamp '2000-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    sql["tpch_revenue"] = """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= timestamp '1997-01-01 00:00:00'
+  AND o.o_orderdate < timestamp '1998-01-01 00:00:00'
+GROUP BY n.n_name
 """
 
     # ccnet_buckets: unigram-LM score (same CTEs as unigram_logprob),

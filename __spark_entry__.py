@@ -1344,6 +1344,22 @@ def q_event_value_stats(spark, sf_dir):
     )
 
 
+def q_embedding_pool(spark, sf_dir):
+    """Mean-pool embeddings per label (centroid computation — the
+    building block behind SemDeDup/IVF training and chunk→document
+    pooling). Scale-correct form: posexplode to (group, dim, value) so
+    the average is a plain map-side-combined groupBy — never a
+    collect_list of whole vectors; emitted exploded as (label, pos, v)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    return ex.groupBy("label", "pos").agg(
+        F.round(F.avg("v"), 6).alias("v"),
+        F.count("*").alias("n_vecs"),
+    )
+
+
 def q_tpch_pricing(spark, sf_dir):
     """TPC-H Q1-style pricing summary over lineitem, issued through the
     spark.sql endpoint (temp view -> SQL text -> the same Catalyst plan
@@ -1784,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "dtw_series": q_dtw_series,
         "tpch_pricing": q_tpch_pricing,
+        "embedding_pool": q_embedding_pool,
         "tpch_revenue": q_tpch_revenue,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
@@ -3020,6 +3037,21 @@ FROM s JOIN events e
   AND epoch_us(e.ts) >= s.session_start_us
   AND epoch_us(e.ts) < s.session_end_us
 GROUP BY 1, 2
+"""
+
+    # embedding_pool: positioned unnest via a struct comprehension
+    # (DuckDB has no WITH ORDINALITY) == posexplode, 1-based fixed by
+    # i-1; float32 upcast to double before avg in both engines
+    sql["embedding_pool"] = """
+WITH ex AS (
+  SELECT label,
+         unnest([{'pos': i - 1, 'v': embedding[i]::DOUBLE}
+                 FOR i IN generate_series(1, len(embedding))],
+                recursive := true)
+  FROM embeddings
+)
+SELECT label, pos, round(avg(v), 6) AS v, count(*)::BIGINT AS n_vecs
+FROM ex GROUP BY label, pos
 """
 
     # tpch_pricing / tpch_revenue: classic OLAP twins on the TPC-H-ish

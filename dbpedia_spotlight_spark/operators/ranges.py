@@ -38,8 +38,10 @@ def point_in_interval_join(
 ) -> DataFrame:
     """Inner join: every (point, containing-interval) pair — point and
     interval columns side by side (shared names: interval's prefixed
-    `iv_`). Containment is lo <= ts < hi over numeric (e.g. epoch-us)
-    columns."""
+    `iv_`). Containment is lo <= ts < hi over NON-NEGATIVE numeric
+    (e.g. epoch-us) columns — binning uses integer division via a
+    truncating cast, which equals floor only for non-negative values;
+    shift negative domains before joining."""
     binned_iv = intervals.withColumn(
         "_bin",
         F.explode(

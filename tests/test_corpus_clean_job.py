@@ -43,3 +43,38 @@ def test_corpus_clean_job_stages(spark, tmp_path, capsys):
     cleaned = spark.read.parquet(out)
     assert cleaned.count() == m["rows_written"]
     assert set(cleaned.columns) >= {"doc_id", "text", "bucket"}
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+def test_dsir_select_job(spark, tmp_path, capsys):
+    import dsir_select_job
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    raw_p, tgt_p = str(tmp_path / "raw"), str(tmp_path / "tgt")
+    docs.where(F.col("doc_id") % 11 != 0).write.parquet(raw_p)
+    docs.where(F.col("doc_id") % 11 == 0).write.parquet(tgt_p)
+    out = str(tmp_path / "sel")
+    dsir_select_job.main(
+        ["--raw", raw_p, "--target", tgt_p, "--output", out, "-k", "25"]
+    )
+    line = [
+        l for l in capsys.readouterr().out.splitlines() if l.startswith("{")
+    ][-1]
+    m = json.loads(line)
+    assert m["rows_written"] == 25
+    sel = spark.read.parquet(out)
+    assert sel.count() == 25
+    assert {"doc_id", "text", "logw", "key"} <= set(sel.columns)
+    # determinism: rerun selects the identical ids
+    out2 = str(tmp_path / "sel2")
+    dsir_select_job.main(
+        ["--raw", raw_p, "--target", tgt_p, "--output", out2, "-k", "25"]
+    )
+    ids = lambda p: sorted(  # noqa: E731
+        r.doc_id for r in spark.read.parquet(p).select("doc_id").collect()
+    )
+    assert ids(out) == ids(out2)

@@ -1344,6 +1344,32 @@ def q_event_value_stats(spark, sf_dir):
     )
 
 
+def q_events_join_within(spark, sf_dir):
+    """Batch twin of the stream-stream event-time join: every purchase
+    paired with the same user's clicks in the preceding 30 minutes
+    (inclusive both ends). Streaming-side this exact plan is stateful
+    with watermark-bounded buffers (streaming/joins.py)."""
+    from dbpedia_spotlight_spark.streaming.joins import join_within
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    out = join_within(
+        ev.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id"
+        ),
+        ev.where(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        ),
+        within="30 minutes",
+    )
+    return out.select(
+        F.col("l_key").alias("user_id"),
+        F.col("l_event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("click_id"),
+        (us("l_ts") - us("r_ts")).alias("gap_us"),
+    )
+
+
 def q_embedding_pool(spark, sf_dir):
     """Mean-pool embeddings per label (centroid computation — the
     building block behind SemDeDup/IVF training and chunk→document
@@ -1801,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtw_series": q_dtw_series,
         "tpch_pricing": q_tpch_pricing,
         "embedding_pool": q_embedding_pool,
+        "events_join_within": q_events_join_within,
         "tpch_revenue": q_tpch_revenue,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
@@ -3037,6 +3064,21 @@ FROM s JOIN events e
   AND epoch_us(e.ts) >= s.session_start_us
   AND epoch_us(e.ts) < s.session_end_us
 GROUP BY 1, 2
+"""
+
+    # events_join_within: plain BETWEEN join twin of the stream-stream
+    # event-time join
+    sql["events_join_within"] = """
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events p
+JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
 """
 
     # embedding_pool: positioned unnest via a struct comprehension

@@ -117,3 +117,56 @@ def test_sessionize_streaming_append_emits_closed_sessions(spark, tmp_path):
     assert (_us(t), 2, 3.0) in emitted
     # the 16:00 tail session is still open (watermark behind it) — absent
     assert all(r.session_start_us != _us(t + dt.timedelta(hours=6)) for r in got)
+
+
+def test_stream_stream_join_within(spark, tmp_path):
+    """Both sides streaming: inner event-time join emits matched pairs;
+    a click outside the 30-min lookback never matches."""
+    import os
+
+    from dbpedia_spotlight_spark.streaming.joins import join_within
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(ldir), os.makedirs(rdir)
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    spark.createDataFrame(
+        [(1, t, 100), (2, t, 200)], schema
+    ).coalesce(1).write.mode("append").parquet(ldir)
+    spark.createDataFrame(
+        [
+            (1, t - dt.timedelta(minutes=10), 101),  # in window
+            (1, t - dt.timedelta(minutes=29), 102),  # in window
+            (1, t - dt.timedelta(minutes=31), 103),  # too old
+            (2, t + dt.timedelta(minutes=1), 201),   # after purchase
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(rdir)
+
+    q = (
+        join_within(
+            spark.readStream.schema(schema).parquet(ldir),
+            spark.readStream.schema(schema).parquet(rdir),
+            within="30 minutes",
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.l_event_id, r.r_event_id)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {(100, 101), (100, 102)}

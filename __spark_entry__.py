@@ -1344,6 +1344,26 @@ def q_event_value_stats(spark, sf_dir):
     )
 
 
+def q_tpch_priority(spark, sf_dir):
+    """TPC-H Q4-style order-priority check: orders with at least one
+    late-shipped line item (EXISTS == left-semi join, the no-row-
+    amplification form), counted per priority within a quarter."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
 def q_events_join_within(spark, sf_dir):
     """Batch twin of the stream-stream event-time join: every purchase
     paired with the same user's clicks in the preceding 30 minutes
@@ -1828,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing": q_tpch_pricing,
         "embedding_pool": q_embedding_pool,
         "events_join_within": q_events_join_within,
+        "tpch_priority": q_tpch_priority,
         "tpch_revenue": q_tpch_revenue,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
@@ -3064,6 +3085,20 @@ FROM s JOIN events e
   AND epoch_us(e.ts) >= s.session_start_us
   AND epoch_us(e.ts) < s.session_end_us
 GROUP BY 1, 2
+"""
+
+    # tpch_priority: EXISTS == left-semi; timestamp literals compare the
+    # same way in both engines
+    sql["tpch_priority"] = """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders o
+WHERE o.o_orderdate >= timestamp '1997-01-01'
+  AND o.o_orderdate < timestamp '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
 """
 
     # events_join_within: plain BETWEEN join twin of the stream-stream

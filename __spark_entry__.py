@@ -1344,6 +1344,44 @@ def q_event_value_stats(spark, sf_dir):
     )
 
 
+def q_fuzzy_words(spark, sf_dir):
+    """Fuzzy matching with blocking — the entity-resolution primitive:
+    top-100 corpus words, candidate pairs blocked on (first char,
+    length within ±1) so the quadratic edit-distance verify runs only
+    inside blocks, then levenshtein <= 3. At 100 TB the block key is the
+    shuffle key; no all-pairs comparison ever materializes."""
+    from pyspark.sql import Window
+
+    from dbpedia_spotlight_spark.datapipe.textstats import words_col
+
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.select(F.explode(words_col(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    top = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 100)
+        .select("word", F.substring("word", 1, 1).alias("blk"))
+    )
+    a, b = top.alias("a"), top.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.word") < F.col("b.word"))
+        & (
+            F.abs(F.length("a.word") - F.length("b.word")) <= 1
+        ),
+    )
+    return pairs.select(
+        F.col("a.word").alias("w1"),
+        F.col("b.word").alias("w2"),
+        F.levenshtein("a.word", "b.word").alias("dist"),
+    ).where(F.col("dist") <= 3)
+
+
 def q_tpch_priority(spark, sf_dir):
     """TPC-H Q4-style order-priority check: orders with at least one
     late-shipped line item (EXISTS == left-semi join, the no-row-
@@ -1849,6 +1887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pool": q_embedding_pool,
         "events_join_within": q_events_join_within,
         "tpch_priority": q_tpch_priority,
+        "fuzzy_words": q_fuzzy_words,
         "tpch_revenue": q_tpch_revenue,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
@@ -3085,6 +3124,28 @@ FROM s JOIN events e
   AND epoch_us(e.ts) >= s.session_start_us
   AND epoch_us(e.ts) < s.session_end_us
 GROUP BY 1, 2
+"""
+
+    # fuzzy_words: identical blocking + levenshtein (same classic DP in
+    # both engines); top-100 pinned by (n desc, word asc) row_number
+    sql["fuzzy_words"] = r"""
+WITH cnt AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+  FROM documents
+),
+c2 AS (SELECT word, count(*) AS n FROM cnt GROUP BY word),
+top AS (
+  SELECT word, substr(word, 1, 1) AS blk
+  FROM (SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS rk
+        FROM c2)
+  WHERE rk <= 100
+)
+SELECT a.word AS w1, b.word AS w2,
+       levenshtein(a.word, b.word)::BIGINT AS dist
+FROM top a JOIN top b
+  ON a.blk = b.blk AND a.word < b.word
+ AND abs(length(a.word) - length(b.word)) <= 1
+WHERE levenshtein(a.word, b.word) <= 3
 """
 
     # tpch_priority: EXISTS == left-semi; timestamp literals compare the

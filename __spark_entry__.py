@@ -1344,6 +1344,33 @@ def q_event_value_stats(spark, sf_dir):
     )
 
 
+def q_daily_dense(spark, sf_dir):
+    """Time-series densification: per-user daily event counts with
+    missing days filled as 0 over each user's own active range —
+    date spine via sequence() + explode, left join back (the spine is
+    generated, never shuffled; one join keyed (user, day))."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("n"))
+    rng = daily.groupBy("user_id").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    spine = rng.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("d"),
+    )
+    return (
+        spine.join(daily, ["user_id", "d"], "left")
+        .na.fill(0, ["n"])
+        .select(
+            "user_id", F.date_format("d", "yyyy-MM-dd").alias("day"), "n"
+        )
+    )
+
+
 def q_fuzzy_words(spark, sf_dir):
     """Fuzzy matching with blocking — the entity-resolution primitive:
     top-100 corpus words, candidate pairs blocked on (first char,
@@ -1888,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_join_within": q_events_join_within,
         "tpch_priority": q_tpch_priority,
         "fuzzy_words": q_fuzzy_words,
+        "daily_dense": q_daily_dense,
         "tpch_revenue": q_tpch_revenue,
         "pii_scrub": q_pii_scrub,
         "repetition_stats": q_repetition_stats,
@@ -3124,6 +3152,22 @@ FROM s JOIN events e
   AND epoch_us(e.ts) >= s.session_start_us
   AND epoch_us(e.ts) < s.session_end_us
 GROUP BY 1, 2
+"""
+
+    # daily_dense: generate_series date spine == sequence(lo, hi, 1 day)
+    sql["daily_dense"] = """
+WITH daily AS (
+  SELECT user_id, ts::DATE AS d, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+rng AS (SELECT user_id, min(d) AS lo, max(d) AS hi FROM daily GROUP BY 1),
+spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+  FROM rng
+)
+SELECT s.user_id, strftime(s.d, '%Y-%m-%d') AS day,
+       coalesce(daily.n, 0)::BIGINT AS n
+FROM spine s LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d
 """
 
     # fuzzy_words: identical blocking + levenshtein (same classic DP in

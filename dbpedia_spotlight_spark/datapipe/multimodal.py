@@ -1,9 +1,11 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata. The Spark-side machinery (schemas, batching, partition
-strategy, UDF signatures) is real and tested; the actual codec step is
-STUBBED — this container ships no image/audio libraries — behind
-`decode_fn` hooks that raise NotImplementedError unless a deterministic fake
-is injected (tests use the fake).
+strategy, UDF signatures) is real and tested, and so are the decoders for
+PPM/PGM/WAV/Y4M (raw formats, below) and PNG/GIF/baseline-JPEG (compressed,
+pure-stdlib `datapipe/codecs.py`). Only compressed audio/video
+(MP3/AAC/H.264) — which needs codec libraries this container does not
+ship — remains STUBBED behind `decode_fn` hooks that raise
+NotImplementedError unless a real codec is injected.
 
 Pattern: mapInPandas over (media_ref, media_bytes, kind) with bounded Arrow
 batches; heavy blobs stay in binary columns end to end (never exploded into
@@ -22,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from dbpedia_spotlight_spark.datapipe import codecs
+
 MEDIA_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_ref", T.StringType()),
@@ -37,18 +41,27 @@ MEDIA_FEATURES_SCHEMA = T.StructType(
 
 def default_decode(kind: str, payload: bytes):
     """Dispatch: raw self-describing formats (PPM/PGM images, WAV audio,
-    YUV4MPEG2 video) decode natively below with zero external libraries;
-    compressed codecs (JPEG/PNG/MP3/H.264) need PIL/librosa/av, which this
-    container does not ship — those stay an explicit stub (inject decode_fn
-    with a real codec in production)."""
+    YUV4MPEG2 video) decode natively below, and compressed images decode
+    via the pure-stdlib codecs module — PNG (zlib inflate + scanline
+    unfiltering), GIF (LZW), baseline JPEG (canonical Huffman + dequant +
+    8x8 IDCT + YCbCr) — all with zero external libraries. Only audio/video
+    compression (MP3/AAC/H.264) needs codec libraries this container does
+    not ship — that stays an explicit stub (inject decode_fn with a real
+    codec in production)."""
     if payload[:2] in (b"P6", b"P5"):
         return decode_pnm(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     if payload[:9] == b"YUV4MPEG2":
         return decode_y4m(payload)
+    if payload[:8] == codecs.PNG_MAGIC:
+        return codecs.decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return codecs.decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        return codecs.decode_jpeg(payload)
     raise NotImplementedError(
-        "compressed media decode requires an image/audio library; "
+        "MP3/AAC/H.264 decode requires an audio/video codec library; "
         "inject decode_fn"
     )
 

@@ -980,3 +980,154 @@ def test_write_zordered_partition_ranges_disjoint(spark, tmp_path):
     )
     for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
         assert lo2 > hi1  # files tile the z-curve: zone maps prune cleanly
+
+
+def test_png_gif_decoders_real(spark):
+    """Compressed PNG/GIF decode with zero external libs: zlib inflate +
+    per-scanline unfiltering (all five PNG filter types cross-checked
+    against an independent spec-forward filterer), GIF-LZW. Only
+    JPEG/MP3/H.264 remain stubbed."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from dbpedia_spotlight_spark.datapipe import codecs as C
+    from dbpedia_spotlight_spark.datapipe.multimodal import (
+        default_decode,
+        extract_media_features,
+    )
+
+    rng = np.random.default_rng(7)
+
+    # round-trip every supported channel count (gray, gray+A, RGB, RGBA)
+    for c in (1, 2, 3, 4):
+        arr = rng.integers(0, 256, size=(13, 9, c), dtype=np.uint8)
+        assert (C.decode_png_pixels(C.encode_png(arr)) == arr).all()
+
+    # unfiltering vs an independent forward implementation of RFC 2083 §6
+    def forward_filter(img, ftypes, bpp):
+        h, w_b = img.shape
+        out = bytearray()
+        for y in range(h):
+            f = ftypes[y % len(ftypes)]
+            for x in range(w_b):
+                a = int(img[y, x - bpp]) if x >= bpp else 0
+                b = int(img[y - 1, x]) if y > 0 else 0
+                cc = int(img[y - 1, x - bpp]) if (x >= bpp and y > 0) else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                if x == 0:
+                    out.append(f)
+                out.append((int(img[y, x]) - pred) & 0xFF)
+        return bytes(out)
+
+    w, h, bpp = 7, 10, 3
+    img = rng.integers(0, 256, size=(h, w * bpp), dtype=np.uint8)
+    for ftypes in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        raw = forward_filter(img, ftypes, bpp)
+        assert (C._unfilter_scanlines(raw, w, h, bpp) == img).all(), ftypes
+
+    # palette PNG expands through PLTE
+    idx = rng.integers(0, 5, size=(6, 8), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(5, 3), dtype=np.uint8)
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    png_p = (
+        C.PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 6, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(
+            b"IDAT",
+            zlib.compress(b"".join(b"\x00" + idx[y].tobytes() for y in range(6))),
+        )
+        + chunk(b"IEND", b"")
+    )
+    assert (C.decode_png_pixels(png_p) == pal[idx]).all()
+
+    # GIF LZW round-trip + frame count
+    gidx = rng.integers(0, 7, size=(11, 5), dtype=np.uint8)
+    gpal = rng.integers(0, 256, size=(7, 3), dtype=np.uint8)
+    gif = C.encode_gif(gidx, gpal)
+    arr, nf = C.decode_gif_pixels(gif)
+    assert nf == 1 and (arr == gpal[gidx]).all()
+
+    # end to end through the Spark operator with the REAL default decoder
+    png = C.encode_png(np.full((16, 12, 3), 100, dtype=np.uint8))
+    media = spark.createDataFrame(
+        [("img://png", "image", bytearray(png)), ("img://gif", "image", bytearray(gif))],
+        "media_ref string, kind string, payload binary",
+    )
+    rows = {r["media_ref"]: r for r in extract_media_features(media).collect()}
+    assert rows["img://png"]["width"] == 12 and rows["img://png"]["height"] == 16
+    assert abs(rows["img://png"]["feature"][0] - 100.0 / 255.0) < 1e-6
+    assert rows["img://gif"]["width"] == 5 and rows["img://gif"]["n_frames"] == 1
+
+    # compressed audio/video stays a declared stub (MP3 frame sync header)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        default_decode("audio", b"\xff\xfb\x90\x00 mp3 frame")
+
+
+def test_jpeg_baseline_codec():
+    """Pure-numpy baseline JPEG: constant blocks reconstruct flat within
+    the DC quantization bound (±q00/16 = ±1), a smooth gradient round-trips
+    above 30 dB PSNR, odd (non-multiple-of-8) sizes crop correctly, and
+    the default_decode dispatch picks it up from the SOI marker."""
+    import numpy as np
+
+    from dbpedia_spotlight_spark.datapipe import codecs as C
+    from dbpedia_spotlight_spark.datapipe.multimodal import default_decode
+
+    for v in (0, 7, 100, 128, 200, 255):
+        out = C.decode_jpeg_pixels(
+            C.encode_jpeg(np.full((8, 8, 1), v, dtype=np.uint8))
+        )
+        assert out.shape == (8, 8, 1)
+        assert np.all(np.abs(out.astype(int) - v) <= 1), (v, int(out[0, 0, 0]))
+        assert np.all(out == out[0, 0, 0])  # perfectly flat reconstruction
+
+    h, w = 24, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    arr = np.stack(
+        [
+            xx * 255 // (w - 1),
+            yy * 255 // (h - 1),
+            (xx + yy) * 255 // (w + h - 2),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    out = C.decode_jpeg_pixels(C.encode_jpeg(arr))
+    assert out.shape == arr.shape
+    mse = np.mean((out.astype(np.float64) - arr) ** 2)
+    assert 10 * np.log10(255**2 / max(mse, 1e-9)) > 30
+
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, size=(17, 13, 1), dtype=np.uint8)
+    jpg = C.encode_jpeg(gray)
+    assert C.decode_jpeg_pixels(jpg).shape == gray.shape
+    w_, h_, nf, feat = default_decode("image", jpg)
+    assert (w_, h_, nf) == (13, 17, 1) and len(feat) == 8
+
+    # restart markers (DRI + RSTn, DC prediction reset) decode identically
+    base = C.decode_jpeg_pixels(C.encode_jpeg(arr))
+    for ri in (1, 3, 24):
+        assert (
+            C.decode_jpeg_pixels(C.encode_jpeg(arr, restart_interval=ri)) == base
+        ).all(), ri

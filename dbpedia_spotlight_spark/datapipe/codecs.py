@@ -99,9 +99,35 @@ def _unfilter_scanlines(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
     return out
 
 
+_ADAM7 = (  # (x_start, y_start, x_step, y_step) per pass, PNG spec §8.5.1
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _deinterlace_adam7(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+    """Adam7: seven independently-filtered sub-images concatenated in the
+    IDAT stream; each unfilters like a normal image, then scatters into the
+    full-resolution grid at its pass offsets."""
+    out = np.zeros((h, w * bpp), dtype=np.uint8)
+    full = out.reshape(h, w, bpp)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw == 0 or ph == 0:
+            continue
+        n = ph * (pw * bpp + 1)
+        sub = _unfilter_scanlines(raw[off : off + n], pw, ph, bpp)
+        full[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+        off += n
+    return out
+
+
 def decode_png_pixels(payload: bytes) -> np.ndarray:
     """PNG bytes -> (h, w, channels) uint8 array. Palette images expand to
-    RGB. Bit depth 8, non-interlaced only (explicit errors otherwise)."""
+    RGB; Adam7 interlacing deinterlaced. Bit depth 8 only (explicit
+    errors otherwise)."""
     if payload[:8] != PNG_MAGIC:
         raise ValueError("not a PNG")
     w = h = None
@@ -121,13 +147,14 @@ def decode_png_pixels(payload: bytes) -> np.ndarray:
         raise ValueError("PNG missing IHDR")
     if bit_depth != 8:
         raise ValueError(f"unsupported PNG bit depth {bit_depth}")
-    if interlace:
-        raise ValueError("Adam7 interlaced PNG unsupported")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"unsupported PNG color type {color_type}")
     bpp = _PNG_CHANNELS[color_type]
     raw = zlib.decompress(b"".join(idat))
-    px = _unfilter_scanlines(raw, w, h, bpp)
+    if interlace:
+        px = _deinterlace_adam7(raw, w, h, bpp)
+    else:
+        px = _unfilter_scanlines(raw, w, h, bpp)
     if color_type == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE")

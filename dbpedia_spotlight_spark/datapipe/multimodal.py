@@ -127,9 +127,10 @@ def decode_pnm(payload: bytes):
 
 
 def decode_wav(payload: bytes):
-    """Real decoder for PCM WAV audio (RIFF header walk, 16-bit samples).
-    width=sample_rate, height=channels, n_frames=sample count; the 8-dim
-    feature is per-band RMS of an 8-way split."""
+    """Real decoder for PCM WAV audio (RIFF header walk; 16-bit signed and
+    8-bit unsigned samples). width=sample_rate, height=channels,
+    n_frames=sample count; the 8-dim feature is per-band RMS of an 8-way
+    split."""
     import struct
 
     i = 12
@@ -148,6 +149,10 @@ def decode_wav(payload: bytes):
                 .astype(np.float32)
                 / 32768.0
             )
+        elif cid == b"data" and bits == 8:  # 8-bit PCM is unsigned per RIFF
+            samples = (
+                np.frombuffer(body, dtype=np.uint8).astype(np.float32) - 128.0
+            ) / 128.0
         i += 8 + size + (size % 2)
     n_frames = int(samples.size // max(channels, 1))
     bands = np.array_split(samples, 8)

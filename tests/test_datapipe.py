@@ -1131,3 +1131,57 @@ def test_jpeg_baseline_codec():
         assert (
             C.decode_jpeg_pixels(C.encode_jpeg(arr, restart_interval=ri)) == base
         ).all(), ri
+
+
+def test_png_adam7_and_8bit_wav():
+    """Adam7 interlaced PNGs deinterlace exactly (forward-interlaced
+    fixtures across channel counts and sub-8px edge sizes); 8-bit unsigned
+    PCM WAV decodes with the right scaling."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from dbpedia_spotlight_spark.datapipe import codecs as C
+    from dbpedia_spotlight_spark.datapipe.multimodal import decode_wav
+
+    rng = np.random.default_rng(5)
+    for h, w, c in ((13, 9, 3), (8, 8, 1), (1, 1, 3), (5, 17, 4)):
+        arr = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        passes = []
+        for x0, y0, dx, dy in C._ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            ph, pw = sub.shape[:2]
+            body = sub.reshape(ph, pw * c)
+            passes.append(
+                b"".join(b"\x00" + body[y].tobytes() for y in range(ph))
+            )
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+        def chunk(t, d):
+            return (
+                struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+            )
+
+        png = (
+            C.PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1))
+            + chunk(b"IDAT", zlib.compress(b"".join(passes)))
+            + chunk(b"IEND", b"")
+        )
+        out = C.decode_png_pixels(png)
+        assert out.shape == arr.shape and (out == arr).all(), (h, w, c)
+
+    data = bytes([128 + 64] * 10)  # constant +0.5 amplitude
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    rate, ch, n, feat = decode_wav(wav)
+    assert (rate, ch, n) == (8000, 1, 10)
+    assert abs(feat[0] - 0.5) < 1e-6

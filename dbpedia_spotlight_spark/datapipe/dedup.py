@@ -484,6 +484,9 @@ def embedding_near_duplicates(
             .filter(F.col("_bn") <= max_bucket_size)
             .drop("_bn")
         )
+    # both sides of the self-join read the Arrow signature pass — persist
+    # so the numpy matmul runs once, not twice
+    sig = sig.persist()
     x, y = sig.alias("x"), sig.alias("y")
     pairs = (
         x.join(
@@ -708,6 +711,11 @@ def prefix_filter_jaccard_join(
     sets_df = shingle_hash_sets(
         df, text_col=text_col, id_col=id_col, shingle_k=shingle_k
     ).filter(F.size("sh") > 0)
+    # Four downstream subtrees consume the Arrow shingle pass (frequency
+    # rank, prefix build, and both sides of the verify join); without a
+    # materialization Spark recomputes the Python pass for each. persist,
+    # not localCheckpoint: lazy, spills to disk, and evicts under pressure.
+    sets_df = sets_df.persist()
     ex = sets_df.select("doc_id", F.explode("sh").alias("s"))
     freq = ex.groupBy("s").agg(F.count("*").alias("c"))
     ranked = (

@@ -1846,6 +1846,62 @@ def q_d3_generative(spark, sf_dir):
     )
 
 
+def q_media_features(spark, sf_dir):
+    """Hash-checked end-to-end exercise of the REAL compressed-image codec
+    chain (datapipe/codecs.py) inside the driver gate: each document gets a
+    deterministic formula PNG payload — 8x16 RGB, all channels equal,
+    pixel(y, x) = (doc_id % 256 + 17*y + 5*x) % 256 — encoded with
+    encode_png (zlib deflate), decoded back by default_decode's real PNG
+    path (inflate + scanline unfilter), and reduced to integer per-band
+    pixel sums: each of the 8 feature bands covers exactly one 16-px row,
+    so every float step is exact and feature[i] * 16 * 255 rounds to the
+    exact sum. The DuckDB twin computes the sums in closed form — any
+    defect in the codec chain breaks the hash."""
+    from dbpedia_spotlight_spark.datapipe.multimodal import (
+        extract_media_features,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from dbpedia_spotlight_spark.datapipe.codecs import encode_png
+
+        yy, xx = np.mgrid[0:8, 0:16]
+        base = 17 * yy + 5 * xx
+        for pdf in batches:
+            out = {"media_ref": [], "kind": [], "payload": []}
+            for did in pdf["doc_id"]:
+                arr = ((int(did) % 256 + base) % 256).astype(np.uint8)
+                out["media_ref"].append(f"img://{int(did)}")
+                out["kind"].append("image")
+                out["payload"].append(
+                    encode_png(np.repeat(arr[:, :, None], 3, axis=2))
+                )
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(
+        gen, "media_ref string, kind string, payload binary"
+    )
+    feats = extract_media_features(media)  # real default_decode dispatch
+    return feats.select(
+        "media_ref",
+        "width",
+        "height",
+        "n_frames",
+        F.posexplode("feature").alias("band", "val"),
+    ).select(
+        "media_ref",
+        "width",
+        "height",
+        "n_frames",
+        "band",
+        F.round(F.col("val") * F.lit(4080.0)).cast("long").alias("band_sum"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG construction over interleaved docs at sf0.001 -> NIF
     (subj, pred, obj) mention triples."""
@@ -1887,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3_generative": q_d3_generative,
         "m4_token_counts": q_m4_token_counts,
         "m10_concepts": q_m10_concepts,
+        "media_features": q_media_features,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "dedup_spans": q_dedup_spans,
@@ -2231,6 +2288,25 @@ FROM (SELECT surface_form, uri, count(*) AS n
       FROM occ2 GROUP BY surface_form, uri) p
 JOIN sfd s USING (surface_form)
 JOIN resd r USING (uri)
+"""
+
+    # Real-codec round trip: the Spark side encodes a formula PNG per doc
+    # (encode_png: deflate) and decodes it with the real PNG path
+    # (inflate + unfilter); the oracle computes the same per-band pixel
+    # sums in closed form, so any codec defect breaks the hash. Band b is
+    # image row b (8 bands x 16 px rows); v = (doc_id%256 + 17y + 5x)%256.
+    sql["media_features"] = """
+WITH px AS (
+  SELECT d.doc_id,
+         (r.range // 16)::INT AS band,
+         (d.doc_id % 256 + 17 * (r.range // 16) + 5 * (r.range % 16)) % 256 AS v
+  FROM documents d, range(0, 128) r
+)
+SELECT 'img://' || CAST(doc_id AS VARCHAR) AS media_ref,
+       16 AS width, 8 AS height, 1 AS n_frames,
+       band, SUM(v)::BIGINT AS band_sum
+FROM px
+GROUP BY doc_id, band
 """
 
     # D3-D5 generative context scoring (GenerativeContextSimilarity.scala:

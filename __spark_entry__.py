@@ -1902,6 +1902,23 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval over the documents table (the Lucene search
+    stack's capability, operators/bm25.py): two fixed term queries, top-10
+    docs each by the Lucene-classic nonnegative idf BM25 (k1=1.2, b=0.75).
+    Ties break by doc_id; score rounded to 6dp in both engines."""
+    from dbpedia_spotlight_spark.operators.bm25 import bm25_scores
+
+    qs = spark.createDataFrame(
+        [(0, "join"), (0, "hash"), (1, "customer"), (1, "slow"), (1, "merge")],
+        "query_id long, term string",
+    )
+    out = bm25_scores(_docs(spark, sf_dir), qs, k=10)
+    return out.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG construction over interleaved docs at sf0.001 -> NIF
     (subj, pred, obj) mention triples."""
@@ -1944,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_token_counts": q_m4_token_counts,
         "m10_concepts": q_m10_concepts,
         "media_features": q_media_features,
+        "bm25_search": q_bm25_search,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "dedup_spans": q_dedup_spans,
@@ -2307,6 +2325,43 @@ SELECT 'img://' || CAST(doc_id AS VARCHAR) AS media_ref,
        band, SUM(v)::BIGINT AS band_sum
 FROM px
 GROUP BY doc_id, band
+"""
+
+    # BM25 (operators/bm25.py): float literals mirror Spark's exact double
+    # ops — (1.2 + 1.0) is NOT the double 2.2, and the (1.0 - 0.75 + ...)
+    # association matches the Column expression left-to-right.
+    sql["bm25_search"] = """
+WITH q(query_id, term) AS (
+  VALUES (0, 'join'), (0, 'hash'), (1, 'customer'), (1, 'slow'), (1, 'merge')
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents
+  ) WHERE term <> '' GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dfq AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM tf JOIN (SELECT DISTINCT term FROM q) USING (term) GROUP BY term
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         SUM( ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfq d USING (term)
+  JOIN dl USING (doc_id), stats s
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT query_id, doc_id, round(score, 6) AS score, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id
+  )::INT AS rank FROM scored
+) WHERE rank <= 10
 """
 
     # D3-D5 generative context scoring (GenerativeContextSimilarity.scala:

@@ -72,3 +72,46 @@ def test_reference_tsv_fixture_parity(spark, tmp_path):
     assert fr["uri"] == "Frankfort_%28village%29,_New_York"
     # distinct paragraphs overall: 2
     assert len({r["paragraph_id"] for r in rows}) == 2
+
+
+def test_bm25_hand_computed(spark):
+    """BM25 against hand-computed scores on a 3-doc corpus (k1=1.2, b=0.75,
+    Lucene idf form ln(1 + (N-df+0.5)/(df+0.5))); duplicate query terms
+    count once; ties break by doc_id."""
+    import math
+
+    from dbpedia_spotlight_spark.operators.bm25 import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles data across the cluster"),
+            (2, "spark spark spark caching"),
+            (3, "duckdb runs on one node"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(0, "spark"), (0, "spark"), (0, "node")], "query_id long, term string"
+    )
+    got = {
+        r["doc_id"]: (r["score"], r["rank"])
+        for r in bm25_scores(docs, qs, k=10).collect()
+    }
+
+    def idf(df):
+        return math.log(1 + (3 - df + 0.5) / (df + 0.5))
+
+    def w(tf, dl, avgdl, k1=1.2, b=0.75):
+        return tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    avgdl = (6 + 4 + 5) / 3
+    exp1 = idf(2) * w(1, 6, avgdl)            # doc1: spark once
+    exp2 = idf(2) * w(3, 4, avgdl)            # doc2: spark three times
+    exp3 = idf(1) * w(1, 5, avgdl)            # doc3: node once
+    assert abs(got[1][0] - exp1) < 1e-9
+    assert abs(got[2][0] - exp2) < 1e-9
+    assert abs(got[3][0] - exp3) < 1e-9
+    # rare-term idf (node, df=1) outranks saturated tf on a common term
+    assert [d for d, (_s, r) in sorted(got.items(), key=lambda kv: kv[1][1])] == [
+        3, 2, 1,
+    ]

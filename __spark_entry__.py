@@ -1919,6 +1919,29 @@ def q_bm25_search(spark, sf_dir):
     )
 
 
+def q_scd2_resources(spark, sf_dir):
+    """SCD2 temporal versioning of the resources dim (model/scd2.py): the
+    history bootstraps from uriCounts over the even-doc half of the corpus
+    (batch 0), then merges the full-corpus counts as batch 1 — changed
+    supports close + reopen, identical ones no-op, first-seen uris open at
+    batch 1. Output is the complete validity-interval history."""
+    from dbpedia_spotlight_spark.model.scd2 import scd2_apply, scd2_init
+
+    occ = _occs(spark, sf_dir)
+    base = (
+        occ.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("uri")
+        .agg(F.count("*").alias("support"))
+    )
+    upd = occ.groupBy("uri").agg(F.count("*").alias("support"))
+    hist = scd2_apply(
+        scd2_init(base, "uri", batch_id=0), upd, "uri", ["support"], batch_id=1
+    )
+    return hist.select(
+        "uri", "support", "valid_from", "valid_to", "is_current"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG construction over interleaved docs at sf0.001 -> NIF
     (subj, pred, obj) mention triples."""
@@ -1962,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m10_concepts": q_m10_concepts,
         "media_features": q_media_features,
         "bm25_search": q_bm25_search,
+        "scd2_resources": q_scd2_resources,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "dedup_spans": q_dedup_spans,
@@ -2325,6 +2349,31 @@ SELECT 'img://' || CAST(doc_id AS VARCHAR) AS media_ref,
        band, SUM(v)::BIGINT AS band_sum
 FROM px
 GROUP BY doc_id, band
+"""
+
+    # SCD2 (model/scd2.py): the five disjoint merge outcomes written as
+    # explicit UNION ALL branches (changed-closed, changed-reopened,
+    # unchanged, not-in-batch, brand-new).
+    sql["scd2_resources"] = _BASE_CTES + """,
+base AS (
+  SELECT uri, count(*)::BIGINT AS support FROM occs
+  WHERE doc_id % 2 = 0 GROUP BY uri
+),
+upd AS (SELECT uri, count(*)::BIGINT AS support FROM occs GROUP BY uri)
+SELECT b.uri, b.support, 0 AS valid_from, 1 AS valid_to, FALSE AS is_current
+FROM base b JOIN upd u USING (uri) WHERE u.support <> b.support
+UNION ALL
+SELECT u.uri, u.support, 1, 2147483647, TRUE
+FROM upd u JOIN base b USING (uri) WHERE u.support <> b.support
+UNION ALL
+SELECT b.uri, b.support, 0, 2147483647, TRUE
+FROM base b JOIN upd u USING (uri) WHERE u.support = b.support
+UNION ALL
+SELECT b.uri, b.support, 0, 2147483647, TRUE
+FROM base b ANTI JOIN upd u ON b.uri = u.uri
+UNION ALL
+SELECT u.uri, u.support, 1, 2147483647, TRUE
+FROM upd u ANTI JOIN base b ON u.uri = b.uri
 """
 
     # BM25 (operators/bm25.py): float literals mirror Spark's exact double

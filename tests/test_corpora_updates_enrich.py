@@ -119,3 +119,49 @@ def test_enrichers(spark, world):
     assert sf2.count() == world.model.surface_forms.count() + 1  # Paris existed
     new_row = sf2.filter(F.col("surface_form") == "Panamá City").collect()[0]
     assert new_row["sf_id"] > world.model.surface_forms.agg(F.max("sf_id")).collect()[0][0] - 1
+
+
+def test_scd2_versioning(spark):
+    """SCD2 merge semantics: changed attrs close + reopen, identical
+    updates no-op, new keys open, closed history untouched; as-of reads
+    reconstruct any past snapshot."""
+    from dbpedia_spotlight_spark.model.scd2 import (
+        OPEN_END,
+        scd2_apply,
+        scd2_as_of,
+        scd2_init,
+    )
+
+    dim = spark.createDataFrame(
+        [("A", 10), ("B", 20), ("C", 30)], "uri string, support long"
+    )
+    h0 = scd2_init(dim, "uri", batch_id=0)
+
+    # batch 1: A changes, B identical (no-op), D is new
+    u1 = spark.createDataFrame(
+        [("A", 11), ("B", 20), ("D", 40)], "uri string, support long"
+    )
+    h1 = scd2_apply(h0, u1, "uri", ["support"], batch_id=1)
+    rows = {(r["uri"], r["valid_from"]): r for r in h1.collect()}
+    assert len(rows) == 5  # A(v0 closed), A(v1), B, C, D
+    assert rows[("A", 0)]["valid_to"] == 1 and not rows[("A", 0)]["is_current"]
+    assert rows[("A", 1)]["support"] == 11 and rows[("A", 1)]["is_current"]
+    assert rows[("B", 0)]["valid_to"] == OPEN_END  # identical -> untouched
+    assert rows[("C", 0)]["is_current"]  # not in batch -> untouched
+    assert rows[("D", 1)]["valid_from"] == 1 and rows[("D", 1)]["is_current"]
+
+    # batch 2: A changes again; closed v0 must pass through untouched
+    u2 = spark.createDataFrame([("A", 12)], "uri string, support long")
+    h2 = scd2_apply(h1, u2, "uri", ["support"], batch_id=2)
+    a_versions = sorted(
+        (r["valid_from"], r["valid_to"], r["support"])
+        for r in h2.filter("uri = 'A'").collect()
+    )
+    assert a_versions == [(0, 1, 10), (1, 2, 11), (2, OPEN_END, 12)]
+
+    # as-of reads reconstruct snapshots
+    asof = {b: {r["uri"]: r["support"] for r in scd2_as_of(h2, b).collect()}
+            for b in (0, 1, 2)}
+    assert asof[0] == {"A": 10, "B": 20, "C": 30}
+    assert asof[1] == {"A": 11, "B": 20, "C": 30, "D": 40}
+    assert asof[2] == {"A": 12, "B": 20, "C": 30, "D": 40}

@@ -97,7 +97,12 @@ def main(argv=None) -> None:
         .partitionBy("bucket")
         .parquet(args.output)
     )
-    out_rows = spark.read.parquet(args.output).count()
+    # read back WITH the known schema: a run whose filters drop every
+    # document writes a schema-less empty directory, and the audit line
+    # must still report rows_written: 0 instead of crashing on inference
+    out_rows = (
+        spark.read.schema(cleaned.schema).parquet(args.output).count()
+    )
 
     print(
         json.dumps(

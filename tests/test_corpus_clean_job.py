@@ -78,3 +78,35 @@ def test_dsir_select_job(spark, tmp_path, capsys):
         r.doc_id for r in spark.read.parquet(p).select("doc_id").collect()
     )
     assert ids(out) == ids(out2)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+def test_corpus_clean_job_all_dropped(spark, tmp_path, capsys):
+    """A run whose filters drop EVERY document must still emit the audit
+    line with rows_written 0 (the empty bucket-partitioned output has no
+    inferable schema — the job reads back with the known one)."""
+    import corpus_clean_job
+
+    out = str(tmp_path / "empty")
+    corpus_clean_job.main(
+        [
+            "--input",
+            f"{SF_DIR}/documents.parquet",
+            "--output",
+            out,
+            # word-soup corpus has no real stopword mass: the Gopher gate
+            # at min-words far above every doc drops all 500
+            "--min-words",
+            "100000",
+            "--buckets",
+            "4",
+        ]
+    )
+    line = [
+        l for l in capsys.readouterr().out.splitlines() if l.startswith("{")
+    ][-1]
+    m = json.loads(line)
+    assert m["rows_written"] == 0
+    assert list(m["stages"].values())[-1] == 0

@@ -1942,6 +1942,21 @@ def q_scd2_resources(spark, sf_dir):
     )
 
 
+def q_bpe_merges(spark, sf_dir):
+    """BPE subword-merge training (functions/bpe.py, Sennrich 2016) over
+    the corpus vocabulary: 8 merges learned by the driver-loop of
+    pair-count aggregations, output = every word's final segmentation.
+    The double-space symbol representation makes each merge a literal
+    replace with identical greedy left-to-right semantics in both engines;
+    the oracle unrolls all 8 training iterations in SQL (the d16_pagerank
+    pattern), so a divergence in ANY round breaks the hash."""
+    from dbpedia_spotlight_spark.functions.bpe import train_bpe, word_counts
+
+    words = word_counts(_docs(spark, sf_dir))
+    _merges, seg = train_bpe(words, 8)
+    return seg.select("word", "cnt", "seg")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG construction over interleaved docs at sf0.001 -> NIF
     (subj, pred, obj) mention triples."""
@@ -1986,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "bm25_search": q_bm25_search,
         "scd2_resources": q_scd2_resources,
+        "bpe_merges": q_bpe_merges,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "dedup_spans": q_dedup_spans,
@@ -2350,6 +2366,50 @@ SELECT 'img://' || CAST(doc_id AS VARCHAR) AS media_ref,
 FROM px
 GROUP BY doc_id, band
 """
+
+    # BPE training (functions/bpe.py): all 8 iterations unrolled — stage k
+    # re-splits the double-space segmentation, self-joins adjacent symbol
+    # positions for pair counts, picks the (count desc, pair asc) top pair,
+    # and applies it as the same literal replace Spark runs.
+    _bpe_stages = []
+    _prev = "rep0"
+    for _k in range(8):
+        # MATERIALIZED is load-bearing: rep/pk are each referenced twice,
+        # and default CTE inlining would re-expand the whole prefix chain
+        # at every stage (exponential in the number of merges)
+        _bpe_stages.append(f""",
+tk{_k} AS (
+  SELECT word, cnt, string_split(trim(s), '  ') AS toks FROM {_prev}
+),
+pk{_k} AS MATERIALIZED (
+  SELECT word, cnt, generate_subscripts(toks, 1) AS i, unnest(toks) AS tok
+  FROM tk{_k}
+),
+bk{_k} AS (
+  SELECT a.tok || '  ' || b.tok AS pair
+  FROM pk{_k} a JOIN pk{_k} b ON a.word = b.word AND b.i = a.i + 1
+  GROUP BY 1 ORDER BY SUM(a.cnt) DESC, pair LIMIT 1
+),
+rep{_k + 1} AS MATERIALIZED (
+  SELECT word, cnt,
+         replace(s, ' ' || pair || ' ',
+                 ' ' || replace(pair, '  ', '') || ' ') AS s
+  FROM {_prev}, bk{_k}
+)""")
+        _prev = f"rep{_k + 1}"
+    sql["bpe_merges"] = (
+        """
+WITH rep0 AS (
+  SELECT word, count(*)::BIGINT AS cnt,
+         ' ' || rtrim(regexp_replace(word, '(.)', '\\1  ', 'g')) || ' ' AS s
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+)"""
+        + "".join(_bpe_stages)
+        + """
+SELECT word, cnt, trim(s) AS seg FROM rep8
+"""
+    )
 
     # SCD2 (model/scd2.py): the five disjoint merge outcomes written as
     # explicit UNION ALL branches (changed-closed, changed-reopened,

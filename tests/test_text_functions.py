@@ -115,3 +115,72 @@ def test_bm25_hand_computed(spark):
     assert [d for d, (_s, r) in sorted(got.items(), key=lambda kv: kv[1][1])] == [
         3, 2, 1,
     ]
+
+
+def test_bpe_train_matches_reference(spark):
+    """train_bpe == the Sennrich reference algorithm (greedy left-to-right
+    merges, count-desc / pair-asc tie-break) on merges AND final
+    segmentations; apply_bpe replays learned merges identically."""
+    import collections
+
+    from dbpedia_spotlight_spark.functions.bpe import (
+        apply_bpe,
+        train_bpe,
+        word_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low low low lower lower newest newest newest"),
+            (2, "newest newest newest widest widest widest aaa abab abab"),
+        ],
+        "doc_id long, text string",
+    )
+    words = word_counts(docs)
+    merges, seg = train_bpe(words, 6)
+
+    def ref_bpe(wc, k):
+        vocab = {tuple(w): c for w, c in wc.items()}
+        out, segs = [], {}
+        for r in range(k):
+            pairs = collections.Counter()
+            for w, c in vocab.items():
+                for i in range(len(w) - 1):
+                    pairs[(w[i], w[i + 1])] += c
+            if not pairs:
+                break
+            bestc = max(pairs.values())
+            bp = tuple(
+                sorted(
+                    "  ".join(p) for p, c in pairs.items() if c == bestc
+                )[0].split("  ")
+            )
+            out.append((r, "  ".join(bp), bestc))
+            new = {}
+            for w, c in vocab.items():
+                i, neww = 0, []
+                while i < len(w):
+                    if i < len(w) - 1 and (w[i], w[i + 1]) == bp:
+                        neww.append(w[i] + w[i + 1])
+                        i += 2
+                    else:
+                        neww.append(w[i])
+                        i += 1
+                new[tuple(neww)] = new.get(tuple(neww), 0) + c
+            vocab = new
+        for w, _c in vocab.items():
+            segs["".join(w)] = "  ".join(w)
+        return out, segs
+
+    wc = {r["word"]: r["cnt"] for r in words.collect()}
+    ref_merges, ref_segs = ref_bpe(wc, 6)
+    assert merges == ref_merges
+    got_segs = {r["word"]: r["seg"] for r in seg.collect()}
+    assert got_segs == ref_segs
+
+    # apply_bpe replays the same merges on the same words
+    replayed = {r["word"]: r["seg"] for r in apply_bpe(words, merges).collect()}
+    assert replayed == got_segs
+    # the overlap case: 'aaa' merges left-to-right once under pair (a, a)
+    if ("a  a" in [m[1] for m in merges]):
+        assert got_segs["aaa"].startswith("aa")

@@ -229,3 +229,87 @@ def test_spacy_generator_contract(monkeypatch):
     assert (0, 2, "person") in spans
     assert (3, 4, "location") in spans
     assert (4, 5, "misc") in spans  # unknown labels map to misc
+
+
+def test_perceptron_ner_generalizes(spark):
+    """P2/P12 with a REAL trained model: the averaged-perceptron BIO
+    tagger (Collins 2002, the same maxent-family approach as the
+    reference's OpenNLP models) is trained in-process, then must label
+    entity NAMES never seen in training via shape/context features —
+    actual learned inference, not rules — and run end-to-end through
+    spot_documents_model (trained weights broadcast to executors)."""
+    from dbpedia_spotlight_spark.operators.model_spotter import (
+        PerceptronNERGenerator,
+        spot_documents_model,
+    )
+
+    def ex_person(name):
+        toks = ["Mr"] + name.split() + ["visited", "the", "office", "today"]
+        tags = (
+            ["O", "B-person"]
+            + ["I-person"] * (len(name.split()) - 1)
+            + ["O"] * 4
+        )
+        return toks, tags
+
+    def ex_org(org):
+        toks = org.split() + ["acquired", "a", "startup"]
+        tags = (
+            ["B-organization"]
+            + ["I-organization"] * (len(org.split()) - 1)
+            + ["O"] * 3
+        )
+        return toks, tags
+
+    def ex_loc(loc):
+        # lowercase on purpose: these entities are invisible to the
+        # capital-sequence spotter, so only the model can produce them
+        return (
+            ["they", "met", "in", loc.lower(), "yesterday"],
+            ["O", "O", "O", "B-location", "O"],
+        )
+
+    train = (
+        [ex_person(p) for p in
+         ["Alice Johnson", "Bob Smith", "Carol White", "David Brown"]]
+        + [ex_org(o) for o in
+           ["Acme Corp", "Globex Inc", "Initech LLC", "Umbrella Corp"]]
+        + [ex_loc(c) for c in ["paris", "london", "berlin", "madrid"]]
+    )
+    model = PerceptronNERGenerator.fit(train, epochs=8)
+
+    # generalization to UNSEEN entity names (none appear in training)
+    assert (1, 3, "person") in model(ex_person("Frank Miller")[0])
+    assert (0, 2, "organization") in model(ex_org("Vandelay Inc")[0])
+    assert (3, 4, "location") in model(ex_loc("oslo")[0])
+
+    # pickle round trip (the generator is broadcast with the dictionary)
+    import pickle
+
+    m2 = pickle.loads(pickle.dumps(model))
+    assert m2(ex_person("Frank Miller")[0]) == model(ex_person("Frank Miller")[0])
+
+    # end to end through the Spark pipeline with the trained model
+    docs = spark.createDataFrame(
+        [("d1", [{"kind": "text",
+                  "text": "Mr Frank Miller met in oslo yesterday",
+                  "media_ref": None, "offset": 0}])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    sfs = spark.createDataFrame(
+        [(0, "Frank Miller", "frank miller", 80, 100),
+         (1, "oslo", "oslo", 90, 100)],
+        "sf_id int, surface_form string, surface_form_norm string, "
+        "annotated_count long, total_count long",
+    )
+    spots = {
+        (r["surface_form"], r["spot_type"])
+        for r in spot_documents_model(docs, sfs, generators=(model,)).collect()
+    }
+    forms = {sf for sf, _t in spots}
+    # the person span arrives via capital sequences too (reference order:
+    # identical spans resolve to Capital_Sequences) — but lowercase 'oslo'
+    # is reachable ONLY through the trained model's typed span
+    assert "Frank Miller" in forms
+    assert ("oslo", "location") in spots

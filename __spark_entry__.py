@@ -1957,6 +1957,24 @@ def q_bpe_merges(spark, sf_dir):
     return seg.select("word", "cnt", "seg")
 
 
+def q_kg_two_hop(spark, sf_dir):
+    """KG completion candidates (operators/graph.py:two_hop_pairs): over
+    the M6 co-occurrence graph, non-adjacent entity pairs connected via
+    >= 1 common neighbor with the common-neighbors score — the
+    Liben-Nowell/Kleinberg link-prediction baseline."""
+    from dbpedia_spotlight_spark.operators.graph import two_hop_pairs
+
+    # min_count high enough that the co-occurrence graph is SPARSE here
+    # (at min_count=3 the sf0.01 graph is the complete K20 and the
+    # non-adjacent pair set is vacuously empty)
+    edges = cooccurrence_edges(_occs(spark, sf_dir), min_count=150)
+    return two_hop_pairs(edges).select(
+        F.col("x").alias("src_uri"),
+        F.col("z").alias("dst_uri"),
+        "n_paths",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG construction over interleaved docs at sf0.001 -> NIF
     (subj, pred, obj) mention triples."""
@@ -2002,6 +2020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "scd2_resources": q_scd2_resources,
         "bpe_merges": q_bpe_merges,
+        "kg_two_hop": q_kg_two_hop,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "dedup_spans": q_dedup_spans,
@@ -2365,6 +2384,22 @@ SELECT 'img://' || CAST(doc_id AS VARCHAR) AS media_ref,
        band, SUM(v)::BIGINT AS band_sum
 FROM px
 GROUP BY doc_id, band
+"""
+
+    # kg_two_hop (operators/graph.py:two_hop_pairs): symmetrized wedge
+    # join, canonical x < z, minus existing edges.
+    sql["kg_two_hop"] = _BASE_CTES + """,
+du AS (SELECT DISTINCT doc_id, uri FROM occs),
+ed AS (
+  SELECT a.uri AS s, b.uri AS d
+  FROM du a JOIN du b ON a.doc_id = b.doc_id AND a.uri < b.uri
+  GROUP BY 1, 2 HAVING count(*) >= 150
+),
+sym AS (SELECT s AS u, d AS v FROM ed UNION ALL SELECT d, s FROM ed)
+SELECT a.u AS src_uri, b.v AS dst_uri, count(*)::BIGINT AS n_paths
+FROM sym a JOIN sym b ON a.v = b.u AND a.u < b.v
+ANTI JOIN ed e ON e.s = a.u AND e.d = b.v
+GROUP BY 1, 2
 """
 
     # BPE training (functions/bpe.py): all 8 iterations unrolled — stage k

@@ -331,3 +331,35 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+def two_hop_pairs(
+    edges: DataFrame, src: str = "src_uri", dst: str = "dst_uri"
+) -> DataFrame:
+    """Link-prediction candidates over an undirected canonical (src < dst)
+    edge list: (x, z, n_paths) for every NON-adjacent pair connected
+    through at least one common neighbor, n_paths = number of distinct
+    intermediates (the common-neighbors score of Liben-Nowell/Kleinberg;
+    the KG-completion counterpart of the reference's jung Cohesion
+    neighborhood intersections, jung/.../Cohesion.scala).
+
+    Shape: symmetrize -> one self-join on the shared intermediate ->
+    canonicalize x < z -> count -> anti-join out existing edges. Both
+    joins are equi-joins on node keys; at 100 TB the wedge join is the
+    same degree-bounded pattern as triangle_counts (cap celebrity hubs
+    upstream if the degree distribution is unbounded)."""
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    a, b = sym.alias("a"), sym.alias("b")
+    paths = (
+        a.join(b, F.col("a.v") == F.col("b.u"))
+        .where(F.col("a.u") < F.col("b.v"))
+        .select(F.col("a.u").alias("x"), F.col("b.v").alias("z"))
+    )
+    direct = edges.select(F.col(src).alias("x"), F.col(dst).alias("z"))
+    return (
+        paths.groupBy("x", "z")
+        .agg(F.count("*").alias("n_paths"))
+        .join(direct, ["x", "z"], "left_anti")
+    )

@@ -288,3 +288,23 @@ def test_triangle_counts_k4_pendant_and_cycle(spark):
         ).collect()
     }
     assert out2 == out
+
+
+def test_two_hop_pairs_square_graph(spark):
+    """On the square a-b-c-d-a the only non-adjacent pairs are the two
+    diagonals, each reachable via exactly 2 common neighbors; a path graph
+    yields its single skip-pair with 1 path; adjacent pairs never appear."""
+    from dbpedia_spotlight_spark.operators.graph import two_hop_pairs
+
+    square = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")],
+        "src_uri string, dst_uri string",
+    )
+    got = {(r["x"], r["z"]): r["n_paths"] for r in two_hop_pairs(square).collect()}
+    assert got == {("a", "c"): 2, ("b", "d"): 2}
+
+    path = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src_uri string, dst_uri string"
+    )
+    got = {(r["x"], r["z"]): r["n_paths"] for r in two_hop_pairs(path).collect()}
+    assert got == {("a", "c"): 1}

@@ -1975,6 +1975,20 @@ def q_kg_two_hop(spark, sf_dir):
     )
 
 
+def q_winnow_docs(spark, sf_dir):
+    """Winnowing fingerprints (datapipe/textstats.py:winnow_fingerprints,
+    Schleimer et al. 2003 / MOSS) over the documents table: per-doc
+    selected (position, hash) set with k=4 grams, window w=4 — the
+    locality-preserving dedup/plagiarism fingerprint next to MinHash and
+    SimHash. The oracle replays the md5-derived hashes and the
+    rightmost-minimum selection exactly."""
+    from dbpedia_spotlight_spark.datapipe.textstats import (
+        winnow_fingerprints,
+    )
+
+    return winnow_fingerprints(_docs(spark, sf_dir), k=4, w=4)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG construction over interleaved docs at sf0.001 -> NIF
     (subj, pred, obj) mention triples."""
@@ -2021,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_resources": q_scd2_resources,
         "bpe_merges": q_bpe_merges,
         "kg_two_hop": q_kg_two_hop,
+        "winnow_docs": q_winnow_docs,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "dedup_spans": q_dedup_spans,
@@ -2384,6 +2399,42 @@ SELECT 'img://' || CAST(doc_id AS VARCHAR) AS media_ref,
        band, SUM(v)::BIGINT AS band_sum
 FROM px
 GROUP BY doc_id, band
+"""
+
+    # winnow_docs (textstats.py:winnow_fingerprints): grams via lead()s,
+    # md5-tail 32-bit hashes (the simhash idiom), frame-window min, then
+    # the rightmost-argmin join; full windows only.
+    sql["winnow_docs"] = """
+WITH tok AS (
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS tok
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+),
+gr AS (
+  SELECT doc_id, pos,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+             || ' ' || lead(tok, 3) OVER w AS gram,
+         lead(tok, 3) OVER w AS _last
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+g AS (
+  SELECT doc_id, pos, ('0x' || substr(md5(gram), 17, 8))::BIGINT AS h
+  FROM gr WHERE _last IS NOT NULL
+),
+st AS (
+  SELECT doc_id, pos AS s,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+         count(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM g
+)
+SELECT DISTINCT st.doc_id, sel.pos, st.m AS h
+FROM st JOIN LATERAL (
+  SELECT max(g.pos) AS pos
+  FROM g
+  WHERE g.doc_id = st.doc_id AND g.h = st.m
+    AND g.pos >= st.s AND g.pos < st.s + 4
+) sel ON TRUE
+WHERE st.s <= st.n_grams - 4
 """
 
     # kg_two_hop (operators/graph.py:two_hop_pairs): symmetrized wedge

@@ -1185,3 +1185,50 @@ def test_png_adam7_and_8bit_wav():
     rate, ch, n, feat = decode_wav(wav)
     assert (rate, ch, n) == (8000, 1, 10)
     assert abs(feat[0] - 0.5) < 1e-6
+
+
+def test_winnow_fingerprints_reference_and_locality(spark):
+    """Winnowing == pure-Python Schleimer et al. reference (incl. the
+    rightmost-tie rule and short docs with no full window), and the
+    locality guarantee holds: two docs sharing a token run of length
+    >= w + k - 1 share at least one fingerprint hash."""
+    import hashlib
+
+    from dbpedia_spotlight_spark.datapipe.textstats import (
+        winnow_fingerprints,
+    )
+
+    def ref_winnow(text, k=4, w=4):
+        toks = text.lower().split(" ")
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[16:24], 16)
+            for g in grams
+        ]
+        out = set()
+        for s in range(len(hs) - w + 1):
+            win = hs[s : s + w]
+            m = min(win)
+            p = s + max(i for i, v in enumerate(win) if v == m)
+            out.add((p, hs[p]))
+        return out
+
+    shared = "zebra yak xylophone walrus vulture tortoise snake rabbit"
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (2, "a b a b a b a b a b a b"),  # hash ties -> rightmost rule
+        (3, "one two three four"),  # 1 gram, no full window -> empty
+        (4, "intro words here then " + shared + " and a different tail"),
+        (5, "other opening text now " + shared + " closing differently"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["h"]))
+    for did, text in texts:
+        assert got.get(did, set()) == ref_winnow(text), did
+
+    # locality: docs 4 and 5 share an 8-token run (>= w + k - 1 = 7)
+    h4 = {h for _p, h in got[4]}
+    h5 = {h for _p, h in got[5]}
+    assert h4 & h5, "shared run must yield a shared fingerprint"

@@ -1989,6 +1989,33 @@ def q_winnow_docs(spark, sf_dir):
     return winnow_fingerprints(_docs(spark, sf_dir), k=4, w=4)
 
 
+def q_nfc_normalize(spark, sf_dir):
+    """Unicode NFC normalization (datapipe/textstats.py:normalize_nfc —
+    stdlib unicodedata in one Arrow pass) vs DuckDB's native
+    nfc_normalize: every doc_id % 3 == 0 gets decomposed sequences
+    appended (e + combining acute, A + combining ring), which NFC must
+    compose; output is the md5 of the normalized text + changed flag, so
+    the two independent normalizer implementations must agree
+    byte-for-byte."""
+    from dbpedia_spotlight_spark.datapipe.textstats import normalize_nfc
+
+    # escapes, not precomposed glyphs: e + U+0301 combining acute and
+    # A + U+030A combining ring — NFC must compose both
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" cafe\u0301 A\u030A")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = normalize_nfc(docs)
+    return out.select(
+        "doc_id", F.md5("text").alias("text_md5"), "changed"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG construction over interleaved docs at sf0.001 -> NIF
     (subj, pred, obj) mention triples."""
@@ -2036,6 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "kg_two_hop": q_kg_two_hop,
         "winnow_docs": q_winnow_docs,
+        "nfc_normalize": q_nfc_normalize,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "dedup_spans": q_dedup_spans,
@@ -2399,6 +2427,24 @@ SELECT 'img://' || CAST(doc_id AS VARCHAR) AS media_ref,
        band, SUM(v)::BIGINT AS band_sum
 FROM px
 GROUP BY doc_id, band
+"""
+
+    # nfc_normalize: two independent NFC implementations (Python
+    # unicodedata vs DuckDB nfc_normalize) must agree byte-for-byte on
+    # injected decomposed sequences; chr(769)/chr(778) are the combining
+    # acute/ring codepoints of the Spark-side escape literal.
+    sql["nfc_normalize"] = """
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' cafe' || chr(769) || ' A' || chr(778)
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       md5(nfc_normalize(text)) AS text_md5,
+       nfc_normalize(text) <> text AS changed
+FROM injected
 """
 
     # winnow_docs (textstats.py:winnow_fingerprints): grams via lead()s,

@@ -449,3 +449,47 @@ def winnow_fingerprints(
         .agg(F.max("p").alias("pos"), F.first("m").alias("h"))
     )
     return sel.select("doc_id", "pos", "h").distinct()
+
+
+NFC_SCHEMA = "doc_id long, text string, changed boolean"
+
+
+def normalize_nfc(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode NFC normalization of a text column — the first stage of any
+    multilingual corpus pipeline (decomposed accents, compatibility
+    variants and mojibake artifacts otherwise defeat exact dedup, hashing
+    and dictionary lookup downstream). -> (doc_id, text NFC-normalized,
+    changed).
+
+    Spark has no built-in Unicode normalizer, so this is one Arrow pass
+    over stdlib `unicodedata` (vectorized pandas .map — the sanctioned
+    Python slot, no per-row Python at the DataFrame level); DuckDB's
+    native nfc_normalize provides the cross-engine oracle."""
+    import unicodedata
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            norm = pdf[text_col].map(
+                lambda s: unicodedata.normalize("NFC", s)
+                if s is not None
+                else None
+            )
+            # pandas NaN != NaN is True — null rows must read unchanged
+            changed = (norm != pdf[text_col]) & norm.notna()
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "text": norm,
+                    "changed": changed,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        run, NFC_SCHEMA
+    )

@@ -1232,3 +1232,21 @@ def test_winnow_fingerprints_reference_and_locality(spark):
     h4 = {h for _p, h in got[4]}
     h5 = {h for _p, h in got[5]}
     assert h4 & h5, "shared run must yield a shared fingerprint"
+
+
+def test_normalize_nfc(spark):
+    """NFC normalization composes decomposed sequences (e+combining acute
+    -> precomposed \u00e9), flags changed rows, and leaves ASCII and null
+    rows untouched."""
+    from dbpedia_spotlight_spark.datapipe.textstats import normalize_nfc
+
+    decomposed = "cafe\u0301 A\u030A"
+    composed = "caf\u00e9 \u00c5"
+    df = spark.createDataFrame(
+        [(1, "plain ascii"), (2, decomposed), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in normalize_nfc(df).collect()}
+    assert rows[1]["text"] == "plain ascii" and not rows[1]["changed"]
+    assert rows[2]["text"] == composed and rows[2]["changed"]
+    assert rows[3]["text"] is None and not rows[3]["changed"]

@@ -44,6 +44,12 @@ def main(argv=None) -> None:
     p.add_argument("--skip-quality", action="store_true")
     p.add_argument("--min-words", type=int, default=50)
     p.add_argument("--buckets", type=int, default=32)
+    p.add_argument(
+        "--nfc",
+        action="store_true",
+        help="Unicode-NFC-normalize text first (decomposed accent "
+        "sequences otherwise defeat the dedup hashing below)",
+    )
     args = p.parse_args(argv)
 
     spark = SparkSession.builder.appName("corpus-clean").getOrCreate()
@@ -55,11 +61,22 @@ def main(argv=None) -> None:
     from dbpedia_spotlight_spark.datapipe.pii import scrub_pii
     from dbpedia_spotlight_spark.datapipe.textstats import (
         language_id,
+        normalize_nfc,
         quality_filter,
     )
 
     docs = spark.read.parquet(args.input)
     stages: dict[str, int] = {"input": docs.count()}
+
+    # 0. Unicode NFC normalization (optional) — BEFORE dedup, so that
+    # composed/decomposed variants of the same text hash identically;
+    # a narrow map, drops nothing
+    if args.nfc:
+        extra = [c for c in docs.columns if c not in ("doc_id", "text")]
+        norm = normalize_nfc(docs).drop("changed")
+        if extra:
+            norm = norm.join(docs.select("doc_id", *extra), "doc_id")
+        docs = norm
 
     # 1. exact dedup: keep the min-id representative per normalized text
     docs = dedup_exact(docs)

@@ -110,3 +110,34 @@ def test_corpus_clean_job_all_dropped(spark, tmp_path, capsys):
     m = json.loads(line)
     assert m["rows_written"] == 0
     assert list(m["stages"].values())[-1] == 0
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+def test_corpus_clean_job_nfc_stage(spark, tmp_path, capsys):
+    """--nfc normalizes before dedup, preserving the non-text columns and
+    the row count (a narrow map, drops nothing)."""
+    import corpus_clean_job
+
+    out = str(tmp_path / "nfc")
+    corpus_clean_job.main(
+        [
+            "--input",
+            f"{SF_DIR}/documents.parquet",
+            "--output",
+            out,
+            "--nfc",
+            "--skip-quality",
+            "--buckets",
+            "4",
+        ]
+    )
+    line = [
+        l for l in capsys.readouterr().out.splitlines() if l.startswith("{")
+    ][-1]
+    m = json.loads(line)
+    assert m["stages"]["exact_dedup"] == m["stages"]["input"]  # word soup: no dups
+    back = spark.read.parquet(out)
+    assert {"doc_id", "text", "lang", "source", "n_chars"} <= set(back.columns)
+    assert back.count() == m["rows_written"] > 0

@@ -2016,6 +2016,23 @@ def q_nfc_normalize(spark, sf_dir):
     )
 
 
+def q_quota_sample(spark, sf_dir):
+    """Exact-quota stratified sampling (datapipe/packing.py:quota_sample):
+    precisely N docs per source stratum, lowest-md5-rank first —
+    deterministic across runs/cluster sizes and exactly replayable in
+    SQL (row_number over the identical md5 order)."""
+    from dbpedia_spotlight_spark.datapipe.packing import quota_sample
+
+    # src0 over-asks (quota > stratum size -> whole stratum), src1/src2
+    # take true subsets, every other stratum uses the default
+    out = quota_sample(
+        _docs(spark, sf_dir),
+        quotas={"src0": 100, "src1": 10, "src2": 3},
+        default_quota=5,
+    )
+    return out.select("doc_id", "source")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG construction over interleaved docs at sf0.001 -> NIF
     (subj, pred, obj) mention triples."""
@@ -2064,6 +2081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_two_hop": q_kg_two_hop,
         "winnow_docs": q_winnow_docs,
         "nfc_normalize": q_nfc_normalize,
+        "quota_sample": q_quota_sample,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "dedup_spans": q_dedup_spans,
@@ -2427,6 +2445,23 @@ SELECT 'img://' || CAST(doc_id AS VARCHAR) AS media_ref,
        band, SUM(v)::BIGINT AS band_sum
 FROM px
 GROUP BY doc_id, band
+"""
+
+    # quota_sample (packing.py): row_number over the identical md5 order,
+    # quota CASE per stratum; ties impossible (md5 of distinct ids).
+    sql["quota_sample"] = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, source FROM ranked
+WHERE rk <= CASE source
+            WHEN 'src0' THEN 100 WHEN 'src1' THEN 10 WHEN 'src2' THEN 3
+            ELSE 5 END
 """
 
     # nfc_normalize: two independent NFC implementations (Python

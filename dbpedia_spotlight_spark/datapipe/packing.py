@@ -235,3 +235,32 @@ def stratified_sample(
             F.col(stratum_col) == s, F.lit(int(r * buckets))
         ).otherwise(thresh)
     return docs.filter(bucket < thresh)
+
+
+def quota_sample(
+    docs: DataFrame,
+    quotas: dict[str, int],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_quota: int = 0,
+) -> DataFrame:
+    """EXACT-quota stratified sampling: precisely quotas[s] rows from each
+    stratum (all rows if the stratum is smaller), chosen as the lowest
+    md5-rank ids — the fixed-token-budget counterpart to the rate-based
+    `stratified_sample`. Deterministic across runs, retries and cluster
+    sizes, and exactly replayable in SQL. One shuffle (the per-stratum
+    rank window); at 100 TB strata are far larger than quotas, so prune
+    first with `stratified_sample` at a rate ~2x the implied fraction and
+    take exact quotas from the survivors."""
+    from pyspark.sql import Window
+
+    rank_key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(stratum_col).orderBy(rank_key, F.col(id_col))
+    quota = F.lit(default_quota)
+    for s, q in sorted(quotas.items()):
+        quota = F.when(F.col(stratum_col) == s, F.lit(q)).otherwise(quota)
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= quota)
+        .drop("_rk")
+    )

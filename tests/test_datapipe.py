@@ -1250,3 +1250,24 @@ def test_normalize_nfc(spark):
     assert rows[1]["text"] == "plain ascii" and not rows[1]["changed"]
     assert rows[2]["text"] == composed and rows[2]["changed"]
     assert rows[3]["text"] is None and not rows[3]["changed"]
+
+
+def test_quota_sample_exact_counts(spark):
+    """quota_sample returns exactly min(quota, |stratum|) rows per stratum,
+    deterministically (same ids across calls)."""
+    from dbpedia_spotlight_spark.datapipe.packing import quota_sample
+
+    rows = [(i, f"s{i % 3}") for i in range(30)]  # 10 per stratum
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = quota_sample(df, {"s0": 4, "s1": 99}, default_quota=0)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(got["s0"]) == 4          # true subset
+    assert len(got["s1"]) == 10         # over-ask -> whole stratum
+    assert "s2" not in got              # default 0 -> dropped
+    # determinism: identical pick on a second run
+    again = {r["doc_id"] for r in
+             quota_sample(df, {"s0": 4, "s1": 99}, default_quota=0)
+             .filter("source = 's0'").collect()}
+    assert again == got["s0"]

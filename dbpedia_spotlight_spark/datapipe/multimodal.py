@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata. The Spark-side machinery (schemas, batching, partition
 strategy, UDF signatures) is real and tested, and so are the decoders for
-PPM/PGM/WAV/Y4M (raw formats, below) and PNG/GIF/baseline-JPEG (compressed,
-pure-stdlib `datapipe/codecs.py`). Only compressed audio/video
-(MP3/AAC/H.264) — which needs codec libraries this container does not
-ship — remains STUBBED behind `decode_fn` hooks that raise
-NotImplementedError unless a real codec is injected.
+PPM/PGM/WAV/Y4M (raw formats, below), PNG/GIF/baseline-JPEG (compressed
+images, pure-stdlib `datapipe/codecs.py`), G.711 mu-law/A-law and IMA
+ADPCM (compressed audio inside WAV, `datapipe/audio.py`). Only
+perceptual/motion-compensated codecs (MP3/AAC/H.264) — which need codec
+libraries this container does not ship — remain STUBBED behind
+`decode_fn` hooks that raise NotImplementedError unless a real codec is
+injected.
 
 Pattern: mapInPandas over (media_ref, media_bytes, kind) with bounded Arrow
 batches; heavy blobs stay in binary columns end to end (never exploded into
@@ -41,13 +43,15 @@ MEDIA_FEATURES_SCHEMA = T.StructType(
 
 def default_decode(kind: str, payload: bytes):
     """Dispatch: raw self-describing formats (PPM/PGM images, WAV audio,
-    YUV4MPEG2 video) decode natively below, and compressed images decode
-    via the pure-stdlib codecs module — PNG (zlib inflate + scanline
+    YUV4MPEG2 video) decode natively below, compressed images decode via
+    the pure-stdlib codecs module — PNG (zlib inflate + scanline
     unfiltering), GIF (LZW), baseline JPEG (canonical Huffman + dequant +
-    8x8 IDCT + YCbCr) — all with zero external libraries. Only audio/video
-    compression (MP3/AAC/H.264) needs codec libraries this container does
-    not ship — that stays an explicit stub (inject decode_fn with a real
-    codec in production)."""
+    8x8 IDCT + YCbCr) — and compressed audio inside WAV decodes via
+    `datapipe/audio.py` (G.711 mu-law/A-law, IMA ADPCM) — all with zero
+    external libraries. Only perceptual/motion-compensated compression
+    (MP3/AAC/H.264) needs codec libraries this container does not ship —
+    that stays an explicit stub (inject decode_fn with a real codec in
+    production)."""
     if payload[:2] in (b"P6", b"P5"):
         return decode_pnm(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -127,22 +131,39 @@ def decode_pnm(payload: bytes):
 
 
 def decode_wav(payload: bytes):
-    """Real decoder for PCM WAV audio (RIFF header walk; 16-bit signed and
-    8-bit unsigned samples). width=sample_rate, height=channels,
-    n_frames=sample count; the 8-dim feature is per-band RMS of an 8-way
-    split."""
+    """Real decoder for WAV audio (RIFF header walk). Format tags handled:
+    1 = PCM (16-bit signed / 8-bit unsigned), 3 = IEEE float32, and the
+    three COMPRESSED formats implemented in `datapipe/audio.py` —
+    6 = G.711 A-law, 7 = G.711 mu-law, 0x11 = IMA/DVI ADPCM (4-bit,
+    block-vectorized decode). width=sample_rate, height=channels,
+    n_frames=per-channel sample count; the 8-dim feature is per-band RMS
+    of an 8-way split."""
     import struct
 
+    from dbpedia_spotlight_spark.datapipe import audio
+
     i = 12
-    rate, channels, bits = 0, 1, 16
+    rate, channels, bits, fmt_tag, block_align = 0, 1, 16, 1, 0
     samples = np.zeros(0, dtype=np.float32)
     while i + 8 <= len(payload):
         cid = payload[i : i + 4]
         (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
         body = payload[i + 8 : i + 8 + size]
         if cid == b"fmt ":
-            _fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            fmt_tag, channels, rate = struct.unpack("<HHI", body[:8])
+            (block_align,) = struct.unpack("<H", body[12:14])
             (bits,) = struct.unpack("<H", body[14:16])
+        elif cid == b"data" and fmt_tag == 3 and bits == 32:
+            samples = np.frombuffer(
+                body[: len(body) - len(body) % 4], dtype="<f4"
+            ).astype(np.float32)
+        elif cid == b"data" and fmt_tag in (6, 7):  # G.711 A-law / mu-law
+            codes = np.frombuffer(body, dtype=np.uint8)
+            law = "alaw" if fmt_tag == 6 else "ulaw"
+            samples = audio.g711_decode(codes, law).astype(np.float32) / 32768.0
+        elif cid == b"data" and fmt_tag == 0x11:  # IMA/DVI ADPCM
+            pcm = audio.ima_adpcm_decode(body, max(channels, 1), block_align)
+            samples = pcm.astype(np.float32) / 32768.0
         elif cid == b"data" and bits == 16:
             samples = (
                 np.frombuffer(body[: len(body) - len(body) % 2], dtype="<i2")

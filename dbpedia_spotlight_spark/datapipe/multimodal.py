@@ -3,11 +3,12 @@ with typed metadata. The Spark-side machinery (schemas, batching, partition
 strategy, UDF signatures) is real and tested, and so are the decoders for
 PPM/PGM/WAV/Y4M (raw formats, below), PNG/GIF/baseline-JPEG (compressed
 images, pure-stdlib `datapipe/codecs.py`), G.711 mu-law/A-law and IMA
-ADPCM (compressed audio inside WAV, `datapipe/audio.py`). Only
-perceptual/motion-compensated codecs (MP3/AAC/H.264) — which need codec
-libraries this container does not ship — remain STUBBED behind
-`decode_fn` hooks that raise NotImplementedError unless a real codec is
-injected.
+ADPCM (compressed audio inside WAV, `datapipe/audio.py`), and MJPEG AVI
+(compressed video: RIFF container walk + per-frame baseline-JPEG decode,
+below). Only perceptual/motion-compensated codecs (MP3/AAC/H.264) —
+which need codec libraries this container does not ship — remain STUBBED
+behind `decode_fn` hooks that raise NotImplementedError unless a real
+codec is injected.
 
 Pattern: mapInPandas over (media_ref, media_bytes, kind) with bounded Arrow
 batches; heavy blobs stay in binary columns end to end (never exploded into
@@ -56,6 +57,8 @@ def default_decode(kind: str, payload: bytes):
         return decode_pnm(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return decode_avi_mjpeg(payload)
     if payload[:9] == b"YUV4MPEG2":
         return decode_y4m(payload)
     if payload[:8] == codecs.PNG_MAGIC:
@@ -380,6 +383,112 @@ def decode_y4m(payload: bytes):
     return w, h, n, feature
 
 
+def _riff_chunks(payload: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_size) walking a RIFF chunk run.
+    LIST chunks are yielded as ('LIST:<type>', ...) with the body pointing
+    past the 4-byte list type so callers can recurse."""
+    import struct
+
+    i = start
+    while i + 8 <= end:
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        if cid == b"LIST" and size >= 4:
+            yield (b"LIST:" + payload[i + 8 : i + 12], i + 12, size - 4)
+        else:
+            yield (cid, i + 8, size)
+        i += 8 + size + (size % 2)
+
+
+def iter_avi_mjpeg_frames(payload: bytes):
+    """Yield (frame_idx, (h, w, 3) uint8 RGB array) for each video frame of
+    an MJPEG AVI — RIFF walk to the 'movi' list, '00dc'/'00db' chunks are
+    standalone baseline-JPEG images decoded by the pure-stdlib codec
+    (`datapipe/codecs.py:decode_jpeg_pixels`)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI stream")
+    idx = 0
+    for cid, off, size in _riff_chunks(payload, 12, len(payload)):
+        if not cid.startswith(b"LIST:movi"):
+            continue
+        for fcc, foff, fsize in _riff_chunks(payload, off, off + size):
+            if fcc[2:4] in (b"dc", b"db") and fsize > 2:
+                yield idx, codecs.decode_jpeg_pixels(payload[foff : foff + fsize])
+                idx += 1
+
+
+def decode_avi_mjpeg(payload: bytes):
+    """Real compressed-VIDEO decoder for the default_decode dispatch:
+    MJPEG-in-AVI (each frame an independent baseline JPEG — the standard
+    motion-JPEG layout, no inter-frame prediction, which is exactly what
+    makes it decodable frame-parallel without a motion-compensation
+    library). Returns (width, height, n_frames, 8-dim feature) where the
+    feature is the mean luma of 8 evenly-spaced temporal segments —
+    the same contract as decode_y4m."""
+    w = h = 0
+    means = []
+    for _idx, rgb in iter_avi_mjpeg_frames(payload):
+        if not w:
+            h, w = rgb.shape[0], rgb.shape[1]
+        means.append(float(rgb.astype(np.float64).mean()))
+    n = len(means)
+    if n == 0:
+        return w, h, 0, [0.0] * 8
+    seg = np.array_split(np.asarray(means, dtype=np.float64), 8)
+    feature = [float(s.mean() / 255.0) if s.size else 0.0 for s in seg]
+    return w, h, n, feature
+
+
+def encode_avi_mjpeg(
+    jpeg_frames: "list[bytes]", width: int, height: int, fps: int = 25
+) -> bytes:
+    """Already-encoded JPEG frames -> minimal MJPEG AVI bytes (fixture
+    helper): RIFF('AVI ') with an hdrl (avih + one 'vids'/'MJPG' strl) and
+    a movi list of '00dc' chunks."""
+    import struct
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\0" if len(body) % 2 else b""
+        )
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    n = len(jpeg_frames)
+    max_bytes = max((len(f) for f in jpeg_frames), default=0)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // max(fps, 1), max_bytes * fps, 0, 0x10, n, 0, 1,
+        max_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1,
+                                        fps, 0, n, max_bytes, 0, 0, 0)
+        + struct.pack("<hhhh", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _iter_video_luma(payload: bytes):
+    """Unified (frame_idx, (h, w) uint8 gray plane) iterator over the two
+    real video decode paths: y4m luma planes directly, MJPEG-AVI frames
+    gray-converted from the decoded RGB."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        for idx, rgb in iter_avi_mjpeg_frames(payload):
+            yield idx, rgb.astype(np.uint16).mean(axis=2).astype(np.uint8)
+    else:
+        yield from iter_y4m_luma(payload)
+
+
 def sample_frames(
     media: DataFrame,
     every_n: int = 10,
@@ -387,13 +496,14 @@ def sample_frames(
     ref_col: str = "media_ref",
     bytes_col: str = "payload",
 ) -> DataFrame:
-    """REAL frame sampling for y4m video payloads: one output row per
-    sampled frame, the frame re-encoded as a standalone PGM image so every
-    downstream image operator (resize_images, extract_media_features)
-    composes directly. Sampling indices follow frame_sample_plan's rule
-    (every_n-th frame, at most max_frames). Undecodable payloads emit zero
-    rows rather than failing the batch. One Arrow pass; frames never touch
-    the driver."""
+    """REAL frame sampling for video payloads — y4m (raw) AND MJPEG AVI
+    (compressed; frames gray-converted after the real JPEG decode): one
+    output row per sampled frame, the frame re-encoded as a standalone PGM
+    image so every downstream image operator (resize_images,
+    extract_media_features) composes directly. Sampling indices follow
+    frame_sample_plan's rule (every_n-th frame, at most max_frames).
+    Undecodable payloads emit zero rows rather than failing the batch. One
+    Arrow pass; frames never touch the driver."""
     schema = T.StructType(
         [
             T.StructField("media_ref", T.StringType()),
@@ -414,7 +524,7 @@ def sample_frames(
                 payload = bytes(payload) if payload is not None else b""
                 try:
                     taken = 0
-                    for idx, luma in iter_y4m_luma(payload):
+                    for idx, luma in _iter_video_luma(payload):
                         if taken >= max_frames:
                             break
                         if idx % every_n:

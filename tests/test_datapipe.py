@@ -1271,3 +1271,42 @@ def test_quota_sample_exact_counts(spark):
              quota_sample(df, {"s0": 4, "s1": 99}, default_quota=0)
              .filter("source = 's0'").collect()}
     assert again == got["s0"]
+
+
+def test_mjpeg_avi_decode_and_frame_sampling(spark):
+    """Real compressed-video path: MJPEG AVI (RIFF walk + per-frame
+    baseline-JPEG decode). Flat frames reconstruct their level within the
+    JPEG DC bound, default_decode dispatches on the 'AVI ' fourcc, and
+    sample_frames emits every_n-th frame as a standalone PGM that the
+    image path can re-decode."""
+    import numpy as np
+
+    from dbpedia_spotlight_spark.datapipe import codecs as C
+    from dbpedia_spotlight_spark.datapipe.multimodal import (
+        decode_pnm_pixels,
+        default_decode,
+        encode_avi_mjpeg,
+        sample_frames,
+    )
+
+    levels = [40, 128, 216]
+    frames = [
+        C.encode_jpeg(np.full((16, 24, 3), v, dtype=np.uint8)) for v in levels
+    ]
+    avi = encode_avi_mjpeg(frames, width=24, height=16, fps=10)
+
+    w, h, nf, feat = default_decode("video", avi)
+    assert (w, h, nf) == (24, 16, 3)
+    for i, v in enumerate(levels):  # 3 frames -> first 3 temporal segments
+        assert abs(feat[i] * 255 - v) <= 2, (i, feat[i] * 255)
+    assert feat[3:] == [0.0] * 5
+
+    df = spark.createDataFrame([("v1", bytearray(avi))],
+                               "media_ref string, payload binary")
+    rows = {r["frame_idx"]: r for r in
+            sample_frames(df, every_n=2, max_frames=16).collect()}
+    assert set(rows) == {0, 2}
+    for idx, v in [(0, levels[0]), (2, levels[2])]:
+        arr, _maxval = decode_pnm_pixels(bytes(rows[idx]["payload"]))
+        assert arr.shape == (16, 24, 1)
+        assert abs(float(arr.mean()) - v) <= 2

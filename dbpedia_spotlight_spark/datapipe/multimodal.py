@@ -3,9 +3,11 @@ with typed metadata. The Spark-side machinery (schemas, batching, partition
 strategy, UDF signatures) is real and tested, and so are the decoders for
 PPM/PGM/WAV/Y4M (raw formats, below), PNG/GIF/baseline-JPEG (compressed
 images, pure-stdlib `datapipe/codecs.py`), G.711 mu-law/A-law and IMA
-ADPCM (compressed audio inside WAV, `datapipe/audio.py`), and MJPEG AVI
-(compressed video: RIFF container walk + per-frame baseline-JPEG decode,
-below). Only perceptual/motion-compensated codecs (MP3/AAC/H.264) —
+ADPCM (compressed audio inside WAV, `datapipe/audio.py`), FLAC
+(compressed lossless audio, bit-level RFC 9639 decode in
+`datapipe/flac.py`), and MJPEG AVI (compressed video: RIFF container
+walk + per-frame baseline-JPEG decode, below).
+Only perceptual/motion-compensated codecs (MP3/AAC/H.264) —
 which need codec libraries this container does not ship — remain STUBBED
 behind `decode_fn` hooks that raise NotImplementedError unless a real
 codec is injected.
@@ -57,6 +59,8 @@ def default_decode(kind: str, payload: bytes):
         return decode_pnm(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
+    if payload[:4] == b"fLaC":
+        return decode_flac(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return decode_avi_mjpeg(payload)
     if payload[:9] == b"YUV4MPEG2":
@@ -178,6 +182,26 @@ def decode_wav(payload: bytes):
                 np.frombuffer(body, dtype=np.uint8).astype(np.float32) - 128.0
             ) / 128.0
         i += 8 + size + (size % 2)
+    n_frames = int(samples.size // max(channels, 1))
+    bands = np.array_split(samples, 8)
+    feature = [
+        float(np.sqrt((b * b).mean())) if b.size else 0.0 for b in bands
+    ]
+    return int(rate), int(channels), n_frames, feature
+
+
+def decode_flac(payload: bytes):
+    """Real decoder for compressed LOSSLESS audio: FLAC (RFC 9639), pure
+    bytes+numpy bit-level decode in `datapipe/flac.py` (constant /
+    verbatim / fixed / LPC subframes, Rice residuals, stereo
+    decorrelation, CRC-verified frames). Same contract as decode_wav:
+    width=sample_rate, height=channels, n_frames=per-channel sample
+    count, 8-dim per-band RMS feature over the full-scale-normalized
+    interleaved samples."""
+    from dbpedia_spotlight_spark.datapipe.flac import decode_flac_samples
+
+    rate, channels, bps, pcm = decode_flac_samples(payload)
+    samples = pcm.astype(np.float32) / float(1 << (bps - 1))
     n_frames = int(samples.size // max(channels, 1))
     bands = np.array_split(samples, 8)
     feature = [

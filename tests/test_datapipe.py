@@ -1310,3 +1310,111 @@ def test_mjpeg_avi_decode_and_frame_sampling(spark):
         arr, _maxval = decode_pnm_pixels(bytes(rows[idx]["payload"]))
         assert arr.shape == (16, 24, 1)
         assert abs(float(arr.mean()) - v) <= 2
+
+
+def test_flac_crc_public_vectors():
+    """The FLAC CRC polynomials pinned by public check vectors: CRC-8
+    poly 0x07 init 0 (CRC-8/SMBUS) and CRC-16 poly 0x8005 init 0
+    non-reflected (CRC-16/UMTS) of b'123456789'."""
+    from dbpedia_spotlight_spark.datapipe import flac
+
+    assert flac.crc8(b"123456789") == 0xF4
+    assert flac.crc16(b"123456789") == 0xFEE8
+
+
+@pytest.mark.parametrize(
+    "mode", ["verbatim", "verbatim_wasted", "fixed2", "lpc2"]
+)
+def test_flac_mono_roundtrip_all_subframe_types(mode):
+    """FLAC is lossless: every subframe coding (verbatim, wasted-bits
+    verbatim, FIXED order-2 + Rice residual, LPC + Rice residual)
+    round-trips the exact PCM through the bit-level decoder, with frame
+    CRC-8/CRC-16 verified on the way back."""
+    import numpy as np
+
+    from dbpedia_spotlight_spark.datapipe import flac
+
+    rng = np.random.RandomState(7)
+    t = np.arange(5000)
+    mono = (3000 * np.sin(t / 23.0) + rng.randint(-200, 200, t.size)).astype(
+        np.int64
+    )
+    if mode == "verbatim_wasted":
+        mono = (mono // 8) * 8  # 3 genuinely wasted low bits per sample
+    enc = flac.encode_flac(mono, rate=8000, bps=16, blocksize=1024, mode=mode)
+    rate, channels, bps, pcm = flac.decode_flac_samples(enc)
+    assert (rate, channels, bps) == (8000, 1, 16)
+    assert np.array_equal(pcm, mono)
+    if mode in ("fixed2", "lpc2"):  # prediction + Rice actually compresses
+        assert len(enc) < mono.size * 2 * 0.75
+
+
+@pytest.mark.parametrize(
+    "stereo_mode", ["independent", "left_side", "right_side", "mid_side"]
+)
+def test_flac_stereo_decorrelation_roundtrip(stereo_mode):
+    """All four channel assignments reconstruct exactly — including
+    mid/side, whose side-LSB trick ((mid<<1)|(side&1)) must restore the
+    dropped low bit."""
+    import numpy as np
+
+    from dbpedia_spotlight_spark.datapipe import flac
+
+    rng = np.random.RandomState(11)
+    t = np.arange(3000)
+    left = (2500 * np.sin(t / 17.0) + rng.randint(-100, 100, t.size)).astype(
+        np.int64
+    )
+    right = left // 2 + rng.randint(-50, 50, t.size)
+    st = np.stack([left, right], axis=1)
+    enc = flac.encode_flac(st, bps=16, mode="fixed2", stereo_mode=stereo_mode)
+    rate, channels, _bps, pcm = flac.decode_flac_samples(enc)
+    assert channels == 2
+    assert np.array_equal(pcm.reshape(-1, 2), st)
+
+
+def test_flac_constant_blocks_and_corruption_detected():
+    """All-equal blocks take the CONSTANT path; a flipped payload bit is
+    caught by the frame CRC-16."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dbpedia_spotlight_spark.datapipe import flac
+
+    const = np.full(2048, -123, dtype=np.int64)
+    enc = flac.encode_flac(const, mode="fixed2", blocksize=1024)
+    _, _, _, pcm = flac.decode_flac_samples(enc)
+    assert np.array_equal(pcm, const)
+    bad = bytearray(enc)
+    bad[-4] ^= 0x10  # inside the last frame (payload or its CRC-16)
+    with _pytest.raises(ValueError):
+        flac.decode_flac_samples(bytes(bad))
+
+
+def test_flac_dispatch_matches_wav_features():
+    """default_decode dispatches on the fLaC magic and yields the SAME
+    (rate, channels, n_frames, 8-band RMS feature) as the 16-bit PCM WAV
+    of identical samples — both normalize by 2^(bps-1)."""
+    import numpy as np
+
+    from dbpedia_spotlight_spark.datapipe import flac
+    from dbpedia_spotlight_spark.datapipe.audio import build_wav
+    from dbpedia_spotlight_spark.datapipe.multimodal import default_decode
+
+    rng = np.random.RandomState(3)
+    t = np.arange(4000)
+    mono = (5000 * np.sin(t / 31.0) + rng.randint(-300, 300, t.size)).astype(
+        np.int16
+    )
+    via_flac = default_decode(
+        "audio", flac.encode_flac(mono.astype(np.int64), rate=16000, bps=16)
+    )
+    via_wav = default_decode(
+        "audio",
+        build_wav(
+            fmt_tag=1, rate=16000, channels=1, bits=16,
+            data=mono.astype("<i2").tobytes(),
+        ),
+    )
+    assert via_flac[:3] == via_wav[:3] == (16000, 1, 4000)
+    assert np.allclose(via_flac[3], via_wav[3], atol=1e-6)

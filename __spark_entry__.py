@@ -1975,6 +1975,24 @@ def q_kg_two_hop(spark, sf_dir):
     )
 
 
+def q_kg_subclass_closure(spark, sf_dir):
+    """General multi-parent transitive closure
+    (operators/closure.py:transitive_closure, repeated squaring — log-depth
+    join rounds, vs redirect_closure's functional-graph pointer doubling):
+    materialize every (class, ancestor) pair of a deterministic class DAG
+    derived from the part table (k -> k div 2, a ~11-deep binary
+    hierarchy at sf0.01). The ontology-closure step of KG
+    canonicalization; oracle = DuckDB recursive CTE."""
+    from dbpedia_spotlight_spark.operators.closure import transitive_closure
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    edges = part.filter(F.col("p_partkey") >= 2).select(
+        F.col("p_partkey").cast("long").alias("class_id"),
+        F.expr("p_partkey div 2").cast("long").alias("ancestor_id"),
+    )
+    return transitive_closure(edges, src="class_id", dst="ancestor_id")
+
+
 def q_winnow_docs(spark, sf_dir):
     """Winnowing fingerprints (datapipe/textstats.py:winnow_fingerprints,
     Schleimer et al. 2003 / MOSS) over the documents table: per-doc
@@ -2079,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_resources": q_scd2_resources,
         "bpe_merges": q_bpe_merges,
         "kg_two_hop": q_kg_two_hop,
+        "kg_subclass_closure": q_kg_subclass_closure,
         "winnow_docs": q_winnow_docs,
         "nfc_normalize": q_nfc_normalize,
         "quota_sample": q_quota_sample,
@@ -2532,6 +2551,21 @@ SELECT a.u AS src_uri, b.v AS dst_uri, count(*)::BIGINT AS n_paths
 FROM sym a JOIN sym b ON a.v = b.u AND a.u < b.v
 ANTI JOIN ed e ON e.s = a.u AND e.d = b.v
 GROUP BY 1, 2
+"""
+
+    sql["kg_subclass_closure"] = """
+WITH RECURSIVE edges AS (
+  SELECT p_partkey::BIGINT AS class_id,
+         (p_partkey // 2)::BIGINT AS ancestor_id
+  FROM part WHERE p_partkey >= 2
+),
+tc AS (
+  SELECT class_id, ancestor_id FROM edges
+  UNION
+  SELECT t.class_id, e.ancestor_id
+  FROM tc t JOIN edges e ON t.ancestor_id = e.class_id
+)
+SELECT class_id, ancestor_id FROM tc
 """
 
     # BPE training (functions/bpe.py): all 8 iterations unrolled — stage k

@@ -92,3 +92,56 @@ def resolve_uris(
         dis = disambiguations.select(F.col(disambiguations.columns[0]).alias(uri_col))
         out = out.join(F.broadcast(dis), uri_col, "left_anti")
     return out
+
+
+def transitive_closure(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """General transitive closure of an arbitrary edge relation — all
+    (src, dst) pairs connected by a directed path. Unlike
+    `redirect_closure` (pointer doubling over a FUNCTIONAL graph: one
+    out-edge per node, as Wikipedia redirects are), this handles
+    multi-parent DAGs — ontology subClassOf lattices, category
+    hierarchies — where a node's ancestor set is a set, not a chain.
+
+    Algorithm: repeated squaring. R_{k+1} = R_k ∪ (R_k ∘ R_k), distinct,
+    so after k rounds R_k holds every path of length ≤ 2^k: a depth-D
+    hierarchy converges in ceil(log2 D) rounds — at 100 TB that is the
+    difference between ~5 self-join shuffles and D naive expansion
+    rounds. Each round is one equi-join on the path midpoint plus one
+    distinct (both shuffles on the same key space); localCheckpoint
+    truncates the lineage so round k's plan does not replay rounds
+    0..k-1. Cycle-safe: the pair set is bounded, so iteration still
+    reaches a fixpoint (a cycle member gains (x, x)).
+
+    Scale note: the OUTPUT can be quadratic in pathological graphs; for
+    the shallow-and-wide DAGs this materializes (class hierarchies,
+    admin-region containment) |closure| ≈ |edges| · avg-depth, the
+    standard ontology-closure materialization trade.
+
+    Raises RuntimeError if not converged within max_iterations (2^20-hop
+    paths — a graph this deep needs a different representation).
+    """
+    cur = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    cur = cur.localCheckpoint()
+    n = cur.count()
+    for _ in range(max_iterations):
+        stepped = (
+            cur.alias("a")
+            .join(cur.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+            .union(cur)
+            .distinct()
+            .localCheckpoint()
+        )
+        n_next = stepped.count()
+        cur = stepped
+        if n_next == n:
+            return cur.select(F.col("src").alias(src), F.col("dst").alias(dst))
+        n = n_next
+    raise RuntimeError(
+        f"transitive_closure did not converge in {max_iterations} rounds"
+    )

@@ -89,3 +89,43 @@ def test_two_stage_head_join_same_result(spark, world):
     )
     key = lambda r: (r["doc_id"], r["offset"], r["res_id"])
     assert sorted(map(key, plain.collect())) == sorted(map(key, staged.collect()))
+
+
+def test_transitive_closure_multiparent_dag_and_cycle(spark):
+    """General closure (repeated squaring) on a multi-parent DAG — which
+    pointer doubling cannot represent — plus a 3-cycle: matches a Python
+    BFS reachability reference, including the cycle members reaching
+    themselves."""
+    from dbpedia_spotlight_spark.operators.closure import transitive_closure
+
+    edges = [
+        # diamond: 1 -> {2, 3} -> 4 -> 5 (node 1 has TWO paths to 4)
+        (1, 2), (1, 3), (2, 4), (3, 4), (4, 5),
+        # side chain into the diamond: 6 -> 2
+        (6, 2),
+        # 3-cycle: 7 -> 8 -> 9 -> 7
+        (7, 8), (8, 9), (9, 7),
+    ]
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    expected = set()
+    for start in adj:
+        seen, frontier = set(), {start}
+        while frontier:
+            nxt = set()
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in seen:
+                        seen.add(v)
+                        nxt.add(v)
+            frontier = nxt
+        expected |= {(start, v) for v in seen}
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        (r["src"], r["dst"])
+        for r in transitive_closure(df, max_iterations=8).collect()
+    }
+    assert got == expected
+    assert (7, 7) in got and (1, 4) in got and (6, 5) in got

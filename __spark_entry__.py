@@ -1993,6 +1993,49 @@ def q_kg_subclass_closure(spark, sf_dir):
     return transitive_closure(edges, src="class_id", dst="ancestor_id")
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV bottom-k cardinality sketch (datapipe/sketches.py:kmv_sketch,
+    Bar-Yossef et al. 2002): per-bucket distinct-token estimates over the
+    documents corpus. Deterministic by construction (48-bit md5-prefix
+    hashes), so unlike HLL the SKETCH ITSELF hash-checks against the
+    DuckDB twin — n_seen, the integer k-th minimum, and the
+    (k-1)/kth_min estimate all match exactly."""
+    from dbpedia_spotlight_spark.datapipe.sketches import kmv_sketch
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select(
+            (F.col("doc_id") % 4).cast("long").alias("bucket"),
+            F.explode(F.split(F.lower("text"), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    return kmv_sketch(toks, ["bucket"], "token", k=64)
+
+
+def q_kmv_intersection(spark, sf_dir):
+    """Theta-sketch set-operation estimates
+    (datapipe/sketches.py:kmv_intersection): estimated token-vocabulary
+    overlap between the two corpus halves (doc_id parity) from two
+    256-value KMV sketches — the decontamination TRIAGE that at 100 TB
+    runs before the exact n-gram join. Exact integers (theta, n_common)
+    plus the standard n_common/theta and Jaccard estimators."""
+    from dbpedia_spotlight_spark.datapipe.sketches import kmv_intersection
+
+    docs = _docs(spark, sf_dir)
+
+    def toks(parity: int):
+        return (
+            docs.filter(F.col("doc_id") % 2 == parity)
+            .select(
+                F.explode(F.split(F.lower("text"), " ")).alias("token")
+            )
+            .filter(F.col("token") != "")
+        )
+
+    return kmv_intersection(toks(0), toks(1), "token", k=256)
+
+
 def q_winnow_docs(spark, sf_dir):
     """Winnowing fingerprints (datapipe/textstats.py:winnow_fingerprints,
     Schleimer et al. 2003 / MOSS) over the documents table: per-doc
@@ -2098,6 +2141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "kg_two_hop": q_kg_two_hop,
         "kg_subclass_closure": q_kg_subclass_closure,
+        "kmv_distinct": q_kmv_distinct,
+        "kmv_intersection": q_kmv_intersection,
         "winnow_docs": q_winnow_docs,
         "nfc_normalize": q_nfc_normalize,
         "quota_sample": q_quota_sample,
@@ -2551,6 +2596,69 @@ SELECT a.u AS src_uri, b.v AS dst_uri, count(*)::BIGINT AS n_paths
 FROM sym a JOIN sym b ON a.v = b.u AND a.u < b.v
 ANTI JOIN ed e ON e.s = a.u AND e.d = b.v
 GROUP BY 1, 2
+"""
+
+    sql["kmv_distinct"] = """
+WITH tok AS (
+  SELECT (doc_id % 4)::BIGINT AS bucket,
+         unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+),
+d AS (SELECT DISTINCT bucket, token FROM tok WHERE token <> ''),
+h AS (
+  SELECT DISTINCT bucket,
+         ('0x' || substr(md5(token), 1, 12))::BIGINT AS _h
+  FROM d
+),
+r AS (
+  SELECT bucket, _h,
+         row_number() OVER (PARTITION BY bucket ORDER BY _h) AS rk
+  FROM h
+),
+kept AS (SELECT bucket, _h FROM r WHERE rk <= 64)
+SELECT bucket, count(*)::BIGINT AS n_seen, max(_h) AS kth_min,
+       round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                  ELSE 63.0 / ((max(_h) + 1.0) / 281474976710656.0) END,
+             4) AS estimate
+FROM kept GROUP BY bucket
+"""
+
+    sql["kmv_intersection"] = """
+WITH tok AS (
+  SELECT (doc_id % 2)::BIGINT AS half,
+         unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+),
+h AS (
+  SELECT DISTINCT half, ('0x' || substr(md5(token), 1, 12))::BIGINT AS _h
+  FROM tok WHERE token <> ''
+),
+r AS (
+  SELECT half, _h,
+         row_number() OVER (PARTITION BY half ORDER BY _h) AS rk
+  FROM h
+),
+ka AS (SELECT _h FROM r WHERE half = 0 AND rk <= 256),
+kb AS (SELECT _h FROM r WHERE half = 1 AND rk <= 256),
+th AS (SELECT least((SELECT max(_h) FROM ka),
+                    (SELECT max(_h) FROM kb)) AS theta),
+nc AS (
+  SELECT count(*)::BIGINT AS n_common
+  FROM (SELECT _h FROM ka INTERSECT SELECT _h FROM kb) x, th
+  WHERE x._h < th.theta
+),
+nu AS (
+  SELECT count(*)::BIGINT AS n_union
+  FROM (SELECT _h FROM ka UNION SELECT _h FROM kb) x, th
+  WHERE x._h < th.theta
+)
+SELECT th.theta::BIGINT AS theta, nc.n_common,
+       round(nc.n_common / (th.theta / 281474976710656.0), 4)
+         AS inter_estimate,
+       round(CASE WHEN nu.n_union > 0
+                  THEN nc.n_common::DOUBLE / nu.n_union
+                  ELSE 0.0 END, 6) AS jaccard_estimate
+FROM th, nc, nu
 """
 
     sql["kg_subclass_closure"] = """

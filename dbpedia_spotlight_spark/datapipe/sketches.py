@@ -1,0 +1,167 @@
+"""Deterministic cardinality sketches for corpus profiling — KMV
+(k-minimum-values, Bar-Yossef et al. 2002, the bottom-k theta-sketch
+family).
+
+Why KMV and not HLL: Spark's built-in `approx_count_distinct` (HLL++) is
+the right default at 100 TB, but its register layout is
+implementation-defined, so no independent engine can reproduce the
+estimate bit-for-bit. KMV is DETERMINISTIC given the hash function: the
+sketch of a key group is exactly the k smallest distinct hash values of
+its items, so a DuckDB oracle replaying the same hash reproduces the
+estimate to the last bit — the sketch itself becomes hash-checkable,
+which is this repo's correctness gate (`kmv_distinct` in
+__spark_entry__.py). Estimator: (k-1) / normalized k-th minimum.
+
+Hash choice: the first 12 hex chars (48 bits) of md5 — both engines
+expose md5 over identical UTF-8 bytes, and every 48-bit integer is
+exactly representable in float64, so the (h+1)/2^48 normalization and
+the (k-1)/kth_min division are bit-identical IEEE ops on both sides
+(same pattern as the winnowing / stratified-sampling oracles). At
+production scale swap in xxhash64 — same plan shape, cheaper hash — at
+the cost of the cross-engine replay property.
+
+Scale shape: everything is built-in codegen expressions — hash, distinct,
+per-key window top-k — one shuffle on the group key after a map-side
+partial distinct. The sketch is MERGEABLE (union of two groups' sketches
+= k smallest of the union), which is what makes bottom-k the standard
+distributed-cardinality design; the same k-minimum representation also
+yields set-operation estimates (the theta-sketch intersection below)
+that plain HLL cannot give without inclusion-exclusion blowup.
+
+Reference parity note: DBpedia Spotlight has no sketching — this extends
+the training-data-pipeline operators (SURVEY.md §2.7): corpus-scale
+distinct-token profiling and cross-corpus overlap estimation
+(decontamination triage before the exact `decontaminate` pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SCALE = float(1 << 48)
+
+
+def _int_hash(col):
+    """48-bit md5 prefix as BIGINT — DuckDB twin:
+    ('0x' || substr(md5(x), 1, 12))::BIGINT. Integer outputs hash-compare
+    exactly; the (h+1)/2^48 normalization used inside the estimators is
+    exact in float64 (48 < 53 mantissa bits)."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 12), 16, 10
+    ).cast("long")
+
+
+def _unit(col):
+    """Normalized (0, 1] hash; +1 keeps 0 out (a zero k-th minimum would
+    divide by zero)."""
+    return (col + F.lit(1.0)) / F.lit(_SCALE)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_cols: list[str],
+    item_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-key KMV sketch -> (key_cols..., n_seen, kth_min, estimate).
+
+    n_seen = number of distinct items actually retained (= min(k, true
+    distinct count)); when n_seen < k the group is exact and estimate ==
+    n_seen. Otherwise estimate = (k-1) / kth_min — the classic unbiased
+    bottom-k estimator.
+
+    Plan: distinct (map-side partial) -> one shuffle on key_cols ->
+    per-key window rank keeps the k smallest hashes -> single-row agg per
+    key. No collect, no UDF; at 100 TB swap the exact window for
+    approx_count_distinct only if the oracle property is not needed.
+    """
+    hashed = (
+        df.select(*key_cols, F.col(item_col).alias("_item"))
+        .distinct()
+        .withColumn("_h", _int_hash(F.col("_item")))
+        .drop("_item")
+        .distinct()  # md5-prefix collisions: KMV is defined on hash values
+    )
+    w = Window.partitionBy(*key_cols).orderBy(F.asc("_h"))
+    kept = hashed.withColumn("_rank", F.row_number().over(w)).filter(
+        F.col("_rank") <= k
+    )
+    return kept.groupBy(*key_cols).agg(
+        F.count("*").cast("long").alias("n_seen"),
+        F.max("_h").alias("kth_min"),
+        F.round(
+            F.when(F.count("*") < k, F.count("*").cast("double")).otherwise(
+                F.lit(float(k - 1)) / _unit(F.max("_h"))
+            ),
+            4,
+        ).alias("estimate"),
+    )
+
+
+def kmv_intersection(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    item_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Theta-sketch set-operation estimate from two KMV sketches: one row
+    (theta, n_common, inter_estimate, jaccard_estimate).
+
+    theta = min(kth_min_A, kth_min_B) — the shared sampling threshold;
+    n_common = |{hashes below theta present in BOTH sketches}|; the
+    intersection estimate is n_common / theta and the Jaccard estimate is
+    n_common / |union sample below theta| (both standard theta-sketch
+    estimators). All deterministic given the hash, hence oracle-checkable.
+
+    Scale: each side reduces to <= k rows before the final broadcast-sized
+    join — the cross-corpus decontamination TRIAGE: estimate overlap with
+    two tiny sketches first, run the exact n-gram `decontaminate` join
+    only on corpora the sketch flags."""
+    def bottom_k(df: DataFrame, tag: str) -> DataFrame:
+        hashed = (
+            df.select(F.col(item_col).alias("_item"))
+            .distinct()
+            .select(_int_hash(F.col("_item")).alias(f"h_{tag}"))
+            .distinct()
+        )
+        w = Window.orderBy(F.asc(f"h_{tag}"))
+        return (
+            hashed.withColumn("_rank", F.row_number().over(w))
+            .filter(F.col("_rank") <= k)
+            .drop("_rank")
+        )
+
+    a, b = bottom_k(df_a, "a"), bottom_k(df_b, "b")
+    theta_a = a.agg(F.max("h_a").alias("ta"))
+    theta_b = b.agg(F.max("h_b").alias("tb"))
+    theta = F.broadcast(theta_a.crossJoin(theta_b)).select(
+        F.least(F.col("ta"), F.col("tb")).alias("theta")
+    )
+    au = a.select(F.col("h_a").alias("h"))
+    bu = b.select(F.col("h_b").alias("h"))
+    both = au.intersect(bu)
+    union = au.union(bu).distinct()
+    counts = (
+        both.crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count("*").alias("n_common"))
+        .crossJoin(
+            union.crossJoin(F.broadcast(theta))
+            .filter(F.col("h") < F.col("theta"))
+            .agg(F.count("*").alias("n_union"))
+        )
+        .crossJoin(F.broadcast(theta))
+    )
+    return counts.select(
+        F.col("theta").cast("long").alias("theta"),
+        F.col("n_common").cast("long").alias("n_common"),
+        F.round(F.col("n_common") / _unit(F.col("theta") - 1), 4).alias(
+            "inter_estimate"
+        ),
+        F.round(
+            F.when(F.col("n_union") > 0, F.col("n_common") / F.col("n_union"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("jaccard_estimate"),
+    )

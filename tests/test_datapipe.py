@@ -1418,3 +1418,42 @@ def test_flac_dispatch_matches_wav_features():
     )
     assert via_flac[:3] == via_wav[:3] == (16000, 1, 4000)
     assert np.allclose(via_flac[3], via_wav[3], atol=1e-6)
+
+
+def test_kmv_sketch_exact_below_k_and_estimates_above(spark):
+    """KMV semantics: a group with < k distinct items reports the EXACT
+    count (n_seen == estimate == truth); a group far above k estimates
+    within the expected (k-1)/kth_min error envelope (~1/sqrt(k-2), 3
+    sigma). Deterministic — no seed, the hash IS the randomness."""
+    import pyspark.sql.functions as F
+
+    from dbpedia_spotlight_spark.datapipe.sketches import kmv_sketch
+
+    small = [("s", f"item{i % 17}") for i in range(200)]
+    big = [("b", f"tok-{i}") for i in range(5000)]
+    df = spark.createDataFrame(small + big, "grp string, item string")
+    rows = {
+        r["grp"]: r
+        for r in kmv_sketch(df, ["grp"], "item", k=64).collect()
+    }
+    assert rows["s"]["n_seen"] == 17 and rows["s"]["estimate"] == 17.0
+    assert rows["b"]["n_seen"] == 64
+    rel_err = abs(rows["b"]["estimate"] - 5000) / 5000
+    assert rel_err < 3 / (62 ** 0.5), rows["b"]["estimate"]
+
+
+def test_kmv_intersection_estimates_overlap(spark):
+    """Theta-sketch overlap: two 3000-item sets sharing 1500 items; with
+    k=256 the intersection estimate lands within 3/sqrt(k) of truth and
+    the Jaccard estimate near 1500/4500."""
+    from dbpedia_spotlight_spark.datapipe.sketches import kmv_intersection
+
+    a = spark.createDataFrame(
+        [(f"x-{i}",) for i in range(3000)], "item string"
+    )
+    b = spark.createDataFrame(
+        [(f"x-{i}",) for i in range(1500, 4500)], "item string"
+    )
+    row = kmv_intersection(a, b, "item", k=256).collect()[0]
+    assert abs(row["inter_estimate"] - 1500) / 1500 < 3 / (256 ** 0.5)
+    assert abs(row["jaccard_estimate"] - 1500 / 4500) < 0.06

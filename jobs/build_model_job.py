@@ -12,12 +12,21 @@ a corpus of interleaved documents + wikilink-style gold occurrences
 
 occurrences schema: (doc_id string, surface_form string, uri string).
 Writes the five model tables as parquet under --output.
+
+Resumable (north rule: every stage writes checkpoint state so a killed
+job resumes without recomputing completed work): each model table is one
+write stage, committed by Spark's _SUCCESS marker. On rerun with the same
+--output, tables whose _SUCCESS exists are SKIPPED (their action — the
+expensive part of the stage — never runs); a table killed mid-write has
+no _SUCCESS and is rewritten with mode=overwrite, so the protocol is
+idempotent. The metrics line reports `tables_written` vs `resumed_from`.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -50,17 +59,33 @@ def main(argv=None) -> None:
     model = build_model_from_occurrences(
         docs, occs, tokenize_documents(docs), redirects, disamb
     )
-    model.save(args.output)
-    counts = {
-        "surface_forms": model.surface_forms.count(),
-        "resources": model.resources.count(),
-        "candidates": model.candidates.count(),
-        "token_types": model.token_types.count(),
-        "context_counts": model.context_counts.count(),
+    from dbpedia_spotlight_spark.model.model_tables import TABLE_NAMES
+
+    written, resumed = [], []
+    for name in TABLE_NAMES:
+        df = getattr(model, name)
+        if df is None:
+            continue
+        table_dir = os.path.join(args.output, name)
+        if os.path.exists(os.path.join(table_dir, "_SUCCESS")):
+            resumed.append(name)
+            continue
+        df.write.mode("overwrite").parquet(table_dir)
+        written.append(name)
+    loaded = {
+        name: spark.read.parquet(os.path.join(args.output, name))
+        for name in written + resumed
     }
+    counts = {name: df.count() for name, df in loaded.items()}
     print(
         json.dumps(
-            {"job": "build_model", "seconds": round(time.time() - t0, 2), **counts}
+            {
+                "job": "build_model",
+                "seconds": round(time.time() - t0, 2),
+                "tables_written": written,
+                "resumed_from": resumed,
+                **counts,
+            }
         )
     )
 

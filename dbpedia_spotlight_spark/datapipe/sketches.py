@@ -58,6 +58,33 @@ def _unit(col):
     return (col + F.lit(1.0)) / F.lit(_SCALE)
 
 
+def _bottom_k_per_key(
+    df: DataFrame, key_cols: list[str], h_col: str, k: int
+) -> DataFrame:
+    """Keep the k smallest h_col per key WITHOUT a single-partition global
+    sort: stage 1 ranks within (key, physical input partition) — a window
+    whose partitions are already distributed — keeping <= k rows per
+    (key, partition); stage 2 ranks the survivors per key. Pruning is
+    lossless (any global bottom-k row is bottom-k within its own
+    partition), so the result is identical to the one-stage window while
+    the per-key window only ever sees k x num_partitions rows. With no
+    key_cols the same trick bounds a GLOBAL bottom-k, where a one-stage
+    `Window.orderBy` would move the entire relation to one task."""
+    pid = F.spark_partition_id()
+    w_local = Window.partitionBy(*key_cols, pid).orderBy(F.asc(h_col))
+    pruned = (
+        df.withColumn("_lrank", F.row_number().over(w_local))
+        .filter(F.col("_lrank") <= k)
+        .drop("_lrank")
+    )
+    w_global = Window.partitionBy(*key_cols).orderBy(F.asc(h_col))
+    return (
+        pruned.withColumn("_rank", F.row_number().over(w_global))
+        .filter(F.col("_rank") <= k)
+        .drop("_rank")
+    )
+
+
 def kmv_sketch(
     df: DataFrame,
     key_cols: list[str],
@@ -71,10 +98,11 @@ def kmv_sketch(
     n_seen. Otherwise estimate = (k-1) / kth_min — the classic unbiased
     bottom-k estimator.
 
-    Plan: distinct (map-side partial) -> one shuffle on key_cols ->
-    per-key window rank keeps the k smallest hashes -> single-row agg per
-    key. No collect, no UDF; at 100 TB swap the exact window for
-    approx_count_distinct only if the oracle property is not needed.
+    Plan: distinct (map-side partial) -> partition-local bottom-k prune
+    (no shuffle, bounds every key to k rows per input partition) -> one
+    shuffle on key_cols -> per-key bottom-k + single-row agg. No collect,
+    no UDF; at 100 TB swap in approx_count_distinct only if the oracle
+    property is not needed.
     """
     hashed = (
         df.select(*key_cols, F.col(item_col).alias("_item"))
@@ -83,10 +111,7 @@ def kmv_sketch(
         .drop("_item")
         .distinct()  # md5-prefix collisions: KMV is defined on hash values
     )
-    w = Window.partitionBy(*key_cols).orderBy(F.asc("_h"))
-    kept = hashed.withColumn("_rank", F.row_number().over(w)).filter(
-        F.col("_rank") <= k
-    )
+    kept = _bottom_k_per_key(hashed, key_cols, "_h", k)
     return kept.groupBy(*key_cols).agg(
         F.count("*").cast("long").alias("n_seen"),
         F.max("_h").alias("kth_min"),
@@ -125,12 +150,7 @@ def kmv_intersection(
             .select(_int_hash(F.col("_item")).alias(f"h_{tag}"))
             .distinct()
         )
-        w = Window.orderBy(F.asc(f"h_{tag}"))
-        return (
-            hashed.withColumn("_rank", F.row_number().over(w))
-            .filter(F.col("_rank") <= k)
-            .drop("_rank")
-        )
+        return _bottom_k_per_key(hashed, [], f"h_{tag}", k)
 
     a, b = bottom_k(df_a, "a"), bottom_k(df_b, "b")
     theta_a = a.agg(F.max("h_a").alias("ta"))

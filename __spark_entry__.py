@@ -1993,6 +1993,30 @@ def q_kg_subclass_closure(spark, sf_dir):
     return transitive_closure(edges, src="class_id", dst="ancestor_id")
 
 
+def q_table_expectations(spark, sf_dir):
+    """Deequ-style data-quality gate
+    (datapipe/expectations.py:validate): five declared expectations over
+    the documents table — completeness, uniqueness, mean length, regexp
+    conformance — ALL computed in one aggregation pass (one scan, one
+    metrics row), then evaluated to (col_name, metric, value, lo, hi,
+    passed) verdicts. The ingest-validation step of a 100 TB pipeline."""
+    from dbpedia_spotlight_spark.datapipe.expectations import (
+        Expectation,
+        validate,
+    )
+
+    return validate(
+        _docs(spark, sf_dir),
+        [
+            Expectation("doc_id", "completeness", lo=1.0, hi=1.0),
+            Expectation("doc_id", "uniqueness", lo=1.0, hi=1.0),
+            Expectation("text", "completeness", lo=0.99),
+            Expectation("text", "mean_length", lo=20.0, hi=5000.0),
+            Expectation("text", "match_fraction", lo=0.9, pattern="[a-z]"),
+        ],
+    )
+
+
 def q_kmv_distinct(spark, sf_dir):
     """KMV bottom-k cardinality sketch (datapipe/sketches.py:kmv_sketch,
     Bar-Yossef et al. 2002): per-bucket distinct-token estimates over the
@@ -2142,6 +2166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_two_hop": q_kg_two_hop,
         "kg_subclass_closure": q_kg_subclass_closure,
         "kmv_distinct": q_kmv_distinct,
+        "table_expectations": q_table_expectations,
         "kmv_intersection": q_kmv_intersection,
         "winnow_docs": q_winnow_docs,
         "nfc_normalize": q_nfc_normalize,
@@ -2596,6 +2621,37 @@ SELECT a.u AS src_uri, b.v AS dst_uri, count(*)::BIGINT AS n_paths
 FROM sym a JOIN sym b ON a.v = b.u AND a.u < b.v
 ANTI JOIN ed e ON e.s = a.u AND e.d = b.v
 GROUP BY 1, 2
+"""
+
+    sql["table_expectations"] = """
+WITH m AS (
+  SELECT
+    round(avg(CASE WHEN doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+      AS c_doc,
+    round(count(DISTINCT doc_id)::DOUBLE / count(*), 6) AS u_doc,
+    round(avg(CASE WHEN text IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+      AS c_text,
+    round(avg(length(text)::DOUBLE), 6) AS ml,
+    round(avg(CASE WHEN text IS NULL THEN NULL
+                   WHEN regexp_matches(text, '[a-z]') THEN 1.0
+                   ELSE 0.0 END), 6) AS mf
+  FROM documents
+)
+SELECT * FROM (
+  SELECT 'doc_id' AS col_name, 'completeness' AS metric, c_doc AS value,
+         1.0 AS lo, 1.0 AS hi, (c_doc >= 1.0 AND c_doc <= 1.0) AS passed
+  FROM m
+  UNION ALL
+  SELECT 'doc_id', 'uniqueness', u_doc, 1.0, 1.0,
+         (u_doc >= 1.0 AND u_doc <= 1.0) FROM m
+  UNION ALL
+  SELECT 'text', 'completeness', c_text, 0.99, NULL, (c_text >= 0.99) FROM m
+  UNION ALL
+  SELECT 'text', 'mean_length', ml, 20.0, 5000.0,
+         (ml >= 20.0 AND ml <= 5000.0) FROM m
+  UNION ALL
+  SELECT 'text', 'match_fraction', mf, 0.9, NULL, (mf >= 0.9) FROM m
+)
 """
 
     sql["kmv_distinct"] = """

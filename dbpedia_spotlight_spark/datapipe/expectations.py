@@ -1,0 +1,107 @@
+"""Declarative data-quality expectations over a DataFrame — the
+Deequ/Great-Expectations-style validation gate a 100 TB ingest pipeline
+runs BEFORE model building or training-data export (bad partitions are
+cheaper to reject than to debug downstream).
+
+Design: every requested metric compiles to ONE column expression inside a
+SINGLE `agg()` — the whole suite is one scan + one map-side-combinable
+aggregation regardless of how many expectations are declared (Deequ's
+core trick). No collect of data rows: the only driver-side value is the
+one metrics row. Checks then evaluate as plain comparisons on that row,
+yielding (col_name, metric, value, threshold, passed) verdicts.
+
+Supported metrics (all exact, all ANSI-SQL-expressible, hence the
+`table_expectations` query hash-checks against DuckDB):
+
+- completeness(col)        — non-null fraction
+- uniqueness(col)          — distinct / total (exact count_distinct; at
+                             100 TB swap approx_count_distinct or the
+                             KMV sketch in datapipe/sketches.py)
+- min / max / mean(col)    — numeric bounds
+- mean_length(col)         — string payload sanity
+- match_fraction(col, re)  — regexp conformance fraction
+
+Reference parity note: DBpedia Spotlight has no validation layer; this
+extends the training-data-pipeline operators (SURVEY.md §2.7). The
+indexing pipeline's implicit assumptions (non-null URIs, positive counts)
+become explicit, testable expectations here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One declarative check: metric on column, expected in
+    [lo, hi] (inclusive; None = unbounded on that side)."""
+
+    column: str
+    metric: str  # completeness|uniqueness|min|max|mean|mean_length|match_fraction
+    lo: float | None = None
+    hi: float | None = None
+    pattern: str | None = None  # match_fraction only
+
+    @property
+    def key(self) -> str:
+        return f"{self.column}__{self.metric}"
+
+
+def _metric_expr(e: Expectation):
+    c = F.col(e.column)
+    if e.metric == "completeness":
+        return F.avg(c.isNotNull().cast("double"))
+    if e.metric == "uniqueness":
+        return F.count_distinct(c) / F.count(F.lit(1))
+    if e.metric == "min":
+        return F.min(c).cast("double")
+    if e.metric == "max":
+        return F.max(c).cast("double")
+    if e.metric == "mean":
+        return F.avg(c.cast("double"))
+    if e.metric == "mean_length":
+        return F.avg(F.length(c).cast("double"))
+    if e.metric == "match_fraction":
+        return F.avg(c.rlike(e.pattern).cast("double"))
+    raise ValueError(f"unknown metric {e.metric!r}")
+
+
+def validate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
+    """-> (col_name, metric, value, lo, hi, passed) — one row per
+    expectation, computed in ONE aggregation pass over df. Rounding to
+    6 dp happens here so verdicts are reproducible across engines."""
+    aggs = [
+        F.round(_metric_expr(e), 6).alias(e.key) for e in expectations
+    ]
+    metrics = df.agg(*aggs)
+    rows = []
+    for e in expectations:
+        v = F.col(e.key)
+        passed = F.lit(True)
+        if e.lo is not None:
+            passed = passed & (v >= F.lit(float(e.lo)))
+        if e.hi is not None:
+            passed = passed & (v <= F.lit(float(e.hi)))
+        rows.append(
+            F.struct(
+                F.lit(e.column).alias("col_name"),
+                F.lit(e.metric).alias("metric"),
+                v.alias("value"),
+                F.lit(None if e.lo is None else float(e.lo))
+                .cast("double")
+                .alias("lo"),
+                F.lit(None if e.hi is None else float(e.hi))
+                .cast("double")
+                .alias("hi"),
+                passed.alias("passed"),
+            )
+        )
+    # one metrics row -> explode the verdict structs; stays a DataFrame
+    # end to end (no driver-side collect of metric values)
+    return metrics.select(
+        F.explode(F.array(*rows)).alias("r")
+    ).select("r.*")

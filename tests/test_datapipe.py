@@ -1457,3 +1457,42 @@ def test_kmv_intersection_estimates_overlap(spark):
     row = kmv_intersection(a, b, "item", k=256).collect()[0]
     assert abs(row["inter_estimate"] - 1500) / 1500 < 3 / (256 ** 0.5)
     assert abs(row["jaccard_estimate"] - 1500 / 4500) < 0.06
+
+
+def test_expectations_single_pass_verdicts(spark):
+    """Deequ-style gate: dirty data (nulls, duplicate keys, out-of-range
+    numerics) produces passed=False on exactly the violated expectations;
+    the whole suite is one aggregation (plan contains a single Aggregate
+    of the input)."""
+    from dbpedia_spotlight_spark.datapipe.expectations import (
+        Expectation,
+        validate,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 5, "xx"), ("b", 50, None), ("b", -1, "yy"), (None, 7, "zz")],
+        "id string, score int, note string",
+    )
+    out = {
+        (r["col_name"], r["metric"]): r
+        for r in validate(
+            df,
+            [
+                Expectation("id", "completeness", lo=1.0),
+                Expectation("id", "uniqueness", lo=1.0),
+                Expectation("score", "min", lo=0.0),
+                Expectation("score", "max", hi=10.0),
+                Expectation("score", "mean", lo=0.0, hi=100.0),
+                Expectation("note", "completeness", lo=1.0),
+            ],
+        ).collect()
+    }
+    assert out[("id", "completeness")]["value"] == 0.75
+    assert not out[("id", "completeness")]["passed"]
+    assert out[("id", "uniqueness")]["value"] == 0.5  # 2 distinct / 4 rows
+    assert not out[("id", "uniqueness")]["passed"]
+    assert out[("score", "min")]["value"] == -1.0
+    assert not out[("score", "min")]["passed"]
+    assert not out[("score", "max")]["passed"]  # max 50 > 10
+    assert out[("score", "mean")]["passed"]
+    assert not out[("note", "completeness")]["passed"]

@@ -1993,6 +1993,25 @@ def q_kg_subclass_closure(spark, sf_dir):
     return transitive_closure(edges, src="class_id", dst="ancestor_id")
 
 
+def q_kg_negative_samples(spark, sf_dir):
+    """KG-embedding training examples
+    (datapipe/kg_samples.py:negative_samples, Bordes et al. 2013): the M6
+    co-occurrence edges as positives plus 2 deterministic corrupted-tail
+    negatives each — obj' = entity ranked md5_48(s‖p‖o‖j) mod n_entities,
+    filtered against true tails. Fully hash-replayable, so the SAMPLED
+    training set itself is oracle-checked."""
+    from dbpedia_spotlight_spark.datapipe.kg_samples import negative_samples
+
+    occ = _occs(spark, sf_dir)
+    edges = cooccurrence_edges(occ, min_count=3).select(
+        F.col("src_uri").alias("subj"),
+        F.lit("cooccursWith").alias("pred"),
+        F.col("dst_uri").alias("obj"),
+    )
+    entities = occ.select("uri").distinct()
+    return negative_samples(edges, entities, num_neg=2)
+
+
 def q_table_expectations(spark, sf_dir):
     """Deequ-style data-quality gate
     (datapipe/expectations.py:validate): five declared expectations over
@@ -2167,6 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_subclass_closure": q_kg_subclass_closure,
         "kmv_distinct": q_kmv_distinct,
         "table_expectations": q_table_expectations,
+        "kg_negative_samples": q_kg_negative_samples,
         "kmv_intersection": q_kmv_intersection,
         "winnow_docs": q_winnow_docs,
         "nfc_normalize": q_nfc_normalize,
@@ -2621,6 +2641,34 @@ SELECT a.u AS src_uri, b.v AS dst_uri, count(*)::BIGINT AS n_paths
 FROM sym a JOIN sym b ON a.v = b.u AND a.u < b.v
 ANTI JOIN ed e ON e.s = a.u AND e.d = b.v
 GROUP BY 1, 2
+"""
+
+    sql["kg_negative_samples"] = _BASE_CTES + """,
+du AS (SELECT DISTINCT doc_id, uri FROM occs),
+ed AS (
+  SELECT a.uri AS subj, 'cooccursWith' AS pred, b.uri AS obj
+  FROM du a JOIN du b ON a.doc_id = b.doc_id AND a.uri < b.uri
+  GROUP BY a.uri, b.uri HAVING count(*) >= 3
+),
+ents AS (
+  SELECT (row_number() OVER (ORDER BY uri) - 1)::BIGINT AS ent_rank, uri
+  FROM (SELECT DISTINCT uri FROM occs)
+),
+n AS (SELECT count(*)::BIGINT AS n FROM ents),
+neg AS (
+  SELECT e.subj, e.pred, x.uri AS obj, 0 AS label, j.neg_idx
+  FROM ed e
+  CROSS JOIN (SELECT unnest([1, 2]) AS neg_idx) j
+  CROSS JOIN n
+  JOIN ents x ON x.ent_rank =
+    (('0x' || substr(md5(e.subj || chr(31) || e.pred || chr(31) || e.obj
+                         || chr(31) || j.neg_idx::VARCHAR),
+                     1, 12))::BIGINT % n.n + n.n) % n.n
+  WHERE x.uri <> e.obj
+)
+SELECT subj, pred, obj, 1 AS label, 0 AS neg_idx FROM ed
+UNION ALL
+SELECT subj, pred, obj, label, neg_idx FROM neg
 """
 
     sql["table_expectations"] = """

@@ -1,0 +1,101 @@
+"""Training-example generation for KG-embedding models (TransE-family)
+over the materialized triple store — the step between this engine's
+KG-construction output (pipeline/triples.py) and a representation-learning
+job.
+
+Negative sampling (Bordes et al. 2013): each positive (subj, pred, obj)
+triple yields `num_neg` corrupted-tail triples (subj, pred, obj') with
+obj' drawn from the entity dimension. The draw is DETERMINISTIC — obj' is
+the entity whose dense rank equals md5_48(subj·pred·obj·j) mod
+n_entities (fields joined on the \\x1f unit separator)
+— so the sample set is reproducible across runs, executors, and engines
+(the DuckDB oracle replays the identical hash arithmetic; same md5-prefix
+pattern as datapipe/sketches.py). Corruptions that collide with the true
+tail are dropped, the standard filtered-sampling correction.
+
+Scale shape: positives never move — the only join is corrupted rank ->
+entity dimension, and the entity dim is the SMALL side (broadcast), same
+boundedness argument as the model's res_id assignment in
+operators/modelbuild.py. One explode (num_neg, a small constant) is the
+only row amplification.
+
+Reference parity note: DBpedia Spotlight emits annotations, not training
+samples; this extends the training-data-pipeline operators
+(SURVEY.md §2.7) on the kg_construct axis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash48(col):
+    """48-bit md5-prefix BIGINT — cross-engine-replayable (DuckDB twin:
+    ('0x' || substr(md5(x), 1, 12))::BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def entity_ranks(entities: DataFrame, uri_col: str = "uri") -> DataFrame:
+    """-> (ent_rank, uri): dense 0-based ranks in uri order. The entity
+    dimension is the small side (bounded like the model's res_id dim), so
+    the single-partition rank window is deliberate; the output is meant to
+    be broadcast."""
+    w = Window.orderBy(F.asc(uri_col))
+    return entities.select(F.col(uri_col).alias("uri")).distinct().select(
+        (F.row_number().over(w) - 1).cast("long").alias("ent_rank"),
+        "uri",
+    )
+
+
+def negative_samples(
+    triples: DataFrame,
+    entities: DataFrame,
+    num_neg: int = 2,
+    uri_col: str = "uri",
+) -> DataFrame:
+    """triples(subj, pred, obj) + entities(uri) ->
+    (subj, pred, obj, label, neg_idx): the positives (label 1, neg_idx 0)
+    plus up to num_neg corrupted-tail negatives per positive (label 0,
+    neg_idx 1..num_neg, obj replaced by the hash-picked entity; picks
+    colliding with the true obj are filtered out)."""
+    ents = F.broadcast(entity_ranks(entities, uri_col))
+    n = ents.count()
+    pos = triples.select(
+        "subj",
+        "pred",
+        "obj",
+        F.lit(1).alias("label"),
+        F.lit(0).alias("neg_idx"),
+    )
+    corrupted = (
+        triples.select(
+            "subj",
+            "pred",
+            "obj",
+            F.explode(
+                F.array(*[F.lit(j) for j in range(1, num_neg + 1)])
+            ).alias("neg_idx"),
+        )
+        .withColumn(
+            "pick",
+            # \x1f unit separator between fields so ("ab","c") and
+            # ("a","bc") cannot hash alike; the oracle joins with chr(31)
+            F.pmod(
+                _hash48(
+                    F.concat_ws("\x1f", "subj", "pred", "obj", "neg_idx")
+                ),
+                F.lit(n),
+            ),
+        )
+        .join(ents, F.col("pick") == F.col("ent_rank"))
+        .filter(F.col("uri") != F.col("obj"))
+        .select(
+            "subj",
+            "pred",
+            F.col("uri").alias("obj"),
+            F.lit(0).alias("label"),
+            "neg_idx",
+        )
+    )
+    return pos.unionByName(corrupted)

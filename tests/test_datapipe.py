@@ -1496,3 +1496,33 @@ def test_expectations_single_pass_verdicts(spark):
     assert not out[("score", "max")]["passed"]  # max 50 > 10
     assert out[("score", "mean")]["passed"]
     assert not out[("note", "completeness")]["passed"]
+
+
+def test_kg_negative_samples_deterministic_and_filtered(spark):
+    """TransE-style corrupted-tail sampling: reproducible across runs (the
+    hash is the randomness), never emits the true tail as a negative,
+    bounded at num_neg per positive, and positives pass through intact."""
+    from dbpedia_spotlight_spark.datapipe.kg_samples import negative_samples
+
+    triples = spark.createDataFrame(
+        [(f"e{i}", "rel", f"e{(i * 3) % 7}") for i in range(7)],
+        "subj string, pred string, obj string",
+    )
+    entities = spark.createDataFrame(
+        [(f"e{i}",) for i in range(7)], "uri string"
+    )
+    out1 = sorted(
+        tuple(r) for r in negative_samples(triples, entities, 3).collect()
+    )
+    out2 = sorted(
+        tuple(r) for r in negative_samples(triples, entities, 3).collect()
+    )
+    assert out1 == out2
+    pos = [r for r in out1 if r[3] == 1]
+    neg = [r for r in out1 if r[3] == 0]
+    assert len(pos) == 7 and all(r[4] == 0 for r in pos)
+    assert 0 < len(neg) <= 7 * 3
+    true_tail = {(s, p): o for s, p, o in triples.collect()}
+    for s, p, o, _label, j in neg:
+        assert 1 <= j <= 3
+        assert o != true_tail[(s, p)]

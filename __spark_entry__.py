@@ -2012,6 +2012,21 @@ def q_kg_negative_samples(spark, sf_dir):
     return negative_samples(edges, entities, num_neg=2)
 
 
+def q_random_walks(spark, sf_dir):
+    """Deterministic DeepWalk corpus (datapipe/kg_samples.py:random_walks,
+    Perozzi et al. 2014) over the M6 co-occurrence graph: 2 walks of
+    length 4 from every node, step choice = md5_48(start·w·s·node) mod
+    degree — the hash is the randomness, so the walk corpus itself
+    hash-checks against the step-unrolled SQL twin (the d16_pagerank
+    pattern)."""
+    from dbpedia_spotlight_spark.datapipe.kg_samples import random_walks
+
+    edges = cooccurrence_edges(_occs(spark, sf_dir), min_count=3).select(
+        F.col("src_uri").alias("src"), F.col("dst_uri").alias("dst")
+    )
+    return random_walks(edges, num_walks=2, walk_len=4)
+
+
 def q_table_expectations(spark, sf_dir):
     """Deequ-style data-quality gate
     (datapipe/expectations.py:validate): five declared expectations over
@@ -2187,6 +2202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "table_expectations": q_table_expectations,
         "kg_negative_samples": q_kg_negative_samples,
+        "random_walks": q_random_walks,
         "kmv_intersection": q_kmv_intersection,
         "winnow_docs": q_winnow_docs,
         "nfc_normalize": q_nfc_normalize,
@@ -2670,6 +2686,55 @@ SELECT subj, pred, obj, 1 AS label, 0 AS neg_idx FROM ed
 UNION ALL
 SELECT subj, pred, obj, label, neg_idx FROM neg
 """
+
+    # random_walks: 4 steps unrolled; pick = md5_48 of
+    # start|walk_id|step|node (chr(31)-separated) mod degree
+    _walk_steps = []
+    for _s in range(1, 5):
+        _walk_steps.append(f""",
+f{_s} AS (
+  SELECT f.start, f.walk_id, n.v AS node
+  FROM f{_s - 1} f
+  JOIN wdeg d ON d.u = f.node
+  JOIN wnbr n ON n.u = f.node AND n.nrank =
+    ((('0x' || substr(md5(f.start || chr(31) || f.walk_id::VARCHAR
+        || chr(31) || '{_s}' || chr(31) || f.node), 1, 12))::BIGINT
+      % d.deg + d.deg) % d.deg)
+)""")
+    sql["random_walks"] = (
+        _BASE_CTES
+        + """,
+du AS (SELECT DISTINCT doc_id, uri FROM occs),
+ed AS (
+  SELECT a.uri AS s, b.uri AS d
+  FROM du a JOIN du b ON a.doc_id = b.doc_id AND a.uri < b.uri
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+sym AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT s AS u, d AS v FROM ed UNION ALL SELECT d, s FROM ed
+  )
+),
+wnbr AS (
+  SELECT u, v,
+         (row_number() OVER (PARTITION BY u ORDER BY v) - 1)::BIGINT
+           AS nrank
+  FROM sym
+),
+wdeg AS (SELECT u, count(*)::BIGINT AS deg FROM wnbr GROUP BY u),
+f0 AS (
+  SELECT u AS start, j.walk_id, u AS node
+  FROM wdeg CROSS JOIN (SELECT unnest([0, 1]) AS walk_id) j
+)"""
+        + "".join(_walk_steps)
+        + """
+SELECT start, walk_id, 0 AS step, node FROM f0
+UNION ALL SELECT start, walk_id, 1 AS step, node FROM f1
+UNION ALL SELECT start, walk_id, 2 AS step, node FROM f2
+UNION ALL SELECT start, walk_id, 3 AS step, node FROM f3
+UNION ALL SELECT start, walk_id, 4 AS step, node FROM f4
+"""
+    )
 
     sql["table_expectations"] = """
 WITH m AS (

@@ -99,3 +99,90 @@ def negative_samples(
         )
     )
     return pos.unionByName(corrupted)
+
+
+def random_walks(
+    edges: DataFrame,
+    num_walks: int = 2,
+    walk_len: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic DeepWalk-style walk corpus (Perozzi et al. 2014) over
+    an undirected edge list -> (start, walk_id, step, node), one row per
+    visited node, step 0..walk_len.
+
+    Step s of walk w from `start` standing at `node` moves to the
+    neighbor whose per-node rank (neighbors sorted by id) equals
+    md5_48(start·w·s·node) mod degree(node) — fields \\x1f-joined, same
+    replayable-hash scheme as negative_samples, so the SAMPLED walk
+    corpus itself is oracle-checkable and identical across runs,
+    executors, and engines.
+
+    Scale shape: the walk frontier advances with two equi-joins per step
+    (frontier->degree dim for the modulus, then (node, pick) ->
+    (u, nrank) into the ranked adjacency) — no row amplification beyond
+    the frontier itself, walk_len is a small constant, and the adjacency
+    ranking is a per-node window (partitioned, never global). Walks from
+    every node proceed in one DataFrame — the corpus for a skip-gram
+    embedding job downstream.
+    """
+    u, v = F.col(src).alias("u"), F.col(dst).alias("v")
+    sym = (
+        edges.select(u, v)
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    w_nbr = Window.partitionBy("u").orderBy(F.asc("v"))
+    nbr = sym.select(
+        "u", "v", (F.row_number().over(w_nbr) - 1).cast("long").alias("nrank")
+    )
+    deg = nbr.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
+
+    frontier = (
+        deg.select(F.col("u").alias("start"))
+        .select(
+            "start",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(num_walks)])
+            ).alias("walk_id"),
+        )
+        .withColumn("node", F.col("start"))
+    )
+    out = frontier.select(
+        "start", "walk_id", F.lit(0).alias("step"), "node"
+    )
+    for s in range(1, walk_len + 1):
+        stepped = (
+            frontier.join(deg, frontier["node"] == deg["u"])
+            .withColumn(
+                "pick",
+                F.pmod(
+                    _hash48(
+                        F.concat_ws(
+                            "\x1f",
+                            "start",
+                            "walk_id",
+                            F.lit(s).cast("string"),
+                            "node",
+                        )
+                    ),
+                    F.col("deg"),
+                ),
+            )
+            .select("start", "walk_id", "node", "pick")
+        )
+        frontier = (
+            stepped.join(
+                nbr,
+                (stepped["node"] == nbr["u"])
+                & (stepped["pick"] == nbr["nrank"]),
+            )
+            .select("start", "walk_id", F.col("v").alias("node"))
+        )
+        out = out.unionByName(
+            frontier.select(
+                "start", "walk_id", F.lit(s).alias("step"), "node"
+            )
+        )
+    return out

@@ -1526,3 +1526,34 @@ def test_kg_negative_samples_deterministic_and_filtered(spark):
     for s, p, o, _label, j in neg:
         assert 1 <= j <= 3
         assert o != true_tail[(s, p)]
+
+
+def test_random_walks_follow_edges_and_reproduce(spark):
+    """Every consecutive (step, step+1) pair in a walk is an edge of the
+    symmetric graph; two invocations yield the identical corpus; each
+    (start, walk) emits exactly walk_len+1 rows (no dead ends on a
+    connected graph)."""
+    from dbpedia_spotlight_spark.datapipe.kg_samples import random_walks
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")],
+        "src string, dst string",
+    )
+    out1 = sorted(
+        tuple(r) for r in random_walks(edges, num_walks=3, walk_len=5).collect()
+    )
+    out2 = sorted(
+        tuple(r) for r in random_walks(edges, num_walks=3, walk_len=5).collect()
+    )
+    assert out1 == out2
+    adj = set()
+    for s, d in [("a","b"),("b","c"),("c","d"),("d","a"),("a","c")]:
+        adj |= {(s, d), (d, s)}
+    walks = {}
+    for start, wid, step, node in out1:
+        walks.setdefault((start, wid), {})[step] = node
+    assert len(walks) == 4 * 3  # 4 nodes x 3 walks
+    for (start, _wid), seq in walks.items():
+        assert len(seq) == 6 and seq[0] == start
+        for t in range(5):
+            assert (seq[t], seq[t + 1]) in adj

@@ -1557,3 +1557,28 @@ def test_random_walks_follow_edges_and_reproduce(spark):
         assert len(seq) == 6 and seq[0] == start
         for t in range(5):
             assert (seq[t], seq[t + 1]) in adj
+
+
+def test_kmv_sketch_plan_shape(spark):
+    """Plan guard for the sketch bottom-k: every window is partitioned
+    (no single-task global sort in the keyed path) and Spark's
+    rank-limit pushdown (WindowGroupLimit partial/final — map-side
+    top-k) engages on the row_number <= k filters."""
+    from dbpedia_spotlight_spark.datapipe.sketches import kmv_sketch
+
+    df = spark.createDataFrame(
+        [("a", f"t{i}") for i in range(100)], "grp string, item string"
+    )
+    plan = (
+        kmv_sketch(df, ["grp"], "item", k=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            # partition exprs precede the ASC sort key; an empty
+            # partitionBy would put the sort key first
+            spec = line.split("windowspecdefinition(", 1)[1]
+            assert not spec.lstrip().startswith("_h"), line

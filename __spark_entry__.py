@@ -1993,6 +1993,96 @@ def q_kg_subclass_closure(spark, sf_dir):
     return transitive_closure(edges, src="class_id", dst="ancestor_id")
 
 
+def q_kg_bgp(spark, sf_dir):
+    """SPARQL basic-graph-pattern matching over the materialized triple
+    table (operators/kgquery.py:bgp_match — the RDF-3X relational BGP
+    encoding, selectivity-ordered self-join chain). Triples derive from
+    customer/nation/region; the BGP asks for BUILDING-segment customers
+    with their nation and region name:
+      ?c segment "BUILDING" . ?c inNation ?n . ?n inRegion ?r .
+      ?r named ?rname
+    The reference's JDBM/Lucene stores answer single-key gets only; the
+    triple-table design makes conjunctive KG queries one declarative
+    plan. Oracle = the same conjunctive query as plain SQL joins."""
+    from dbpedia_spotlight_spark.operators.kgquery import bgp_match
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    triples = (
+        cust.select(
+            F.concat(F.lit("c"), F.col("c_custkey")).alias("subj"),
+            F.lit("inNation").alias("pred"),
+            F.concat(F.lit("n"), F.col("c_nationkey")).alias("obj"),
+        )
+        .unionByName(
+            cust.select(
+                F.concat(F.lit("c"), F.col("c_custkey")).alias("subj"),
+                F.lit("segment").alias("pred"),
+                F.col("c_mktsegment").alias("obj"),
+            )
+        )
+        .unionByName(
+            nat.select(
+                F.concat(F.lit("n"), F.col("n_nationkey")).alias("subj"),
+                F.lit("inRegion").alias("pred"),
+                F.concat(F.lit("r"), F.col("n_regionkey")).alias("obj"),
+            )
+        )
+        .unionByName(
+            reg.select(
+                F.concat(F.lit("r"), F.col("r_regionkey")).alias("subj"),
+                F.lit("named").alias("pred"),
+                F.col("r_name").alias("obj"),
+            )
+        )
+    )
+    return bgp_match(
+        triples,
+        [
+            ("?c", "segment", "BUILDING"),
+            ("?c", "inNation", "?n"),
+            ("?n", "inRegion", "?r"),
+            ("?r", "named", "?rname"),
+        ],
+    ).select("c", "n", "r", "rname")
+
+
+def q_kg_bfs(spark, sf_dir):
+    """Multi-source BFS hop distances over the entity co-occurrence graph
+    (operators/kgquery.py:bfs_distances — frontier expansion, one
+    equi-join + anti-join per hop, state one row per reached node): the
+    "entities within k hops" reachability primitive of KG exploration.
+    Sources = the lexicographically smallest entity; 3 hops. Oracle =
+    DuckDB recursive CTE with a hop bound + min-groupBy."""
+    from dbpedia_spotlight_spark.operators.kgquery import bfs_distances
+
+    edges = cooccurrence_edges(_occs(spark, sf_dir), min_count=150)
+    sym = edges.select(
+        F.col("src_uri").alias("src"), F.col("dst_uri").alias("dst")
+    ).unionByName(
+        edges.select(
+            F.col("dst_uri").alias("src"), F.col("src_uri").alias("dst")
+        )
+    )
+    sources = sym.agg(F.min("src").alias("node"))
+    return bfs_distances(sym, sources, max_hops=3)
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters (datapipe/sketches.py:heavy_hitters): every
+    token with frequency > n/30 in the document corpus, via per-partition
+    batched Misra-Gries candidate summaries + one exact recount
+    restricted to candidates (Misra-Gries 1982 / Mergeable Summaries,
+    PODS 2012). Output is exact and partitioning-independent — the
+    vocabulary-wide shuffle of a naive groupBy never happens. Oracle =
+    GROUP BY ... HAVING count(*)*30 > total."""
+    from dbpedia_spotlight_spark.datapipe.sketches import heavy_hitters
+
+    toks = _tok(spark, sf_dir).select("token")
+    return heavy_hitters(toks, "token", k=30)
+
+
 def q_kg_negative_samples(spark, sf_dir):
     """KG-embedding training examples
     (datapipe/kg_samples.py:negative_samples, Bordes et al. 2013): the M6
@@ -2199,6 +2289,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "kg_two_hop": q_kg_two_hop,
         "kg_subclass_closure": q_kg_subclass_closure,
+        "kg_bgp": q_kg_bgp,
+        "kg_bfs": q_kg_bfs,
+        "heavy_hitters": q_heavy_hitters,
         "kmv_distinct": q_kmv_distinct,
         "table_expectations": q_table_expectations,
         "kg_negative_samples": q_kg_negative_samples,
@@ -2645,6 +2738,56 @@ WHERE st.s <= st.n_grams - 4
 
     # kg_two_hop (operators/graph.py:two_hop_pairs): symmetrized wedge
     # join, canonical x < z, minus existing edges.
+    # kg_bgp: the BGP as a conjunctive SQL query — each triple pattern
+    # is one self-join of the derived triple relation on the shared var
+    sql["kg_bgp"] = """
+WITH tr AS (
+  SELECT 'c' || c_custkey::VARCHAR AS subj, 'inNation' AS pred,
+         'n' || c_nationkey::VARCHAR AS obj FROM customer
+  UNION ALL
+  SELECT 'c' || c_custkey::VARCHAR, 'segment', c_mktsegment FROM customer
+  UNION ALL
+  SELECT 'n' || n_nationkey::VARCHAR, 'inRegion',
+         'r' || n_regionkey::VARCHAR FROM nation
+  UNION ALL
+  SELECT 'r' || r_regionkey::VARCHAR, 'named', r_name FROM region
+)
+SELECT DISTINCT p1.subj AS c, p2.obj AS n, p3.obj AS r, p4.obj AS rname
+FROM tr p1
+JOIN tr p2 ON p2.subj = p1.subj AND p2.pred = 'inNation'
+JOIN tr p3 ON p3.subj = p2.obj AND p3.pred = 'inRegion'
+JOIN tr p4 ON p4.subj = p3.obj AND p4.pred = 'named'
+WHERE p1.pred = 'segment' AND p1.obj = 'BUILDING'
+"""
+
+    # kg_bfs: bounded-depth recursive reachability; UNION (distinct)
+    # dedupes (node, dist) pairs per step so cycles can't blow up the
+    # working set; min() collapses to the shortest hop count
+    sql["kg_bfs"] = "WITH RECURSIVE" + _BASE_CTES.lstrip()[4:] + """,
+du AS (SELECT DISTINCT doc_id, uri FROM occs),
+ed AS (
+  SELECT a.uri AS s, b.uri AS d
+  FROM du a JOIN du b ON a.doc_id = b.doc_id AND a.uri < b.uri
+  GROUP BY 1, 2 HAVING count(*) >= 150
+),
+sym AS (SELECT s AS u, d AS v FROM ed UNION ALL SELECT d, s FROM ed),
+walk(node, dist) AS (
+  SELECT min(u), 0 FROM sym
+  UNION
+  SELECT s.v, w.dist + 1 FROM walk w JOIN sym s ON s.u = w.node
+  WHERE w.dist < 3
+)
+SELECT node, min(dist)::INT AS dist FROM walk GROUP BY node
+"""
+
+    # heavy_hitters: the exact definition the two-phase MG pass computes
+    sql["heavy_hitters"] = _BASE_CTES + """
+SELECT token AS item, count(*)::BIGINT AS cnt
+FROM tok
+GROUP BY token
+HAVING count(*) * 30 > (SELECT count(*) FROM tok)
+"""
+
     sql["kg_two_hop"] = _BASE_CTES + """,
 du AS (SELECT DISTINCT doc_id, uri FROM occs),
 ed AS (

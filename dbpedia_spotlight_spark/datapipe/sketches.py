@@ -185,3 +185,67 @@ def kmv_intersection(
             6,
         ).alias("jaccard_estimate"),
     )
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
+    """EXACT heavy hitters — every item occurring > n/k times — via the
+    two-phase Misra-Gries design (Misra & Gries 1982; the distributed
+    form in Agarwal et al., "Mergeable Summaries", PODS 2012).
+
+    Phase 1 (one scan, bounded memory): each partition runs a batched
+    Misra-Gries summary with k-1 counters over its rows — per Arrow
+    batch, value_counts (vectorized) merge into the summary; when more
+    than k-1 counters remain, the (k-1)-th largest count is subtracted
+    from all and non-positive counters drop. MG guarantees every item
+    with partition count > n_p/k survives; by pigeonhole, an item with
+    GLOBAL count > n/k exceeds n_p/k in at least one partition, so the
+    union of partition summaries is a superset of the true answer —
+    regardless of how rows are partitioned.
+
+    Phase 2 (exact verify): the candidate set (≤ (k-1) × n_partitions
+    values, tiny) broadcast-semi-joins the input, one exact groupBy
+    count restricted to candidates, filter cnt·k > n. Output is exact
+    and partitioning-independent — which is what makes it oracle-
+    checkable (`HAVING count(*)*k > total` in any engine).
+
+    At 100 TB this is the standard shape: the full-column groupBy a naive
+    top-k needs would shuffle every distinct value (vocabulary-sized);
+    here the shuffle carries only candidate rows.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+
+    from pyspark.sql import types as T
+
+    src = df.select(F.col(col).cast("string").alias("item")).filter(
+        F.col("item").isNotNull()
+    )
+    out_schema = T.StructType([T.StructField("item", T.StringType())])
+
+    def _mg(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf["item"].value_counts()
+            for item, c in vc.items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k - 1:
+                # batched decrement: drop everything at/below the
+                # (k-1)-th largest count, subtracting it from the rest
+                cuts = sorted(counters.values(), reverse=True)
+                m = cuts[k - 1]
+                counters = {
+                    i: c - m for i, c in counters.items() if c - m > 0
+                }
+        yield pd.DataFrame({"item": list(counters.keys())})
+
+    candidates = F.broadcast(src.mapInPandas(_mg, out_schema).distinct())
+    total = src.count()
+    return (
+        src.join(candidates, "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") * k > F.lit(total))
+        .select("item", "cnt")
+    )

@@ -1,0 +1,150 @@
+"""Query operators over the materialized knowledge graph.
+
+The reference stores its extracted graph behind Lucene/JDBM lookups
+(core/src/main/scala/org/dbpedia/spotlight/db/ — single-key gets); the
+Spark-native counterpart is a (subj, pred, obj) triple TABLE (our
+pipeline/triples.py output), which supports declarative multi-pattern
+queries the reference cannot express at all. Two classic shapes:
+
+* ``bgp_match`` — SPARQL basic-graph-pattern matching: a conjunction of
+  triple patterns with shared variables compiled to a selectivity-ordered
+  self-join chain over the triple table. This is the standard relational
+  encoding of SPARQL BGPs (Neumann & Weikum, RDF-3X, VLDB 2008: join
+  order from pattern selectivity); Catalyst/AQE then picks
+  broadcast-vs-shuffle per join from runtime sizes.
+
+* ``bfs_distances`` — multi-source breadth-first shortest hop distances,
+  the reachability primitive under "related entities within k hops".
+  Frontier-expansion DataFrame loop: each hop is one equi-join + one
+  min-groupBy, both co-partitioned on the node key; lineage truncated per
+  hop exactly like the redirect closure (operators/closure.py).
+
+Scale notes (100 TB triple store):
+  - every BGP join is an equi-join on a binding variable — shuffle keyed
+    on the join var; patterns are ordered most-constrained-first so the
+    intermediate stays small and AQE can flip early joins to broadcast.
+  - BFS state is (node, dist) — one row per REACHED node, never per path;
+    the frontier shrinks to new nodes only (anti-join), so total work is
+    O(edges within k hops), the same bound as Pregel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _is_var(term: str) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def bgp_match(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+) -> DataFrame:
+    """Match a SPARQL-style basic graph pattern against a triple table.
+
+    ``triples``: columns (subj, pred, obj). ``patterns``: list of
+    (s, p, o) where each term is either a constant or a "?var". Returns
+    one column per distinct variable, one row per distinct binding
+    (SPARQL set semantics for SELECT DISTINCT).
+
+    Patterns are joined most-constrained-first (more constants = smaller
+    scan), and among equals, patterns sharing a variable with the bound
+    set come first — a cross join is only emitted when the BGP is
+    genuinely disconnected.
+    """
+    if not patterns:
+        raise ValueError("empty basic graph pattern")
+    for pat in patterns:
+        if len(pat) != 3:
+            raise ValueError(f"pattern must be a (s,p,o) triple: {pat!r}")
+        if not any(_is_var(t) for t in pat):
+            raise ValueError(f"pattern binds no variable: {pat!r}")
+
+    def _relation(pat: tuple[str, str, str]) -> tuple[DataFrame, set]:
+        """Filter constants, project variable positions to var columns."""
+        df = triples
+        cols, seen = [], {}
+        for col, term in zip(("subj", "pred", "obj"), pat):
+            if _is_var(term):
+                name = term[1:]
+                if name in seen:
+                    # repeated var inside one pattern: equality filter
+                    df = df.filter(F.col(col) == F.col(seen[name]))
+                else:
+                    seen[name] = col
+                    cols.append(F.col(col).alias(name))
+            else:
+                df = df.filter(F.col(col) == F.lit(term))
+        return df.select(*cols), set(seen)
+
+    # most-constrained-first: sort by number of constants descending
+    order = sorted(
+        range(len(patterns)),
+        key=lambda i: -sum(0 if _is_var(t) else 1 for t in patterns[i]),
+    )
+    remaining = list(order)
+    first = remaining.pop(0)
+    result, bound = _relation(patterns[first])
+    while remaining:
+        # prefer a pattern sharing >=1 bound variable (connected join)
+        pick = next(
+            (i for i in remaining if _relation_vars(patterns[i]) & bound),
+            remaining[0],
+        )
+        remaining.remove(pick)
+        rel, vs = _relation(patterns[pick])
+        shared = sorted(vs & bound)
+        result = (
+            result.join(rel, on=shared) if shared else result.crossJoin(rel)
+        )
+        bound |= vs
+    return result.distinct()
+
+
+def _relation_vars(pat: tuple[str, str, str]) -> set:
+    return {t[1:] for t in pat if _is_var(t)}
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Minimum hop distance from any source node, up to ``max_hops``.
+
+    ``edges``: directed (src, dst) pairs — symmetrize first for an
+    undirected graph. ``sources``: one column ``node``. Returns
+    (node, dist) with dist = min #edges from the nearest source,
+    including the sources themselves at dist 0.
+
+    Frontier expansion: per hop, join the frontier to edges (equi-join on
+    the node key), drop nodes already reached (left-anti), dedupe the new
+    frontier. State stays one row per reached node; `localCheckpoint`
+    truncates the per-iteration lineage (the closure-loop pattern,
+    operators/closure.py). Early-exits when the frontier drains — the
+    count() per hop is a scalar driver aggregate, not a collect.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    reached = sources.select(F.col(node).alias(node)).distinct().withColumn(
+        "dist", F.lit(0)
+    )
+    frontier = reached.select(node)
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier[node] == e["_s"])
+            .select(F.col("_d").alias(node))
+            .distinct()
+            .join(reached.select(node), node, "left_anti")
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        reached = reached.unionByName(nxt.withColumn("dist", F.lit(hop)))
+        reached = reached.localCheckpoint(eager=True)
+        frontier = nxt
+    return reached

@@ -2083,6 +2083,44 @@ def q_heavy_hitters(spark, sf_dir):
     return heavy_hitters(toks, "token", k=30)
 
 
+def q_kg_pagerank(spark, sf_dir):
+    """Global PageRank over the entity co-occurrence KG
+    (operators/graph.py:global_pagerank — the canonical KG entity-
+    importance score; global twin of the d16 personalized power method).
+    3 power iterations, α=0.85, edge weight = co-occurrence count,
+    symmetrized. Oracle = the iterations unrolled in SQL (the d16
+    pattern), ranks rounded to 6 dp."""
+    from dbpedia_spotlight_spark.operators.graph import global_pagerank
+
+    edges = cooccurrence_edges(_occs(spark, sf_dir), min_count=150)
+    sym = edges.select(
+        F.col("src_uri").alias("src"), F.col("dst_uri").alias("dst"), "count"
+    ).unionByName(
+        edges.select(
+            F.col("dst_uri").alias("src"), F.col("src_uri").alias("dst"), "count"
+        )
+    )
+    pr = global_pagerank(sym, iterations=3, weight="count")
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+def q_kg_communities(spark, sf_dir):
+    """Entity communities in the co-occurrence KG via deterministic
+    synchronous label propagation (operators/graph.py:label_propagation,
+    Raghavan 2007; min-label tie-break makes the fixed-round run
+    replayable). 3 rounds. Oracle = each round unrolled as a
+    count-groupBy + per-node argmax window."""
+    from dbpedia_spotlight_spark.operators.graph import label_propagation
+
+    edges = cooccurrence_edges(_occs(spark, sf_dir), min_count=150)
+    return label_propagation(
+        edges.select(
+            F.col("src_uri").alias("src"), F.col("dst_uri").alias("dst")
+        ),
+        iterations=3,
+    )
+
+
 def q_kg_negative_samples(spark, sf_dir):
     """KG-embedding training examples
     (datapipe/kg_samples.py:negative_samples, Bordes et al. 2013): the M6
@@ -2291,6 +2329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_subclass_closure": q_kg_subclass_closure,
         "kg_bgp": q_kg_bgp,
         "kg_bfs": q_kg_bfs,
+        "kg_pagerank": q_kg_pagerank,
+        "kg_communities": q_kg_communities,
         "heavy_hitters": q_heavy_hitters,
         "kmv_distinct": q_kmv_distinct,
         "table_expectations": q_table_expectations,
@@ -2778,6 +2818,66 @@ walk(node, dist) AS (
   WHERE w.dist < 3
 )
 SELECT node, min(dist)::INT AS dist FROM walk GROUP BY node
+"""
+
+    # kg_pagerank: 3 weighted power iterations unrolled (d16 pattern);
+    # the symmetrized graph has no dangling nodes so the reset term is
+    # (1-α)/N exactly; 6-dp rounding absorbs float-literal ulps
+    _pr_round = """
+c{t} AS (
+  SELECT nm.v AS node, sum(r.rank * nm.p) AS infl
+  FROM r{p} r JOIN norm nm ON nm.u = r.node GROUP BY 1
+),
+r{t} AS (
+  SELECT nd.node,
+         0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c.infl, 0) AS rank
+  FROM nd LEFT JOIN c{t} c USING (node)
+)"""
+    sql["kg_pagerank"] = _BASE_CTES + """,
+du AS (SELECT DISTINCT doc_id, uri FROM occs),
+ed AS (
+  SELECT a.uri AS s, b.uri AS d, count(*)::DOUBLE AS w
+  FROM du a JOIN du b ON a.doc_id = b.doc_id AND a.uri < b.uri
+  GROUP BY 1, 2 HAVING count(*) >= 150
+),
+sym AS (SELECT s AS u, d AS v, w FROM ed UNION ALL SELECT d, s, w FROM ed),
+outw AS (SELECT u, sum(w) AS ow FROM sym GROUP BY u),
+norm AS (SELECT s.u, s.v, s.w / o.ow AS p FROM sym s JOIN outw o USING (u)),
+nd AS (SELECT DISTINCT u AS node FROM sym),
+nn AS (SELECT count(*) AS n FROM nd),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nd),""" + ",".join(
+        _pr_round.format(t=t, p=t - 1) for t in (1, 2, 3)
+    ) + """
+SELECT node, round(rank, 6) AS rank FROM r3
+"""
+
+    # kg_communities: 3 synchronous LPA rounds unrolled — per round one
+    # neighbor-label count groupBy + per-node argmax (count desc, label
+    # asc), exactly the Spark window
+    _lpa_round = """
+c{t} AS (
+  SELECT s.v AS node, l.label, count(*) AS c
+  FROM l{p} l JOIN sym s ON s.u = l.node GROUP BY 1, 2
+),
+l{t} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM c{t}) WHERE rn = 1
+)"""
+    sql["kg_communities"] = _BASE_CTES + """,
+du AS (SELECT DISTINCT doc_id, uri FROM occs),
+ed AS (
+  SELECT a.uri AS s, b.uri AS d
+  FROM du a JOIN du b ON a.doc_id = b.doc_id AND a.uri < b.uri
+  GROUP BY 1, 2 HAVING count(*) >= 150
+),
+sym AS (SELECT s AS u, d AS v FROM ed UNION SELECT d, s FROM ed),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),""" + ",".join(
+        _lpa_round.format(t=t, p=t - 1) for t in (1, 2, 3)
+    ) + """
+SELECT node, label FROM l3
 """
 
     # heavy_hitters: the exact definition the two-phase MG pass computes

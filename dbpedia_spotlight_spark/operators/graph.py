@@ -363,3 +363,118 @@ def two_hop_pairs(
         .agg(F.count("*").alias("n_paths"))
         .join(direct, ["x", "z"], "left_anti")
     )
+
+
+def global_pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    alpha: float = DEFAULT_ALPHA,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Global (non-personalized) PageRank over one graph — the canonical
+    entity-importance score of a knowledge graph (Brin & Page 1998; the
+    global twin of D16's per-document personalized power method above).
+
+    edges: directed (src, dst[, weight]) — symmetrize first for an
+    undirected graph. -> (node, rank), ranks summing to ~1.
+
+    r_{t+1}(v) = (1-α)/N + α·(Σ_{u→v} r_t(u)·w(u,v)/outw(u) + D_t/N)
+    with D_t the rank mass on dangling nodes (uniform reset — the
+    standard power-method treatment). Every iteration is one equi-join
+    + one groupBy-sum keyed on the node, both co-partitioned; lineage
+    truncated per iteration. Deterministic given the graph, so a SQL
+    twin unrolling the same iterations reproduces it (rounding at the
+    consumer, same as d16)."""
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"), w.alias("_w"))
+    out_w = e.groupBy("_s").agg(F.sum("_w").alias("_outw"))
+    norm = e.join(out_w, "_s").select(
+        "_s", "_d", (F.col("_w") / F.col("_outw")).alias("_p")
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    has_out = out_w.select(F.col("_s").alias("node"), F.lit(True).alias("_o"))
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(iterations):
+        dangling = (
+            ranks.join(has_out, "node", "left")
+            .filter(F.col("_o").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        )
+        inflow = (
+            ranks.withColumnRenamed("node", "_s")
+            .join(norm, "_s")
+            .select(F.col("_d").alias("node"), (F.col("rank") * F.col("_p")).alias("_in"))
+            .groupBy("node")
+            .agg(F.sum("_in").alias("_inflow"))
+        )
+        ranks = (
+            nodes.join(inflow, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - alpha) / n_nodes)
+                    + F.lit(alpha)
+                    * (
+                        F.coalesce(F.col("_inflow"), F.lit(0.0))
+                        + F.col("_dm") / F.lit(float(n_nodes))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007) over an undirected graph — entity "topic communities" in the
+    co-occurrence KG.
+
+    edges: directed pairs, symmetrized internally. -> (node, label).
+
+    Every node starts labeled with itself; each round it adopts the most
+    frequent label among its neighbors, ties broken by the SMALLEST
+    label — the deterministic variant (plain LPA breaks ties randomly
+    and is not reproducible; min tie-break makes the whole fixed-round
+    computation replayable in SQL). Per round: one equi-join (labels →
+    edges) + one count groupBy + one per-node argmax window, all keyed
+    on the node. Fixed round count, synchronous updates — convergence
+    detection would add a driver round-trip per round; at KG scale a
+    small fixed budget is the standard choice (GraphFrames LPA does the
+    same)."""
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    sym = e.unionByName(
+        e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("_s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("_c"), F.asc("label"))
+    for _ in range(iterations):
+        labels = (
+            labels.withColumnRenamed("node", "_s")
+            .join(sym, "_s")
+            .groupBy(F.col("_d").alias("node"), "label")
+            .agg(F.count("*").alias("_c"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels

@@ -124,3 +124,101 @@ def test_heavy_hitters_rejects_k1(spark):
     df = spark.createDataFrame([("a",)], "tok string")
     with pytest.raises(ValueError):
         heavy_hitters(df, "tok", 1)
+
+
+def _pr_reference(edges, n_iter=3, alpha=0.85):
+    """Pure-python power method with uniform dangling reset."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    out = {}
+    for u, v in edges:
+        out.setdefault(u, []).append(v)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        dm = sum(r[v] for v in nodes if v not in out)
+        nxt = {}
+        for v in nodes:
+            inflow = sum(
+                r[u] / len(out[u]) for u in nodes if v in out.get(u, ())
+            )
+            nxt[v] = (1 - alpha) / n + alpha * (inflow + dm / n)
+        r = nxt
+    return r
+
+
+def test_global_pagerank_matches_reference(spark):
+    from dbpedia_spotlight_spark.operators.graph import global_pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (3, 0)]  # 3 is a source, no in-links
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in global_pagerank(df, 3).collect()}
+    ref = _pr_reference(edges, 3)
+    assert set(got) == set(ref)
+    for v in ref:
+        assert abs(got[v] - ref[v]) < 1e-12, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_global_pagerank_dangling(spark):
+    from dbpedia_spotlight_spark.operators.graph import global_pagerank
+
+    edges = [(0, 1)]  # node 1 is dangling
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in global_pagerank(df, 4).collect()}
+    ref = _pr_reference(edges, 4)
+    for v in ref:
+        assert abs(got[v] - ref[v]) < 1e-12, v
+
+
+def _lpa_reference(edges, n_iter=3):
+    """Pure-python synchronous LPA, most-frequent neighbor label,
+    ties -> smallest label."""
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    labels = {v: v for v in adj}
+    for _ in range(n_iter):
+        nxt = {}
+        for v, nbrs in adj.items():
+            counts = {}
+            for u in nbrs:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            nxt[v] = min(counts, key=lambda l: (-counts[l], l))
+        labels = nxt
+    return labels
+
+
+def test_label_propagation_matches_reference(spark):
+    from dbpedia_spotlight_spark.operators.graph import label_propagation
+
+    # two triangles joined by one bridge edge
+    edges = [(1, 2), (2, 3), (1, 3), (7, 8), (8, 9), (7, 9), (3, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for n_iter in (1, 2, 3):
+        got = {
+            r.node: r.label
+            for r in label_propagation(df, n_iter).collect()
+        }
+        assert got == _lpa_reference(edges, n_iter), n_iter
+
+
+def test_label_propagation_isolated_clique(spark):
+    from dbpedia_spotlight_spark.operators.graph import label_propagation
+
+    # a clique with no bridges settles on its min node label
+    edges = [(4, 5), (5, 6), (4, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.label for r in label_propagation(df, 3).collect()}
+    assert got == {4: 4, 5: 4, 6: 4}
+
+
+def test_label_propagation_deterministic(spark):
+    from dbpedia_spotlight_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4)], "src long, dst long"
+    ).repartition(5)
+    a = sorted((r.node, r.label) for r in label_propagation(df, 3).collect())
+    b = sorted((r.node, r.label) for r in label_propagation(df, 3).collect())
+    assert a == b

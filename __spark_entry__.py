@@ -2121,6 +2121,30 @@ def q_kg_communities(spark, sf_dir):
     )
 
 
+def q_entity_salience(spark, sf_dir):
+    """Per-(doc, entity) salience features + combined score
+    (operators/kbaugment.py:entity_salience — Dunietz & Gillick 2014:
+    mention frequency × first-mention earliness). One groupBy pair over
+    the annotation table; integer-count arithmetic so the float score
+    replays exactly."""
+    from dbpedia_spotlight_spark.operators.kbaugment import entity_salience
+
+    return entity_salience(_occs(spark, sf_dir).select("doc_id", "pos", "uri"))
+
+
+def q_emerging_entities(spark, sf_dir):
+    """NIL clustering / emerging-entity discovery
+    (operators/kbaugment.py:emerging_entities — TAC-KBP NIL task):
+    mentions with linker confidence below 0.5 cluster by normalized
+    surface form and mint a deterministic new KB id, so unknown
+    entities become KG nodes instead of dropped rows."""
+    from dbpedia_spotlight_spark.operators.kbaugment import emerging_entities
+
+    return emerging_entities(
+        _occs(spark, sf_dir), score_col="prior", threshold=0.5
+    )
+
+
 def q_kg_negative_samples(spark, sf_dir):
     """KG-embedding training examples
     (datapipe/kg_samples.py:negative_samples, Bordes et al. 2013): the M6
@@ -2332,6 +2356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": q_kg_pagerank,
         "kg_communities": q_kg_communities,
         "heavy_hitters": q_heavy_hitters,
+        "entity_salience": q_entity_salience,
+        "emerging_entities": q_emerging_entities,
         "kmv_distinct": q_kmv_distinct,
         "table_expectations": q_table_expectations,
         "kg_negative_samples": q_kg_negative_samples,
@@ -2878,6 +2904,38 @@ l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),""" + ",".join(
         _lpa_round.format(t=t, p=t - 1) for t in (1, 2, 3)
     ) + """
 SELECT node, label FROM l3
+"""
+
+    # entity_salience: the two D&G'14 features + multiplicative score;
+    # integer counts -> identical float64 ops in both engines
+    sql["entity_salience"] = _BASE_CTES + """,
+per AS (
+  SELECT doc_id, uri, count(*)::BIGINT AS n_mentions,
+         min(pos)::BIGINT AS first_pos
+  FROM occs GROUP BY 1, 2
+),
+doc AS (
+  SELECT doc_id, count(*) AS dm, max(pos) AS mp FROM occs GROUP BY 1
+)
+SELECT p.doc_id, p.uri, p.n_mentions, p.first_pos,
+       round(p.n_mentions / CAST(d.dm AS DOUBLE), 6) AS mention_frac,
+       round((p.n_mentions / CAST(d.dm AS DOUBLE))
+             * (1.0 - p.first_pos / CAST(d.mp + 1 AS DOUBLE)), 6) AS score
+FROM per p JOIN doc d USING (doc_id)
+"""
+
+    # emerging_entities: NIL mentions (prior < 0.5) clustered on the
+    # normalized surface form, one new id per cluster
+    sql["emerging_entities"] = _BASE_CTES + r""",
+nil AS (
+  SELECT regexp_replace(lower(trim(surface_form)), '\s+', ' ', 'g') AS sfn,
+         doc_id
+  FROM occs WHERE prior < 0.5
+)
+SELECT 'NEW:' || sfn AS entity_id, sfn AS surface_form_norm,
+       count(*)::BIGINT AS n_mentions,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM nil GROUP BY sfn
 """
 
     # heavy_hitters: the exact definition the two-phase MG pass computes

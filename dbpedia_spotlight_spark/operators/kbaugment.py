@@ -1,0 +1,109 @@
+"""Knowledge-base augmentation operators — the post-linking KG-construction
+steps downstream pipelines run over the annotate output.
+
+The reference stops at emitting per-mention (uri, confidence) annotations
+(core/.../outputs/ — SURVEY.md §2.1 S11/S12). Production KG construction
+adds two standard steps on top:
+
+* ``entity_salience`` — per-(document, entity) salience features and a
+  combined score (Dunietz & Gillick, "A New Entity Salience Task with
+  Millions of Training Examples", EACL 2014: mention frequency and
+  first-mention position are the two dominant features). Salient-entity
+  triples ("doc mentions X saliently") are what KG consumers index.
+
+* ``emerging_entities`` — NIL clustering / emerging-entity discovery
+  (the TAC-KBP "NIL clustering" task): mentions the linker could NOT
+  confidently resolve are grouped by normalized surface form and minted
+  a deterministic new KB identifier, so unknown real-world entities
+  become first-class nodes instead of dropped rows.
+
+Scale shape: both are single groupBy aggregations over the annotation
+table (map-side combinable; no window, no driver state). Deterministic
+arithmetic on counts → exact SQL twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def entity_salience(occs: DataFrame) -> DataFrame:
+    """Per-(doc_id, uri) salience features + score.
+
+    ``occs``: (doc_id, pos, uri) mention rows, pos = token position.
+    Returns (doc_id, uri, n_mentions, first_pos, mention_frac, score):
+      mention_frac = n_mentions / doc total mentions,
+      pos_ratio    = first_pos / (last mention pos + 1),
+      score        = round(mention_frac · (1 − pos_ratio), 6)
+    — frequent AND early entities score high, the D&G'14 feature pair
+    combined multiplicatively. All inputs are integer counts, so the
+    float math replays exactly in any engine."""
+    per = occs.groupBy("doc_id", "uri").agg(
+        F.count("*").alias("n_mentions"),
+        F.min("pos").alias("first_pos"),
+    )
+    doc = occs.groupBy("doc_id").agg(
+        F.count("*").alias("_doc_mentions"),
+        F.max("pos").alias("_max_pos"),
+    )
+    return (
+        per.join(doc, "doc_id")
+        .select(
+            "doc_id",
+            "uri",
+            "n_mentions",
+            "first_pos",
+            F.round(
+                F.col("n_mentions") / F.col("_doc_mentions"), 6
+            ).alias("mention_frac"),
+            F.round(
+                (F.col("n_mentions") / F.col("_doc_mentions"))
+                * (
+                    F.lit(1.0)
+                    - F.col("first_pos") / (F.col("_max_pos") + F.lit(1))
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+
+
+def emerging_entities(
+    annotations: DataFrame,
+    score_col: str = "prior",
+    threshold: float = 0.5,
+    id_prefix: str = "NEW:",
+) -> DataFrame:
+    """NIL clustering: mint deterministic KB ids for unresolvable mentions.
+
+    ``annotations``: mention rows with a ``surface_form`` column and a
+    linker confidence ``score_col``. Mentions below ``threshold`` are
+    NIL; they cluster by normalized surface form (lowercase, trimmed,
+    inner whitespace collapsed — the TAC-KBP NIL-clustering baseline,
+    which surface-form normalization alone nearly saturates). Each
+    cluster becomes one new entity: id = ``id_prefix`` + normal form.
+
+    Returns the new-entity dimension (entity_id, surface_form_norm,
+    n_mentions, n_docs) — join it back on the normal form to rewrite
+    mention rows. One filter + one groupBy; map-side combinable."""
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.col("surface_form"))), r"\s+", " "
+    )
+    nil = annotations.filter(F.col(score_col) < F.lit(threshold))
+    return (
+        nil.withColumn("surface_form_norm", norm)
+        .groupBy("surface_form_norm")
+        .agg(
+            F.count("*").alias("n_mentions"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .select(
+            F.concat(F.lit(id_prefix), F.col("surface_form_norm")).alias(
+                "entity_id"
+            ),
+            "surface_form_norm",
+            "n_mentions",
+            "n_docs",
+        )
+    )

@@ -1,0 +1,50 @@
+"""KB augmentation: entity salience + emerging-entity (NIL) clustering."""
+
+from dbpedia_spotlight_spark.operators.kbaugment import (
+    emerging_entities,
+    entity_salience,
+)
+
+
+def test_entity_salience_features(spark):
+    # doc 1: A at pos 0 and 4, B at pos 8 (last) -> A frequent+early
+    rows = [(1, 0, "A"), (1, 4, "A"), (1, 8, "B")]
+    occs = spark.createDataFrame(rows, "doc_id long, pos long, uri string")
+    got = {r.uri: r for r in entity_salience(occs).collect()}
+    assert got["A"].n_mentions == 2 and got["A"].first_pos == 0
+    # A: frac 2/3, pos_ratio 0/9 -> score 2/3
+    assert abs(got["A"].score - round(2 / 3, 6)) < 1e-9
+    # B: frac 1/3, pos_ratio 8/9 -> score (1/3)*(1/9)
+    assert abs(got["B"].score - round((1 / 3) * (1 - 8 / 9), 6)) < 1e-9
+    assert got["A"].score > got["B"].score
+
+
+def test_entity_salience_per_doc_independent(spark):
+    rows = [(1, 0, "A"), (2, 0, "A"), (2, 1, "B")]
+    occs = spark.createDataFrame(rows, "doc_id long, pos long, uri string")
+    got = {(r.doc_id, r.uri): r.mention_frac for r in entity_salience(occs).collect()}
+    assert got[(1, "A")] == 1.0
+    assert got[(2, "A")] == 0.5
+
+
+def test_emerging_entities_clusters_by_normal_form(spark):
+    rows = [
+        (1, "Zorblax  Inc", 0.1),
+        (2, "zorblax inc", 0.2),
+        (3, " ZORBLAX INC ", 0.3),
+        (4, "Berlin", 0.9),  # confidently linked -> not NIL
+        (5, "mystery", 0.4),
+    ]
+    ann = spark.createDataFrame(rows, "doc_id long, surface_form string, prior double")
+    got = {r.entity_id: r for r in emerging_entities(ann).collect()}
+    assert set(got) == {"NEW:zorblax inc", "NEW:mystery"}
+    z = got["NEW:zorblax inc"]
+    assert z.n_mentions == 3 and z.n_docs == 3
+
+
+def test_emerging_entities_threshold(spark):
+    ann = spark.createDataFrame(
+        [(1, "x", 0.49), (2, "x", 0.5)], "doc_id long, surface_form string, prior double"
+    )
+    got = emerging_entities(ann, threshold=0.5).collect()
+    assert len(got) == 1 and got[0].n_mentions == 1  # strict <

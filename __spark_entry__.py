@@ -2145,6 +2145,20 @@ def q_emerging_entities(spark, sf_dir):
     )
 
 
+def q_relation_extract(spark, sf_dir):
+    """Open-IE-style relation extraction between linked mentions
+    (pipeline/triples.py:relation_triples): ordered mention pairs 1–2
+    non-entity tokens apart, intervening tokens = predicate surface,
+    corpus-wide support counts. One equi-join per (gap, middle slot) —
+    exact positions, no range join; middle slots that are mentions are
+    excluded via left-anti. min_support=2 keeps it corpus-attested."""
+    from dbpedia_spotlight_spark.pipeline.triples import relation_triples
+
+    occ = _occs(spark, sf_dir).select("doc_id", "pos", "uri")
+    toks = _tok(spark, sf_dir).select("doc_id", "pos", "token")
+    return relation_triples(occ, toks, max_gap=2, min_support=2)
+
+
 def q_kg_negative_samples(spark, sf_dir):
     """KG-embedding training examples
     (datapipe/kg_samples.py:negative_samples, Bordes et al. 2013): the M6
@@ -2358,6 +2372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "entity_salience": q_entity_salience,
         "emerging_entities": q_emerging_entities,
+        "relation_extract": q_relation_extract,
         "kmv_distinct": q_kmv_distinct,
         "table_expectations": q_table_expectations,
         "kg_negative_samples": q_kg_negative_samples,
@@ -2936,6 +2951,34 @@ SELECT 'NEW:' || sfn AS entity_id, sfn AS surface_form_norm,
        count(*)::BIGINT AS n_mentions,
        count(DISTINCT doc_id)::BIGINT AS n_docs
 FROM nil GROUP BY sfn
+"""
+
+    # relation_extract: per-gap exact-position joins; NOT EXISTS mirrors
+    # the Spark left-anti on entity middle slots
+    sql["relation_extract"] = _BASE_CTES + """,
+b2 AS (
+  SELECT a.uri AS subj_uri, t.token AS pred, b.uri AS obj_uri
+  FROM occs a
+  JOIN occs b ON b.doc_id = a.doc_id AND b.pos = a.pos + 2
+  JOIN tok t ON t.doc_id = a.doc_id AND t.pos = a.pos + 1
+  WHERE NOT EXISTS (SELECT 1 FROM occs m
+                    WHERE m.doc_id = a.doc_id AND m.pos = a.pos + 1)
+),
+b3 AS (
+  SELECT a.uri AS subj_uri, t1.token || ' ' || t2.token AS pred,
+         b.uri AS obj_uri
+  FROM occs a
+  JOIN occs b ON b.doc_id = a.doc_id AND b.pos = a.pos + 3
+  JOIN tok t1 ON t1.doc_id = a.doc_id AND t1.pos = a.pos + 1
+  JOIN tok t2 ON t2.doc_id = a.doc_id AND t2.pos = a.pos + 2
+  WHERE NOT EXISTS (SELECT 1 FROM occs m
+                    WHERE m.doc_id = a.doc_id AND m.pos = a.pos + 1)
+    AND NOT EXISTS (SELECT 1 FROM occs m
+                    WHERE m.doc_id = a.doc_id AND m.pos = a.pos + 2)
+)
+SELECT subj_uri, pred, obj_uri, count(*)::BIGINT AS support
+FROM (SELECT * FROM b2 UNION ALL SELECT * FROM b3)
+GROUP BY 1, 2, 3 HAVING count(*) >= 2
 """
 
     # heavy_hitters: the exact definition the two-phase MG pass computes

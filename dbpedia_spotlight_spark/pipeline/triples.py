@@ -65,3 +65,81 @@ def write_triples(
         .partitionBy("pred", "subj_bucket")
         .parquet(path)
     )
+
+
+def relation_triples(
+    mentions: DataFrame,
+    tokens: DataFrame,
+    max_gap: int = 2,
+    min_support: int = 1,
+) -> DataFrame:
+    """Open-IE-style relational triples between LINKED mentions — the
+    "triple extraction" step beyond mention/co-occurrence triples: for
+    every ordered pair of entity mentions in a document separated by
+    1..max_gap non-entity tokens, the intervening token sequence is the
+    predicate surface (ReVerb/Banko-style V / V+P patterns reduced to
+    the corpus-countable form), aggregated with corpus-wide support.
+
+    mentions: (doc_id, pos, uri) token-position mention rows.
+    tokens:   (doc_id, pos, token).
+    -> (subj_uri, pred, obj_uri, support), support >= min_support.
+
+    Scale shape: one equi-join per (gap, middle-slot) — b.pos is EXACTLY
+    a.pos + gap + 1 and each middle token sits at a fixed offset, so no
+    range join and no per-doc window materializes; middle slots that are
+    themselves entity mentions are excluded with a left-anti join
+    (predicates must be plain text, not entities). The final groupBy is
+    map-side combinable. Everything unions into one plan; AQE sizes the
+    joins. All arithmetic on integer positions -> exact SQL twin.
+    """
+    m = mentions.select("doc_id", "pos", "uri")
+    t = tokens.select("doc_id", "pos", "token")
+    mention_pos = m.select("doc_id", "pos").distinct()
+
+    branches = []
+    for span in range(2, max_gap + 2):  # obj.pos - subj.pos
+        a = m.select(
+            "doc_id",
+            F.col("pos").alias("_apos"),
+            F.col("uri").alias("subj_uri"),
+        )
+        b = m.select(
+            "doc_id",
+            F.col("pos").alias("_bpos"),
+            F.col("uri").alias("obj_uri"),
+        )
+        pair = a.join(b, "doc_id").filter(
+            F.col("_bpos") == F.col("_apos") + span
+        )
+        mid_cols = []
+        for i in range(1, span):
+            ti = t.select(
+                "doc_id",
+                (F.col("pos") - i).alias("_apos"),
+                F.col("token").alias(f"_m{i}"),
+            )
+            # middle slot must not be an entity mention itself
+            not_ent = ti.join(
+                mention_pos.select(
+                    "doc_id", (F.col("pos") - i).alias("_apos")
+                ),
+                ["doc_id", "_apos"],
+                "left_anti",
+            )
+            pair = pair.join(not_ent, ["doc_id", "_apos"])
+            mid_cols.append(F.col(f"_m{i}"))
+        branches.append(
+            pair.select(
+                "subj_uri",
+                F.concat_ws(" ", *mid_cols).alias("pred"),
+                "obj_uri",
+            )
+        )
+    out = branches[0]
+    for br in branches[1:]:
+        out = out.unionByName(br)
+    return (
+        out.groupBy("subj_uri", "pred", "obj_uri")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )

@@ -48,3 +48,59 @@ def test_emerging_entities_threshold(spark):
     )
     got = emerging_entities(ann, threshold=0.5).collect()
     assert len(got) == 1 and got[0].n_mentions == 1  # strict <
+
+
+def test_relation_triples_basic(spark):
+    from dbpedia_spotlight_spark.pipeline.triples import relation_triples
+
+    docs = {
+        1: "paris is capital of france",
+        2: "paris beats london today",
+    }
+    tokens = spark.createDataFrame(
+        [(d, i, w) for d, s in docs.items() for i, w in enumerate(s.split())],
+        "doc_id long, pos long, token string",
+    )
+    mentions = spark.createDataFrame(
+        [(1, 0, "Paris"), (1, 4, "France"), (2, 0, "Paris"), (2, 2, "London")],
+        "doc_id long, pos long, uri string",
+    )
+    got = {
+        (r.subj_uri, r.pred, r.obj_uri): r.support
+        for r in relation_triples(mentions, tokens, max_gap=3).collect()
+    }
+    assert got == {
+        ("Paris", "is capital of", "France"): 1,
+        ("Paris", "beats", "London"): 1,
+    }
+
+
+def test_relation_triples_excludes_entity_middles(spark):
+    from dbpedia_spotlight_spark.pipeline.triples import relation_triples
+
+    tokens = spark.createDataFrame(
+        [(1, 0, "a"), (1, 1, "x"), (1, 2, "b")],
+        "doc_id long, pos long, token string",
+    )
+    mentions = spark.createDataFrame(
+        [(1, 0, "A"), (1, 1, "X"), (1, 2, "B")],
+        "doc_id long, pos long, uri string",
+    )
+    got = relation_triples(mentions, tokens, max_gap=2).collect()
+    # the only middle slot is itself a mention -> no predicate text
+    assert got == []
+
+
+def test_relation_triples_support_aggregates(spark):
+    from dbpedia_spotlight_spark.pipeline.triples import relation_triples
+
+    rows = []
+    ments = []
+    for d in (1, 2, 3):
+        rows += [(d, 0, "cat"), (d, 1, "eats"), (d, 2, "fish")]
+        ments += [(d, 0, "Cat"), (d, 2, "Fish")]
+    tokens = spark.createDataFrame(rows, "doc_id long, pos long, token string")
+    mentions = spark.createDataFrame(ments, "doc_id long, pos long, uri string")
+    out = relation_triples(mentions, tokens, max_gap=1, min_support=3).collect()
+    assert len(out) == 1 and out[0].support == 3
+    assert (out[0].subj_uri, out[0].pred, out[0].obj_uri) == ("Cat", "eats", "Fish")

@@ -2145,6 +2145,23 @@ def q_emerging_entities(spark, sf_dir):
     )
 
 
+def q_kg_components(spark, sf_dir):
+    """Weakly connected components of the entity co-occurrence KG
+    (datapipe/dedup.py:connected_components — min-label propagation with
+    pointer doubling, O(log diameter) rounds, converge-or-raise). The
+    same operator that clusters near-duplicate docs, applied to the KG
+    node set. Oracle = DuckDB recursive reachability + min-groupBy."""
+    from dbpedia_spotlight_spark.datapipe.dedup import connected_components
+
+    edges = cooccurrence_edges(_occs(spark, sf_dir), min_count=150)
+    pairs = edges.select(
+        F.col("src_uri").alias("a"), F.col("dst_uri").alias("b")
+    )
+    return connected_components(pairs).select(
+        F.col("doc_id").alias("node"), "component"
+    )
+
+
 def q_relation_extract(spark, sf_dir):
     """Open-IE-style relation extraction between linked mentions
     (pipeline/triples.py:relation_triples): ordered mention pairs 1–2
@@ -2373,6 +2390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_salience": q_entity_salience,
         "emerging_entities": q_emerging_entities,
         "relation_extract": q_relation_extract,
+        "kg_components": q_kg_components,
         "kmv_distinct": q_kmv_distinct,
         "table_expectations": q_table_expectations,
         "kg_negative_samples": q_kg_negative_samples,
@@ -2951,6 +2969,24 @@ SELECT 'NEW:' || sfn AS entity_id, sfn AS surface_form_norm,
        count(*)::BIGINT AS n_mentions,
        count(DISTINCT doc_id)::BIGINT AS n_docs
 FROM nil GROUP BY sfn
+"""
+
+    # kg_components: recursive reachability closure, component = min
+    # reachable node (least with self — singleton edges keep their node)
+    sql["kg_components"] = "WITH RECURSIVE" + _BASE_CTES.lstrip()[4:] + """,
+du AS (SELECT DISTINCT doc_id, uri FROM occs),
+ed AS (
+  SELECT a.uri AS s, b.uri AS d
+  FROM du a JOIN du b ON a.doc_id = b.doc_id AND a.uri < b.uri
+  GROUP BY 1, 2 HAVING count(*) >= 150
+),
+e AS (SELECT s, d FROM ed UNION SELECT d, s FROM ed),
+walk(node, reach) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT w.node, e2.d FROM walk w JOIN e e2 ON w.reach = e2.s
+)
+SELECT node, least(min(reach), node) AS component FROM walk GROUP BY node
 """
 
     # relation_extract: per-gap exact-position joins; NOT EXISTS mirrors

@@ -222,3 +222,47 @@ def test_label_propagation_deterministic(spark):
     a = sorted((r.node, r.label) for r in label_propagation(df, 3).collect())
     b = sorted((r.node, r.label) for r in label_propagation(df, 3).collect())
     assert a == b
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_heavy_hitters_plan_broadcast_semi(spark):
+    vals = [("a",)] * 50 + [("b",)] * 5
+    df = spark.createDataFrame(vals, "tok string").repartition(4)
+    plan = _plan(heavy_hitters(df, "tok", 4))
+    # phase-2 recount must semi-join the BROADCAST candidate set — a
+    # shuffle here would defeat the whole design
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_relation_triples_plan_no_cartesian(spark):
+    from dbpedia_spotlight_spark.pipeline.triples import relation_triples
+
+    tokens = spark.createDataFrame(
+        [(1, 0, "a"), (1, 1, "x"), (1, 2, "b")],
+        "doc_id long, pos long, token string",
+    )
+    mentions = spark.createDataFrame(
+        [(1, 0, "A"), (1, 2, "B")], "doc_id long, pos long, uri string"
+    )
+    plan = _plan(relation_triples(mentions, tokens, max_gap=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bgp_plan_no_cartesian_when_connected(spark, triples):
+    plan = _plan(
+        bgp_match(
+            triples,
+            [
+                ("?p", "type", "Person"),
+                ("?p", "worksFor", "?c"),
+                ("?c", "locatedIn", "?city"),
+            ],
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

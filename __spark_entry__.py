@@ -2162,6 +2162,49 @@ def q_kg_components(spark, sf_dir):
     )
 
 
+def q_kg_type_entailment(spark, sf_dir):
+    """Materialized RDFS subclass entailment (rdfs9, W3C RDF 1.1
+    Semantics §9.2.1 — operators/kgquery.py:rdfs_entailment): explicit
+    rdf:type assertions joined through the rdfs:subClassOf* closure
+    (repeated-squaring transitive_closure, broadcast — the ontology is
+    a KB's smallest table). Class DAG = the part-derived hierarchy of
+    kg_subclass_closure; type assertions derived deterministically from
+    customer keys. Oracle = recursive CTE + join."""
+    from dbpedia_spotlight_spark.operators.kgquery import rdfs_entailment
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    types = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("entity"),
+        (F.col("c_custkey") % 40 + 2).cast("long").alias("cls"),
+    )
+    sub = part.filter(F.col("p_partkey") >= 2).select(
+        F.col("p_partkey").cast("long").alias("cls"),
+        F.expr("p_partkey div 2").cast("long").alias("supercls"),
+    )
+    return rdfs_entailment(types, sub)
+
+
+def q_entity_alignment(spark, sf_dir):
+    """sameAs alignment of emerging (NIL-minted) entities back to KB
+    names (operators/kbaugment.py:align_entities): blocked on (first
+    char, ±1 length), levenshtein <= 2 verify inside the block only,
+    deterministic best match per new entity. The KB-fusion step that
+    prevents minting duplicates of known entities."""
+    from dbpedia_spotlight_spark.operators.kbaugment import (
+        align_entities,
+        emerging_entities,
+    )
+
+    new = emerging_entities(_occs(spark, sf_dir), threshold=0.5)
+    kb = (
+        _dict_df(spark)
+        .filter(F.col("prior") >= 0.5)
+        .select(F.lower("surface_form").alias("name"))
+    )
+    return align_entities(new, kb)
+
+
 def q_relation_extract(spark, sf_dir):
     """Open-IE-style relation extraction between linked mentions
     (pipeline/triples.py:relation_triples): ordered mention pairs 1–2
@@ -2391,6 +2434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emerging_entities": q_emerging_entities,
         "relation_extract": q_relation_extract,
         "kg_components": q_kg_components,
+        "kg_type_entailment": q_kg_type_entailment,
+        "entity_alignment": q_entity_alignment,
         "kmv_distinct": q_kmv_distinct,
         "table_expectations": q_table_expectations,
         "kg_negative_samples": q_kg_negative_samples,
@@ -2987,6 +3032,51 @@ walk(node, reach) AS (
   SELECT w.node, e2.d FROM walk w JOIN e e2 ON w.reach = e2.s
 )
 SELECT node, least(min(reach), node) AS component FROM walk GROUP BY node
+"""
+
+    # kg_type_entailment: rdfs9 — explicit types UNION types joined
+    # through the recursive subclass closure (UNION dedups the diamond)
+    sql["kg_type_entailment"] = """
+WITH RECURSIVE edges AS (
+  SELECT p_partkey::BIGINT AS c, (p_partkey // 2)::BIGINT AS a
+  FROM part WHERE p_partkey >= 2
+),
+tc AS (
+  SELECT c, a FROM edges
+  UNION
+  SELECT t.c, e.a FROM tc t JOIN edges e ON t.a = e.c
+),
+types AS (
+  SELECT 'c' || c_custkey::VARCHAR AS entity,
+         (c_custkey % 40 + 2)::BIGINT AS cls
+  FROM customer
+)
+SELECT entity, cls FROM types
+UNION
+SELECT t.entity, tc.a AS cls FROM types t JOIN tc ON tc.c = t.cls
+"""
+
+    # entity_alignment: blocked edit-distance best match — identical
+    # blocking predicate, levenshtein, and (distance, name) tie order
+    sql["entity_alignment"] = _BASE_CTES + r""",
+newe AS (
+  SELECT DISTINCT
+    regexp_replace(lower(trim(surface_form)), '\s+', ' ', 'g') AS n
+  FROM occs WHERE prior < 0.5
+),
+kb AS (
+  SELECT DISTINCT lower(surface_form) AS k FROM dict WHERE prior >= 0.5
+),
+cand AS (
+  SELECT n, k, levenshtein(n, k) AS d
+  FROM newe JOIN kb
+    ON substr(n, 1, 1) = substr(k, 1, 1)
+   AND abs(length(n) - length(k)) <= 1
+  WHERE levenshtein(n, k) <= 2
+)
+SELECT n AS surface_form_norm, k AS kb_match, d::INT AS edit_distance
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY n ORDER BY d, k) = 1
 """
 
     # relation_extract: per-gap exact-position joins; NOT EXISTS mirrors

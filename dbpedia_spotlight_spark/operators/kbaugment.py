@@ -24,7 +24,7 @@ arithmetic on counts → exact SQL twins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -105,5 +105,52 @@ def emerging_entities(
             "surface_form_norm",
             "n_mentions",
             "n_docs",
+        )
+    )
+
+
+def align_entities(
+    new_entities: DataFrame,
+    kb_entities: DataFrame,
+    new_name: str = "surface_form_norm",
+    kb_name: str = "name",
+    max_edits: int = 2,
+) -> DataFrame:
+    """sameAs alignment: best KB match for each emerging entity — the KB-
+    fusion step after NIL clustering (link the discovered entities back
+    before minting duplicates; the blocked edit-distance baseline of the
+    entity-resolution literature, e.g. Koudas et al., SIGMOD 2006
+    tutorial).
+
+    Blocking: candidate pairs must share the first character and differ
+    in length by at most 1 — the quadratic verify only ever runs inside
+    a (char, ±1 length) block, never corpus × KB. Verify: levenshtein
+    <= max_edits. Best match per new entity = min distance, ties to the
+    lexicographically smallest KB name (deterministic).
+
+    Returns (new_name, kb_match, edit_distance); unmatched entities are
+    absent (left to mint new ids)."""
+    n = new_entities.select(F.col(new_name).alias("_new")).distinct()
+    k = kb_entities.select(F.col(kb_name).alias("_kb")).distinct()
+    blocked = n.join(
+        k,
+        (F.substring("_new", 1, 1) == F.substring("_kb", 1, 1))
+        & (
+            F.abs(F.length("_new") - F.length("_kb")) <= F.lit(1)
+        ),
+    )
+    verified = blocked.withColumn(
+        "edit_distance", F.levenshtein("_new", "_kb")
+    ).filter(F.col("edit_distance") <= F.lit(max_edits))
+    w = Window.partitionBy("_new").orderBy(
+        F.asc("edit_distance"), F.asc("_kb")
+    )
+    return (
+        verified.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_new").alias(new_name),
+            F.col("_kb").alias("kb_match"),
+            "edit_distance",
         )
     )

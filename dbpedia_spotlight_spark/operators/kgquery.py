@@ -148,3 +148,40 @@ def bfs_distances(
         reached = reached.localCheckpoint(eager=True)
         frontier = nxt
     return reached
+
+
+def rdfs_entailment(
+    type_rows: DataFrame,
+    subclass_edges: DataFrame,
+    entity: str = "entity",
+    cls: str = "cls",
+    supercls: str = "supercls",
+) -> DataFrame:
+    """Materialize RDFS subclass entailment: every type an entity holds
+    explicitly OR through rdfs:subClassOf* (the rdfs9 rule, W3C RDF 1.1
+    Semantics §9.2.1) — forward-chained inference, the standard
+    materialization step when loading a KG into a triple store.
+
+    ``type_rows``: (entity, cls) explicit rdf:type assertions.
+    ``subclass_edges``: (cls, supercls) direct subclass DAG edges.
+    Returns the DISTINCT entailed (entity, cls) set.
+
+    Plan: the subclass closure comes from transitive_closure (repeated
+    squaring, log-depth rounds — operators/closure.py) and is tiny
+    relative to the instance data (ontologies are KBs' smallest tables),
+    so the instance join broadcasts the closure; the instance table is
+    scanned once."""
+    from dbpedia_spotlight_spark.operators.closure import transitive_closure
+
+    t = type_rows.select(F.col(entity).alias("entity"), F.col(cls).alias("cls"))
+    closure = transitive_closure(
+        subclass_edges.select(
+            F.col(cls).alias("class_id"), F.col(supercls).alias("ancestor_id")
+        ),
+        src="class_id",
+        dst="ancestor_id",
+    )
+    inherited = t.join(
+        F.broadcast(closure), t["cls"] == closure["class_id"]
+    ).select("entity", F.col("ancestor_id").alias("cls"))
+    return t.unionByName(inherited).distinct()

@@ -104,3 +104,59 @@ def test_relation_triples_support_aggregates(spark):
     out = relation_triples(mentions, tokens, max_gap=1, min_support=3).collect()
     assert len(out) == 1 and out[0].support == 3
     assert (out[0].subj_uri, out[0].pred, out[0].obj_uri) == ("Cat", "eats", "Fish")
+
+
+def test_rdfs_entailment(spark):
+    from dbpedia_spotlight_spark.operators.kgquery import rdfs_entailment
+
+    types = spark.createDataFrame(
+        [("e1", 10), ("e2", 20), ("e3", 40)], "entity string, cls long"
+    )
+    # 10 -> 5 -> 2; 20 -> 10 (so e2 inherits 10, 5, 2); 40 isolated
+    sub = spark.createDataFrame(
+        [(10, 5), (5, 2), (20, 10)], "cls long, supercls long"
+    )
+    got = {(r.entity, r.cls) for r in rdfs_entailment(types, sub).collect()}
+    assert got == {
+        ("e1", 10), ("e1", 5), ("e1", 2),
+        ("e2", 20), ("e2", 10), ("e2", 5), ("e2", 2),
+        ("e3", 40),
+    }
+
+
+def test_rdfs_entailment_dedups_diamond(spark):
+    from dbpedia_spotlight_spark.operators.kgquery import rdfs_entailment
+
+    # diamond: 1 -> 2, 1 -> 3, 2 -> 4, 3 -> 4 — ancestor 4 entailed once
+    types = spark.createDataFrame([("e", 1)], "entity string, cls long")
+    sub = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "cls long, supercls long"
+    )
+    rows = rdfs_entailment(types, sub).collect()
+    assert len(rows) == len({(r.entity, r.cls) for r in rows}) == 4
+
+
+def test_align_entities_best_match(spark):
+    from dbpedia_spotlight_spark.operators.kbaugment import align_entities
+
+    new = spark.createDataFrame(
+        [("zorblax",), ("qqq",)], "surface_form_norm string"
+    )
+    kb = spark.createDataFrame(
+        [("zorblaz",), ("zorblax co",), ("zebra",)], "name string"
+    )
+    got = {r.surface_form_norm: r for r in align_entities(new, kb).collect()}
+    # zorblax: zorblaz at distance 1 (zorblax co is outside the ±1 length
+    # block); qqq: no candidate sharing first char -> absent
+    assert set(got) == {"zorblax"}
+    assert got["zorblax"].kb_match == "zorblaz"
+    assert got["zorblax"].edit_distance == 1
+
+
+def test_align_entities_tie_breaks_lexicographic(spark):
+    from dbpedia_spotlight_spark.operators.kbaugment import align_entities
+
+    new = spark.createDataFrame([("cat",)], "surface_form_norm string")
+    kb = spark.createDataFrame([("cab",), ("car",)], "name string")
+    got = align_entities(new, kb).collect()
+    assert len(got) == 1 and got[0].kb_match == "cab"  # both distance 1

@@ -2162,6 +2162,30 @@ def q_kg_components(spark, sf_dir):
     )
 
 
+def q_kg_shortest_paths(spark, sf_dir):
+    """Bounded-hop weighted shortest paths over the co-occurrence KG
+    (operators/kgquery.py:shortest_paths — Bellman-Ford relaxation, the
+    Pregel SSSP shape): edge weight 1/count (strong ties are short),
+    sources = the lexicographically smallest entity, 3 relaxation
+    rounds. Oracle = the rounds unrolled in SQL; path sums are the same
+    IEEE additions in the same order, so distances replay exactly
+    (rounded to 6 dp on output)."""
+    from dbpedia_spotlight_spark.operators.kgquery import shortest_paths
+
+    edges = cooccurrence_edges(_occs(spark, sf_dir), min_count=150)
+    sym = edges.select(
+        F.col("src_uri").alias("src"), F.col("dst_uri").alias("dst"), "count"
+    ).unionByName(
+        edges.select(
+            F.col("dst_uri").alias("src"), F.col("src_uri").alias("dst"), "count"
+        )
+    )
+    w = sym.withColumn("weight", F.lit(1.0) / F.col("count"))
+    sources = w.agg(F.min("src").alias("node"))
+    d = shortest_paths(w, sources, max_hops=3)
+    return d.select("node", F.round("dist", 6).alias("dist"))
+
+
 def q_kg_type_entailment(spark, sf_dir):
     """Materialized RDFS subclass entailment (rdfs9, W3C RDF 1.1
     Semantics §9.2.1 — operators/kgquery.py:rdfs_entailment): explicit
@@ -2436,6 +2460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_components": q_kg_components,
         "kg_type_entailment": q_kg_type_entailment,
         "entity_alignment": q_entity_alignment,
+        "kg_shortest_paths": q_kg_shortest_paths,
         "kmv_distinct": q_kmv_distinct,
         "table_expectations": q_table_expectations,
         "kg_negative_samples": q_kg_negative_samples,
@@ -3032,6 +3057,35 @@ walk(node, reach) AS (
   SELECT w.node, e2.d FROM walk w JOIN e e2 ON w.reach = e2.s
 )
 SELECT node, least(min(reach), node) AS component FROM walk GROUP BY node
+"""
+
+    # kg_shortest_paths: 3 Bellman-Ford rounds unrolled; same path sums
+    # in the same order -> exact replay
+    _bf_round = """
+d{t} AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{p}
+    UNION ALL
+    SELECT s.v AS node, d.dist + s.w AS dist
+    FROM d{p} d JOIN sym s ON s.u = d.node
+  ) GROUP BY node
+)"""
+    sql["kg_shortest_paths"] = _BASE_CTES + """,
+du AS (SELECT DISTINCT doc_id, uri FROM occs),
+ed AS (
+  SELECT a.uri AS s, b.uri AS d, count(*)::DOUBLE AS c
+  FROM du a JOIN du b ON a.doc_id = b.doc_id AND a.uri < b.uri
+  GROUP BY 1, 2 HAVING count(*) >= 150
+),
+sym AS (
+  SELECT s AS u, d AS v, 1.0 / c AS w FROM ed
+  UNION ALL
+  SELECT d, s, 1.0 / c FROM ed
+),
+d0 AS (SELECT min(u) AS node, 0.0::DOUBLE AS dist FROM sym),""" + ",".join(
+        _bf_round.format(t=t, p=t - 1) for t in (1, 2, 3)
+    ) + """
+SELECT node, round(dist, 6) AS dist FROM d3
 """
 
     # kg_type_entailment: rdfs9 — explicit types UNION types joined

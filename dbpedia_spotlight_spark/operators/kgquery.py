@@ -185,3 +185,48 @@ def rdfs_entailment(
         F.broadcast(closure), t["cls"] == closure["class_id"]
     ).select("entity", F.col("ancestor_id").alias("cls"))
     return t.unionByName(inherited).distinct()
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    node: str = "node",
+) -> DataFrame:
+    """Bounded-hop weighted shortest path distance from any source —
+    Bellman-Ford relaxation (the weighted companion of bfs_distances):
+    dist_{t+1}(v) = min(dist_t(v), min_{(u,v)} dist_t(u) + w(u,v)),
+    ``max_hops`` rounds, so the result is exact for paths of up to that
+    many edges (the standard bounded-iteration form — Pregel SSSP).
+
+    ``edges``: (src, dst, weight>0) directed; symmetrize for undirected.
+    ``sources``: one ``node`` column. Returns (node, dist) for reached
+    nodes. Each round is one equi-join + one min-groupBy co-partitioned
+    on the node key; state is one row per reached node (never per path);
+    lineage truncated per round. Relaxation is deterministic — the same
+    min over the same path sums — so a SQL twin unrolling the rounds
+    reproduces it bit-for-bit."""
+    e = edges.select(
+        F.col(src).alias("_s"),
+        F.col(dst).alias("_d"),
+        F.col(weight).cast("double").alias("_w"),
+    )
+    dist = sources.select(F.col(node).alias(node)).distinct().withColumn(
+        "dist", F.lit(0.0)
+    )
+    for _ in range(max_hops):
+        relaxed = (
+            dist.withColumnRenamed(node, "_s")
+            .join(e, "_s")
+            .select(F.col("_d").alias(node), (F.col("dist") + F.col("_w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy(node)
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist

@@ -266,3 +266,40 @@ def test_bgp_plan_no_cartesian_when_connected(spark, triples):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shortest_paths_weighted(spark):
+    from dbpedia_spotlight_spark.operators.kgquery import shortest_paths
+
+    # 0->1 (1.0), 1->2 (1.0), 0->2 (5.0): two-hop path beats direct edge
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 5.0)],
+        "src long, dst long, weight double",
+    )
+    srcs = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.dist for r in shortest_paths(edges, srcs, 3).collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 2.0}
+
+
+def test_shortest_paths_hop_bound(spark):
+    from dbpedia_spotlight_spark.operators.kgquery import shortest_paths
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 5.0)],
+        "src long, dst long, weight double",
+    )
+    srcs = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.dist for r in shortest_paths(edges, srcs, 1).collect()}
+    # one round: only direct edges relaxed
+    assert got == {0: 0.0, 1: 1.0, 2: 5.0}
+
+
+def test_shortest_paths_multi_source(spark):
+    from dbpedia_spotlight_spark.operators.kgquery import shortest_paths
+
+    edges = spark.createDataFrame(
+        [(0, 1, 4.0), (5, 1, 1.0)], "src long, dst long, weight double"
+    )
+    srcs = spark.createDataFrame([(0,), (5,)], "node long")
+    got = {r.node: r.dist for r in shortest_paths(edges, srcs, 2).collect()}
+    assert got == {0: 0.0, 5: 0.0, 1: 1.0}

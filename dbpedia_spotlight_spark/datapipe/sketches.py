@@ -220,13 +220,23 @@ def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
     src = df.select(F.col(col).cast("string").alias("item")).filter(
         F.col("item").isNotNull()
     )
-    out_schema = T.StructType([T.StructField("item", T.StringType())])
+    # summary rows: item NULL carries the partition's row count, so ONE
+    # scan yields both the candidate set and n — a separate count()
+    # would re-read the full input (a third scan at 100 TB)
+    out_schema = T.StructType(
+        [
+            T.StructField("item", T.StringType()),
+            T.StructField("n_rows", T.LongType()),
+        ]
+    )
 
     def _mg(batches):
         import pandas as pd
 
         counters: dict = {}
+        n_rows = 0
         for pdf in batches:
+            n_rows += len(pdf)
             vc = pdf["item"].value_counts()
             for item, c in vc.items():
                 counters[item] = counters.get(item, 0) + int(c)
@@ -238,10 +248,18 @@ def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
                 counters = {
                     i: c - m for i, c in counters.items() if c - m > 0
                 }
-        yield pd.DataFrame({"item": list(counters.keys())})
+        yield pd.DataFrame(
+            {
+                "item": list(counters.keys()) + [None],
+                "n_rows": [0] * len(counters) + [n_rows],
+            }
+        )
 
-    candidates = F.broadcast(src.mapInPandas(_mg, out_schema).distinct())
-    total = src.count()
+    summary = src.mapInPandas(_mg, out_schema).localCheckpoint(eager=True)
+    candidates = F.broadcast(
+        summary.filter(F.col("item").isNotNull()).select("item").distinct()
+    )
+    total = summary.agg(F.coalesce(F.sum("n_rows"), F.lit(0))).collect()[0][0]
     return (
         src.join(candidates, "item", "left_semi")
         .groupBy("item")

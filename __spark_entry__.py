@@ -2162,6 +2162,46 @@ def q_kg_components(spark, sf_dir):
     )
 
 
+def q_kg_bgp_optional(spark, sf_dir):
+    """SPARQL OPTIONAL + FILTER (operators/kgquery.py:bgp_match — the
+    SPARQL 1.1 §5.4 left-join algebra): customers with their nation
+    (FILTER n != 'n0'), OPTIONAL region binding only when the nation is
+    in region ASIA — non-ASIA rows survive with a null ?r. Oracle = the
+    required group LEFT JOIN the optional group's conjunctive SQL."""
+    from dbpedia_spotlight_spark.operators.kgquery import bgp_match
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    triples = (
+        cust.select(
+            F.concat(F.lit("c"), F.col("c_custkey")).alias("subj"),
+            F.lit("inNation").alias("pred"),
+            F.concat(F.lit("n"), F.col("c_nationkey")).alias("obj"),
+        )
+        .unionByName(
+            nat.select(
+                F.concat(F.lit("n"), F.col("n_nationkey")).alias("subj"),
+                F.lit("inRegion").alias("pred"),
+                F.concat(F.lit("r"), F.col("n_regionkey")).alias("obj"),
+            )
+        )
+        .unionByName(
+            reg.select(
+                F.concat(F.lit("r"), F.col("r_regionkey")).alias("subj"),
+                F.lit("named").alias("pred"),
+                F.col("r_name").alias("obj"),
+            )
+        )
+    )
+    return bgp_match(
+        triples,
+        [("?c", "inNation", "?n")],
+        optional=[("?n", "inRegion", "?r"), ("?r", "named", "ASIA")],
+        filters=["n != 'n0'"],
+    ).select("c", "n", "r")
+
+
 def q_kg_shortest_paths(spark, sf_dir):
     """Bounded-hop weighted shortest paths over the co-occurrence KG
     (operators/kgquery.py:shortest_paths — Bellman-Ford relaxation, the
@@ -2461,6 +2501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_type_entailment": q_kg_type_entailment,
         "entity_alignment": q_entity_alignment,
         "kg_shortest_paths": q_kg_shortest_paths,
+        "kg_bgp_optional": q_kg_bgp_optional,
         "kmv_distinct": q_kmv_distinct,
         "table_expectations": q_table_expectations,
         "kg_negative_samples": q_kg_negative_samples,
@@ -3057,6 +3098,33 @@ walk(node, reach) AS (
   SELECT w.node, e2.d FROM walk w JOIN e e2 ON w.reach = e2.s
 )
 SELECT node, least(min(reach), node) AS component FROM walk GROUP BY node
+"""
+
+    # kg_bgp_optional: SPARQL left-join algebra — required group LEFT
+    # JOIN optional group; FILTER references the required side only so
+    # pre- and post-join application agree
+    sql["kg_bgp_optional"] = """
+WITH tr AS (
+  SELECT 'c' || c_custkey::VARCHAR AS subj, 'inNation' AS pred,
+         'n' || c_nationkey::VARCHAR AS obj FROM customer
+  UNION ALL
+  SELECT 'n' || n_nationkey::VARCHAR, 'inRegion',
+         'r' || n_regionkey::VARCHAR FROM nation
+  UNION ALL
+  SELECT 'r' || r_regionkey::VARCHAR, 'named', r_name FROM region
+),
+req AS (
+  SELECT DISTINCT subj AS c, obj AS n FROM tr WHERE pred = 'inNation'
+),
+opt AS (
+  SELECT DISTINCT p2.subj AS n, p2.obj AS r
+  FROM tr p2
+  JOIN tr p3 ON p3.subj = p2.obj AND p3.pred = 'named' AND p3.obj = 'ASIA'
+  WHERE p2.pred = 'inRegion'
+)
+SELECT DISTINCT req.c, req.n, opt.r
+FROM req LEFT JOIN opt ON opt.n = req.n
+WHERE req.n != 'n0'
 """
 
     # kg_shortest_paths: 3 Bellman-Ford rounds unrolled; same path sums

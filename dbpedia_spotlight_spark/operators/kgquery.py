@@ -41,6 +41,8 @@ def _is_var(term: str) -> bool:
 def bgp_match(
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],
+    optional: list[tuple[str, str, str]] | None = None,
+    filters: list[str] | None = None,
 ) -> DataFrame:
     """Match a SPARQL-style basic graph pattern against a triple table.
 
@@ -49,6 +51,17 @@ def bgp_match(
     one column per distinct variable, one row per distinct binding
     (SPARQL set semantics for SELECT DISTINCT).
 
+    ``optional``: a second pattern group with SPARQL OPTIONAL semantics —
+    its bindings are LEFT-joined on the variables shared with the
+    required group, so non-matching rows survive with nulls in the
+    optional-only variables (SPARQL 1.1 §5.4 left join algebra; the
+    optional group must share >= 1 variable with the required group).
+
+    ``filters``: SPARQL FILTER expressions as Spark SQL strings over the
+    variable columns (e.g. ``"n != 'n0'"``), applied after the required
+    joins and before OPTIONAL — constants in patterns are cheaper; use
+    filters for non-equality constraints.
+
     Patterns are joined most-constrained-first (more constants = smaller
     scan), and among equals, patterns sharing a variable with the bound
     set come first — a cross join is only emitted when the BGP is
@@ -56,7 +69,7 @@ def bgp_match(
     """
     if not patterns:
         raise ValueError("empty basic graph pattern")
-    for pat in patterns:
+    for pat in list(patterns) + list(optional or []):
         if len(pat) != 3:
             raise ValueError(f"pattern must be a (s,p,o) triple: {pat!r}")
         if not any(_is_var(t) for t in pat):
@@ -100,6 +113,16 @@ def bgp_match(
             result.join(rel, on=shared) if shared else result.crossJoin(rel)
         )
         bound |= vs
+    for expr in filters or []:
+        result = result.filter(F.expr(expr))
+    if optional:
+        opt = bgp_match(triples, optional)
+        shared = sorted(set(opt.columns) & bound)
+        if not shared:
+            raise ValueError(
+                "OPTIONAL group shares no variable with the required group"
+            )
+        result = result.join(opt, on=shared, how="left")
     return result.distinct()
 
 

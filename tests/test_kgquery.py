@@ -303,3 +303,33 @@ def test_shortest_paths_multi_source(spark):
     srcs = spark.createDataFrame([(0,), (5,)], "node long")
     got = {r.node: r.dist for r in shortest_paths(edges, srcs, 2).collect()}
     assert got == {0: 0.0, 5: 0.0, 1: 1.0}
+
+
+def test_bgp_optional_left_join(triples):
+    # everyone of type Person, OPTIONAL where they live
+    out = bgp_match(
+        triples,
+        [("?p", "type", "Person")],
+        optional=[("?p", "livesIn", "?city")],
+    )
+    got = {(r.p, r.city) for r in out.collect()}
+    # alice has a city; bob survives with null
+    assert got == {("alice", "berlin"), ("bob", None)}
+
+
+def test_bgp_filter_expression(triples):
+    out = bgp_match(
+        triples,
+        [("?p", "type", "Person"), ("?p", "worksFor", "?c")],
+        filters=["p != 'bob'"],
+    )
+    assert [(r.p, r.c) for r in out.collect()] == [("alice", "acme")]
+
+
+def test_bgp_optional_requires_shared_var(triples):
+    with pytest.raises(ValueError):
+        bgp_match(
+            triples,
+            [("?p", "type", "Person")],
+            optional=[("?x", "type", "City")],
+        )

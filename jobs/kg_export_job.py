@@ -8,9 +8,13 @@ job.
         --documents /data/documents_parquet \
         --output /kg [--min-cooc 3] [--iterations 3] [--nil-threshold 0.5]
 
-annotations schema: (doc_id, pos:int token position, surface_form, uri
-[, prior]) — the relational annotate output. documents: (doc_id, text)
-for predicate-surface tokens.
+annotations schema: (doc_id, surface_form, uri, pos:int token position
+[, prior]) — OR the annotate pipeline's own output (doc_id, offset:char
+offset, surface_form, uri, similarity_score, ...): when `pos` is absent
+it is derived from `offset` by counting spaces in text[:offset] (the
+corpus is single-space tokenized), and `similarity_score` stands in for
+`prior` as the NIL confidence. documents: (doc_id, text) for predicate-
+surface tokens.
 
 Writes five KG tables as parquet under --output:
   relations/  open-IE (subj_uri, pred, obj_uri, support) triples
@@ -71,6 +75,24 @@ def main(argv=None) -> None:
         "doc_id",
         F.posexplode(F.split("text", " ")).alias("pos", "token"),
     )
+    if "pos" not in ann.columns:
+        # annotate-pipeline output: char offset -> token position =
+        # number of spaces before the offset (single-space tokenization)
+        ann = ann.join(docs.select("doc_id", "text"), "doc_id").withColumn(
+            "pos",
+            F.length(
+                F.regexp_replace(
+                    F.substring(F.col("text"), 1, F.col("offset").cast("int")),
+                    "[^ ]",
+                    "",
+                )
+            ).cast("long"),
+        ).drop("text")
+    score_col = (
+        "prior"
+        if "prior" in ann.columns
+        else ("similarity_score" if "similarity_score" in ann.columns else None)
+    )
     mentions = ann.select("doc_id", "pos", "uri")
 
     def build_entities():
@@ -114,9 +136,9 @@ def main(argv=None) -> None:
         "entities": build_entities,
         "salience": lambda: entity_salience(mentions),
     }
-    if "prior" in ann.columns:
+    if score_col is not None:
         stages["emerging"] = lambda: emerging_entities(
-            ann, score_col="prior", threshold=args.nil_threshold
+            ann, score_col=score_col, threshold=args.nil_threshold
         )
 
     written, resumed = [], []

@@ -68,3 +68,54 @@ def test_kg_export_job_and_resume(spark, tmp_path, capsys):
     third = run()
     assert third["tables_written"] == ["salience"]
     assert third["salience"] == first["salience"]
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+def test_kg_export_accepts_annotate_pipeline_schema(spark, tmp_path, capsys):
+    """Chaining: the annotate pipeline's own output (char offset +
+    similarity_score, no token pos) produces the SAME KG as the
+    pos-based relational schema — the offset->pos derivation is exact
+    on the single-space-tokenized corpus."""
+    import kg_export_job
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    occ = entry._occs(spark, SF_DIR)
+    docs_path = str(tmp_path / "docs")
+    entry._docs(spark, SF_DIR).select("doc_id", "text").write.parquet(
+        docs_path
+    )
+
+    # (a) relational schema with token pos
+    pos_path = str(tmp_path / "ann_pos")
+    occ.select("doc_id", "pos", "surface_form", "uri", "prior").write.parquet(
+        pos_path
+    )
+    # (b) annotate-pipeline schema: char offset + similarity_score
+    off_path = str(tmp_path / "ann_off")
+    occ.select(
+        "doc_id",
+        entry._char_offset().alias("offset"),
+        "surface_form",
+        "uri",
+        F.col("prior").alias("similarity_score"),
+    ).write.parquet(off_path)
+
+    outs = {}
+    for tag, ann in (("pos", pos_path), ("off", off_path)):
+        out = str(tmp_path / f"kg_{tag}")
+        kg_export_job.main(
+            ["--annotations", ann, "--documents", docs_path,
+             "--output", out, "--min-cooc", "150"]
+        )
+        capsys.readouterr()
+        outs[tag] = out
+
+    for table in ("salience", "relations", "emerging"):
+        a = spark.read.parquet(os.path.join(outs["pos"], table))
+        b = spark.read.parquet(os.path.join(outs["off"], table))
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        ), table

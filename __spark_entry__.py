@@ -2226,6 +2226,29 @@ def q_kg_shortest_paths(spark, sf_dir):
     return d.select("node", F.round("dist", 6).alias("dist"))
 
 
+def q_kg_degree_hist(spark, sf_dir):
+    """KG degree-distribution profile over the bipartite doc↔entity
+    mention graph (both node sides), bucketed by floor(log2(degree)) —
+    the standard power-law profiling histogram; the entity side's heavy
+    buckets are exactly what the skew-handling two-stage join keys off.
+    Two map-side-combinable groupBys + one cheap union."""
+    occ = _occs(spark, sf_dir).select("doc_id", "uri").distinct()
+    doc_deg = occ.groupBy("doc_id").agg(F.count("*").alias("degree"))
+    ent_deg = occ.groupBy("uri").agg(F.count("*").alias("degree"))
+    deg = doc_deg.select("degree").unionByName(ent_deg.select("degree"))
+    return (
+        deg.withColumn(
+            "bucket", F.floor(F.log2(F.col("degree"))).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("degree").alias("min_degree"),
+            F.max("degree").alias("max_degree"),
+        )
+    )
+
+
 def q_kg_type_entailment(spark, sf_dir):
     """Materialized RDFS subclass entailment (rdfs9, W3C RDF 1.1
     Semantics §9.2.1 — operators/kgquery.py:rdfs_entailment): explicit
@@ -2502,6 +2525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_alignment": q_entity_alignment,
         "kg_shortest_paths": q_kg_shortest_paths,
         "kg_bgp_optional": q_kg_bgp_optional,
+        "kg_degree_hist": q_kg_degree_hist,
         "kmv_distinct": q_kmv_distinct,
         "table_expectations": q_table_expectations,
         "kg_negative_samples": q_kg_negative_samples,
@@ -3154,6 +3178,22 @@ d0 AS (SELECT min(u) AS node, 0.0::DOUBLE AS dist FROM sym),""" + ",".join(
         _bf_round.format(t=t, p=t - 1) for t in (1, 2, 3)
     ) + """
 SELECT node, round(dist, 6) AS dist FROM d3
+"""
+
+    # kg_degree_hist: log2 of integer degrees is exact at powers of two
+    # and >1 ulp from integer boundaries elsewhere -> floor agrees
+    sql["kg_degree_hist"] = _BASE_CTES + """,
+du AS (SELECT DISTINCT doc_id, uri FROM occs),
+deg AS (
+  SELECT count(*) AS degree FROM du GROUP BY doc_id
+  UNION ALL
+  SELECT count(*) FROM du GROUP BY uri
+)
+SELECT floor(log2(degree))::BIGINT AS bucket,
+       count(*)::BIGINT AS n_nodes,
+       min(degree)::BIGINT AS min_degree,
+       max(degree)::BIGINT AS max_degree
+FROM deg GROUP BY 1
 """
 
     # kg_type_entailment: rdfs9 — explicit types UNION types joined

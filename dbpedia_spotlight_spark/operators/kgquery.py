@@ -253,3 +253,127 @@ def shortest_paths(
             .localCheckpoint(eager=False)
         )
     return dist
+
+
+_SPARQL_RE = __import__("re").compile(
+    r"""
+    \?\w+                |  # variable
+    <[^>]*>              |  # IRI
+    "(?:[^"\\]|\\.)*"    |  # double-quoted literal
+    '(?:[^'\\]|\\.)*'    |  # single-quoted literal
+    [{}().]              |  # structure
+    [^\s{}().]+             # bareword / keyword (stops at structure)
+    """,
+    __import__("re").VERBOSE,
+)
+
+
+def sparql_select(triples: DataFrame, query: str) -> DataFrame:
+    """Run a SPARQL SELECT query (conjunctive subset) against a triple
+    table — the user-facing entry to bgp_match.
+
+    Supported grammar (enough for the BGP + OPTIONAL + FILTER algebra
+    the engine implements; anything else raises ValueError):
+
+        SELECT (DISTINCT)? (?v ... | *) WHERE {
+            ?s <p> ?o .  ...                 # triple patterns
+            OPTIONAL { ?s <p2> ?x . ... }    # at most one OPTIONAL group
+            FILTER(?x != "lit" && ...)       # any number of FILTERs
+        }
+
+    Terms: ``?var``, ``<iri>`` (angle brackets stripped), quoted
+    literals, or barewords. FILTER expressions translate to Spark SQL
+    (``?x`` → column ``x``; ``&&``/``||`` → AND/OR; ``=`` → ``==``).
+    SELECT with named variables projects them; ``*`` keeps every
+    variable. DISTINCT is implicit (bgp_match returns set semantics,
+    per SELECT DISTINCT)."""
+    toks = _SPARQL_RE.findall(query)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take(expected=None):
+        nonlocal pos
+        if pos >= len(toks):
+            raise ValueError(f"unexpected end of query (wanted {expected})")
+        t = toks[pos]
+        if expected and t.upper() != expected.upper():
+            raise ValueError(f"expected {expected!r}, got {t!r}")
+        pos += 1
+        return t
+
+    def term(tok: str) -> str:
+        if tok.startswith("?"):
+            return tok
+        if tok.startswith("<") and tok.endswith(">"):
+            return tok[1:-1]
+        if tok[0] in "\"'" and tok[-1] == tok[0] and len(tok) >= 2:
+            return tok[1:-1]
+        return tok
+
+    take("SELECT")
+    if peek() and peek().upper() == "DISTINCT":
+        take()
+    proj = []
+    while peek() and peek().upper() != "WHERE":
+        t = take()
+        if t == "*":
+            proj = None  # all variables
+        elif t.startswith("?"):
+            proj = (proj or []) + [t[1:]]
+        else:
+            raise ValueError(f"bad projection term {t!r}")
+    take("WHERE")
+    take("{")
+
+    patterns, optional, filters = [], None, []
+    while peek() and peek() != "}":
+        head = peek()
+        if head.upper() == "OPTIONAL":
+            take()
+            take("{")
+            if optional is not None:
+                raise ValueError("only one OPTIONAL group is supported")
+            optional = []
+            while peek() and peek() != "}":
+                s, p, o = take(), take(), take()
+                optional.append((term(s), term(p), term(o)))
+                if peek() == ".":
+                    take()
+            take("}")
+        elif head.upper() == "FILTER":
+            take()
+            take("(")
+            depth, expr_toks = 1, []
+            while depth:
+                t = take()
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    depth -= 1
+                    if not depth:
+                        break
+                expr_toks.append(t)
+            expr = " ".join(
+                t[1:] if t.startswith("?") else t for t in expr_toks
+            )
+            expr = (
+                expr.replace("&&", " AND ").replace("||", " OR ")
+            )
+            expr = __import__("re").sub(r"(?<![<>!=])=(?!=)", "==", expr)
+            filters.append(expr)
+        else:
+            s, p, o = take(), take(), take()
+            patterns.append((term(s), term(p), term(o)))
+            if peek() == ".":
+                take()
+    take("}")
+
+    out = bgp_match(triples, patterns, optional=optional, filters=filters)
+    if proj is not None:
+        missing = [v for v in proj if v not in out.columns]
+        if missing:
+            raise ValueError(f"projected variables not bound: {missing}")
+        out = out.select(*proj).distinct()
+    return out

@@ -333,3 +333,71 @@ def test_bgp_optional_requires_shared_var(triples):
             [("?p", "type", "Person")],
             optional=[("?x", "type", "City")],
         )
+
+
+def test_sparql_select_basic(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(
+        triples,
+        "SELECT ?p WHERE { ?p <type> 'Person' . }",
+    )
+    assert sorted(r.p for r in out.collect()) == ["alice", "bob"]
+
+
+def test_sparql_select_join_projection(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(
+        triples,
+        """SELECT ?p ?city WHERE {
+             ?p <type> 'Person' .
+             ?p <worksFor> ?c .
+             ?c <locatedIn> ?city .
+           }""",
+    )
+    got = {(r.p, r.city) for r in out.collect()}
+    assert got == {("alice", "berlin"), ("bob", "berlin")}
+
+
+def test_sparql_select_optional_and_filter(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(
+        triples,
+        """SELECT * WHERE {
+             ?p <type> 'Person' .
+             FILTER(?p != 'nobody')
+             OPTIONAL { ?p <livesIn> ?city . }
+           }""",
+    )
+    got = {(r.p, r.city) for r in out.collect()}
+    assert got == {("alice", "berlin"), ("bob", None)}
+
+
+def test_sparql_select_filter_translation(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(
+        triples,
+        """SELECT ?p ?c WHERE {
+             ?p <worksFor> ?c .
+             FILTER(?p = 'alice' || ?p = 'bob')
+             FILTER(?c != 'nowhere' && ?p != 'bob')
+           }""",
+    )
+    assert [(r.p, r.c) for r in out.collect()] == [("alice", "acme")]
+
+
+def test_sparql_select_rejects_unbound_projection(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    with pytest.raises(ValueError):
+        sparql_select(triples, "SELECT ?zzz WHERE { ?p <type> 'Person' . }")
+
+
+def test_sparql_select_rejects_garbage(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    with pytest.raises(ValueError):
+        sparql_select(triples, "ASK { ?p <type> 'Person' }")

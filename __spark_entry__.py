@@ -2226,6 +2226,26 @@ def q_kg_shortest_paths(spark, sf_dir):
     return d.select("node", F.round("dist", 6).alias("dist"))
 
 
+def q_kg_property_path(spark, sf_dir):
+    """SPARQL 1.1 property path (one-or-more, §9.1) through the string
+    front end (operators/kgquery.py:sparql_select → bgp_match): the
+    query `SELECT ?c ?a WHERE { ?c <subClassOf>+ ?a . }` over the
+    part-derived class-hierarchy triples compiles to the repeated-
+    squaring transitive closure (log-depth join rounds). Oracle =
+    recursive CTE."""
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    triples = part.filter(F.col("p_partkey") >= 2).select(
+        F.concat(F.lit("k"), F.col("p_partkey")).alias("subj"),
+        F.lit("subClassOf").alias("pred"),
+        F.concat(F.lit("k"), F.expr("p_partkey div 2")).alias("obj"),
+    )
+    return sparql_select(
+        triples, "SELECT ?c ?a WHERE { ?c <subClassOf>+ ?a . }"
+    )
+
+
 def q_kg_degree_hist(spark, sf_dir):
     """KG degree-distribution profile over the bipartite doc↔entity
     mention graph (both node sides), bucketed by floor(log2(degree)) —
@@ -2526,6 +2546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_shortest_paths": q_kg_shortest_paths,
         "kg_bgp_optional": q_kg_bgp_optional,
         "kg_degree_hist": q_kg_degree_hist,
+        "kg_property_path": q_kg_property_path,
         "kmv_distinct": q_kmv_distinct,
         "table_expectations": q_table_expectations,
         "kg_negative_samples": q_kg_negative_samples,
@@ -3178,6 +3199,22 @@ d0 AS (SELECT min(u) AS node, 0.0::DOUBLE AS dist FROM sym),""" + ",".join(
         _bf_round.format(t=t, p=t - 1) for t in (1, 2, 3)
     ) + """
 SELECT node, round(dist, 6) AS dist FROM d3
+"""
+
+    # kg_property_path: <subClassOf>+ == the recursive closure of the
+    # class DAG, with string-keyed nodes
+    sql["kg_property_path"] = """
+WITH RECURSIVE edges AS (
+  SELECT 'k' || p_partkey::VARCHAR AS c,
+         'k' || (p_partkey // 2)::VARCHAR AS a
+  FROM part WHERE p_partkey >= 2
+),
+tc AS (
+  SELECT c, a FROM edges
+  UNION
+  SELECT t.c, e.a FROM tc t JOIN edges e ON t.a = e.c
+)
+SELECT c, a FROM tc
 """
 
     # kg_degree_hist: log2 of integer degrees is exact at powers of two

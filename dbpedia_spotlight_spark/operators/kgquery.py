@@ -76,10 +76,36 @@ def bgp_match(
             raise ValueError(f"pattern binds no variable: {pat!r}")
 
     def _relation(pat: tuple[str, str, str]) -> tuple[DataFrame, set]:
-        """Filter constants, project variable positions to var columns."""
-        df = triples
+        """Filter constants, project variable positions to var columns.
+
+        A constant predicate ending in ``+`` is a SPARQL 1.1 property
+        path (one-or-more, §9.1): the pattern matches the TRANSITIVE
+        closure of that predicate's edge set — computed by the repeated-
+        squaring transitive_closure operator, so a depth-D chain costs
+        log2(D) join rounds, not D."""
+        s_term, p_term, o_term = pat
+        if (
+            not _is_var(p_term)
+            and isinstance(p_term, str)
+            and p_term.endswith("+")
+            and len(p_term) > 1
+        ):
+            from dbpedia_spotlight_spark.operators.closure import (
+                transitive_closure,
+            )
+
+            base = triples.filter(
+                F.col("pred") == F.lit(p_term[:-1])
+            ).select("subj", "obj")
+            df = transitive_closure(base, src="subj", dst="obj")
+            positions = [("subj", s_term), ("obj", o_term)]
+        else:
+            df = triples
+            positions = [
+                ("subj", s_term), ("pred", p_term), ("obj", o_term)
+            ]
         cols, seen = [], {}
-        for col, term in zip(("subj", "pred", "obj"), pat):
+        for col, term in positions:
             if _is_var(term):
                 name = term[1:]
                 if name in seen:
@@ -258,7 +284,7 @@ def shortest_paths(
 _SPARQL_RE = __import__("re").compile(
     r"""
     \?\w+                |  # variable
-    <[^>]*>              |  # IRI
+    <[^>]*>\+?           |  # IRI, optional + property-path suffix
     "(?:[^"\\]|\\.)*"    |  # double-quoted literal
     '(?:[^'\\]|\\.)*'    |  # single-quoted literal
     [{}().]              |  # structure
@@ -306,6 +332,8 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     def term(tok: str) -> str:
         if tok.startswith("?"):
             return tok
+        if tok.startswith("<") and tok.endswith(">+"):
+            return tok[1:-2] + "+"  # property path: <p>+ -> p+
         if tok.startswith("<") and tok.endswith(">"):
             return tok[1:-1]
         if tok[0] in "\"'" and tok[-1] == tok[0] and len(tok) >= 2:

@@ -401,3 +401,46 @@ def test_sparql_select_rejects_garbage(triples):
 
     with pytest.raises(ValueError):
         sparql_select(triples, "ASK { ?p <type> 'Person' }")
+
+
+def test_bgp_property_path_one_or_more(spark):
+    # partOf chain: w -> x -> y -> z; plus unrelated edge
+    t = spark.createDataFrame(
+        [
+            ("w", "partOf", "x"),
+            ("x", "partOf", "y"),
+            ("y", "partOf", "z"),
+            ("w", "knows", "z"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = bgp_match(t, [("w", "partOf+", "?a")])
+    assert sorted(r.a for r in out.collect()) == ["x", "y", "z"]
+
+
+def test_bgp_property_path_joins_with_plain_pattern(spark):
+    t = spark.createDataFrame(
+        [
+            ("w", "partOf", "x"),
+            ("x", "partOf", "y"),
+            ("x", "type", "Widget"),
+            ("y", "type", "Gadget"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = bgp_match(
+        t, [("w", "partOf+", "?a"), ("?a", "type", "?t")]
+    )
+    got = {(r.a, r.t) for r in out.collect()}
+    assert got == {("x", "Widget"), ("y", "Gadget")}
+
+
+def test_sparql_select_property_path(spark):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    t = spark.createDataFrame(
+        [("a", "sub", "b"), ("b", "sub", "c")],
+        "subj string, pred string, obj string",
+    )
+    out = sparql_select(t, "SELECT ?x WHERE { a <sub>+ ?x . }")
+    assert sorted(r.x for r in out.collect()) == ["b", "c"]

@@ -246,3 +246,66 @@ def test_triangle_counts_match_bruteforce_random(spark):
             r.node: r.n_triangles for r in triangle_counts(df).collect()
         }
         assert got == expected, (seed, got, expected)
+
+
+# --- BGP matching vs brute-force conjunctive evaluation ---------------------
+
+
+def _bgp_brute(triples, patterns):
+    """Enumerate all variable bindings satisfying every pattern."""
+    import itertools
+
+    vars_ = sorted(
+        {t[1:] for pat in patterns for t in pat if t.startswith("?")}
+    )
+    symbols = sorted({s for tr in triples for s in tr})
+    out = set()
+
+    def ok(binding):
+        for s, p, o in patterns:
+            trip = tuple(
+                binding[t[1:]] if t.startswith("?") else t for t in (s, p, o)
+            )
+            if trip not in triples:
+                return False
+        return True
+
+    for combo in itertools.product(symbols, repeat=len(vars_)):
+        binding = dict(zip(vars_, combo))
+        if ok(binding):
+            out.add(tuple(binding[v] for v in vars_))
+    return vars_, out
+
+
+def test_bgp_match_equals_brute_force_random(spark):
+    """Seeded random graphs + patterns: bgp_match == exhaustive binding
+    enumeration (SPARQL conjunctive semantics over data-drawn symbols)."""
+    import random
+
+    from dbpedia_spotlight_spark.operators.kgquery import bgp_match
+
+    rng = random.Random(7)
+    syms = ["a", "b", "c"]
+    preds = ["p", "q"]
+    terms = ["?x", "?y", "a", "b"]
+    cases = 0
+    while cases < 12:
+        trips = {
+            (rng.choice(syms), rng.choice(preds), rng.choice(syms))
+            for _ in range(rng.randrange(1, 9))
+        }
+        pats = [
+            (rng.choice(terms), rng.choice(preds + ["?y"]), rng.choice(terms))
+            for _ in range(rng.randrange(1, 4))
+        ]
+        if not all(any(t.startswith("?") for t in p) for p in pats):
+            continue  # bgp_match requires every pattern to bind a var
+        cases += 1
+        vars_, expected = _bgp_brute(trips, pats)
+        df = spark.createDataFrame(
+            sorted(trips), "subj string, pred string, obj string"
+        )
+        got_df = bgp_match(df, pats)
+        assert sorted(got_df.columns) == vars_, (trips, pats)
+        got = {tuple(r[v] for v in vars_) for r in got_df.collect()}
+        assert got == expected, (trips, pats)

@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint: run a SPARQL SELECT query against a materialized
+triple table (e.g. the kg_export_job / annotate_job --triples output).
+
+    spark-submit --py-files dbpedia_spotlight_spark.zip jobs/sparql_job.py \
+        --triples /kg/triples_parquet \
+        --query "SELECT ?s ?o WHERE { ?s <pred> ?o . FILTER(?s != 'x') }" \
+        --output /out/result
+
+The triple table must have (subj, pred, obj) string columns. Supports the
+engine's SPARQL subset (operators/kgquery.py:sparql_select): conjunctive
+triple patterns, one OPTIONAL group, FILTERs, <p>+ property paths.
+Writes the bindings as parquet and prints one JSON metrics line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--triples", required=True)
+    p.add_argument("--query", required=True)
+    p.add_argument("--output", required=True)
+    args = p.parse_args(argv)
+
+    spark = SparkSession.builder.appName("spotlight-sparql").getOrCreate()
+
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    t0 = time.time()
+    triples = spark.read.parquet(args.triples)
+    result = sparql_select(triples, args.query)
+    result.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(
+        json.dumps(
+            {
+                "job": "sparql",
+                "seconds": round(time.time() - t0, 2),
+                "variables": result.columns,
+                "rows_written": n,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -119,3 +119,26 @@ def test_kg_export_accepts_annotate_pipeline_schema(spark, tmp_path, capsys):
         assert sorted(map(tuple, a.collect())) == sorted(
             map(tuple, b.collect())
         ), table
+
+
+def test_sparql_job(spark, tmp_path, capsys):
+    import sparql_job
+
+    triples = spark.createDataFrame(
+        [("a", "sub", "b"), ("b", "sub", "c"), ("a", "knows", "c")],
+        "subj string, pred string, obj string",
+    )
+    tri_path = str(tmp_path / "triples")
+    triples.write.parquet(tri_path)
+    out = str(tmp_path / "res")
+    sparql_job.main(
+        ["--triples", tri_path, "--output", out,
+         "--query", "SELECT ?x WHERE { a <sub>+ ?x . }"]
+    )
+    line = [
+        l for l in capsys.readouterr().out.splitlines() if l.startswith("{")
+    ][-1]
+    m = json.loads(line)
+    assert m["rows_written"] == 2 and m["variables"] == ["x"]
+    got = sorted(r.x for r in spark.read.parquet(out).collect())
+    assert got == ["b", "c"]

@@ -2226,6 +2226,41 @@ def q_kg_shortest_paths(spark, sf_dir):
     return d.select("node", F.round("dist", 6).alias("dist"))
 
 
+def q_kg_clustering(spark, sf_dir):
+    """Local clustering coefficient per entity (Watts & Strogatz 1998):
+    C(v) = 2·T(v) / (d(v)·(d(v)−1)) over the co-occurrence graph —
+    triangles from the degree-ordered compact-forward operator
+    (operators/graph.py:triangle_counts), degrees one groupBy; the
+    standard KG cohesion profile. Integer inputs -> exact float replay;
+    degree-1 nodes (undefined) are excluded."""
+    from dbpedia_spotlight_spark.operators.graph import triangle_counts
+
+    edges = cooccurrence_edges(_occs(spark, sf_dir), min_count=3).select(
+        F.col("src_uri").alias("src"), F.col("dst_uri").alias("dst")
+    )
+    deg = (
+        edges.select(F.explode(F.array("src", "dst")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    tri = triangle_counts(edges)
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce(F.col("n_triangles"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("coefficient"),
+        )
+    )
+
+
 def q_kg_property_path(spark, sf_dir):
     """SPARQL 1.1 property path (one-or-more, §9.1) through the string
     front end (operators/kgquery.py:sparql_select → bgp_match): the
@@ -2547,6 +2582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_optional": q_kg_bgp_optional,
         "kg_degree_hist": q_kg_degree_hist,
         "kg_property_path": q_kg_property_path,
+        "kg_clustering": q_kg_clustering,
         "kmv_distinct": q_kmv_distinct,
         "table_expectations": q_table_expectations,
         "kg_negative_samples": q_kg_negative_samples,
@@ -3199,6 +3235,38 @@ d0 AS (SELECT min(u) AS node, 0.0::DOUBLE AS dist FROM sym),""" + ",".join(
         _bf_round.format(t=t, p=t - 1) for t in (1, 2, 3)
     ) + """
 SELECT node, round(dist, 6) AS dist FROM d3
+"""
+
+    # kg_clustering: C(v) = 2T/(d(d-1)); triangle set is orientation-
+    # free, degree from the canonical a<b edge list
+    sql["kg_clustering"] = _BASE_CTES + """,
+du AS (SELECT DISTINCT doc_id, uri FROM occs),
+ed AS (
+  SELECT a.uri AS a, b.uri AS b
+  FROM du a JOIN du b ON a.doc_id = b.doc_id AND a.uri < b.uri
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+deg AS (
+  SELECT uri AS node, count(*) AS degree
+  FROM (SELECT a AS uri FROM ed UNION ALL SELECT b FROM ed)
+  GROUP BY 1
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ed e1
+  JOIN ed e2 ON e2.a = e1.b
+  JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tcnt AS (
+  SELECT uri AS node, count(*) AS n_triangles
+  FROM (SELECT unnest([x, y, z]) AS uri FROM tri) GROUP BY 1
+)
+SELECT d.node, d.degree::BIGINT AS degree,
+       coalesce(t.n_triangles, 0)::BIGINT AS n_triangles,
+       round(2.0 * coalesce(t.n_triangles, 0)
+             / (d.degree * (d.degree - 1)), 6) AS coefficient
+FROM deg d LEFT JOIN tcnt t USING (node)
+WHERE d.degree >= 2
 """
 
     # kg_property_path: <subClassOf>+ == the recursive closure of the

@@ -2226,6 +2226,21 @@ def q_kg_shortest_paths(spark, sf_dir):
     return d.select("node", F.round("dist", 6).alias("dist"))
 
 
+def q_kg_entity_jaccard(spark, sf_dir):
+    """Duplicate-entity suspects inside the KG
+    (operators/graph.py:neighborhood_jaccard): Jaccard similarity of
+    entity neighborhoods — candidate pairs come only from the wedge
+    join (>= 2 common neighbors), never all-pairs; |union| = deg_a +
+    deg_b − common. The graph-side complement of the surface-form
+    sameAs alignment."""
+    from dbpedia_spotlight_spark.operators.graph import neighborhood_jaccard
+
+    edges = cooccurrence_edges(_occs(spark, sf_dir), min_count=3).select(
+        F.col("src_uri").alias("src"), F.col("dst_uri").alias("dst")
+    )
+    return neighborhood_jaccard(edges, min_common=2)
+
+
 def q_kg_clustering(spark, sf_dir):
     """Local clustering coefficient per entity (Watts & Strogatz 1998):
     C(v) = 2·T(v) / (d(v)·(d(v)−1)) over the co-occurrence graph —
@@ -2583,6 +2598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_hist": q_kg_degree_hist,
         "kg_property_path": q_kg_property_path,
         "kg_clustering": q_kg_clustering,
+        "kg_entity_jaccard": q_kg_entity_jaccard,
         "kmv_distinct": q_kmv_distinct,
         "table_expectations": q_table_expectations,
         "kg_negative_samples": q_kg_negative_samples,
@@ -3235,6 +3251,31 @@ d0 AS (SELECT min(u) AS node, 0.0::DOUBLE AS dist FROM sym),""" + ",".join(
         _bf_round.format(t=t, p=t - 1) for t in (1, 2, 3)
     ) + """
 SELECT node, round(dist, 6) AS dist FROM d3
+"""
+
+    # kg_entity_jaccard: wedge-join candidate pairs, union by
+    # inclusion-exclusion on degrees
+    sql["kg_entity_jaccard"] = _BASE_CTES + """,
+du AS (SELECT DISTINCT doc_id, uri FROM occs),
+ed AS (
+  SELECT a.uri AS s, b.uri AS d
+  FROM du a JOIN du b ON a.doc_id = b.doc_id AND a.uri < b.uri
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+sym AS (SELECT s AS u, d AS v FROM ed UNION SELECT d, s FROM ed),
+deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+wed AS (
+  SELECT l.u AS a, r.u AS b, count(*) AS n_common
+  FROM sym l JOIN sym r ON l.v = r.v AND l.u < r.u
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT w.a, w.b, w.n_common::BIGINT AS n_common,
+       da.deg::BIGINT AS deg_a, db.deg::BIGINT AS deg_b,
+       round(w.n_common / CAST(da.deg + db.deg - w.n_common AS DOUBLE), 6)
+         AS jaccard
+FROM wed w
+JOIN deg da ON da.u = w.a
+JOIN deg db ON db.u = w.b
 """
 
     # kg_clustering: C(v) = 2T/(d(d-1)); triangle set is orientation-

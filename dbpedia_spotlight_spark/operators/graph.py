@@ -478,3 +478,60 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def neighborhood_jaccard(
+    edges: DataFrame,
+    min_common: int = 1,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Jaccard similarity of entity NEIGHBORHOODS — |N(a)∩N(b)| /
+    |N(a)∪N(b)| for every canonical pair sharing >= min_common
+    neighbors. High-Jaccard pairs are duplicate-entity suspects inside
+    the KG itself (two URIs used interchangeably co-occur with the same
+    entities), the graph-side complement of the surface-form alignment
+    in operators/kbaugment.py.
+
+    edges: undirected (src, dst) pairs (canonical or not; symmetrized
+    and deduped internally). -> (a, b, n_common, deg_a, deg_b, jaccard)
+    with a < b.
+
+    Scale shape: candidate pairs come ONLY from the wedge self-join
+    (pairs with >= 1 common neighbor — never all-pairs), the same
+    bounded-multiplicity join as two_hop_pairs; degrees broadcast-join
+    back. |N(a)∪N(b)| = deg_a + deg_b − common (neighbor sets, so no
+    second pass)."""
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    sym = e.unionByName(
+        e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+    ).distinct()
+    deg = sym.groupBy("_s").agg(F.count("*").alias("deg"))
+    wedges = (
+        sym.alias("l")
+        .join(sym.alias("r"), F.col("l._d") == F.col("r._d"))
+        .where(F.col("l._s") < F.col("r._s"))
+        .groupBy(
+            F.col("l._s").alias("a"), F.col("r._s").alias("b")
+        )
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    da = deg.select(F.col("_s").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("_s").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        wedges.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "n_common",
+            "deg_a",
+            "deg_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

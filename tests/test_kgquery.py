@@ -444,3 +444,28 @@ def test_sparql_select_property_path(spark):
     )
     out = sparql_select(t, "SELECT ?x WHERE { a <sub>+ ?x . }")
     assert sorted(r.x for r in out.collect()) == ["b", "c"]
+
+
+def test_neighborhood_jaccard(spark):
+    from dbpedia_spotlight_spark.operators.graph import neighborhood_jaccard
+
+    # a and b share neighbors {x, y}; a also has z -> J = 2/4 (deg_a=3
+    # includes b? no: a's neighbors are x,y,z; b's are x,y) -> 2/3
+    edges = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("a", "z"), ("b", "x"), ("b", "y")],
+        "src string, dst string",
+    )
+    got = {(r.a, r.b): r for r in neighborhood_jaccard(edges).collect()}
+    j = got[("a", "b")]
+    assert j.n_common == 2 and j.deg_a == 3 and j.deg_b == 2
+    assert abs(j.jaccard - round(2 / 3, 6)) < 1e-9
+
+
+def test_neighborhood_jaccard_no_all_pairs(spark):
+    from dbpedia_spotlight_spark.operators.graph import neighborhood_jaccard
+
+    # c and d share nothing -> pair absent entirely
+    edges = spark.createDataFrame(
+        [("c", "x"), ("d", "y")], "src string, dst string"
+    )
+    assert neighborhood_jaccard(edges).collect() == []

@@ -2276,6 +2276,35 @@ def q_kg_clustering(spark, sf_dir):
     )
 
 
+def q_kg_bgp_minus(spark, sf_dir):
+    """SPARQL MINUS / negation (§8.3 — operators/kgquery.py:bgp_match,
+    one left-anti join on the shared variables), driven through the
+    sparql_select string parser: customers with their nation, MINUS
+    nations in region r0. Oracle = ANTI JOIN."""
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    triples = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("subj"),
+        F.lit("inNation").alias("pred"),
+        F.concat(F.lit("n"), F.col("c_nationkey")).alias("obj"),
+    ).unionByName(
+        nat.select(
+            F.concat(F.lit("n"), F.col("n_nationkey")).alias("subj"),
+            F.lit("inRegion").alias("pred"),
+            F.concat(F.lit("r"), F.col("n_regionkey")).alias("obj"),
+        )
+    )
+    return sparql_select(
+        triples,
+        """SELECT ?c ?n WHERE {
+             ?c <inNation> ?n .
+             MINUS { ?n <inRegion> r0 . }
+           }""",
+    )
+
+
 def q_kg_property_path(spark, sf_dir):
     """SPARQL 1.1 property path (one-or-more, §9.1) through the string
     front end (operators/kgquery.py:sparql_select → bgp_match): the
@@ -2599,6 +2628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_property_path": q_kg_property_path,
         "kg_clustering": q_kg_clustering,
         "kg_entity_jaccard": q_kg_entity_jaccard,
+        "kg_bgp_minus": q_kg_bgp_minus,
         "kmv_distinct": q_kmv_distinct,
         "table_expectations": q_table_expectations,
         "kg_negative_samples": q_kg_negative_samples,
@@ -3308,6 +3338,25 @@ SELECT d.node, d.degree::BIGINT AS degree,
              / (d.degree * (d.degree - 1)), 6) AS coefficient
 FROM deg d LEFT JOIN tcnt t USING (node)
 WHERE d.degree >= 2
+"""
+
+    # kg_bgp_minus: SPARQL negation == ANTI JOIN on the shared variable
+    sql["kg_bgp_minus"] = """
+WITH tr AS (
+  SELECT 'c' || c_custkey::VARCHAR AS subj, 'inNation' AS pred,
+         'n' || c_nationkey::VARCHAR AS obj FROM customer
+  UNION ALL
+  SELECT 'n' || n_nationkey::VARCHAR, 'inRegion',
+         'r' || n_regionkey::VARCHAR FROM nation
+),
+req AS (
+  SELECT DISTINCT subj AS c, obj AS n FROM tr WHERE pred = 'inNation'
+),
+neg AS (
+  SELECT DISTINCT subj AS n FROM tr
+  WHERE pred = 'inRegion' AND obj = 'r0'
+)
+SELECT c, n FROM req ANTI JOIN neg USING (n)
 """
 
     # kg_property_path: <subClassOf>+ == the recursive closure of the

@@ -43,6 +43,7 @@ def bgp_match(
     patterns: list[tuple[str, str, str]],
     optional: list[tuple[str, str, str]] | None = None,
     filters: list[str] | None = None,
+    minus: list[tuple[str, str, str]] | None = None,
 ) -> DataFrame:
     """Match a SPARQL-style basic graph pattern against a triple table.
 
@@ -62,6 +63,14 @@ def bgp_match(
     joins and before OPTIONAL — constants in patterns are cheaper; use
     filters for non-equality constraints.
 
+    ``minus``: a pattern group with SPARQL MINUS semantics (§8.3 /
+    NOT EXISTS on shared variables): rows whose shared-variable values
+    match any binding of the minus group are removed — one left-anti
+    join, the negation the triple-store API otherwise can't express.
+    The minus group must share >= 1 variable with the required group
+    (a shared-variable-free MINUS is a SPARQL no-op footgun — rejected
+    here instead of silently keeping everything).
+
     Patterns are joined most-constrained-first (more constants = smaller
     scan), and among equals, patterns sharing a variable with the bound
     set come first — a cross join is only emitted when the BGP is
@@ -69,7 +78,7 @@ def bgp_match(
     """
     if not patterns:
         raise ValueError("empty basic graph pattern")
-    for pat in list(patterns) + list(optional or []):
+    for pat in list(patterns) + list(optional or []) + list(minus or []):
         if len(pat) != 3:
             raise ValueError(f"pattern must be a (s,p,o) triple: {pat!r}")
         if not any(_is_var(t) for t in pat):
@@ -141,6 +150,16 @@ def bgp_match(
         bound |= vs
     for expr in filters or []:
         result = result.filter(F.expr(expr))
+    if minus:
+        neg = bgp_match(triples, minus)
+        shared = sorted(set(neg.columns) & bound)
+        if not shared:
+            raise ValueError(
+                "MINUS group shares no variable with the required group"
+            )
+        result = result.join(
+            neg.select(*shared).distinct(), on=shared, how="left_anti"
+        )
     if optional:
         opt = bgp_match(triples, optional)
         shared = sorted(set(opt.columns) & bound)
@@ -304,6 +323,7 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         SELECT (DISTINCT)? (?v ... | *) WHERE {
             ?s <p> ?o .  ...                 # triple patterns
             OPTIONAL { ?s <p2> ?x . ... }    # at most one OPTIONAL group
+            MINUS { ?s <p3> ?y . ... }       # at most one MINUS group
             FILTER(?x != "lit" && ...)       # any number of FILTERs
         }
 
@@ -355,21 +375,30 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     take("WHERE")
     take("{")
 
-    patterns, optional, filters = [], None, []
+    def _group() -> list:
+        take("{")
+        pats = []
+        while peek() and peek() != "}":
+            s, p, o = take(), take(), take()
+            pats.append((term(s), term(p), term(o)))
+            if peek() == ".":
+                take()
+        take("}")
+        return pats
+
+    patterns, optional, minus, filters = [], None, None, []
     while peek() and peek() != "}":
         head = peek()
         if head.upper() == "OPTIONAL":
             take()
-            take("{")
             if optional is not None:
                 raise ValueError("only one OPTIONAL group is supported")
-            optional = []
-            while peek() and peek() != "}":
-                s, p, o = take(), take(), take()
-                optional.append((term(s), term(p), term(o)))
-                if peek() == ".":
-                    take()
-            take("}")
+            optional = _group()
+        elif head.upper() == "MINUS":
+            take()
+            if minus is not None:
+                raise ValueError("only one MINUS group is supported")
+            minus = _group()
         elif head.upper() == "FILTER":
             take()
             take("(")
@@ -398,7 +427,9 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
                 take()
     take("}")
 
-    out = bgp_match(triples, patterns, optional=optional, filters=filters)
+    out = bgp_match(
+        triples, patterns, optional=optional, filters=filters, minus=minus
+    )
     if proj is not None:
         missing = [v for v in proj if v not in out.columns]
         if missing:

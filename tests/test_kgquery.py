@@ -469,3 +469,36 @@ def test_neighborhood_jaccard_no_all_pairs(spark):
         [("c", "x"), ("d", "y")], "src string, dst string"
     )
     assert neighborhood_jaccard(edges).collect() == []
+
+
+def test_bgp_minus_removes_matches(triples):
+    # people MINUS those who live somewhere -> bob only
+    out = bgp_match(
+        triples,
+        [("?p", "type", "Person")],
+        minus=[("?p", "livesIn", "?city")],
+    )
+    assert [r.p for r in out.collect()] == ["bob"]
+
+
+def test_bgp_minus_requires_shared_var(triples):
+    with pytest.raises(ValueError):
+        bgp_match(
+            triples,
+            [("?p", "type", "Person")],
+            minus=[("?x", "type", "City")],
+        )
+
+
+def test_sparql_select_minus(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(
+        triples,
+        """SELECT ?p WHERE {
+             ?p <type> 'Person' .
+             MINUS { ?p <knows> ?q . }
+           }""",
+    )
+    # alice knows bob; bob knows nobody
+    assert [r.p for r in out.collect()] == ["bob"]

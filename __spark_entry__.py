@@ -2305,6 +2305,28 @@ def q_kg_bgp_minus(spark, sf_dir):
     )
 
 
+def q_kg_sparql_agg(spark, sf_dir):
+    """SPARQL aggregate + GROUP BY through the string parser
+    (operators/kgquery.py:sparql_select): customers per nation —
+    `SELECT ?n (COUNT(?c) AS ?cnt) ... GROUP BY ?n`; aggregates
+    evaluate over the DISTINCT solution set (documented set-semantics
+    subquery). Oracle = the same GROUP BY over the distinct pairs."""
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    triples = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("subj"),
+        F.lit("inNation").alias("pred"),
+        F.concat(F.lit("n"), F.col("c_nationkey")).alias("obj"),
+    )
+    return sparql_select(
+        triples,
+        """SELECT ?n (COUNT(?c) AS ?cnt) WHERE {
+             ?c <inNation> ?n .
+           } GROUP BY ?n""",
+    )
+
+
 def q_kg_property_path(spark, sf_dir):
     """SPARQL 1.1 property path (one-or-more, §9.1) through the string
     front end (operators/kgquery.py:sparql_select → bgp_match): the
@@ -2629,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_clustering": q_kg_clustering,
         "kg_entity_jaccard": q_kg_entity_jaccard,
         "kg_bgp_minus": q_kg_bgp_minus,
+        "kg_sparql_agg": q_kg_sparql_agg,
         "kmv_distinct": q_kmv_distinct,
         "table_expectations": q_table_expectations,
         "kg_negative_samples": q_kg_negative_samples,
@@ -3338,6 +3361,16 @@ SELECT d.node, d.degree::BIGINT AS degree,
              / (d.degree * (d.degree - 1)), 6) AS coefficient
 FROM deg d LEFT JOIN tcnt t USING (node)
 WHERE d.degree >= 2
+"""
+
+    # kg_sparql_agg: COUNT over the distinct (c, n) solution set
+    sql["kg_sparql_agg"] = """
+WITH req AS (
+  SELECT DISTINCT 'c' || c_custkey::VARCHAR AS c,
+         'n' || c_nationkey::VARCHAR AS n
+  FROM customer
+)
+SELECT n, count(c)::BIGINT AS cnt FROM req GROUP BY n
 """
 
     # kg_bgp_minus: SPARQL negation == ANTI JOIN on the shared variable

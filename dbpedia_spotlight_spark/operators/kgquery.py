@@ -332,7 +332,14 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     (``?x`` → column ``x``; ``&&``/``||`` → AND/OR; ``=`` → ``==``).
     SELECT with named variables projects them; ``*`` keeps every
     variable. DISTINCT is implicit (bgp_match returns set semantics,
-    per SELECT DISTINCT)."""
+    per SELECT DISTINCT).
+
+    Solution modifiers after the pattern group:
+    ``(COUNT(?v) AS ?n)`` (also SUM/MIN/MAX/AVG) with ``GROUP BY ?k``,
+    ``ORDER BY ?v [ASC|DESC]``, and ``LIMIT n``. Aggregates evaluate
+    over the DISTINCT solution set (set-semantics subquery); every
+    non-aggregated projected variable must appear in GROUP BY.
+    Anything unparsed after the modifiers raises."""
     toks = _SPARQL_RE.findall(query)
     pos = 0
 
@@ -360,18 +367,41 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
             return tok[1:-1]
         return tok
 
+    _AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
+
     take("SELECT")
     if peek() and peek().upper() == "DISTINCT":
         take()
-    proj = []
+    proj = []  # list of ("var", name) | ("agg", fn, var, name)
+    star = False
     while peek() and peek().upper() != "WHERE":
         t = take()
         if t == "*":
-            proj = None  # all variables
+            star = True
         elif t.startswith("?"):
-            proj = (proj or []) + [t[1:]]
+            proj.append(("var", t[1:]))
+        elif t == "(":
+            # (AGG(?v) AS ?name)
+            fn = take().upper()
+            if fn not in _AGGS:
+                raise ValueError(f"unsupported aggregate {fn!r}")
+            take("(")
+            v = take()
+            if not v.startswith("?"):
+                raise ValueError(f"aggregate needs a ?var, got {v!r}")
+            take(")")
+            take("AS")
+            name = take()
+            if not name.startswith("?"):
+                raise ValueError(f"AS needs a ?name, got {name!r}")
+            take(")")
+            proj.append(("agg", fn, v[1:], name[1:]))
         else:
             raise ValueError(f"bad projection term {t!r}")
+    if star and proj:
+        raise ValueError("cannot mix * with named projection terms")
+    if not star and not proj:
+        raise ValueError("SELECT needs at least one projection term")
     take("WHERE")
     take("{")
 
@@ -427,12 +457,73 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
                 take()
     take("}")
 
+    # trailing solution modifiers: GROUP BY / ORDER BY / LIMIT
+    group_by, order_by, limit = [], [], None
+    while peek() is not None:
+        head = take()
+        if head.upper() == "GROUP":
+            take("BY")
+            while peek() and peek().startswith("?"):
+                group_by.append(take()[1:])
+        elif head.upper() == "ORDER":
+            take("BY")
+            while peek() and (
+                peek().startswith("?")
+                or peek().upper() in ("ASC", "DESC")
+            ):
+                t = take()
+                if t.upper() in ("ASC", "DESC"):
+                    if not order_by:
+                        raise ValueError("ASC/DESC without a sort variable")
+                    order_by[-1] = (order_by[-1][0], t.upper() == "DESC")
+                else:
+                    order_by.append((t[1:], False))
+        elif head.upper() == "LIMIT":
+            limit = int(take())
+        else:
+            raise ValueError(f"unexpected token after pattern group: {head!r}")
+
     out = bgp_match(
         triples, patterns, optional=optional, filters=filters, minus=minus
     )
-    if proj is not None:
-        missing = [v for v in proj if v not in out.columns]
+
+    aggs = [p for p in proj if p[0] == "agg"]
+    if aggs or group_by:
+        # aggregates evaluate over the DISTINCT solution set (bgp_match
+        # set semantics, i.e. an implicit SELECT DISTINCT subquery)
+        plain = [p[1] for p in proj if p[0] == "var"]
+        if sorted(plain) != sorted(set(group_by)) and plain:
+            missing = set(plain) - set(group_by)
+            if missing:
+                raise ValueError(
+                    f"non-aggregated variables not in GROUP BY: {sorted(missing)}"
+                )
+        missing = [v for v in set(group_by) | {a[2] for a in aggs}
+                   if v not in out.columns]
+        if missing:
+            raise ValueError(f"variables not bound: {sorted(missing)}")
+        exprs = [
+            getattr(F, fn.lower())(v).alias(name) for _, fn, v, name in aggs
+        ]
+        out = (
+            out.groupBy(*group_by).agg(*exprs)
+            if group_by
+            else out.agg(*exprs)
+        )
+    elif not star:
+        names = [p[1] for p in proj]
+        missing = [v for v in names if v not in out.columns]
         if missing:
             raise ValueError(f"projected variables not bound: {missing}")
-        out = out.select(*proj).distinct()
+        out = out.select(*names).distinct()
+
+    for v, _ in order_by:
+        if v not in out.columns:
+            raise ValueError(f"ORDER BY variable not in result: {v!r}")
+    if order_by:
+        out = out.orderBy(
+            *[F.desc(v) if d else F.asc(v) for v, d in order_by]
+        )
+    if limit is not None:
+        out = out.limit(limit)
     return out

@@ -502,3 +502,55 @@ def test_sparql_select_minus(triples):
     )
     # alice knows bob; bob knows nobody
     assert [r.p for r in out.collect()] == ["bob"]
+
+
+def test_sparql_select_aggregate_group_by(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(
+        triples,
+        """SELECT ?c (COUNT(?p) AS ?n) WHERE {
+             ?p <worksFor> ?c .
+           } GROUP BY ?c""",
+    )
+    got = {(r.c, r.n) for r in out.collect()}
+    assert got == {("acme", 2)}
+
+
+def test_sparql_select_global_aggregate(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(
+        triples,
+        "SELECT (COUNT(?p) AS ?n) WHERE { ?p <type> 'Person' . }",
+    )
+    assert out.collect()[0].n == 2
+
+
+def test_sparql_select_order_limit(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(
+        triples,
+        "SELECT ?p WHERE { ?p <type> ?t . } ORDER BY ?p DESC LIMIT 2",
+    )
+    assert [r.p for r in out.collect()] == ["bob", "berlin"]
+
+
+def test_sparql_select_rejects_ungrouped_var(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    with pytest.raises(ValueError):
+        sparql_select(
+            triples,
+            "SELECT ?p (COUNT(?c) AS ?n) WHERE { ?p <worksFor> ?c . }",
+        )
+
+
+def test_sparql_select_rejects_trailing_junk(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    with pytest.raises(ValueError):
+        sparql_select(
+            triples, "SELECT ?p WHERE { ?p <type> 'Person' . } HAVING x"
+        )

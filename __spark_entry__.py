@@ -2305,6 +2305,35 @@ def q_kg_bgp_minus(spark, sf_dir):
     )
 
 
+def q_kg_bgp_union(spark, sf_dir):
+    """SPARQL UNION (§7) through the string parser
+    (operators/kgquery.py:sparql_select): parties located in a nation
+    via EITHER the customer or the supplier predicate —
+    `{ ?e <custIn> ?n } UNION { ?e <suppIn> ?n }`; branch solutions
+    concatenate, distinct set semantics. Oracle = SQL UNION."""
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    triples = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("subj"),
+        F.lit("custIn").alias("pred"),
+        F.concat(F.lit("n"), F.col("c_nationkey")).alias("obj"),
+    ).unionByName(
+        supp.select(
+            F.concat(F.lit("s"), F.col("s_suppkey")).alias("subj"),
+            F.lit("suppIn").alias("pred"),
+            F.concat(F.lit("n"), F.col("s_nationkey")).alias("obj"),
+        )
+    )
+    return sparql_select(
+        triples,
+        """SELECT ?e ?n WHERE {
+             { ?e <custIn> ?n . } UNION { ?e <suppIn> ?n . }
+           }""",
+    )
+
+
 def q_kg_sparql_agg(spark, sf_dir):
     """SPARQL aggregate + GROUP BY through the string parser
     (operators/kgquery.py:sparql_select): customers per nation —
@@ -2652,6 +2681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_jaccard": q_kg_entity_jaccard,
         "kg_bgp_minus": q_kg_bgp_minus,
         "kg_sparql_agg": q_kg_sparql_agg,
+        "kg_bgp_union": q_kg_bgp_union,
         "kmv_distinct": q_kmv_distinct,
         "table_expectations": q_table_expectations,
         "kg_negative_samples": q_kg_negative_samples,
@@ -3361,6 +3391,16 @@ SELECT d.node, d.degree::BIGINT AS degree,
              / (d.degree * (d.degree - 1)), 6) AS coefficient
 FROM deg d LEFT JOIN tcnt t USING (node)
 WHERE d.degree >= 2
+"""
+
+    # kg_bgp_union: branch solutions concatenated, distinct
+    sql["kg_bgp_union"] = """
+SELECT DISTINCT 'c' || c_custkey::VARCHAR AS e,
+       'n' || c_nationkey::VARCHAR AS n
+FROM customer
+UNION
+SELECT 's' || s_suppkey::VARCHAR, 'n' || s_nationkey::VARCHAR
+FROM supplier
 """
 
     # kg_sparql_agg: COUNT over the distinct (c, n) solution set

@@ -148,6 +148,21 @@ def bgp_match(
             result.join(rel, on=shared) if shared else result.crossJoin(rel)
         )
         bound |= vs
+    return _apply_group_modifiers(
+        triples, result, bound, optional, filters, minus
+    ).distinct()
+
+
+def _apply_group_modifiers(
+    triples: DataFrame,
+    result: DataFrame,
+    bound: set,
+    optional: list | None,
+    filters: list | None,
+    minus: list | None,
+) -> DataFrame:
+    """FILTER → MINUS → OPTIONAL over a binding frame (shared by
+    bgp_match and sparql_select's UNION path)."""
     for expr in filters or []:
         result = result.filter(F.expr(expr))
     if minus:
@@ -168,7 +183,7 @@ def bgp_match(
                 "OPTIONAL group shares no variable with the required group"
             )
         result = result.join(opt, on=shared, how="left")
-    return result.distinct()
+    return result
 
 
 def _relation_vars(pat: tuple[str, str, str]) -> set:
@@ -417,9 +432,20 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         return pats
 
     patterns, optional, minus, filters = [], None, None, []
+    union_branches = None
     while peek() and peek() != "}":
         head = peek()
-        if head.upper() == "OPTIONAL":
+        if head == "{":
+            # { g1 } UNION { g2 } [UNION { g3 } ...]
+            if union_branches is not None:
+                raise ValueError("only one UNION chain is supported")
+            union_branches = [_group()]
+            while peek() and peek().upper() == "UNION":
+                take()
+                union_branches.append(_group())
+            if len(union_branches) < 2:
+                raise ValueError("braced group without UNION")
+        elif head.upper() == "OPTIONAL":
             take()
             if optional is not None:
                 raise ValueError("only one OPTIONAL group is supported")
@@ -483,9 +509,25 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         else:
             raise ValueError(f"unexpected token after pattern group: {head!r}")
 
-    out = bgp_match(
-        triples, patterns, optional=optional, filters=filters, minus=minus
-    )
+    if union_branches is not None:
+        # SPARQL UNION (§7): branch solutions concatenated; variables a
+        # branch doesn't bind come back null (unionByName padding)
+        if patterns:
+            raise ValueError(
+                "cannot mix top-level patterns with a UNION chain"
+            )
+        frames = [bgp_match(triples, br) for br in union_branches]
+        bound = set().union(*[set(f.columns) for f in frames])
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        out = _apply_group_modifiers(
+            triples, out, bound, optional, filters, minus
+        ).distinct()
+    else:
+        out = bgp_match(
+            triples, patterns, optional=optional, filters=filters, minus=minus
+        )
 
     aggs = [p for p in proj if p[0] == "agg"]
     if aggs or group_by:

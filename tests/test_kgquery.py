@@ -554,3 +554,54 @@ def test_sparql_select_rejects_trailing_junk(triples):
         sparql_select(
             triples, "SELECT ?p WHERE { ?p <type> 'Person' . } HAVING x"
         )
+
+
+def test_sparql_select_union(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(
+        triples,
+        """SELECT ?x WHERE {
+             { ?x <type> 'Person' . } UNION { ?x <type> 'City' . }
+           }""",
+    )
+    assert sorted(r.x for r in out.collect()) == ["alice", "berlin", "bob"]
+
+
+def test_sparql_select_union_pads_unshared_vars(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(
+        triples,
+        """SELECT * WHERE {
+             { ?x <knows> ?y . } UNION { ?x <type> 'City' . }
+           }""",
+    )
+    got = {(r.x, r.y) for r in out.collect()}
+    assert got == {("alice", "bob"), ("berlin", None)}
+
+
+def test_sparql_select_union_with_filter(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(
+        triples,
+        """SELECT ?x WHERE {
+             { ?x <type> 'Person' . } UNION { ?x <type> 'Company' . }
+             FILTER(?x != 'bob')
+           }""",
+    )
+    assert sorted(r.x for r in out.collect()) == ["acme", "alice"]
+
+
+def test_sparql_select_rejects_mixed_union_and_patterns(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    with pytest.raises(ValueError):
+        sparql_select(
+            triples,
+            """SELECT ?x WHERE {
+                 ?x <type> 'Person' .
+                 { ?x <knows> ?y . } UNION { ?x <type> 'City' . }
+               }""",
+        )

@@ -340,6 +340,7 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
             OPTIONAL { ?s <p2> ?x . ... }    # at most one OPTIONAL group
             MINUS { ?s <p3> ?y . ... }       # at most one MINUS group
             FILTER(?x != "lit" && ...)       # any number of FILTERs
+            VALUES ?x { 'a' 'b' <c> }        # single-var inline data
         }
 
     Terms: ``?var``, ``<iri>`` (angle brackets stripped), quoted
@@ -432,7 +433,7 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         return pats
 
     patterns, optional, minus, filters = [], None, None, []
-    union_branches = None
+    union_branches, values_clauses = None, []
     while peek() and peek() != "}":
         head = peek()
         if head == "{":
@@ -455,6 +456,19 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
             if minus is not None:
                 raise ValueError("only one MINUS group is supported")
             minus = _group()
+        elif head.upper() == "VALUES":
+            # single-variable inline data: VALUES ?x { 'a' 'b' <c> }
+            # (joins-with-group == an isin filter when ?x is bound)
+            take()
+            v = take()
+            if not v.startswith("?"):
+                raise ValueError(f"VALUES needs a ?var, got {v!r}")
+            take("{")
+            vals = []
+            while peek() and peek() != "}":
+                vals.append(term(take()))
+            take("}")
+            values_clauses.append((v[1:], vals))
         elif head.upper() == "FILTER":
             take()
             take("(")
@@ -528,6 +542,11 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         out = bgp_match(
             triples, patterns, optional=optional, filters=filters, minus=minus
         )
+
+    for v, vals in values_clauses:
+        if v not in out.columns:
+            raise ValueError(f"VALUES variable not bound: {v!r}")
+        out = out.filter(F.col(v).isin(vals))
 
     aggs = [p for p in proj if p[0] == "agg"]
     if aggs or group_by:

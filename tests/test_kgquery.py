@@ -605,3 +605,29 @@ def test_sparql_select_rejects_mixed_union_and_patterns(triples):
                  { ?x <knows> ?y . } UNION { ?x <type> 'City' . }
                }""",
         )
+
+
+def test_sparql_select_values(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(
+        triples,
+        """SELECT ?p ?t WHERE {
+             ?p <type> ?t .
+             VALUES ?t { 'Person' 'City' }
+           }""",
+    )
+    got = {(r.p, r.t) for r in out.collect()}
+    assert got == {
+        ("alice", "Person"), ("bob", "Person"), ("berlin", "City"),
+    }
+
+
+def test_sparql_select_values_unbound_var(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    with pytest.raises(ValueError):
+        sparql_select(
+            triples,
+            "SELECT ?p WHERE { ?p <type> 'Person' . VALUES ?zz { 'a' } }",
+        )

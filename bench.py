@@ -45,6 +45,7 @@ SKIP_SCALING = os.environ.get("BENCH_SKIP_SCALING") == "1"
 
 HEADLINE = [
     "annotate_e2e",
+    "annotate_windowed",
     "nif_triples",
     "m2_sf_total_counts",
     "m6_cooccurrence",

@@ -449,7 +449,7 @@ def embedding_near_duplicates(
     num_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_bucket_size: int | None = 10_000,
+    max_bucket_size: int | None = 2_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: random-hyperplane LSH buckets
     (num_tables independent tables), candidate pairs only inside a bucket,
@@ -514,7 +514,8 @@ def semantic_dedup(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_cluster_size: int | None = 100_000,
+    max_cluster_size: int | None = 10_000,
+    split_bits: int = 16,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication", arXiv:2303.09540): cluster
@@ -534,12 +535,28 @@ def semantic_dedup(
     candidate pairs only form inside a cell (the cross product is per
     cluster, never global) and travel as bare ids; vectors join back once
     for the cosine verify. k controls the cluster size distribution — the
-    paper uses k~50k at web scale, so each cluster is ~corpus/k; clusters
-    above max_cluster_size (dead-centroid pathologies, all-zero embedding
-    clumps) are exempted whole from dedup — their members are kept and the
-    drop is the same declared-cap move as lsh_candidate_pairs."""
+    paper uses k~50k at web scale, so each cluster is ~corpus/k.
+
+    Over-cap cells (dead-centroid pathologies, all-zero embedding clumps)
+    are NOT exempted (the round-3 finding: exempting silently skips dedup
+    for exactly the densest regions) — they are recursively SPLIT with a
+    within-cell hyperplane-LSH sub-quantizer: a cell of size c gets
+    d = ceil(log2(c / cap)) deterministic sign bits (seeded planes, one
+    Arrow pass shared by every cell), so similar vectors stay together
+    and expected sub-cell size <= cap. Sub-cells still over cap after
+    split_bits bits are sign-identical clumps (in practice byte-identical
+    vectors — no similarity-preserving scheme can separate them); for
+    those, candidates degrade to (group-min-id, member) star pairs — O(c)
+    not O(c²), which still catches the identical-clump pathology exactly
+    (every member IS a dup of the min id). Total candidate pairs are
+    therefore <= sum(c_i <= cap: c_i²) + sum(over-cap clumps: c_i):
+    linear in the corpus for fixed cap. Sub-splitting costs recall only
+    across sub-cell boundaries inside over-cap cells — under-cap cells
+    (every cell at the paper's sizing) are bit-identical to the unsplit
+    form, which is what the sf-scale oracle replays."""
     from dbpedia_spotlight_spark.datapipe.similarity import (
         assign_ivf_cells,
+        hyperplane_signatures_multi,
         with_cosine,
     )
 
@@ -550,20 +567,59 @@ def semantic_dedup(
         "vec_id", "cell"
     )
     if max_cluster_size is not None:
-        w = Window.partitionBy("cell")
-        cells_for_pairs = (
-            cells.withColumn("_cn", F.count("*").over(w))
-            .filter(F.col("_cn") <= max_cluster_size)
-            .drop("_cn")
+        dim = int(np.asarray(centroids).shape[1])
+        sig = hyperplane_signatures_multi(
+            ids, dim, split_bits, 1, seed_base=1042
+        ).select("vec_id", F.col("bucket").alias("_sig"))
+        wc = Window.partitionBy("cell")
+        sized = cells.join(sig, "vec_id").withColumn(
+            "_cn", F.count("*").over(wc)
         )
+        depth = F.when(
+            F.col("_cn") > max_cluster_size,
+            F.least(
+                F.lit(split_bits),
+                F.ceil(F.log2(F.col("_cn") / F.lit(max_cluster_size))),
+            ),
+        ).otherwise(F.lit(0)).cast("int")
+        sub = (
+            sized.withColumn("_d", depth)
+            .withColumn(
+                "sub",
+                F.expr(
+                    f"shiftrightunsigned(_sig, {split_bits} - _d)"
+                ),
+            )
+            .select("vec_id", "cell", "sub")
+        )
+        wg = Window.partitionBy("cell", "sub")
+        grouped = sub.withColumn("_gn", F.count("*").over(wg))
+        under = grouped.filter(
+            F.col("_gn") <= max_cluster_size
+        ).select("vec_id", "cell", "sub")
+        over = grouped.filter(F.col("_gn") > max_cluster_size)
+        x, y = under.alias("x"), under.alias("y")
+        pairs = x.join(
+            y,
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col("x.sub") == F.col("y.sub"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        ).select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+        star = (
+            over.withColumn("_min", F.min("vec_id").over(wg))
+            .filter(F.col("vec_id") != F.col("_min"))
+            .select(
+                F.col("_min").alias("a"), F.col("vec_id").alias("b")
+            )
+        )
+        pairs = pairs.unionByName(star)
     else:
-        cells_for_pairs = cells
-    x, y = cells_for_pairs.alias("x"), cells_for_pairs.alias("y")
-    pairs = x.join(
-        y,
-        (F.col("x.cell") == F.col("y.cell"))
-        & (F.col("x.vec_id") < F.col("y.vec_id")),
-    ).select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+        x, y = cells.alias("x"), cells.alias("y")
+        pairs = x.join(
+            y,
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        ).select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
     enriched = pairs.join(
         ids.select(F.col("vec_id").alias("a"), F.col("v").alias("va")), "a"
     ).join(ids.select(F.col("vec_id").alias("b"), F.col("v").alias("vb")), "b")
@@ -688,7 +744,7 @@ def prefix_filter_jaccard_join(
     id_col: str = "doc_id",
     shingle_k: int = 5,
     threshold: float = 0.8,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 1000,
     log_dropped: bool = False,
 ) -> DataFrame:
     """Exact n-gram-Jaccard self-join via prefix filtering (the classic
@@ -705,9 +761,13 @@ def prefix_filter_jaccard_join(
     size filter (t <= |A|/|B| <= 1/t) prunes cross-size pairs. The exact
     verify then joins the already-built hash sets back (no re-shingling)
     and intersects natively. Degenerate corpora (thousands of
-    byte-identical docs) still share rare prefixes — run exact_duplicates
-    first, or set max_bucket to drop prefix keys with more than that many
-    docs (their real O(n^2) pair output is the problem, not the join)."""
+    byte-identical docs) still share rare prefixes, and their real
+    O(n^2) pair OUTPUT is the problem, not the join — so max_bucket
+    defaults to a finite cap (prefix keys with more docs than the cap
+    are dropped whole, deterministically; set log_dropped=True to count
+    them). Below the cap the join is exactly lossless; a corpus that
+    trips the cap should run exact_duplicates first. max_bucket=None
+    restores the unguarded lossless form."""
     sets_df = shingle_hash_sets(
         df, text_col=text_col, id_col=id_col, shingle_k=shingle_k
     ).filter(F.size("sh") > 0)

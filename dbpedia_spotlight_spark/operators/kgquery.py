@@ -34,8 +34,89 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _is_var(term: str) -> bool:
+def _is_var(term) -> bool:
     return isinstance(term, str) and term.startswith("?")
+
+
+# ---------------------------------------------------------------------------
+# SPARQL 1.1 property paths (§9.1)
+# ---------------------------------------------------------------------------
+# A path is a nested-tuple AST over predicate IRIs:
+#   ("iri", p)          exact predicate
+#   ("plus", node)      one-or-more      node+
+#   ("star", node)      zero-or-more     node*   (zero-length = identity)
+#   ("opt", node)       zero-or-one      node?
+#   ("seq", [n, ...])   sequence         n1/n2
+#   ("alt", [n, ...])   alternation      n1|n2
+# Each evaluates to a DISTINCT (subj, obj) relation; bgp_match treats a
+# path-predicate pattern exactly like a plain one afterwards. The
+# reference exposes full SPARQL through a remote endpoint
+# (core/src/main/scala/org/dbpedia/spotlight/sparql/SparqlQueryExecuter.scala);
+# here paths compile to native DataFrame algebra instead.
+
+
+def _graph_identity(triples: DataFrame) -> DataFrame:
+    """The zero-length-path relation: every term in the graph related to
+    itself (SPARQL 1.1 §18.4 ZeroLengthPath — all subjects and objects)."""
+    nodes = (
+        triples.select(F.col("subj").alias("n"))
+        .unionByName(triples.select(F.col("obj").alias("n")))
+        .distinct()
+    )
+    return nodes.select(F.col("n").alias("subj"), F.col("n").alias("obj"))
+
+
+def _path_df(triples: DataFrame, node: tuple) -> DataFrame:
+    """Evaluate a property-path AST to a (subj, obj) relation.
+
+    Scale shape: sequences are equi-join chains on the mid node (AQE
+    picks broadcast vs shuffle from runtime sizes), alternation is a
+    unionByName + distinct, and both closure quantifiers reuse the
+    repeated-squaring transitive_closure — a depth-D chain costs log2(D)
+    join rounds, never D."""
+    kind = node[0]
+    if kind == "iri":
+        return triples.filter(F.col("pred") == F.lit(node[1])).select(
+            "subj", "obj"
+        )
+    if kind == "seq":
+        acc = _path_df(triples, node[1][0])
+        for part in node[1][1:]:
+            step = _path_df(triples, part)
+            acc = (
+                acc.select("subj", F.col("obj").alias("_m"))
+                .join(
+                    step.select(F.col("subj").alias("_m"), "obj"), "_m"
+                )
+                .select("subj", "obj")
+            )
+        return acc.distinct()
+    if kind == "alt":
+        acc = _path_df(triples, node[1][0])
+        for part in node[1][1:]:
+            acc = acc.unionByName(_path_df(triples, part))
+        return acc.distinct()
+    if kind == "plus":
+        from dbpedia_spotlight_spark.operators.closure import (
+            transitive_closure,
+        )
+
+        return transitive_closure(
+            _path_df(triples, node[1]), src="subj", dst="obj"
+        )
+    if kind == "star":
+        return (
+            _path_df(triples, ("plus", node[1]))
+            .unionByName(_graph_identity(triples))
+            .distinct()
+        )
+    if kind == "opt":
+        return (
+            _path_df(triples, node[1])
+            .unionByName(_graph_identity(triples))
+            .distinct()
+        )
+    raise ValueError(f"unknown path node {node!r}")
 
 
 def bgp_match(
@@ -52,11 +133,12 @@ def bgp_match(
     one column per distinct variable, one row per distinct binding
     (SPARQL set semantics for SELECT DISTINCT).
 
-    ``optional``: a second pattern group with SPARQL OPTIONAL semantics —
-    its bindings are LEFT-joined on the variables shared with the
-    required group, so non-matching rows survive with nulls in the
-    optional-only variables (SPARQL 1.1 §5.4 left join algebra; the
-    optional group must share >= 1 variable with the required group).
+    ``optional``: one pattern group — or a list of groups — with SPARQL
+    OPTIONAL semantics: each group's bindings are LEFT-joined in order on
+    the variables shared with what is bound so far, so non-matching rows
+    survive with nulls in the optional-only variables (SPARQL 1.1 §5.4
+    left join algebra; every optional group must share >= 1 variable
+    with the bindings before it).
 
     ``filters``: SPARQL FILTER expressions as Spark SQL strings over the
     variable columns (e.g. ``"n != 'n0'"``), applied after the required
@@ -78,7 +160,8 @@ def bgp_match(
     """
     if not patterns:
         raise ValueError("empty basic graph pattern")
-    for pat in list(patterns) + list(optional or []) + list(minus or []):
+    _opt_pats = [p for g in _normalize_optional(optional) for p in g]
+    for pat in list(patterns) + _opt_pats + list(minus or []):
         if len(pat) != 3:
             raise ValueError(f"pattern must be a (s,p,o) triple: {pat!r}")
         if not any(_is_var(t) for t in pat):
@@ -91,22 +174,21 @@ def bgp_match(
         path (one-or-more, §9.1): the pattern matches the TRANSITIVE
         closure of that predicate's edge set — computed by the repeated-
         squaring transitive_closure operator, so a depth-D chain costs
-        log2(D) join rounds, not D."""
+        log2(D) join rounds, not D. A tuple predicate is a full path AST
+        (seq/alt/plus/star/opt — see _path_df)."""
         s_term, p_term, o_term = pat
-        if (
+        if isinstance(p_term, tuple) or (
             not _is_var(p_term)
             and isinstance(p_term, str)
             and p_term.endswith("+")
             and len(p_term) > 1
         ):
-            from dbpedia_spotlight_spark.operators.closure import (
-                transitive_closure,
+            node = (
+                p_term
+                if isinstance(p_term, tuple)
+                else ("plus", ("iri", p_term[:-1]))
             )
-
-            base = triples.filter(
-                F.col("pred") == F.lit(p_term[:-1])
-            ).select("subj", "obj")
-            df = transitive_closure(base, src="subj", dst="obj")
+            df = _path_df(triples, node)
             positions = [("subj", s_term), ("obj", o_term)]
         else:
             df = triples
@@ -153,6 +235,14 @@ def bgp_match(
     ).distinct()
 
 
+def _normalize_optional(optional) -> list:
+    """Accept one OPTIONAL group (a list of (s,p,o) tuples — the round-3
+    API) or a list of groups; always return a list of groups."""
+    if not optional:
+        return []
+    return [optional] if isinstance(optional[0], tuple) else list(optional)
+
+
 def _apply_group_modifiers(
     triples: DataFrame,
     result: DataFrame,
@@ -161,10 +251,27 @@ def _apply_group_modifiers(
     filters: list | None,
     minus: list | None,
 ) -> DataFrame:
-    """FILTER → MINUS → OPTIONAL over a binding frame (shared by
-    bgp_match and sparql_select's UNION path)."""
+    """FILTER → MINUS → OPTIONAL → deferred FILTER over a binding frame
+    (shared by bgp_match and sparql_select's UNION path).
+
+    A FILTER that references an optional-only variable is deferred until
+    after the left joins that bind it (SPARQL's group-level filter scope
+    — previously an unresolved-column AnalysisException). Filters over
+    required-only variables still run first: a left join preserves the
+    left side's columns, so the two orders agree there and the early
+    filter shrinks the join input."""
+    opt_groups = _normalize_optional(optional)
+    opt_only = set()
+    for g in opt_groups:
+        for pat in g:
+            opt_only |= _relation_vars(pat)
+    opt_only -= bound
+    deferred = []
     for expr in filters or []:
-        result = result.filter(F.expr(expr))
+        if opt_only and (_filter_identifiers(expr) & opt_only):
+            deferred.append(expr)
+        else:
+            result = result.filter(F.expr(expr))
     if minus:
         neg = bgp_match(triples, minus)
         shared = sorted(set(neg.columns) & bound)
@@ -175,14 +282,17 @@ def _apply_group_modifiers(
         result = result.join(
             neg.select(*shared).distinct(), on=shared, how="left_anti"
         )
-    if optional:
-        opt = bgp_match(triples, optional)
+    for g in opt_groups:
+        opt = bgp_match(triples, g)
         shared = sorted(set(opt.columns) & bound)
         if not shared:
             raise ValueError(
                 "OPTIONAL group shares no variable with the required group"
             )
         result = result.join(opt, on=shared, how="left")
+        bound |= set(opt.columns)
+    for expr in deferred:
+        result = result.filter(F.expr(expr))
     return result
 
 
@@ -318,14 +428,68 @@ def shortest_paths(
 _SPARQL_RE = __import__("re").compile(
     r"""
     \?\w+                |  # variable
-    <[^>]*>\+?           |  # IRI, optional + property-path suffix
+    <[^>\s]*>[+*?]?      |  # IRI (no spaces), optional path quantifier
     "(?:[^"\\]|\\.)*"    |  # double-quoted literal
     '(?:[^'\\]|\\.)*'    |  # single-quoted literal
-    [{}().]              |  # structure
-    [^\s{}().]+             # bareword / keyword (stops at structure)
+    \d+\.\d+             |  # decimal literal (kept whole for FILTERs)
+    &&|\|\|              |  # boolean connectives (single tokens)
+    [=!<>]=?             |  # comparison operators
+    [{}()./|]            |  # structure + path operators
+    [^\s{}()./|]+           # bareword / keyword (stops at structure)
     """,
     __import__("re").VERBOSE,
 )
+
+# SQL keywords/functions that may appear inside a translated FILTER and
+# must not be mistaken for variable references when deciding whether a
+# filter touches optional-only variables.
+_SQL_WORDS = frozenset(
+    "and or not in like is null true false between exists case when then"
+    " else end cast as".split()
+)
+
+
+def _filter_expr_sql(expr_toks: list[str]) -> str:
+    """Translate SPARQL FILTER tokens to one Spark SQL expression.
+
+    Token-aware (the round-3 ADVICE fix): rewrites (``?x``→``x``,
+    ``&&``→AND, ``||``→OR, ``=``→``==``) apply per token, so quoted
+    literals pass through verbatim — ``FILTER(?x != 'a=b')`` keeps its
+    literal intact — and decimal literals like ``1.5`` are single tokens
+    (the tokenizer no longer splits them on the dot). ``<iri>`` terms
+    become quoted string literals (the triple table stores bare IRIs)."""
+    out = []
+    for t in expr_toks:
+        if t.startswith("?"):
+            out.append(t[1:])
+        elif t[0] in "\"'":
+            out.append("'" + t[1:-1].replace("'", "''") + "'")
+        elif t.startswith("<") and t.endswith(">"):
+            out.append("'" + t[1:-1].replace("'", "''") + "'")
+        elif t == "&&":
+            out.append("AND")
+        elif t == "||":
+            out.append("OR")
+        elif t == "=":
+            out.append("==")
+        else:
+            out.append(t)
+    return " ".join(out)
+
+
+def _filter_identifiers(expr: str) -> set:
+    """Bareword identifiers referenced by a translated filter expression
+    (quoted literals stripped first so 'a AND b' the literal doesn't
+    count), minus SQL keywords — used to decide whether a FILTER can run
+    before the OPTIONAL left joins or must wait until its variables
+    exist."""
+    re_ = __import__("re")
+    no_lits = re_.sub(r"'(?:[^'])*'", "", expr)
+    return {
+        w
+        for w in re_.findall(r"[A-Za-z_]\w*", no_lits)
+        if w.lower() not in _SQL_WORDS
+    }
 
 
 def sparql_select(triples: DataFrame, query: str) -> DataFrame:
@@ -337,18 +501,29 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
 
         SELECT (DISTINCT)? (?v ... | *) WHERE {
             ?s <p> ?o .  ...                 # triple patterns
-            OPTIONAL { ?s <p2> ?x . ... }    # at most one OPTIONAL group
+            ?s <a>/<b>+ ?o .                 # property paths: / | + * ?
+            OPTIONAL { ?s <p2> ?x . ... }    # any number of OPTIONAL groups
             MINUS { ?s <p3> ?y . ... }       # at most one MINUS group
             FILTER(?x != "lit" && ...)       # any number of FILTERs
-            VALUES ?x { 'a' 'b' <c> }        # single-var inline data
+            VALUES ?x { 'a' 'b' <c> }        # inline data (single var)
+            VALUES (?x ?y) { ('a' 'b') ... } # inline data (multi var)
         }
+
+    Property paths (SPARQL 1.1 §9.1) in predicate position: ``<p>+``
+    (one-or-more), ``<p>*`` (zero-or-more), ``<p>?`` (zero-or-one),
+    ``<a>/<b>`` (sequence), ``<a>|<b>`` (alternation), parenthesised
+    combinations; ``/`` binds tighter than ``|``. Zero-length paths
+    relate every term in the graph to itself (§18.4).
 
     Terms: ``?var``, ``<iri>`` (angle brackets stripped), quoted
     literals, or barewords. FILTER expressions translate to Spark SQL
-    (``?x`` → column ``x``; ``&&``/``||`` → AND/OR; ``=`` → ``==``).
-    SELECT with named variables projects them; ``*`` keeps every
-    variable. DISTINCT is implicit (bgp_match returns set semantics,
-    per SELECT DISTINCT).
+    per token (``?x`` → column ``x``; ``&&``/``||`` → AND/OR; ``=`` →
+    ``==``; quoted and decimal literals pass through intact). A FILTER
+    referencing an optional-only variable runs after the left join that
+    binds it (group-level filter scope); all other filters run before
+    OPTIONAL, where the two orders agree. SELECT with named variables
+    projects them; ``*`` keeps every variable. DISTINCT is implicit
+    (bgp_match returns set semantics, per SELECT DISTINCT).
 
     Solution modifiers after the pattern group:
     ``(COUNT(?v) AS ?n)`` (also SUM/MIN/MAX/AVG) with ``GROUP BY ?k``,
@@ -382,6 +557,66 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         if tok[0] in "\"'" and tok[-1] == tok[0] and len(tok) >= 2:
             return tok[1:-1]
         return tok
+
+    _QUANT = {"+": "plus", "*": "star", "?": "opt"}
+
+    def path_atom() -> tuple:
+        t = take()
+        if t == "(":
+            node = path_expr()
+            take(")")
+            if peek() in ("+", "*", "?"):
+                node = (_QUANT[take()], node)
+            return node
+        if t.startswith("?"):
+            raise ValueError(f"variable {t!r} inside a property path")
+        quant = None
+        if t.startswith("<"):
+            if not t.endswith(">") and t[-1] in "+*?":
+                quant, t = t[-1], t[:-1]
+            base = ("iri", t[1:-1])
+        elif t[0] in "\"'":
+            base = ("iri", t[1:-1])
+        else:
+            if len(t) > 1 and t[-1] in "+*?":
+                quant, t = t[-1], t[:-1]
+            base = ("iri", t)
+        return (_QUANT[quant], base) if quant else base
+
+    def path_seq() -> tuple:
+        parts = [path_atom()]
+        while peek() == "/":
+            take()
+            parts.append(path_atom())
+        return parts[0] if len(parts) == 1 else ("seq", parts)
+
+    def path_expr() -> tuple:
+        parts = [path_seq()]
+        while peek() == "|":
+            take()
+            parts.append(path_seq())
+        return parts[0] if len(parts) == 1 else ("alt", parts)
+
+    def pred_term():
+        """Predicate position: a ?var, or a property-path expression.
+        Plain IRIs and single ``<p>+`` collapse to the string forms
+        bgp_match already accepts; anything richer stays an AST."""
+        if peek() is not None and peek().startswith("?"):
+            return take()
+        node = path_expr()
+        if node[0] == "iri":
+            return node[1]
+        if node[0] == "plus" and node[1][0] == "iri":
+            return node[1][1] + "+"
+        return node
+
+    def pattern_triple() -> tuple:
+        s = term(take())
+        p = pred_term()
+        o = term(take())
+        if peek() == ".":
+            take()
+        return (s, p, o)
 
     _AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
 
@@ -425,14 +660,11 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         take("{")
         pats = []
         while peek() and peek() != "}":
-            s, p, o = take(), take(), take()
-            pats.append((term(s), term(p), term(o)))
-            if peek() == ".":
-                take()
+            pats.append(pattern_triple())
         take("}")
         return pats
 
-    patterns, optional, minus, filters = [], None, None, []
+    patterns, optionals, minus, filters = [], [], None, []
     union_branches, values_clauses = None, []
     while peek() and peek() != "}":
         head = peek()
@@ -448,27 +680,58 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
                 raise ValueError("braced group without UNION")
         elif head.upper() == "OPTIONAL":
             take()
-            if optional is not None:
-                raise ValueError("only one OPTIONAL group is supported")
-            optional = _group()
+            optionals.append(_group())
         elif head.upper() == "MINUS":
             take()
             if minus is not None:
                 raise ValueError("only one MINUS group is supported")
             minus = _group()
         elif head.upper() == "VALUES":
-            # single-variable inline data: VALUES ?x { 'a' 'b' <c> }
-            # (joins-with-group == an isin filter when ?x is bound)
+            # inline data: VALUES ?x { 'a' 'b' <c> } or
+            # VALUES (?x ?y) { ('a' 'b') ('c' 'd') }
             take()
-            v = take()
-            if not v.startswith("?"):
-                raise ValueError(f"VALUES needs a ?var, got {v!r}")
-            take("{")
-            vals = []
-            while peek() and peek() != "}":
-                vals.append(term(take()))
-            take("}")
-            values_clauses.append((v[1:], vals))
+            if peek() == "(":
+                take()
+                vnames = []
+                while peek() and peek() != ")":
+                    v = take()
+                    if not v.startswith("?"):
+                        raise ValueError(f"VALUES needs ?vars, got {v!r}")
+                    vnames.append(v[1:])
+                take(")")
+                if not vnames:
+                    raise ValueError("empty VALUES variable list")
+                take("{")
+                rows = []
+                while peek() and peek() != "}":
+                    take("(")
+                    row = []
+                    while peek() and peek() != ")":
+                        t = take()
+                        if t.upper() == "UNDEF":
+                            raise ValueError(
+                                "VALUES UNDEF is not supported"
+                            )
+                        row.append(term(t))
+                    take(")")
+                    if len(row) != len(vnames):
+                        raise ValueError(
+                            f"VALUES row width {len(row)} != "
+                            f"{len(vnames)} variables"
+                        )
+                    rows.append(tuple(row))
+                take("}")
+                values_clauses.append((vnames, rows))
+            else:
+                v = take()
+                if not v.startswith("?"):
+                    raise ValueError(f"VALUES needs a ?var, got {v!r}")
+                take("{")
+                vals = []
+                while peek() and peek() != "}":
+                    vals.append(term(take()))
+                take("}")
+                values_clauses.append(([v[1:]], [(x,) for x in vals]))
         elif head.upper() == "FILTER":
             take()
             take("(")
@@ -482,20 +745,11 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
                     if not depth:
                         break
                 expr_toks.append(t)
-            expr = " ".join(
-                t[1:] if t.startswith("?") else t for t in expr_toks
-            )
-            expr = (
-                expr.replace("&&", " AND ").replace("||", " OR ")
-            )
-            expr = __import__("re").sub(r"(?<![<>!=])=(?!=)", "==", expr)
-            filters.append(expr)
+            filters.append(_filter_expr_sql(expr_toks))
         else:
-            s, p, o = take(), take(), take()
-            patterns.append((term(s), term(p), term(o)))
-            if peek() == ".":
-                take()
+            patterns.append(pattern_triple())
     take("}")
+    optional = optionals or None
 
     # trailing solution modifiers: GROUP BY / ORDER BY / LIMIT
     group_by, order_by, limit = [], [], None
@@ -543,10 +797,19 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
             triples, patterns, optional=optional, filters=filters, minus=minus
         )
 
-    for v, vals in values_clauses:
-        if v not in out.columns:
-            raise ValueError(f"VALUES variable not bound: {v!r}")
-        out = out.filter(F.col(v).isin(vals))
+    for vnames, rows in values_clauses:
+        missing = [v for v in vnames if v not in out.columns]
+        if missing:
+            raise ValueError(f"VALUES variables not bound: {missing}")
+        if len(vnames) == 1:
+            out = out.filter(F.col(vnames[0]).isin([r[0] for r in rows]))
+        else:
+            # multi-variable inline data: semi-join against the (tiny,
+            # broadcast) literal table — SPARQL §10.2 join-with-VALUES
+            inline = triples.sparkSession.createDataFrame(
+                rows, schema=", ".join(f"{v} string" for v in vnames)
+            ).dropDuplicates()
+            out = out.join(F.broadcast(inline), on=vnames, how="left_semi")
 
     aggs = [p for p in proj if p[0] == "agg"]
     if aggs or group_by:

@@ -116,6 +116,64 @@ class SpotterDictionary:
     root_next: "array.array"
     edges: dict
     accept: bytearray
+    min_annotation_probability: float = 0.1
+
+    #: bump when the on-disk layout of save() changes
+    FORMAT_VERSION = 1
+
+    def save(self, path: str) -> None:
+        """Persist the built dictionary next to the model tables so jobs
+        LOAD it instead of rebuilding the FSA from `surface_forms` on
+        every cold start (the reference persists exactly this artifact —
+        index/.../db/CreateSpotlightModel.scala:226-228 writes
+        fsa_dict.mem). The payload is the compact flat layout itself
+        (interning dicts + array.array/bytearray), so load cost is one
+        unpickle — no re-stemming, no re-interning. Local filesystem
+        path; on a cluster, place it on shared storage and ship it with
+        --files (it is broadcast from the driver either way)."""
+        import pickle
+
+        payload = {
+            "format": self.FORMAT_VERSION,
+            "min_annotation_probability": self.min_annotation_probability,
+            "sf_index": self.sf_stats.index,
+            "annotated": self.sf_stats.annotated,
+            "total": self.sf_stats.total,
+            "token_ids": self.token_ids,
+            "root_next": self.root_next,
+            "edges": self.edges,
+            "accept": self.accept,
+        }
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+        import os
+
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "SpotterDictionary":
+        """Inverse of save(); raises ValueError on a format mismatch
+        (rebuild with the current code instead of guessing)."""
+        import pickle
+
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        if payload.get("format") != cls.FORMAT_VERSION:
+            raise ValueError(
+                f"spotter dictionary format {payload.get('format')!r} != "
+                f"expected {cls.FORMAT_VERSION} — rebuild the artifact"
+            )
+        return cls(
+            sf_stats=CompactStats(
+                payload["sf_index"], payload["annotated"], payload["total"]
+            ),
+            token_ids=payload["token_ids"],
+            root_next=payload["root_next"],
+            edges=payload["edges"],
+            accept=payload["accept"],
+            min_annotation_probability=payload["min_annotation_probability"],
+        )
 
     @classmethod
     def build(
@@ -169,6 +227,7 @@ class SpotterDictionary:
             root_next=root_next,
             edges=edges,
             accept=accept,
+            min_annotation_probability=min_annotation_probability,
         )
 
 
@@ -493,13 +552,21 @@ def spot_documents(
     min_annotation_probability: float = 0.1,
     generators: tuple = (),
     type_order: tuple = TYPE_ORDER,
+    dictionary: SpotterDictionary | None = None,
 ) -> DataFrame:
     """documents(doc_id, spans) -> spots (SPOTS_SCHEMA). One mapInPandas pass;
     dictionary broadcast; media spans skipped (order preserved via span_pos).
     `generators` (P2/P12) inject model-based candidate-span sources; they are
-    broadcast with the dictionary, so each must be picklable."""
+    broadcast with the dictionary, so each must be picklable.
+    `dictionary` injects a prebuilt/loaded SpotterDictionary (see
+    SpotterDictionary.save/load), skipping the per-job driver-side FSA
+    build from `surface_forms`; its persisted annotation-probability
+    threshold wins over min_annotation_probability."""
     spark = documents.sparkSession
-    dictionary = _collect_dictionary(surface_forms, min_annotation_probability)
+    if dictionary is None:
+        dictionary = _collect_dictionary(
+            surface_forms, min_annotation_probability
+        )
     if spotter == "ahocorasick":
         automaton = AhoCorasick(list(dictionary.sf_stats.keys()))
     else:

@@ -68,6 +68,7 @@ def annotate(
     max_context_tokens: int | None = None,
     tokens: DataFrame | None = None,
     spots: DataFrame | None = None,
+    dictionary=None,
 ) -> DataFrame:
     """documents(doc_id, spans) -> annotations (one row per linked mention).
 
@@ -79,10 +80,17 @@ def annotate(
     `spots` injects a pre-computed spot table (SPOTS_SCHEMA) in place of the
     built-in spotters — the reference's pluggable-Spotter seam
     (rest/.../SpotlightInterface.java:124-137 takes any Spotter impl).
+    `dictionary` injects a persisted SpotterDictionary (built once at
+    model-build time, SpotterDictionary.save/load) so repeated annotate
+    jobs skip the driver-side FSA build.
     """
     if spots is None:
         spots = spot_documents(
-            documents, model.surface_forms, stopwords=stopwords, spotter=spotter
+            documents,
+            model.surface_forms,
+            stopwords=stopwords,
+            spotter=spotter,
+            dictionary=dictionary,
         )
     # Skew plan (north rule): heads=None auto-selects — small candidate
     # tables broadcast whole; big ones switch to the two-stage

@@ -66,6 +66,23 @@ def bucket_of(doc_id_col, num_buckets: int):
     return F.pmod(F.xxhash64(doc_id_col), F.lit(num_buckets)).cast("int")
 
 
+def success_marker_exists(spark: SparkSession, table_dir: str) -> bool:
+    """True when ``<table_dir>/_SUCCESS`` exists, probed through the
+    Hadoop FileSystem API so HDFS/S3A outputs resume exactly like local
+    paths (an ``os.path.exists`` probe is always false for non-local
+    URIs, silently rewriting every table on rerun — the round-3 ADVICE
+    fix). Falls back to ``os.path.exists`` if the JVM gateway is
+    unavailable (plain local path in unit tests)."""
+    marker = table_dir.rstrip("/") + "/_SUCCESS"
+    try:
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(marker)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(path))
+    except Exception:
+        return os.path.exists(os.path.join(table_dir, "_SUCCESS"))
+
+
 def input_fingerprint(documents: DataFrame, num_buckets: int) -> str:
     """Cheap stable fingerprint of the logical input: row count + bucket
     layout. At production scale use the Iceberg snapshot id instead."""

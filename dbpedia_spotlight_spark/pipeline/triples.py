@@ -92,6 +92,8 @@ def relation_triples(
     map-side combinable. Everything unions into one plan; AQE sizes the
     joins. All arithmetic on integer positions -> exact SQL twin.
     """
+    if max_gap < 1:
+        raise ValueError(f"max_gap must be >= 1, got {max_gap}")
     m = mentions.select("doc_id", "pos", "uri")
     t = tokens.select("doc_id", "pos", "token")
     mention_pos = m.select("doc_id", "pos").distinct()

@@ -54,6 +54,19 @@ def main(argv=None) -> None:
         docs = flat_to_interleaved(docs)
     model = SpotlightModel.load(spark, args.model)
 
+    # load the persisted spotter dictionary when the model dir carries one
+    # (build_model_job writes it) — skips the per-job driver FSA build
+    import os
+
+    from dbpedia_spotlight_spark.operators.spotter import SpotterDictionary
+
+    dict_path = os.path.join(args.model, "spotter_dict.pkl")
+    dictionary = (
+        SpotterDictionary.load(dict_path)
+        if os.path.exists(dict_path)
+        else None
+    )
+
     def pipeline(subset):
         return annotate(
             subset,
@@ -62,6 +75,7 @@ def main(argv=None) -> None:
             apply_filters=True,
             confidence=args.confidence,
             support=args.support,
+            dictionary=dictionary,
         )
 
     metrics = run_checkpointed(

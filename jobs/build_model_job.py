@@ -61,13 +61,17 @@ def main(argv=None) -> None:
     )
     from dbpedia_spotlight_spark.model.model_tables import TABLE_NAMES
 
+    from dbpedia_spotlight_spark.pipeline.checkpoint import (
+        success_marker_exists,
+    )
+
     written, resumed = [], []
     for name in TABLE_NAMES:
         df = getattr(model, name)
         if df is None:
             continue
         table_dir = os.path.join(args.output, name)
-        if os.path.exists(os.path.join(table_dir, "_SUCCESS")):
+        if success_marker_exists(spark, table_dir):
             resumed.append(name)
             continue
         df.write.mode("overwrite").parquet(table_dir)
@@ -77,6 +81,22 @@ def main(argv=None) -> None:
         for name in written + resumed
     }
     counts = {name: df.count() for name, df in loaded.items()}
+
+    # Spotter-dictionary artifact: build the compact FSA once here and
+    # persist it, so every annotate job LOADS it (one unpickle) instead of
+    # paying the serial driver-side build on each cold start — the
+    # reference persists exactly this (CreateSpotlightModel.scala:226-228
+    # -> fsa_dict.mem). Resumable like the tables: skipped when present.
+    dict_path = os.path.join(args.output, "spotter_dict.pkl")
+    dict_state = "resumed"
+    if not os.path.exists(dict_path):
+        from dbpedia_spotlight_spark.operators.spotter import (
+            _collect_dictionary,
+        )
+
+        _collect_dictionary(loaded["surface_forms"]).save(dict_path)
+        dict_state = "written"
+
     print(
         json.dumps(
             {
@@ -84,6 +104,7 @@ def main(argv=None) -> None:
                 "seconds": round(time.time() - t0, 2),
                 "tables_written": written,
                 "resumed_from": resumed,
+                "spotter_dict": dict_state,
                 **counts,
             }
         )

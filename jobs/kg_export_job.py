@@ -141,10 +141,14 @@ def main(argv=None) -> None:
             ann, score_col=score_col, threshold=args.nil_threshold
         )
 
+    from dbpedia_spotlight_spark.pipeline.checkpoint import (
+        success_marker_exists,
+    )
+
     written, resumed = [], []
     for name, make in stages.items():
         table_dir = os.path.join(args.output, name)
-        if os.path.exists(os.path.join(table_dir, "_SUCCESS")):
+        if success_marker_exists(spark, table_dir):
             resumed.append(name)
             continue
         make().write.mode("overwrite").parquet(table_dir)

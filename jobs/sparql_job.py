@@ -9,8 +9,13 @@ triple table (e.g. the kg_export_job / annotate_job --triples output).
 
 The triple table must have (subj, pred, obj) string columns. Supports the
 engine's SPARQL subset (operators/kgquery.py:sparql_select): conjunctive
-triple patterns, one OPTIONAL group, FILTERs, <p>+ property paths.
-Writes the bindings as parquet and prints one JSON metrics line.
+triple patterns; property paths (<p>+ / <p>* / <p>? quantifiers, <a>/<b>
+sequences, <a>|<b> alternation, parenthesised combinations); any number
+of OPTIONAL groups; one MINUS group; { } UNION { } chains; FILTERs
+(optional-only variables filtered after their left join); VALUES inline
+data (single- and multi-variable); aggregates COUNT/SUM/MIN/MAX/AVG with
+GROUP BY; ORDER BY [ASC|DESC]; LIMIT. Writes the bindings as parquet and
+prints one JSON metrics line.
 """
 
 from __future__ import annotations

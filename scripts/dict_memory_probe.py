@@ -74,7 +74,24 @@ def main() -> None:
     t0 = time.time()
     _ = _fsa_spans(probe, d)
     walk_s = round(time.time() - t0, 3)
-    del d
+
+    # persisted-artifact path (round-3 item #2): save once at model-build
+    # time, then every annotate job pays one unpickle instead of the
+    # serial driver build
+    import os
+    import tempfile
+
+    art = os.path.join(tempfile.mkdtemp(), "spotter_dict.pkl")
+    t0 = time.time()
+    d.save(art)
+    save_s = round(time.time() - t0, 2)
+    t0 = time.time()
+    d2 = SpotterDictionary.load(art)
+    load_s = round(time.time() - t0, 2)
+    assert _fsa_spans(probe, d2) == _fsa_spans(probe, d)
+    artifact_mb = round(os.path.getsize(art) / 1e6, 1)
+    os.remove(art)
+    del d, d2
 
     _, nested = measure("nested_trie", lambda: nested_trie_build(rows))
 
@@ -83,6 +100,10 @@ def main() -> None:
         "compact": compact,
         "nested_round1": nested,
         "walk_14k_tokens_s": walk_s,
+        "artifact": {"save_s": save_s, "load_s": load_s,
+                     "file_mb": artifact_mb,
+                     "build_vs_load_speedup":
+                         round(compact["build_s"] / max(load_s, 1e-9), 1)},
         "note": "sf stats included in both; remaining compact-side memory is"
         " dominated by the unavoidable sf/stem string interning dicts."
         " build_s is not comparable: the nested rebuild splits on spaces"

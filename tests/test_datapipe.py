@@ -895,11 +895,13 @@ def test_semantic_dedup_trained_quantizer(spark):
     assert out[0]["cell"] == out[1]["cell"] == out[2]["cell"]
     assert out[10]["cell"] == out[11]["cell"]
 
-    # cap: a cluster larger than max_cluster_size is exempted whole
+    # cap: an over-cap cluster is SPLIT with within-cell LSH sign bits
+    # (round-3 fix: no more whole-cell exemption); near-identical vectors
+    # share every sign bit, so the unsplittable clump degrades to
+    # (min-id, member) star pairs and still dedupes — linearly, not O(c²)
     capped = semantic_dedup(emb, cents, 0.9, max_cluster_size=2)
     kept = {r["vec_id"] for r in capped.collect() if r["keep"]}
-    assert {0, 1, 2} <= kept          # 3-member cluster A exempt -> all kept
-    assert 10 in kept and 11 not in kept  # 2-member cluster B still deduped
+    assert kept == {0, 10, 20}
 
 
 def test_incremental_exact_dedup_reasons(spark):

@@ -160,3 +160,36 @@ def test_align_entities_tie_breaks_lexicographic(spark):
     kb = spark.createDataFrame([("cab",), ("car",)], "name string")
     got = align_entities(new, kb).collect()
     assert len(got) == 1 and got[0].kb_match == "cab"  # both distance 1
+
+
+def test_relation_triples_rejects_zero_max_gap(spark):
+    import pytest as _pytest
+
+    from dbpedia_spotlight_spark.pipeline.triples import relation_triples
+
+    m = spark.createDataFrame(
+        [("d", 0, "A")], "doc_id string, pos int, uri string"
+    )
+    t = spark.createDataFrame(
+        [("d", 0, "x")], "doc_id string, pos int, token string"
+    )
+    with _pytest.raises(ValueError, match="max_gap"):
+        relation_triples(m, t, max_gap=0)
+
+
+def test_success_marker_exists_local_and_missing(spark, tmp_path):
+    """The resume probe goes through the Hadoop FileSystem API (works for
+    HDFS/S3A URIs, round-3 ADVICE); local paths behave like the old
+    os.path.exists probe."""
+    import os
+
+    from dbpedia_spotlight_spark.pipeline.checkpoint import (
+        success_marker_exists,
+    )
+
+    d = str(tmp_path / "table")
+    os.makedirs(d)
+    assert not success_marker_exists(spark, d)
+    open(os.path.join(d, "_SUCCESS"), "w").close()
+    assert success_marker_exists(spark, d)
+    assert not success_marker_exists(spark, str(tmp_path / "absent"))

@@ -631,3 +631,164 @@ def test_sparql_select_values_unbound_var(triples):
             triples,
             "SELECT ?p WHERE { ?p <type> 'Person' . VALUES ?zz { 'a' } }",
         )
+
+
+# ---------------------------------------------------------------------------
+# round 4: SPARQL 1.1 property paths / multi-OPTIONAL / multi-var VALUES /
+# token-aware FILTER translation
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def chain(spark):
+    # a -sub-> b -sub-> c; labels; one alt edge
+    rows = [
+        ("a", "sub", "b"),
+        ("b", "sub", "c"),
+        ("a", "label", "A"),
+        ("b", "label", "B"),
+        ("a", "alt", "z"),
+    ]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_path_star_includes_identity(chain):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(chain, "SELECT ?x WHERE { b <sub>* ?x . }")
+    # zero-length: b itself; closure: c
+    assert sorted(r.x for r in out.collect()) == ["b", "c"]
+
+
+def test_path_opt_zero_or_one(chain):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(chain, "SELECT ?x WHERE { a <sub>? ?x . }")
+    # identity (a) plus ONE step (b) — never c
+    assert sorted(r.x for r in out.collect()) == ["a", "b"]
+
+
+def test_path_sequence(chain):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(chain, "SELECT ?x WHERE { a <sub>/<sub> ?x . }")
+    assert sorted(r.x for r in out.collect()) == ["c"]
+
+
+def test_path_alternation(chain):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(chain, "SELECT ?x WHERE { a <sub>|<alt> ?x . }")
+    assert sorted(r.x for r in out.collect()) == ["b", "z"]
+
+
+def test_path_parenthesised_combination(chain):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(
+        chain, "SELECT ?x WHERE { a <sub>/(<label>|<sub>) ?x . }"
+    )
+    # a -sub-> b, then label (B) or sub (c)
+    assert sorted(r.x for r in out.collect()) == ["B", "c"]
+
+
+def test_path_variable_inside_path_rejected(chain):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    with pytest.raises(ValueError):
+        sparql_select(chain, "SELECT ?x WHERE { a <sub>/?p ?x . }")
+
+
+def test_two_optional_groups(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(
+        triples,
+        """SELECT ?p ?city ?b WHERE {
+             ?p <type> 'Person' .
+             OPTIONAL { ?p <livesIn> ?city . }
+             OPTIONAL { ?p <knows> ?b . }
+           }""",
+    )
+    got = {(r.p, r.city, r.b) for r in out.collect()}
+    assert got == {("alice", "berlin", "bob"), ("bob", None, None)}
+
+
+def test_bgp_match_optional_list_of_groups(triples):
+    out = bgp_match(
+        triples,
+        [("?p", "type", "Person")],
+        optional=[
+            [("?p", "livesIn", "?city")],
+            [("?p", "knows", "?b")],
+        ],
+    )
+    got = {(r.p, r.city, r.b) for r in out.collect()}
+    assert got == {("alice", "berlin", "bob"), ("bob", None, None)}
+
+
+def test_filter_on_optional_var_runs_after_left_join(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    # round-3 ADVICE: this used to die with an unresolved-column
+    # AnalysisException; now the filter applies after the left join
+    out = sparql_select(
+        triples,
+        """SELECT ?p ?city WHERE {
+             ?p <type> 'Person' .
+             FILTER(?city = 'berlin')
+             OPTIONAL { ?p <livesIn> ?city . }
+           }""",
+    )
+    assert [(r.p, r.city) for r in out.collect()] == [("alice", "berlin")]
+
+
+def test_filter_literal_not_rewritten(spark):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    t = spark.createDataFrame(
+        [("x", "v", "a=b"), ("y", "v", "a&&b"), ("z", "v", "plain")],
+        "subj string, pred string, obj string",
+    )
+    # round-3 ADVICE: '=' and '&&' inside the quoted literal must survive
+    out = sparql_select(
+        t, "SELECT ?s WHERE { ?s <v> ?o . FILTER(?o = 'a=b' || ?o = 'a&&b') }"
+    )
+    assert sorted(r.s for r in out.collect()) == ["x", "y"]
+
+
+def test_filter_decimal_literal(spark):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    t = spark.createDataFrame(
+        [("x", "score", "1.4"), ("y", "score", "1.6")],
+        "subj string, pred string, obj string",
+    )
+    # round-3 ADVICE: 1.5 used to tokenize as '1 . 5' and fail to parse
+    out = sparql_select(
+        t, "SELECT ?s WHERE { ?s <score> ?v . FILTER(?v > 1.5) }"
+    )
+    assert [r.s for r in out.collect()] == ["y"]
+
+
+def test_values_multi_variable(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(
+        triples,
+        """SELECT ?p ?c WHERE {
+             ?p <worksFor> ?c .
+             VALUES (?p ?c) { ('alice' 'acme') ('bob' 'nowhere') }
+           }""",
+    )
+    assert [(r.p, r.c) for r in out.collect()] == [("alice", "acme")]
+
+
+def test_values_undef_rejected(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    with pytest.raises(ValueError):
+        sparql_select(
+            triples,
+            "SELECT ?p WHERE { ?p <type> ?t . "
+            "VALUES (?p ?t) { ('alice' UNDEF) } }",
+        )

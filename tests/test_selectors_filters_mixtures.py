@@ -293,3 +293,39 @@ def test_cooccurrence_selector_learns_gold_membership(spark):
             for r in cooccurrence_selector(spots, sfs, model).collect()}
     assert "New York" in kept and "Apache Spark" in kept
     assert "the" not in kept and "house" not in kept
+
+
+def test_context_windowing_long_doc_reference_default(spark):
+    """D2 at the reference default MAX_CONTEXT=250
+    (DBTwoStepDisambiguator.scala:72): a 600-token document splits into 3
+    windows (250/250/100); every spot lands in the last window whose
+    start <= its offset, and a windowed-scoring run sees per-window, not
+    whole-doc, context ids (the round-3 item #7 long-doc fixture)."""
+    n = 600
+    toks = spark.createDataFrame(
+        [("long", i * 5, f"w{i}", False) for i in range(n)],
+        "doc_id string, offset int, stem string, is_stopword boolean",
+    )
+    spots = spark.createDataFrame(
+        [
+            ("long", 0, 0, "a"),          # first token -> window 0
+            ("long", 0, 249 * 5, "b"),    # last token of window 0
+            ("long", 0, 250 * 5, "c"),    # first token of window 1
+            ("long", 0, 599 * 5, "d"),    # last token -> window 2
+        ],
+        "doc_id string, span_pos int, offset int, surface_form string",
+    )
+    tk, sp = attach_context_windows(toks, spots, max_tokens=250)
+    assert tk.select("ctx_id").distinct().count() == 3
+    sizes = {
+        r["ctx_id"]: r["n"]
+        for r in tk.groupBy("ctx_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes == {"long#0": 250, "long#1": 250, "long#2": 100}
+    spot_wins = {r["offset"]: r["ctx_id"] for r in sp.collect()}
+    assert spot_wins == {
+        0: "long#0",
+        249 * 5: "long#0",
+        250 * 5: "long#1",
+        599 * 5: "long#2",
+    }

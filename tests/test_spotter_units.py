@@ -313,3 +313,46 @@ def test_perceptron_ner_generalizes(spark):
     # is reachable ONLY through the trained model's typed span
     assert "Frank Miller" in forms
     assert ("oslo", "location") in spots
+
+
+def test_dictionary_save_load_roundtrip(tmp_path):
+    entries = [
+        ("Apache Spark", 90, 100),
+        ("Spark", 40, 400),
+        ("Berlin", 70, 80),
+        ("rare thing", 1, 1000),  # below threshold: stats only, no FSA path
+    ]
+    built = SpotterDictionary.build(entries)
+    p = str(tmp_path / "spotter_dict.pkl")
+    built.save(p)
+    loaded = SpotterDictionary.load(p)
+    # identical payloads field-for-field
+    assert loaded.sf_stats.index == built.sf_stats.index
+    assert list(loaded.sf_stats.annotated) == list(built.sf_stats.annotated)
+    assert list(loaded.sf_stats.total) == list(built.sf_stats.total)
+    assert loaded.token_ids == built.token_ids
+    assert list(loaded.root_next) == list(built.root_next)
+    assert loaded.edges == built.edges
+    assert bytes(loaded.accept) == bytes(built.accept)
+    assert (
+        loaded.min_annotation_probability == built.min_annotation_probability
+    )
+    # identical spotting behavior, spot for spot
+    from dbpedia_spotlight_spark.operators.tokenizer import stem
+
+    for text in ("Apache Spark and Berlin", "Spark in rare thing form"):
+        stems = [stem(w) for w in text.split()]
+        assert _fsa_spans(stems, built) == _fsa_spans(stems, loaded)
+
+
+def test_dictionary_load_rejects_wrong_format(tmp_path):
+    import pickle
+
+    p = str(tmp_path / "bad.pkl")
+    with open(p, "wb") as f:
+        pickle.dump({"format": 999}, f)
+    try:
+        SpotterDictionary.load(p)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass

@@ -32,6 +32,7 @@ from __future__ import annotations
 import re
 from collections.abc import Iterator
 from dataclasses import dataclass
+from itertools import chain
 
 import array
 
@@ -298,13 +299,15 @@ def _fsa_spans(stems: list, dictionary: "SpotterDictionary") -> list:
 
 def _uppercase_spans(tokens: list) -> list:
     """Maximal runs of tokens starting uppercase
-    (ref DBSpotter.scala:23-29 RegexNameFinder over token array)."""
+    (ref DBSpotter.scala:23-29 RegexNameFinder over token array).
+    The ^[A-Z] regex is a direct char-range test — inlined (one probe per
+    token in the hot path; the re.match call was ~2x the loop body)."""
     spans = []
     i, n = 0, len(tokens)
     while i < n:
-        if _UPPER_START.match(tokens[i]):
+        if "A" <= tokens[i][0] <= "Z":
             j = i
-            while j < n and _UPPER_START.match(tokens[j]):
+            while j < n and "A" <= tokens[j][0] <= "Z":
                 j += 1
             spans.append((i, j, "Capital_Sequences"))
             i = j
@@ -322,6 +325,7 @@ def _extract_doc_spots(
     generators: tuple = (),
     type_order: tuple = TYPE_ORDER,
     score_memo: dict | None = None,
+    token_memo: dict | None = None,
 ) -> list:
     """DBSpotter.extract for one text span: sentences -> candidate spans ->
     sub-span search -> overlap resolution. Returns
@@ -330,18 +334,26 @@ def _extract_doc_spots(
     `generators` injects model-based candidate-span sources (P2/P12 — the
     reference's OpenNLPSpotter.generateCandidates:40-62 adds chunker/NER
     spans on top of the uppercase sequences); when any are given, the FSA
-    walk is skipped, matching the reference's OpenNLP spotter shape."""
-    toks = tokenize_text(text, stopwords)
-    # group into sentences
-    sentences: dict = {}
+    walk is skipped, matching the reference's OpenNLP spotter shape.
+    `token_memo`/`score_memo` are Arrow-batch-wide caches (round-3 #8)."""
+    toks = tokenize_text(text, stopwords, token_memo)
+    # group into per-sentence parallel lists in one ordered pass
+    # (tokenize_text emits sentences contiguously; the dict-of-tuple-lists
+    # regrouping was double-handling every token)
+    sentences: list = []
+    cur_sent = None
+    tokens = stems_ = offs = None
     for sent_id, tok, st, off, _sw, _eos in toks:
-        sentences.setdefault(sent_id, []).append((tok, st, off))
+        if sent_id != cur_sent:
+            cur_sent = sent_id
+            tokens, stems_, offs = [], [], []
+            sentences.append((tokens, stems_, offs))
+        tokens.append(tok)
+        stems_.append(st)
+        offs.append(off)
 
     spots = []
-    for sent in sentences.values():
-        tokens = [t[0] for t in sent]
-        stems_ = [t[1] for t in sent]
-        offs = [t[2] for t in sent]
+    for tokens, stems_, offs in sentences:
         spans = _uppercase_spans(tokens)
         if generators:
             for g in generators:
@@ -350,29 +362,35 @@ def _extract_doc_spots(
             spans += _fsa_spans(stems_, dictionary)
         # opennlp Span ordering: start asc, longer (end desc) first
         spans.sort(key=lambda s: (s[0], -s[1]))
+        # hoisted locals: these attribute chains sit inside the per-span
+        # candidate loop, the only Python-side hot path in the whole DAG
+        sf_stats = dictionary.sf_stats
+        threshold = 0.5 if weights is not None else 0.25
+        memo_get = score_memo.get if score_memo is not None else None
         for first, end, span_type in spans:
             last = end - 1
             # sub-span search: drop left members, then right members
-            # (ref DBSpotter.scala:59-87)
-            seqs = [(s, last) for s in range(first, last + 1)]
-            seqs += [(first, e) for e in range(last, first - 1, -1)]
-            for s_tok, e_tok in seqs:
+            # (ref DBSpotter.scala:59-87) — iterated lazily via chain: the
+            # common case matches on the first (full-span) candidate, so
+            # materializing both candidate lists up front was allocation
+            # per span for nothing (round-3 item #8; measured at sf0.1)
+            for s_tok, e_tok in chain(
+                ((s, last) for s in range(first, last + 1)),
+                ((first, e) for e in range(last, first - 1, -1)),
+            ):
                 s_off = offs[s_tok]
                 e_off = offs[e_tok] + len(tokens[e_tok])
                 spot = text[s_off:e_off]
                 # spot strings repeat heavily across documents; memoize the
                 # linear score per batch (weights are fixed for the pass)
-                if score_memo is None:
-                    sc = spot_score(spot, dictionary.sf_stats, weights)
+                if memo_get is None:
+                    sc = spot_score(spot, sf_stats, weights)
                 else:
-                    sc = score_memo.get(spot)
+                    sc = memo_get(spot)
                     if sc is None:
-                        sc = spot_score(spot, dictionary.sf_stats, weights)
+                        sc = spot_score(spot, sf_stats, weights)
                         score_memo[spot] = sc
-                matched = (
-                    sc >= 0.5 if weights is not None else sc >= 0.25
-                )  # ref DBSpotter.scala:112-117
-                if matched:
+                if sc >= threshold:  # ref DBSpotter.scala:112-117
                     spots.append(
                         (
                             base_offset + s_off,
@@ -577,6 +595,7 @@ def spot_documents(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         dic, ac, w, sw, gens, torder = bc.value
+        token_memo: dict = {}  # token -> (stem, is_stopword), batch-wide
         for pdf in batches:
             score_memo: dict = {}
             rows = {
@@ -608,7 +627,8 @@ def spot_documents(
                         ]
                     else:
                         found = _extract_doc_spots(
-                            text, base, dic, w, sw, gens, torder, score_memo
+                            text, base, dic, w, sw, gens, torder,
+                            score_memo, token_memo,
                         )
                     for off, sf, prob, st, stems_ in found:
                         rows["doc_id"].append(doc_id)

@@ -63,22 +63,32 @@ def sentence_spans(text: str) -> list[tuple[int, int]]:
     return spans
 
 
-def tokenize_text(text: str, stopwords: frozenset) -> list[tuple]:
-    """-> [(sent_id, token, stem, local_offset, is_stopword, eos), ...]"""
+def tokenize_text(
+    text: str, stopwords: frozenset, _memo: dict | None = None
+) -> list[tuple]:
+    """-> [(sent_id, token, stem, local_offset, is_stopword, eos), ...]
+
+    ``_memo`` (optional) caches token -> (stem, is_stopword) across calls
+    — the Arrow-batch-wide interning the round-3 item #8 asked for: corpus
+    tokens repeat heavily, so one plain-dict hit replaces a lower() alloc,
+    a set probe, and the lru_cache machinery per occurrence. Callers that
+    pass a memo must keep one memo per stopword set (tokenize_documents /
+    spot_documents hold theirs inside the mapInPandas closure)."""
     out = []
     for sent_id, (s, e) in enumerate(sentence_spans(text)):
         words = list(_WORD_RE.finditer(text, s, e))
+        last_i = len(words) - 1
         for i, m in enumerate(words):
             tok = m.group(0)
+            if _memo is None:
+                info = (stem(tok), tok.lower() in stopwords)
+            else:
+                info = _memo.get(tok)
+                if info is None:
+                    info = (stem(tok), tok.lower() in stopwords)
+                    _memo[tok] = info
             out.append(
-                (
-                    sent_id,
-                    tok,
-                    stem(tok),
-                    m.start(),
-                    tok.lower() in stopwords,
-                    i == len(words) - 1,
-                )
+                (sent_id, tok, info[0], m.start(), info[1], i == last_i)
             )
     return out
 
@@ -97,6 +107,7 @@ def tokenize_documents(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sw = bc_stop.value
+        tok_memo: dict = {}  # token -> (stem, is_stopword), batch-wide
         for pdf in batches:
             rows = {
                 "doc_id": [], "span_pos": [], "sent_id": [], "token": [],
@@ -108,7 +119,7 @@ def tokenize_documents(
                         continue
                     base = int(sp["offset"] or 0)
                     for sent_id, tok, st, off, is_sw, eos in tokenize_text(
-                        sp["text"], sw
+                        sp["text"], sw, tok_memo
                     ):
                         rows["doc_id"].append(doc_id)
                         rows["span_pos"].append(span_pos)

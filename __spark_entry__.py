@@ -2823,6 +2823,130 @@ def q_annotations_xml(spark, sf_dir):
     )
 
 
+def q_kg_construct(spark, sf_dir):
+    """SPARQL CONSTRUCT (§16.2 — the KG-construction query form,
+    operators/kgquery.py:sparql_construct): rewrite the customer→nation
+    edges into a bidirectional membership graph; template instantiation
+    per solution, constants pass through, result is the DISTINCT graph.
+    Oracle = the two template selects unioned."""
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_construct
+
+    t = _kg_geo_triples(spark, sf_dir)
+    return sparql_construct(
+        t,
+        """CONSTRUCT { ?n <hasMember> ?c . ?c <memberOf> ?n . }
+           WHERE { ?c <inNation> ?n . }""",
+    )
+
+
+def q_kg_path_inverse(spark, sf_dir):
+    """SPARQL 1.1 inverse property path (§9.1 ^elt) through the parser:
+    nations with their members via ^<inNation>, then the nation's label
+    via <named> — one inverse hop composed into a sequence. Oracle = the
+    same join with subject/object swapped."""
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    t = _kg_geo_triples(spark, sf_dir)
+    return sparql_select(
+        t, "SELECT ?n ?c ?label WHERE { ?n ^<inNation> ?c . "
+           "?n <named> ?label . }"
+    )
+
+
+def q_kg_ask(spark, sf_dir):
+    """SPARQL ASK (§16.3, operators/kgquery.py:sparql_ask): existence
+    probe compiled to limit(1)-isEmpty — one boolean row. Oracle =
+    SELECT EXISTS(...)."""
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_ask
+
+    t = _kg_geo_triples(spark, sf_dir)
+    return sparql_ask(
+        t, "ASK { ?c <segment> 'BUILDING' . ?c <inNation> 'n1' . }"
+    )
+
+
+def q_kg_negated_path(spark, sf_dir):
+    """SPARQL 1.1 negated property set (§9.1 PathNegatedPropertySet,
+    operators/kgquery.py:_path_df 'negset'): every edge whose predicate
+    is NOT within/named — one scan with a pushed NOT-IN filter, never an
+    enumeration of the predicate vocabulary. Oracle = pred NOT IN."""
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    t = _kg_geo_triples(spark, sf_dir)
+    return sparql_select(
+        t, "SELECT ?s ?o WHERE { ?s !(<within>|<named>) ?o . }"
+    )
+
+
+def q_kg_bind(spark, sf_dir):
+    """SPARQL BIND (§7.6, operators/kgquery.py:sparql_select): computed
+    variable over bound ones — LCASE(?label) via the §17 builtin map,
+    one withColumn, stays in codegen. Oracle = lower(obj)."""
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    t = _kg_geo_triples(spark, sf_dir)
+    return sparql_select(
+        t,
+        "SELECT ?n ?label ?u WHERE { ?n <named> ?label . "
+        "BIND(LCASE(?label) AS ?u) }",
+    )
+
+
+def q_kg_not_exists(spark, sf_dir):
+    """SPARQL FILTER NOT EXISTS (§8.1): customers with no BUILDING
+    segment edge — compiled to one left-anti join on the shared variable
+    (never a per-row subquery). Oracle = ANTI JOIN."""
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    t = _kg_geo_triples(spark, sf_dir)
+    return sparql_select(
+        t,
+        "SELECT ?c ?n WHERE { ?c <inNation> ?n . "
+        "FILTER NOT EXISTS { ?c <segment> 'BUILDING' . } }",
+    )
+
+
+def q_kg_having(spark, sf_dir):
+    """SPARQL GROUP BY + HAVING with COUNT(*) (§7.5): nations with more
+    than 60 member customers; the HAVING aggregate is rewritten to its
+    projected alias and filtered post-aggregation (map-side combinable
+    count, no second scan). Oracle = GROUP BY ... HAVING over the
+    DISTINCT solution set."""
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    t = _kg_geo_triples(spark, sf_dir)
+    return sparql_select(
+        t,
+        "SELECT ?n (COUNT(*) AS ?members) WHERE { ?c <inNation> ?n . } "
+        "GROUP BY ?n HAVING(COUNT(*) > 60)",
+    )
+
+
+def q_kg_count_distinct(spark, sf_dir):
+    """SPARQL COUNT(DISTINCT ?v) (§18.5.1.2): number of distinct nations
+    referenced by any customer — one hash-distinct aggregate. Oracle =
+    COUNT(DISTINCT obj)."""
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    t = _kg_geo_triples(spark, sf_dir)
+    return sparql_select(
+        t,
+        "SELECT (COUNT(DISTINCT ?n) AS ?nations) "
+        "WHERE { ?c <inNation> ?n . }",
+    )
+
+
+def q_kg_describe(spark, sf_dir):
+    """SPARQL DESCRIBE (§16.4, operators/kgquery.py:sparql_describe):
+    outbound concise description of every nation inside region r0 — the
+    resource set is the WHERE group's bindings, semi-joined against the
+    triple table in one scan. Oracle = subj IN (subquery)."""
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_describe
+
+    t = _kg_geo_triples(spark, sf_dir)
+    return sparql_describe(t, "DESCRIBE ?n WHERE { ?n <within> 'r0' . }")
+
+
 def q_annotate_windowed(spark, sf_dir):
     """Flagship DAG with D2 context windowing wired in at the reference
     default MAX_CONTEXT=250 (DBTwoStepDisambiguator.scala:72,89-119):
@@ -2862,6 +2986,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
         "annotate_windowed": q_annotate_windowed,
+        "kg_construct": q_kg_construct,
+        "kg_path_inverse": q_kg_path_inverse,
+        "kg_ask": q_kg_ask,
+        "kg_negated_path": q_kg_negated_path,
+        "kg_bind": q_kg_bind,
+        "kg_not_exists": q_kg_not_exists,
+        "kg_having": q_kg_having,
+        "kg_count_distinct": q_kg_count_distinct,
+        "kg_describe": q_kg_describe,
         "kg_path_star": q_kg_path_star,
         "kg_path_seq_alt": q_kg_path_seq_alt,
         "kg_bgp_two_optionals": q_kg_bgp_two_optionals,
@@ -5731,6 +5864,78 @@ FROM (SELECT subj, obj FROM tr WHERE pred = 'segment') sg
 JOIN (SELECT subj, obj FROM tr WHERE pred = 'inNation') cn
   ON cn.subj = sg.subj
 WHERE (sg.obj, cn.obj) IN (('BUILDING', 'n1'), ('BUILDING', 'n2'))
+"""
+
+    sql["kg_construct"] = f"""
+WITH {_KG_GEO_CTE.lstrip()},
+cn AS (SELECT subj AS c, obj AS n FROM tr WHERE pred = 'inNation')
+SELECT DISTINCT n AS subj, 'hasMember' AS pred, c AS obj FROM cn
+UNION
+SELECT DISTINCT c, 'memberOf', n FROM cn
+"""
+
+    sql["kg_negated_path"] = f"""
+WITH {_KG_GEO_CTE.lstrip()}
+SELECT DISTINCT subj AS s, obj AS o FROM tr
+WHERE pred NOT IN ('within', 'named')
+"""
+
+    sql["kg_bind"] = f"""
+WITH {_KG_GEO_CTE.lstrip()}
+SELECT DISTINCT subj AS n, obj AS label, lower(obj) AS u FROM tr
+WHERE pred = 'named'
+"""
+
+    sql["kg_not_exists"] = f"""
+WITH {_KG_GEO_CTE.lstrip()}
+SELECT DISTINCT cn.subj AS c, cn.obj AS n
+FROM tr cn
+WHERE cn.pred = 'inNation'
+  AND NOT EXISTS (
+    SELECT 1 FROM tr sg
+    WHERE sg.pred = 'segment' AND sg.obj = 'BUILDING'
+      AND sg.subj = cn.subj
+  )
+"""
+
+    sql["kg_having"] = f"""
+WITH {_KG_GEO_CTE.lstrip()}
+SELECT n, members FROM (
+  SELECT obj AS n, COUNT(*) AS members
+  FROM (SELECT DISTINCT subj, obj FROM tr WHERE pred = 'inNation')
+  GROUP BY obj
+) WHERE members > 60
+"""
+
+    sql["kg_count_distinct"] = f"""
+WITH {_KG_GEO_CTE.lstrip()}
+SELECT COUNT(DISTINCT obj) AS nations FROM tr WHERE pred = 'inNation'
+"""
+
+    sql["kg_describe"] = f"""
+WITH {_KG_GEO_CTE.lstrip()}
+SELECT DISTINCT subj, pred, obj FROM tr
+WHERE subj IN (SELECT subj FROM tr WHERE pred = 'within' AND obj = 'r0')
+"""
+
+    sql["kg_path_inverse"] = f"""
+WITH {_KG_GEO_CTE.lstrip()}
+SELECT DISTINCT cn.obj AS n, cn.subj AS c, nm.obj AS label
+FROM (SELECT subj, obj FROM tr WHERE pred = 'inNation') cn
+JOIN (SELECT subj, obj FROM tr WHERE pred = 'named') nm
+  ON nm.subj = cn.obj
+"""
+
+    sql["kg_ask"] = f"""
+WITH {_KG_GEO_CTE.lstrip()}
+SELECT EXISTS(
+  SELECT 1
+  FROM (SELECT subj FROM tr WHERE pred = 'segment'
+          AND obj = 'BUILDING') sg
+  JOIN (SELECT subj FROM tr WHERE pred = 'inNation'
+          AND obj = 'n1') cn
+    ON cn.subj = sg.subj
+) AS ask
 """
 
     # annotations_json / annotations_xml: replay the serializer fixture

@@ -48,6 +48,8 @@ def _is_var(term) -> bool:
 #   ("opt", node)       zero-or-one      node?
 #   ("seq", [n, ...])   sequence         n1/n2
 #   ("alt", [n, ...])   alternation      n1|n2
+#   ("inv", node)       inverse          ^node
+#   ("negset", [p, ...]) negated property set   !p | !(p1|p2)
 # Each evaluates to a DISTINCT (subj, obj) relation; bgp_match treats a
 # path-predicate pattern exactly like a plain one afterwards. The
 # reference exposes full SPARQL through a remote endpoint
@@ -115,6 +117,17 @@ def _path_df(triples: DataFrame, node: tuple) -> DataFrame:
             _path_df(triples, node[1])
             .unionByName(_graph_identity(triples))
             .distinct()
+        )
+    if kind == "inv":
+        base = _path_df(triples, node[1])
+        return base.select(
+            F.col("obj").alias("subj"), F.col("subj").alias("obj")
+        )
+    if kind == "negset":
+        # §9.1 PathNegatedPropertySet: any edge whose predicate is NOT in
+        # the set — one scan, the isin NOT-filter pushes to the source
+        return triples.filter(~F.col("pred").isin(list(node[1]))).select(
+            "subj", "obj"
         )
     raise ValueError(f"unknown path node {node!r}")
 
@@ -434,8 +447,8 @@ _SPARQL_RE = __import__("re").compile(
     \d+\.\d+             |  # decimal literal (kept whole for FILTERs)
     &&|\|\|              |  # boolean connectives (single tokens)
     [=!<>]=?             |  # comparison operators
-    [{}()./|]            |  # structure + path operators
-    [^\s{}()./|]+           # bareword / keyword (stops at structure)
+    [{}()./|^,]          |  # structure + path operators + arg separator
+    [^\s{}()./|^,]+         # bareword / keyword (stops at structure)
     """,
     __import__("re").VERBOSE,
 )
@@ -445,8 +458,25 @@ _SPARQL_RE = __import__("re").compile(
 # filter touches optional-only variables.
 _SQL_WORDS = frozenset(
     "and or not in like is null true false between exists case when then"
-    " else end cast as".split()
+    " else end cast as rlike contains startswith endswith length lower"
+    " upper isnotnull string abs ceil floor round".split()
 )
+
+# SPARQL 1.1 §17 builtin functions -> the Spark SQL function with the
+# same (string, string) -> value semantics over our plain-string terms.
+# Translated per token when followed by "(". No lang tags / datatypes in
+# the engine's triple model, so langMatches/datatype stay unsupported.
+_SPARQL_FNS = {
+    "REGEX": "rlike",
+    "CONTAINS": "contains",
+    "STRSTARTS": "startswith",
+    "STRENDS": "endswith",
+    "STRLEN": "length",
+    "LCASE": "lower",
+    "UCASE": "upper",
+    "BOUND": "isnotnull",
+    "STR": "string",
+}
 
 
 def _filter_expr_sql(expr_toks: list[str]) -> str:
@@ -459,7 +489,7 @@ def _filter_expr_sql(expr_toks: list[str]) -> str:
     (the tokenizer no longer splits them on the dot). ``<iri>`` terms
     become quoted string literals (the triple table stores bare IRIs)."""
     out = []
-    for t in expr_toks:
+    for i, t in enumerate(expr_toks):
         if t.startswith("?"):
             out.append(t[1:])
         elif t[0] in "\"'":
@@ -472,6 +502,12 @@ def _filter_expr_sql(expr_toks: list[str]) -> str:
             out.append("OR")
         elif t == "=":
             out.append("==")
+        elif (
+            t.upper() in _SPARQL_FNS
+            and i + 1 < len(expr_toks)
+            and expr_toks[i + 1] == "("
+        ):
+            out.append(_SPARQL_FNS[t.upper()])
         else:
             out.append(t)
     return " ".join(out)
@@ -505,15 +541,23 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
             OPTIONAL { ?s <p2> ?x . ... }    # any number of OPTIONAL groups
             MINUS { ?s <p3> ?y . ... }       # at most one MINUS group
             FILTER(?x != "lit" && ...)       # any number of FILTERs
+            FILTER EXISTS { ?s <p4> ?z . }   # correlated semi-join (§8.1)
+            FILTER NOT EXISTS { ... }        # correlated anti-join
+            BIND(UCASE(?x) AS ?u)            # computed variable (§7.6)
             VALUES ?x { 'a' 'b' <c> }        # inline data (single var)
             VALUES (?x ?y) { ('a' 'b') ... } # inline data (multi var)
         }
 
     Property paths (SPARQL 1.1 §9.1) in predicate position: ``<p>+``
     (one-or-more), ``<p>*`` (zero-or-more), ``<p>?`` (zero-or-one),
-    ``<a>/<b>`` (sequence), ``<a>|<b>`` (alternation), parenthesised
-    combinations; ``/`` binds tighter than ``|``. Zero-length paths
-    relate every term in the graph to itself (§18.4).
+    ``<a>/<b>`` (sequence), ``<a>|<b>`` (alternation), ``^<p>``
+    (inverse), parenthesised combinations; ``/`` binds tighter than
+    ``|``. Zero-length paths relate every term in the graph to itself
+    (§18.4). FILTERs may use the §17 builtins REGEX/CONTAINS/STRSTARTS/
+    STRENDS/STRLEN/LCASE/UCASE/BOUND/STR (translated to the Spark SQL
+    functions with identical plain-string semantics). Trailing OFFSET n
+    is supported next to LIMIT. ASK and CONSTRUCT forms live in
+    sparql_ask / sparql_construct.
 
     Terms: ``?var``, ``<iri>`` (angle brackets stripped), quoted
     literals, or barewords. FILTER expressions translate to Spark SQL
@@ -526,11 +570,16 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     (bgp_match returns set semantics, per SELECT DISTINCT).
 
     Solution modifiers after the pattern group:
-    ``(COUNT(?v) AS ?n)`` (also SUM/MIN/MAX/AVG) with ``GROUP BY ?k``,
-    ``ORDER BY ?v [ASC|DESC]``, and ``LIMIT n``. Aggregates evaluate
-    over the DISTINCT solution set (set-semantics subquery); every
-    non-aggregated projected variable must appear in GROUP BY.
-    Anything unparsed after the modifiers raises."""
+    ``(COUNT(?v) AS ?n)`` (also SUM/MIN/MAX/AVG; ``COUNT(*)`` and
+    ``AGG(DISTINCT ?v)`` accepted) with ``GROUP BY ?k``,
+    ``HAVING(COUNT(?v) > n)`` (the aggregate must also be projected —
+    it is rewritten to its alias), ``ORDER BY ?v [ASC|DESC]``, and
+    ``LIMIT n`` / ``OFFSET n``. Aggregates evaluate over the DISTINCT
+    solution set (set-semantics subquery); every non-aggregated
+    projected variable must appear in GROUP BY. Property paths also
+    accept ``!<p>`` / ``!(<a>|<b>)`` negated property sets (§9.1).
+    BIND targets are projectable and usable in modifiers, not in
+    subsequent patterns or FILTERs. Anything unparsed raises."""
     toks = _SPARQL_RE.findall(query)
     pos = 0
 
@@ -562,6 +611,40 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
 
     def path_atom() -> tuple:
         t = take()
+        if t == "^":
+            # inverse path (§9.1 PathEltOrInverse): swap subj/obj
+            return ("inv", path_atom())
+        if t == "!":
+            # negated property set: !<p> or !(<a>|<b>); inverse members
+            # (^<p> inside the set) are not supported — raise clearly
+            members = []
+            if peek() == "(":
+                take()
+                while True:
+                    m = take()
+                    if m == "^":
+                        raise ValueError(
+                            "inverse members in a negated property set "
+                            "(!(^<p>)) are not supported"
+                        )
+                    members.append(term(m))
+                    if peek() == "|":
+                        take()
+                        continue
+                    take(")")
+                    break
+            else:
+                m = take()
+                if m == "^":
+                    raise ValueError(
+                        "inverse members in a negated property set "
+                        "(!^<p>) are not supported"
+                    )
+                members.append(term(m))
+            node = ("negset", members)
+            if peek() in ("+", "*", "?"):
+                node = (_QUANT[take()], node)
+            return node
         if t == "(":
             node = path_expr()
             take(")")
@@ -637,8 +720,15 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
             if fn not in _AGGS:
                 raise ValueError(f"unsupported aggregate {fn!r}")
             take("(")
+            agg_distinct = False
             v = take()
-            if not v.startswith("?"):
+            if v.upper() == "DISTINCT":
+                agg_distinct = True
+                v = take()
+            if v == "*":
+                if fn != "COUNT":
+                    raise ValueError(f"{fn}(*) is not a SPARQL aggregate")
+            elif not v.startswith("?"):
                 raise ValueError(f"aggregate needs a ?var, got {v!r}")
             take(")")
             take("AS")
@@ -646,7 +736,9 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
             if not name.startswith("?"):
                 raise ValueError(f"AS needs a ?name, got {name!r}")
             take(")")
-            proj.append(("agg", fn, v[1:], name[1:]))
+            proj.append(
+                ("agg", fn, v if v == "*" else v[1:], name[1:], agg_distinct)
+            )
         else:
             raise ValueError(f"bad projection term {t!r}")
     if star and proj:
@@ -666,6 +758,7 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
 
     patterns, optionals, minus, filters = [], [], None, []
     union_branches, values_clauses = None, []
+    exists_clauses, binds = [], []
     while peek() and peek() != "}":
         head = peek()
         if head == "{":
@@ -734,6 +827,17 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
                 values_clauses.append(([v[1:]], [(x,) for x in vals]))
         elif head.upper() == "FILTER":
             take()
+            nxt = peek()
+            if nxt is not None and nxt.upper() in ("EXISTS", "NOT"):
+                # FILTER (NOT) EXISTS { ... } (§8.1): correlated on the
+                # shared variables -> one semi/anti join, never a filter
+                # expression. The inner group is triple patterns only.
+                positive = nxt.upper() == "EXISTS"
+                take()
+                if not positive:
+                    take("EXISTS")
+                exists_clauses.append((positive, _group()))
+                continue
             take("(")
             depth, expr_toks = 1, []
             while depth:
@@ -746,13 +850,45 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
                         break
                 expr_toks.append(t)
             filters.append(_filter_expr_sql(expr_toks))
+        elif head.upper() == "BIND":
+            # BIND(expr AS ?var) (§7.6): expression over already-bound
+            # variables, evaluated after the pattern group (the bound
+            # variable is projectable / usable in modifiers, not in
+            # subsequent patterns or FILTERs — documented restriction)
+            take()
+            take("(")
+            depth, expr_toks = 1, []
+            while depth:
+                t = take()
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    depth -= 1
+                    if not depth:
+                        break
+                expr_toks.append(t)
+            as_idx, d = None, 0
+            for i, t in enumerate(expr_toks):
+                if t == "(":
+                    d += 1
+                elif t == ")":
+                    d -= 1
+                elif d == 0 and t.upper() == "AS":
+                    as_idx = i
+            if as_idx is None or as_idx != len(expr_toks) - 2:
+                raise ValueError("BIND needs the form BIND(expr AS ?var)")
+            v = expr_toks[-1]
+            if not v.startswith("?"):
+                raise ValueError(f"BIND target must be a ?var, got {v!r}")
+            binds.append((_filter_expr_sql(expr_toks[:as_idx]), v[1:]))
         else:
             patterns.append(pattern_triple())
     take("}")
     optional = optionals or None
 
-    # trailing solution modifiers: GROUP BY / ORDER BY / LIMIT
-    group_by, order_by, limit = [], [], None
+    # trailing modifiers: GROUP BY / HAVING / ORDER BY / LIMIT / OFFSET
+    group_by, order_by, limit, offset = [], [], None, None
+    having_toks = None
     while peek() is not None:
         head = take()
         if head.upper() == "GROUP":
@@ -774,6 +910,21 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
                     order_by.append((t[1:], False))
         elif head.upper() == "LIMIT":
             limit = int(take())
+        elif head.upper() == "OFFSET":
+            offset = int(take())
+        elif head.upper() == "HAVING":
+            take("(")
+            depth, expr_toks = 1, []
+            while depth:
+                t = take()
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    depth -= 1
+                    if not depth:
+                        break
+                expr_toks.append(t)
+            having_toks = expr_toks
         else:
             raise ValueError(f"unexpected token after pattern group: {head!r}")
 
@@ -797,6 +948,30 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
             triples, patterns, optional=optional, filters=filters, minus=minus
         )
 
+    for positive, grp in exists_clauses:
+        sub = bgp_match(triples, grp)
+        shared = sorted(set(sub.columns) & set(out.columns))
+        if shared:
+            out = out.join(
+                sub.select(*shared).distinct(),
+                on=shared,
+                how="left_semi" if positive else "left_anti",
+            )
+        else:
+            # uncorrelated EXISTS: the group either holds for every
+            # solution or for none — one scalar probe decides
+            if sub.limit(1).isEmpty() == positive:
+                out = out.limit(0)
+
+    for expr_sql, name in binds:
+        refs = _filter_identifiers(expr_sql)
+        missing = sorted(refs - set(out.columns))
+        if missing:
+            raise ValueError(f"BIND references unbound variables: {missing}")
+        if name in out.columns:
+            raise ValueError(f"BIND target ?{name} is already bound")
+        out = out.withColumn(name, F.expr(expr_sql))
+
     for vnames, rows in values_clauses:
         missing = [v for v in vnames if v not in out.columns]
         if missing:
@@ -812,6 +987,8 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
             out = out.join(F.broadcast(inline), on=vnames, how="left_semi")
 
     aggs = [p for p in proj if p[0] == "agg"]
+    if having_toks is not None and not (aggs or group_by):
+        raise ValueError("HAVING requires GROUP BY or an aggregate projection")
     if aggs or group_by:
         # aggregates evaluate over the DISTINCT solution set (bgp_match
         # set semantics, i.e. an implicit SELECT DISTINCT subquery)
@@ -822,18 +999,66 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
                 raise ValueError(
                     f"non-aggregated variables not in GROUP BY: {sorted(missing)}"
                 )
-        missing = [v for v in set(group_by) | {a[2] for a in aggs}
+        missing = [v for v in set(group_by) | {a[2] for a in aggs if a[2] != "*"}
                    if v not in out.columns]
         if missing:
             raise ValueError(f"variables not bound: {sorted(missing)}")
-        exprs = [
-            getattr(F, fn.lower())(v).alias(name) for _, fn, v, name in aggs
-        ]
+        exprs = []
+        for _, fn, v, name, agg_distinct in aggs:
+            if v == "*":
+                # COUNT(*): count solutions (already set-distinct)
+                exprs.append(F.count(F.lit(1)).alias(name))
+            elif agg_distinct:
+                exprs.append(F.expr(f"{fn.lower()}(DISTINCT {v})").alias(name))
+            else:
+                exprs.append(getattr(F, fn.lower())(v).alias(name))
         out = (
             out.groupBy(*group_by).agg(*exprs)
             if group_by
             else out.agg(*exprs)
         )
+        if having_toks is not None:
+            # HAVING (§7.5 grammar rule [22]): rewrite aggregate calls to
+            # the matching projected alias, then filter post-aggregation.
+            rewritten, i = [], 0
+            while i < len(having_toks):
+                t = having_toks[i]
+                if (
+                    t.upper() in _AGGS
+                    and i + 1 < len(having_toks)
+                    and having_toks[i + 1] == "("
+                ):
+                    j = i + 2
+                    h_distinct = False
+                    if j < len(having_toks) and having_toks[j].upper() == "DISTINCT":
+                        h_distinct = True
+                        j += 1
+                    hv = having_toks[j] if j < len(having_toks) else None
+                    if hv is None or (
+                        j + 1 >= len(having_toks) or having_toks[j + 1] != ")"
+                    ):
+                        raise ValueError("HAVING aggregate must be AGG(?v)")
+                    hv_name = hv if hv == "*" else hv[1:]
+                    match = next(
+                        (
+                            a for a in aggs
+                            if a[1] == t.upper()
+                            and a[2] == hv_name
+                            and a[4] == h_distinct
+                        ),
+                        None,
+                    )
+                    if match is None:
+                        raise ValueError(
+                            f"HAVING aggregate {t.upper()}({hv}) must also "
+                            "be projected with an AS alias"
+                        )
+                    rewritten.append("?" + match[3])
+                    i = j + 2
+                else:
+                    rewritten.append(t)
+                    i += 1
+            out = out.filter(F.expr(_filter_expr_sql(rewritten)))
     elif not star:
         names = [p[1] for p in proj]
         missing = [v for v in names if v not in out.columns]
@@ -848,6 +1073,137 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         out = out.orderBy(
             *[F.desc(v) if d else F.asc(v) for v, d in order_by]
         )
+    if offset is not None:
+        out = out.offset(offset)  # OFFSET skips first, LIMIT then bounds
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+def sparql_ask(triples: DataFrame, query: str) -> DataFrame:
+    """SPARQL ASK (§16.3): does the pattern group have any solution?
+    Accepts the same group grammar as sparql_select; returns a one-row
+    (ask boolean) DataFrame — the existence probe stops at the first
+    binding (limit 1), it never materializes the solution set."""
+    re_ = __import__("re")
+    m = re_.match(r"\s*ASK\s*(\{.*\})\s*$", query, re_.S | re_.I)
+    if not m:
+        raise ValueError("not an ASK query")
+    found = not sparql_select(
+        triples, "SELECT * WHERE " + m.group(1)
+    ).limit(1).isEmpty()
+    return triples.sparkSession.createDataFrame(
+        [(found,)], "ask boolean"
+    )
+
+
+def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
+    """SPARQL CONSTRUCT (§16.2) — the KG-construction query form: solve
+    the WHERE group, then instantiate the template's triple patterns once
+    per solution; constants pass through, variables substitute. Returns
+    the DISTINCT (subj, pred, obj) graph (CONSTRUCT builds an RDF graph,
+    which is a set). Rows whose template instantiation leaves a null
+    (an optional-only variable unbound in that solution) are dropped,
+    per the spec's "incomplete triple" rule."""
+    re_ = __import__("re")
+    m = re_.match(
+        r"\s*CONSTRUCT\s*\{(.*?)\}\s*WHERE\s*(\{.*\})\s*$",
+        query,
+        re_.S | re_.I,
+    )
+    if not m:
+        raise ValueError("not a CONSTRUCT query")
+    tmpl_toks = _SPARQL_RE.findall(m.group(1))
+
+    def tterm(tok: str):
+        if tok.startswith("<") and tok.endswith(">"):
+            return tok[1:-1]
+        if tok and tok[0] in "\"'" and tok[-1] == tok[0] and len(tok) >= 2:
+            return tok[1:-1]
+        return tok
+
+    templates, i = [], 0
+    while i < len(tmpl_toks):
+        if tmpl_toks[i] == ".":
+            i += 1
+            continue
+        if i + 2 >= len(tmpl_toks):
+            raise ValueError("CONSTRUCT template needs (s p o) triples")
+        templates.append(tuple(tterm(t) for t in tmpl_toks[i:i + 3]))
+        i += 3
+    if not templates:
+        raise ValueError("empty CONSTRUCT template")
+
+    bindings = sparql_select(triples, "SELECT * WHERE " + m.group(2))
+    cols = set(bindings.columns)
+    missing = {
+        t[1:] for tr in templates for t in tr if _is_var(t)
+    } - cols
+    if missing:
+        raise ValueError(
+            f"CONSTRUCT template variables not bound: {sorted(missing)}"
+        )
+    out = None
+    for s, p, o in templates:
+        row = bindings.select(
+            (F.col(s[1:]) if _is_var(s) else F.lit(s)).alias("subj"),
+            (F.col(p[1:]) if _is_var(p) else F.lit(p)).alias("pred"),
+            (F.col(o[1:]) if _is_var(o) else F.lit(o)).alias("obj"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.na.drop().distinct()
+
+
+def sparql_describe(triples: DataFrame, query: str) -> DataFrame:
+    """SPARQL DESCRIBE (§16.4): return the triples describing a set of
+    resources. The description form is implementation-defined by the
+    spec; this engine returns the OUTBOUND concise description — every
+    (subj, pred, obj) triple whose SUBJECT is a described resource
+    (the common triple-store default), DISTINCT.
+
+    Two query shapes::
+
+        DESCRIBE <iri> [<iri> ...]
+        DESCRIBE ?v [?u ...] WHERE { ... }    # resources = the vars'
+                                              # bindings over the group
+
+    Scale shape: the resource set is built once (constants union the
+    DISTINCT bindings of the named variables) and semi-joined against
+    the triple table — one scan, broadcast-eligible when small."""
+    re_ = __import__("re")
+    m = re_.match(
+        r"\s*DESCRIBE\s+(.+?)\s*(?:WHERE\s*(\{.*\}))?\s*$",
+        query,
+        re_.S | re_.I,
+    )
+    if not m:
+        raise ValueError("not a DESCRIBE query")
+    head_toks = _SPARQL_RE.findall(m.group(1))
+    vars_ = [t[1:] for t in head_toks if t.startswith("?")]
+    consts = [
+        t[1:-1] if (t.startswith("<") and t.endswith(">")) else t
+        for t in head_toks
+        if not t.startswith("?")
+    ]
+    if not vars_ and not consts:
+        raise ValueError("DESCRIBE needs at least one resource or ?var")
+    if vars_ and not m.group(2):
+        raise ValueError("DESCRIBE with variables needs a WHERE group")
+    spark = triples.sparkSession
+    frames = []
+    if consts:
+        frames.append(spark.createDataFrame([(c,) for c in consts], "r string"))
+    if vars_:
+        bindings = sparql_select(triples, "SELECT * WHERE " + m.group(2))
+        missing = [v for v in vars_ if v not in bindings.columns]
+        if missing:
+            raise ValueError(f"DESCRIBE variables not bound: {missing}")
+        for v in vars_:
+            frames.append(bindings.select(F.col(v).alias("r")).distinct())
+    resources = frames[0]
+    for f in frames[1:]:
+        resources = resources.unionByName(f)
+    res = resources.distinct()
+    return triples.join(
+        res, on=triples["subj"] == res["r"], how="left_semi"
+    ).distinct()

@@ -14,8 +14,14 @@ sequences, <a>|<b> alternation, parenthesised combinations); any number
 of OPTIONAL groups; one MINUS group; { } UNION { } chains; FILTERs
 (optional-only variables filtered after their left join); VALUES inline
 data (single- and multi-variable); aggregates COUNT/SUM/MIN/MAX/AVG with
-GROUP BY; ORDER BY [ASC|DESC]; LIMIT. Writes the bindings as parquet and
-prints one JSON metrics line.
+GROUP BY (COUNT(*) / AGG(DISTINCT ?v) accepted) and HAVING; ORDER BY
+[ASC|DESC]; LIMIT / OFFSET; BIND(expr AS ?var); FILTER EXISTS / NOT
+EXISTS groups (correlated semi/anti joins); negated property sets !<p>
+and !(<a>|<b>); §17 FILTER builtins (REGEX/CONTAINS/STRSTARTS/STRENDS/
+STRLEN/LCASE/UCASE/BOUND/STR). Queries starting with ASK, CONSTRUCT or
+DESCRIBE dispatch to sparql_ask / sparql_construct / sparql_describe
+(boolean row / constructed triple graph / outbound description). Writes
+the result as parquet and prints one JSON metrics line.
 """
 
 from __future__ import annotations
@@ -37,11 +43,21 @@ def main(argv=None) -> None:
 
     spark = SparkSession.builder.appName("spotlight-sparql").getOrCreate()
 
-    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+    from dbpedia_spotlight_spark.operators.kgquery import (
+        sparql_ask,
+        sparql_construct,
+        sparql_describe,
+        sparql_select,
+    )
 
     t0 = time.time()
     triples = spark.read.parquet(args.triples)
-    result = sparql_select(triples, args.query)
+    head = args.query.lstrip().split(None, 1)[0].upper()
+    runner = {
+        "ASK": sparql_ask, "CONSTRUCT": sparql_construct,
+        "DESCRIBE": sparql_describe,
+    }.get(head, sparql_select)
+    result = runner(triples, args.query)
     result.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
     print(

@@ -792,3 +792,301 @@ def test_values_undef_rejected(triples):
             "SELECT ?p WHERE { ?p <type> ?t . "
             "VALUES (?p ?t) { ('alice' UNDEF) } }",
         )
+
+
+def test_path_inverse(chain):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(chain, "SELECT ?x WHERE { b ^<sub> ?x . }")
+    # who points TO b via sub: a
+    assert sorted(r.x for r in out.collect()) == ["a"]
+
+
+def test_path_inverse_with_sequence(chain):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    # c's sub-parent, then that node's label: ^sub then label
+    out = sparql_select(chain, "SELECT ?x WHERE { c ^<sub>/<label> ?x . }")
+    assert sorted(r.x for r in out.collect()) == ["B"]
+
+
+def test_filter_sparql_builtins(spark):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    t = spark.createDataFrame(
+        [("x", "name", "Apache Spark"), ("y", "name", "Flink"),
+         ("z", "name", "sparkle")],
+        "subj string, pred string, obj string",
+    )
+    out = sparql_select(
+        t,
+        "SELECT ?s WHERE { ?s <name> ?n . "
+        "FILTER(CONTAINS(?n, 'park') && STRSTARTS(?n, 'Apache')) }",
+    )
+    assert [r.s for r in out.collect()] == ["x"]
+    out2 = sparql_select(
+        t,
+        "SELECT ?s WHERE { ?s <name> ?n . FILTER(REGEX(?n, '^[a-z]+$')) }",
+    )
+    assert [r.s for r in out2.collect()] == ["z"]
+    out3 = sparql_select(
+        t,
+        "SELECT ?s WHERE { ?s <name> ?n . FILTER(STRLEN(?n) > 6) }",
+    )
+    assert sorted(r.s for r in out3.collect()) == ["x", "z"]
+
+
+def test_filter_bound_on_optional(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(
+        triples,
+        """SELECT ?p WHERE {
+             ?p <type> 'Person' .
+             OPTIONAL { ?p <livesIn> ?city . }
+             FILTER(!BOUND(?city))
+           }""",
+    )
+    # bob has no livesIn edge
+    assert [r.p for r in out.collect()] == ["bob"]
+
+
+def test_limit_offset(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    all_rows = sparql_select(
+        triples, "SELECT ?s WHERE { ?s <type> ?t . } ORDER BY ?s"
+    ).collect()
+    page = sparql_select(
+        triples,
+        "SELECT ?s WHERE { ?s <type> ?t . } ORDER BY ?s LIMIT 2 OFFSET 1",
+    ).collect()
+    assert [r.s for r in page] == [r.s for r in all_rows[1:3]]
+
+
+def test_sparql_ask(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_ask
+
+    yes = sparql_ask(triples, "ASK { alice <knows> ?x . }")
+    no = sparql_ask(triples, "ASK { bob <knows> ?x . }")
+    assert yes.collect()[0].ask is True
+    assert no.collect()[0].ask is False
+
+
+def test_sparql_construct(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_construct
+
+    out = sparql_construct(
+        triples,
+        """CONSTRUCT { ?p <employedBy> ?c . ?c <employs> ?p . }
+           WHERE { ?p <worksFor> ?c . }""",
+    )
+    got = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert got == {
+        ("alice", "employedBy", "acme"),
+        ("acme", "employs", "alice"),
+        ("bob", "employedBy", "acme"),
+        ("acme", "employs", "bob"),
+    }
+
+
+def test_sparql_construct_drops_unbound_optional_rows(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_construct
+
+    out = sparql_construct(
+        triples,
+        """CONSTRUCT { ?p <cityOf> ?city . }
+           WHERE { ?p <type> 'Person' . OPTIONAL { ?p <livesIn> ?city . } }""",
+    )
+    # bob's ?city is unbound -> incomplete triple dropped (spec §16.2)
+    got = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert got == {("alice", "cityOf", "berlin")}
+
+
+def test_sparql_construct_rejects_unbound_template_var(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_construct
+
+    with pytest.raises(ValueError):
+        sparql_construct(
+            triples,
+            "CONSTRUCT { ?p <x> ?zzz . } WHERE { ?p <type> 'Person' . }",
+        )
+
+def test_negated_property_set(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(
+        triples, "SELECT ?s ?o WHERE { ?s !(<type>|<worksFor>) ?o . }"
+    )
+    got = {(r.s, r.o) for r in out.collect()}
+    assert got == {
+        ("alice", "bob"),       # knows
+        ("acme", "berlin"),     # locatedIn
+        ("alice", "berlin"),    # livesIn
+    }
+
+
+def test_negated_property_set_single(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(triples, "SELECT ?s ?o WHERE { ?s !<type> ?o . }")
+    assert all(
+        (r.s, r.o) != ("alice", "Person") for r in out.collect()
+    ) and out.count() == 5
+
+
+def test_negated_set_rejects_inverse_member(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    with pytest.raises(ValueError):
+        sparql_select(triples, "SELECT ?s ?o WHERE { ?s !(^<type>) ?o . }")
+
+
+def test_bind_expression(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(
+        triples,
+        "SELECT ?p ?u WHERE { ?p <type> 'Person' . BIND(UCASE(?p) AS ?u) }",
+    )
+    got = {(r.p, r.u) for r in out.collect()}
+    assert got == {("alice", "ALICE"), ("bob", "BOB")}
+
+
+def test_bind_unbound_reference_raises(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    with pytest.raises(ValueError, match="unbound"):
+        sparql_select(
+            triples,
+            "SELECT ?p ?u WHERE { ?p <type> 'Person' . "
+            "BIND(UCASE(?zzz) AS ?u) }",
+        )
+
+
+def test_bind_existing_target_raises(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    with pytest.raises(ValueError, match="already bound"):
+        sparql_select(
+            triples,
+            "SELECT ?p WHERE { ?p <type> 'Person' . BIND('x' AS ?p) }",
+        )
+
+
+def test_filter_exists(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(
+        triples,
+        "SELECT ?p WHERE { ?p <type> 'Person' . "
+        "FILTER EXISTS { ?p <livesIn> ?c . } }",
+    )
+    assert [r.p for r in out.collect()] == ["alice"]
+
+
+def test_filter_not_exists(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(
+        triples,
+        "SELECT ?p WHERE { ?p <type> 'Person' . "
+        "FILTER NOT EXISTS { ?p <livesIn> ?c . } }",
+    )
+    assert [r.p for r in out.collect()] == ["bob"]
+
+
+def test_filter_exists_uncorrelated(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    # the group shares no variable: holds for every solution or none
+    kept = sparql_select(
+        triples,
+        "SELECT ?p WHERE { ?p <type> 'Person' . "
+        "FILTER EXISTS { ?x <locatedIn> berlin . } }",
+    )
+    dropped = sparql_select(
+        triples,
+        "SELECT ?p WHERE { ?p <type> 'Person' . "
+        "FILTER EXISTS { ?x <locatedIn> mars . } }",
+    )
+    assert kept.count() == 2 and dropped.count() == 0
+
+
+def test_having_rewrites_to_alias(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(
+        triples,
+        "SELECT ?c (COUNT(*) AS ?n) WHERE { ?p <worksFor> ?c . } "
+        "GROUP BY ?c HAVING(COUNT(*) > 1)",
+    )
+    rows = out.collect()
+    assert [(r.c, r.n) for r in rows] == [("acme", 2)]
+
+
+def test_having_unprojected_aggregate_raises(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    with pytest.raises(ValueError, match="projected"):
+        sparql_select(
+            triples,
+            "SELECT ?c (COUNT(*) AS ?n) WHERE { ?p <worksFor> ?c . } "
+            "GROUP BY ?c HAVING(SUM(?n) > 1)",
+        )
+
+
+def test_having_without_group_raises(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    with pytest.raises(ValueError, match="HAVING"):
+        sparql_select(
+            triples,
+            "SELECT ?p WHERE { ?p <type> 'Person' . } HAVING(COUNT(*) > 1)",
+        )
+
+
+def test_count_star_and_count_distinct(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    star = sparql_select(
+        triples, "SELECT (COUNT(*) AS ?n) WHERE { ?s <type> ?t . }"
+    ).collect()
+    dist = sparql_select(
+        triples,
+        "SELECT (COUNT(DISTINCT ?t) AS ?n) WHERE { ?s <type> ?t . }",
+    ).collect()
+    assert star[0].n == 4 and dist[0].n == 3
+
+
+def test_sparql_describe_constant(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_describe
+
+    out = sparql_describe(triples, "DESCRIBE <alice>")
+    got = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert got == {
+        ("alice", "type", "Person"),
+        ("alice", "worksFor", "acme"),
+        ("alice", "knows", "bob"),
+        ("alice", "livesIn", "berlin"),
+    }
+
+
+def test_sparql_describe_where(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_describe
+
+    out = sparql_describe(
+        triples, "DESCRIBE ?c WHERE { ?c <type> 'Company' . }"
+    )
+    got = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert got == {
+        ("acme", "type", "Company"),
+        ("acme", "locatedIn", "berlin"),
+    }
+
+
+def test_sparql_describe_var_without_where_raises(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_describe
+
+    with pytest.raises(ValueError, match="WHERE"):
+        sparql_describe(triples, "DESCRIBE ?c")

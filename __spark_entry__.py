@@ -2947,6 +2947,38 @@ def q_kg_describe(spark, sf_dir):
     return sparql_describe(t, "DESCRIBE ?n WHERE { ?n <within> 'r0' . }")
 
 
+def q_kg_subquery(spark, sf_dir):
+    """SPARQL subquery (§12, operators/kgquery.py:sparql_select):
+    customers in nations with more than 60 members — the member count is
+    an inline aggregate subquery joined on ?n, and the FILTER over the
+    subquery-only variable ?m is deferred past that join (group-scope
+    rule). Oracle = join against a HAVING subselect."""
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    t = _kg_geo_triples(spark, sf_dir)
+    return sparql_select(
+        t,
+        "SELECT ?c ?n WHERE { ?c <inNation> ?n . "
+        "{ SELECT ?n (COUNT(*) AS ?m) WHERE { ?x <inNation> ?n . } "
+        "GROUP BY ?n } FILTER(?m > 60) }",
+    )
+
+
+def q_kg_group_concat(spark, sf_dir):
+    """SPARQL GROUP_CONCAT with SEPARATOR (§18.5.1.7): the nation/region
+    labels contained in each region, pipe-joined; values are sorted
+    before joining so the result is deterministic under Spark's
+    unordered groups. Oracle = string_agg(... ORDER BY ...)."""
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    t = _kg_geo_triples(spark, sf_dir)
+    return sparql_select(
+        t,
+        "SELECT ?r (GROUP_CONCAT(?label ; SEPARATOR = '|') AS ?names) "
+        "WHERE { ?n <within> ?r . ?n <named> ?label . } GROUP BY ?r",
+    )
+
+
 def q_annotate_windowed(spark, sf_dir):
     """Flagship DAG with D2 context windowing wired in at the reference
     default MAX_CONTEXT=250 (DBTwoStepDisambiguator.scala:72,89-119):
@@ -2995,6 +3027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_having": q_kg_having,
         "kg_count_distinct": q_kg_count_distinct,
         "kg_describe": q_kg_describe,
+        "kg_subquery": q_kg_subquery,
+        "kg_group_concat": q_kg_group_concat,
         "kg_path_star": q_kg_path_star,
         "kg_path_seq_alt": q_kg_path_seq_alt,
         "kg_bgp_two_optionals": q_kg_bgp_two_optionals,
@@ -5916,6 +5950,28 @@ SELECT COUNT(DISTINCT obj) AS nations FROM tr WHERE pred = 'inNation'
 WITH {_KG_GEO_CTE.lstrip()}
 SELECT DISTINCT subj, pred, obj FROM tr
 WHERE subj IN (SELECT subj FROM tr WHERE pred = 'within' AND obj = 'r0')
+"""
+
+    sql["kg_subquery"] = f"""
+WITH {_KG_GEO_CTE.lstrip()}
+SELECT DISTINCT cn.subj AS c, cn.obj AS n
+FROM tr cn
+JOIN (
+  SELECT obj AS n, COUNT(*) AS m
+  FROM (SELECT DISTINCT subj, obj FROM tr WHERE pred = 'inNation')
+  GROUP BY obj HAVING COUNT(*) > 60
+) big ON big.n = cn.obj
+WHERE cn.pred = 'inNation'
+"""
+
+    sql["kg_group_concat"] = f"""
+WITH {_KG_GEO_CTE.lstrip()}
+SELECT r, string_agg(label, '|' ORDER BY label) AS names FROM (
+  SELECT DISTINCT w.obj AS r, nm.obj AS label
+  FROM (SELECT subj, obj FROM tr WHERE pred = 'within') w
+  JOIN (SELECT subj, obj FROM tr WHERE pred = 'named') nm
+    ON nm.subj = w.subj
+) GROUP BY r
 """
 
     sql["kg_path_inverse"] = f"""

@@ -447,8 +447,8 @@ _SPARQL_RE = __import__("re").compile(
     \d+\.\d+             |  # decimal literal (kept whole for FILTERs)
     &&|\|\|              |  # boolean connectives (single tokens)
     [=!<>]=?             |  # comparison operators
-    [{}()./|^,]          |  # structure + path operators + arg separator
-    [^\s{}()./|^,]+         # bareword / keyword (stops at structure)
+    [{}()./|^,;]         |  # structure + path operators + separators
+    [^\s{}()./|^,;]+        # bareword / keyword (stops at structure)
     """,
     __import__("re").VERBOSE,
 )
@@ -546,6 +546,10 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
             BIND(UCASE(?x) AS ?u)            # computed variable (§7.6)
             VALUES ?x { 'a' 'b' <c> }        # inline data (single var)
             VALUES (?x ?y) { ('a' 'b') ... } # inline data (multi var)
+            { SELECT ... WHERE { ... } }     # subquery (§12), joined on
+                                             # shared vars; FILTERs over
+                                             # subquery-only vars run
+                                             # after the join
         }
 
     Property paths (SPARQL 1.1 §9.1) in predicate position: ``<p>+``
@@ -570,7 +574,9 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     (bgp_match returns set semantics, per SELECT DISTINCT).
 
     Solution modifiers after the pattern group:
-    ``(COUNT(?v) AS ?n)`` (also SUM/MIN/MAX/AVG; ``COUNT(*)`` and
+    ``(COUNT(?v) AS ?n)`` (also SUM/MIN/MAX/AVG, ``SAMPLE`` (min — a
+    deterministic sample), ``GROUP_CONCAT(?v ; SEPARATOR = ",")``
+    (values sorted for determinism); ``COUNT(*)`` and
     ``AGG(DISTINCT ?v)`` accepted) with ``GROUP BY ?k``,
     ``HAVING(COUNT(?v) > n)`` (the aggregate must also be projected —
     it is rewritten to its alias), ``ORDER BY ?v [ASC|DESC]``, and
@@ -701,7 +707,7 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
             take()
         return (s, p, o)
 
-    _AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
+    _AGGS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "GROUP_CONCAT", "SAMPLE"}
 
     take("SELECT")
     if peek() and peek().upper() == "DISTINCT":
@@ -730,6 +736,17 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
                     raise ValueError(f"{fn}(*) is not a SPARQL aggregate")
             elif not v.startswith("?"):
                 raise ValueError(f"aggregate needs a ?var, got {v!r}")
+            sep = None
+            if peek() == ";":
+                # GROUP_CONCAT(?v ; SEPARATOR = "lit") (§18.5.1.7)
+                take()
+                if take().upper() != "SEPARATOR":
+                    raise ValueError("expected SEPARATOR after ';'")
+                take("=")
+                lit = take()
+                if lit[0] not in "\"'":
+                    raise ValueError("SEPARATOR needs a quoted literal")
+                sep = lit[1:-1]
             take(")")
             take("AS")
             name = take()
@@ -737,7 +754,8 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
                 raise ValueError(f"AS needs a ?name, got {name!r}")
             take(")")
             proj.append(
-                ("agg", fn, v if v == "*" else v[1:], name[1:], agg_distinct)
+                ("agg", fn, v if v == "*" else v[1:], name[1:],
+                 agg_distinct, sep)
             )
         else:
             raise ValueError(f"bad projection term {t!r}")
@@ -758,10 +776,23 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
 
     patterns, optionals, minus, filters = [], [], None, []
     union_branches, values_clauses = None, []
-    exists_clauses, binds = [], []
+    exists_clauses, binds, subqueries = [], [], []
     while peek() and peek() != "}":
         head = peek()
-        if head == "{":
+        if head == "{" and pos + 1 < len(toks) and toks[pos + 1].upper() == "SELECT":
+            # subquery (§12): { SELECT ... WHERE { ... } ... } — extract
+            # the token span, re-join (tokens preserve quoting/brackets),
+            # and evaluate recursively; joined on shared variables below
+            take()
+            depth, start = 1, pos
+            while depth:
+                t = take()
+                if t == "{":
+                    depth += 1
+                elif t == "}":
+                    depth -= 1
+            subqueries.append(" ".join(toks[start:pos - 1]))
+        elif head == "{":
             # { g1 } UNION { g2 } [UNION { g3 } ...]
             if union_branches is not None:
                 raise ValueError("only one UNION chain is supported")
@@ -928,6 +959,29 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         else:
             raise ValueError(f"unexpected token after pattern group: {head!r}")
 
+    # evaluate subqueries first (§12 bottom-up evaluation); FILTERs that
+    # reference subquery-only variables must wait until after the
+    # subquery join that binds them (same group-scope rule as the
+    # optional-only deferral in _apply_group_modifiers)
+    sub_frames = [sparql_select(triples, s) for s in subqueries]
+    deferred_sub = []
+    if sub_frames:
+        sub_vars = set().union(*[set(f.columns) for f in sub_frames])
+        pat_vars = set()
+        for pat in patterns + [p for g in optionals for p in g]:
+            pat_vars |= _relation_vars(pat)
+        for br in union_branches or []:
+            for pat in br:
+                pat_vars |= _relation_vars(pat)
+        keep = []
+        for fexpr in filters:
+            ids = _filter_identifiers(fexpr)
+            if (ids - pat_vars) and (ids & sub_vars):
+                deferred_sub.append(fexpr)
+            else:
+                keep.append(fexpr)
+        filters = keep
+
     if union_branches is not None:
         # SPARQL UNION (§7): branch solutions concatenated; variables a
         # branch doesn't bind come back null (unionByName padding)
@@ -943,10 +997,31 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         out = _apply_group_modifiers(
             triples, out, bound, optional, filters, minus
         ).distinct()
-    else:
+    elif patterns:
         out = bgp_match(
             triples, patterns, optional=optional, filters=filters, minus=minus
         )
+    elif sub_frames:
+        # subquery-only group: the first subquery seeds the bindings;
+        # group modifiers then apply over the joined frame
+        out = sub_frames[0]
+        for sub in sub_frames[1:]:
+            shared = sorted(set(sub.columns) & set(out.columns))
+            out = out.join(sub, on=shared) if shared else out.crossJoin(sub)
+        sub_frames = []
+        out = _apply_group_modifiers(
+            triples, out, set(out.columns), optional, filters, minus
+        ).distinct()
+    else:
+        raise ValueError("empty basic graph pattern")
+
+    for sub in sub_frames:
+        # §12 join semantics: subquery solutions join the group's
+        # bindings on their shared variables (cross join when disjoint)
+        shared = sorted(set(sub.columns) & set(out.columns))
+        out = out.join(sub, on=shared) if shared else out.crossJoin(sub)
+    for fexpr in deferred_sub:
+        out = out.filter(F.expr(fexpr))
 
     for positive, grp in exists_clauses:
         sub = bgp_match(triples, grp)
@@ -1004,10 +1079,25 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         if missing:
             raise ValueError(f"variables not bound: {sorted(missing)}")
         exprs = []
-        for _, fn, v, name, agg_distinct in aggs:
+        for _, fn, v, name, agg_distinct, sep in aggs:
             if v == "*":
                 # COUNT(*): count solutions (already set-distinct)
                 exprs.append(F.count(F.lit(1)).alias(name))
+            elif fn == "GROUP_CONCAT":
+                # §18.5.1.7 — values sorted lexicographically so the
+                # result is deterministic under Spark's unordered groups
+                vals = (
+                    F.collect_set(v) if agg_distinct else F.collect_list(v)
+                )
+                exprs.append(
+                    F.array_join(
+                        F.sort_array(vals), sep if sep is not None else " "
+                    ).alias(name)
+                )
+            elif fn == "SAMPLE":
+                # §18.5.1.8 allows any value from the group; min() is the
+                # deterministic choice
+                exprs.append(F.min(v).alias(name))
             elif agg_distinct:
                 exprs.append(F.expr(f"{fn.lower()}(DISTINCT {v})").alias(name))
             else:

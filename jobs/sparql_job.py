@@ -14,7 +14,8 @@ sequences, <a>|<b> alternation, parenthesised combinations); any number
 of OPTIONAL groups; one MINUS group; { } UNION { } chains; FILTERs
 (optional-only variables filtered after their left join); VALUES inline
 data (single- and multi-variable); aggregates COUNT/SUM/MIN/MAX/AVG with
-GROUP BY (COUNT(*) / AGG(DISTINCT ?v) accepted) and HAVING; ORDER BY
+GROUP_CONCAT/SAMPLE and GROUP BY (COUNT(*) / AGG(DISTINCT ?v) accepted)
+and HAVING; subqueries { SELECT ... } joined on shared vars; ORDER BY
 [ASC|DESC]; LIMIT / OFFSET; BIND(expr AS ?var); FILTER EXISTS / NOT
 EXISTS groups (correlated semi/anti joins); negated property sets !<p>
 and !(<a>|<b>); §17 FILTER builtins (REGEX/CONTAINS/STRSTARTS/STRENDS/

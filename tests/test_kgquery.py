@@ -1090,3 +1090,98 @@ def test_sparql_describe_var_without_where_raises(triples):
 
     with pytest.raises(ValueError, match="WHERE"):
         sparql_describe(triples, "DESCRIBE ?c")
+
+
+def test_subquery_joined_on_shared_var(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(
+        triples,
+        "SELECT ?p ?c ?m WHERE { ?p <worksFor> ?c . "
+        "{ SELECT ?c (COUNT(*) AS ?m) WHERE { ?x <worksFor> ?c . } "
+        "GROUP BY ?c } }",
+    )
+    got = {(r.p, r.c, r.m) for r in out.collect()}
+    assert got == {("alice", "acme", 2), ("bob", "acme", 2)}
+
+
+def test_subquery_only_group(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(
+        triples,
+        "SELECT ?c ?m WHERE { { SELECT ?c (COUNT(*) AS ?m) "
+        "WHERE { ?x <worksFor> ?c . } GROUP BY ?c } }",
+    )
+    assert [(r.c, r.m) for r in out.collect()] == [("acme", 2)]
+
+
+def test_filter_on_subquery_var_deferred(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    # ?m is bound only by the subquery: the FILTER must run after the
+    # subquery join, not inside the BGP (previously an AnalysisException)
+    out = sparql_select(
+        triples,
+        "SELECT ?p ?c WHERE { ?p <worksFor> ?c . "
+        "{ SELECT ?c (COUNT(*) AS ?m) WHERE { ?x <worksFor> ?c . } "
+        "GROUP BY ?c } FILTER(?m > 1) }",
+    )
+    got = {(r.p, r.c) for r in out.collect()}
+    assert got == {("alice", "acme"), ("bob", "acme")}
+
+
+def test_subquery_disjoint_cross_join(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(
+        triples,
+        "SELECT ?city ?m WHERE { ?city <type> 'City' . "
+        "{ SELECT (COUNT(*) AS ?m) WHERE { ?x <type> 'Person' . } } }",
+    )
+    assert [(r.city, r.m) for r in out.collect()] == [("berlin", 2)]
+
+
+def test_nested_subquery(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(
+        triples,
+        "SELECT ?c ?m WHERE { { SELECT ?c (COUNT(*) AS ?m) WHERE { "
+        "?p <worksFor> ?c . { SELECT ?p WHERE { ?p <type> 'Person' . } } "
+        "} GROUP BY ?c } }",
+    )
+    assert [(r.c, r.m) for r in out.collect()] == [("acme", 2)]
+
+
+def test_group_concat_sorted_with_separator(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(
+        triples,
+        "SELECT ?c (GROUP_CONCAT(?p ; SEPARATOR = ',') AS ?ps) "
+        "WHERE { ?p <worksFor> ?c . } GROUP BY ?c",
+    )
+    assert [(r.c, r.ps) for r in out.collect()] == [("acme", "alice,bob")]
+
+
+def test_group_concat_default_separator(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(
+        triples,
+        "SELECT ?c (GROUP_CONCAT(?p) AS ?ps) "
+        "WHERE { ?p <worksFor> ?c . } GROUP BY ?c",
+    )
+    assert [r.ps for r in out.collect()] == ["alice bob"]
+
+
+def test_sample_aggregate_deterministic(triples):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(
+        triples,
+        "SELECT ?c (SAMPLE(?p) AS ?one) "
+        "WHERE { ?p <worksFor> ?c . } GROUP BY ?c",
+    )
+    assert [(r.c, r.one) for r in out.collect()] == [("acme", "alice")]

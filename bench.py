@@ -72,6 +72,9 @@ HEADLINE = [
     "dsir_select",
     "sessionize",
     "events_asof",
+    "kg_construct",
+    "kg_path_star",
+    "kg_subquery",
 ]
 
 

@@ -2615,6 +2615,91 @@ def q_quota_sample(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """S14 at-rest twin (io/warc.py): serialize documents to WARC
+    response records with the sink, strip the version line exactly as
+    ``read_warc``'s lineSep split does, and re-parse with
+    ``parse_warc_records`` — the full Common-Crawl-style ingest path,
+    field for field. The synthesis is deterministic, so the oracle
+    computes every parsed field in closed form from documents. Ref: the
+    reference's live web sources (index/.../io/WebOccurrenceSource.scala)
+    are scoped out for network; WARC is their at-rest form."""
+    from dbpedia_spotlight_spark.io.warc import (
+        parse_warc_records,
+        warc_record_lines,
+    )
+
+    src = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://corpus.example/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("uri"),
+        F.col("text").alias("body"),
+    )
+    recs = warc_record_lines(src).select(
+        F.expr("substring(value, 11)").alias("value")
+    )
+    return parse_warc_records(recs).select(
+        "target_uri",
+        "warc_type",
+        "warc_date",
+        "http_status",
+        "content_length",
+        "payload",
+    )
+
+
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization (functions/urls.py): four deterministic URL
+    shapes per doc (userinfo+default port+fragment / explicit port /
+    bare host / non-URL passthrough) normalized per RFC 3986 §6.2.2,
+    plus host and naive registrable domain. Synthesis is closed-form, so
+    the oracle states the expected output directly."""
+    from dbpedia_spotlight_spark.functions.urls import (
+        registrable_domain,
+        url_host,
+        url_normalize,
+    )
+
+    d = F.col("doc_id")
+    url = (
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("HTTPS://User@WWW.Example"),
+                (d % 7).cast("string"),
+                F.lit(".COM:443/doc/"),
+                d.cast("string"),
+                F.lit("?q="),
+                (d % 3).cast("string"),
+                F.lit("#frag"),
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(
+                F.lit("http://Site"),
+                (d % 7).cast("string"),
+                F.lit(".ORG:8080/a/"),
+                d.cast("string"),
+            ),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(
+                F.lit("HTTP://Host"), (d % 7).cast("string"), F.lit(".Net:80")
+            ),
+        )
+        .otherwise(F.concat(F.lit("doc-"), d.cast("string")))
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        url_normalize(url).alias("url_norm"),
+        url_host(url).alias("host"),
+        registrable_domain(url).alias("domain"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG construction over interleaved docs at sf0.001 -> NIF
     (subj, pred, obj) mention triples."""
@@ -3017,6 +3102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "warc_roundtrip": q_warc_roundtrip,
+        "url_canonical": q_url_canonical,
         "annotate_windowed": q_annotate_windowed,
         "kg_construct": q_kg_construct,
         "kg_path_inverse": q_kg_path_inverse,
@@ -6065,6 +6152,40 @@ SELECT d.doc_id::VARCHAR AS doc_id,
        '</Annotation>' AS xml
 FROM documents d
 LEFT JOIN res r ON r.doc_id = d.doc_id::VARCHAR
+"""
+
+    sql["warc_roundtrip"] = """
+SELECT 'https://corpus.example/doc/' || doc_id AS target_uri,
+       'response' AS warc_type,
+       '2026-01-01T00:00:00Z' AS warc_date,
+       '200' AS http_status,
+       44 + length(text) AS content_length,
+       text AS payload
+FROM documents
+"""
+
+    sql["url_canonical"] = """
+SELECT doc_id,
+       CASE doc_id % 4
+         WHEN 0 THEN 'https://www.example' || (doc_id % 7) || '.com/doc/'
+                     || doc_id || '?q=' || (doc_id % 3)
+         WHEN 1 THEN 'http://site' || (doc_id % 7) || '.org:8080/a/' || doc_id
+         WHEN 2 THEN 'http://host' || (doc_id % 7) || '.net/'
+         ELSE 'doc-' || doc_id
+       END AS url_norm,
+       CASE doc_id % 4
+         WHEN 0 THEN 'www.example' || (doc_id % 7) || '.com'
+         WHEN 1 THEN 'site' || (doc_id % 7) || '.org'
+         WHEN 2 THEN 'host' || (doc_id % 7) || '.net'
+         ELSE ''
+       END AS host,
+       CASE doc_id % 4
+         WHEN 0 THEN 'example' || (doc_id % 7) || '.com'
+         WHEN 1 THEN 'site' || (doc_id % 7) || '.org'
+         WHEN 2 THEN 'host' || (doc_id % 7) || '.net'
+         ELSE ''
+       END AS domain
+FROM documents
 """
 
     return sql

@@ -2700,6 +2700,63 @@ def q_url_canonical(spark, sf_dir):
     )
 
 
+def q_nt_lines(spark, sf_dir):
+    """S12 N-Triples serializer (functions/rdf.py:to_ntriples) over the
+    NIF mention triples: IRI objects in angle brackets, literal objects
+    N-Triples-escaped — one text line per triple, no shuffle."""
+    from dbpedia_spotlight_spark.functions.rdf import to_ntriples
+
+    return to_ntriples(q_nif_triples(spark, sf_dir))
+
+
+def q_turtle_blocks(spark, sf_dir):
+    """S12 Turtle serializer (functions/rdf.py:to_turtle): one block per
+    subject with deterministically ordered ``;`` predicate-object
+    continuations — the grouped at-rest form a triple store ingests."""
+    from dbpedia_spotlight_spark.functions.rdf import to_turtle
+
+    return to_turtle(q_nif_triples(spark, sf_dir))
+
+
+def q_html_extract(spark, sf_dir):
+    """HTML text extraction (functions/html.py): wrap each document in a
+    deterministic page (head+title+script+style dropped, comments
+    stripped, one anchor, entities) and extract visible text, title,
+    links, and link density — the WARC-payload-to-text stage of a web
+    corpus pipeline. Synthesis is closed-form, so the oracle states
+    every output directly from documents."""
+    from dbpedia_spotlight_spark.functions.html import (
+        html_links,
+        html_title,
+        html_to_text,
+        link_density,
+    )
+
+    d = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "),
+        d,
+        F.lit(
+            "</title><script>var x='<p>no</p>';</script>"
+            "<style>p{color:red}</style></head><body><!-- nav --><p>"
+        ),
+        F.col("text"),
+        F.lit('</p> <a href="https://site.example/'),
+        d,
+        F.lit('">link '),
+        d,
+        F.lit("</a> &amp; more</body></html>"),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        html_title(page).alias("title"),
+        html_to_text(page).alias("text_out"),
+        F.size(html_links(page)).alias("n_links"),
+        html_links(page).getItem(0).alias("first_link"),
+        F.round(link_density(page), 6).alias("link_density"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: KG construction over interleaved docs at sf0.001 -> NIF
     (subj, pred, obj) mention triples."""
@@ -3104,6 +3161,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "warc_roundtrip": q_warc_roundtrip,
         "url_canonical": q_url_canonical,
+        "html_extract": q_html_extract,
+        "nt_lines": q_nt_lines,
+        "turtle_blocks": q_turtle_blocks,
         "annotate_windowed": q_annotate_windowed,
         "kg_construct": q_kg_construct,
         "kg_path_inverse": q_kg_path_inverse,
@@ -3252,7 +3312,7 @@ QUALIFY row_number() OVER (
   PARTITION BY s.doc_id, s.pos ORDER BY d.pair_count DESC, d.uri ASC) = 1
 """
 
-    sql["nif_triples"] = _BASE_CTES + f""",
+    nif_tri_ctes = _BASE_CTES + f""",
 ann AS (
   SELECT doc_id::VARCHAR AS doc_id,
          {_SQL_OFFSET} AS off,
@@ -3263,7 +3323,8 @@ spans_u AS (
   SELECT '{DOC_PREFIX}' || doc_id || '#char=' || off || ',' ||
          (off + length(surface_form)) AS subj, *
   FROM ann
-)
+),
+tri AS (
 SELECT subj, 'http://www.w3.org/2005/11/its/rdf#taIdentRef' AS pred,
        'http://dbpedia.org/resource/' || uri AS obj FROM spans_u
 UNION ALL
@@ -3273,6 +3334,39 @@ SELECT subj,
 UNION ALL
 SELECT subj, 'http://www.w3.org/2005/11/its/rdf#taConfidence',
        prior::VARCHAR FROM spans_u
+)
+"""
+    sql["nif_triples"] = nif_tri_ctes + "SELECT subj, pred, obj FROM tri"
+
+    # N-Triples escape chain (backslash first), identical to
+    # functions/rdf.py:nt_escape; standard SQL single-quoted strings, so
+    # backslashes below are literal characters, not escapes.
+    _nt_esc = (
+        "replace(replace(replace(replace(replace(obj,"
+        " '\\', '\\\\'), '\"', '\\\"'),"
+        " chr(10), '\\n'), chr(13), '\\r'), chr(9), '\\t')"
+    )
+    _obj_term_sql = (
+        "CASE WHEN regexp_matches(obj, '^https?://')"
+        " THEN '<' || obj || '>'"
+        f" ELSE '\"' || {_nt_esc} || '\"' END"
+    )
+
+    sql["nt_lines"] = nif_tri_ctes + f"""
+SELECT '<' || subj || '> <' || pred || '> ' || {_obj_term_sql} || ' .'
+       AS line
+FROM tri
+"""
+
+    sql["turtle_blocks"] = nif_tri_ctes + f""",
+po AS (
+  SELECT subj, '<' || pred || '> ' || {_obj_term_sql} AS po FROM tri
+)
+SELECT subj,
+       '<' || subj || '> ' ||
+       string_agg(po, ' ;' || chr(10) || '    ' ORDER BY po) || ' .'
+       AS block
+FROM po GROUP BY subj
 """
 
     sql["m1_uri_counts"] = _BASE_CTES + (
@@ -6152,6 +6246,21 @@ SELECT d.doc_id::VARCHAR AS doc_id,
        '</Annotation>' AS xml
 FROM documents d
 LEFT JOIN res r ON r.doc_id = d.doc_id::VARCHAR
+"""
+
+    # visible text = text || ' link N & more'; anchor text = 'link N'
+    # (5 + digits chars); ' & more' is 7 chars and the joining space 1.
+    sql["html_extract"] = """
+SELECT doc_id,
+       'Doc ' || doc_id AS title,
+       text || ' link ' || doc_id || ' & more' AS text_out,
+       1 AS n_links,
+       'https://site.example/' || doc_id AS first_link,
+       round(
+         (5.0 + length(CAST(doc_id AS VARCHAR)))
+         / (length(text) + 13 + length(CAST(doc_id AS VARCHAR))), 6
+       ) AS link_density
+FROM documents
 """
 
     sql["warc_roundtrip"] = """

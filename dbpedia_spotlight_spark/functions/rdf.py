@@ -1,0 +1,103 @@
+"""RDF text serializers: N-Triples and Turtle lines from a (subj, pred,
+obj) DataFrame — the remaining S12 output shapes next to the NIF/JSON/
+XML/HTML serializers (reference: output stack around
+core/src/main/scala/org/dbpedia/spotlight/io/OutputGenerator-family and
+rest/.../OutputManager.java; the reference emits NIF/XML/JSON — NT and
+Turtle are the canonical at-rest forms any downstream triple store
+ingests).
+
+All pure column expressions (literal `replace` chains + concat /
+collect_list — whole-stage codegen, no UDF). Literal escaping follows
+N-Triples canonical form (W3C RDF 1.1 N-Triples §2.4): backslash first,
+then quote, LF, CR, TAB. Objects are treated as IRIs when they match
+``^https?://`` — the convention of this engine's triple tables, where
+every non-literal object carries a full http(s) IRI — and as plain
+literals otherwise (no datatype/lang tags; documented simplification).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_IRI_RE = "^https?://"
+
+
+def _col(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def nt_escape(lit) -> Column:
+    """N-Triples string-literal escaping (backslash, quote, LF, CR, TAB;
+    backslash first so escapes are never double-escaped)."""
+    t = _col(lit)
+    for raw, esc in (
+        ("\\", "\\\\"),
+        ('"', '\\"'),
+        ("\n", "\\n"),
+        ("\r", "\\r"),
+        ("\t", "\\t"),
+    ):
+        t = F.replace(t, F.lit(raw), F.lit(esc))
+    return t
+
+
+def _obj_term(obj) -> Column:
+    o = _col(obj)
+    return F.when(
+        o.rlike(_IRI_RE), F.concat(F.lit("<"), o, F.lit(">"))
+    ).otherwise(F.concat(F.lit('"'), nt_escape(o), F.lit('"')))
+
+
+def to_ntriples(
+    triples: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """One N-Triples line per triple: ``<s> <p> <o|"lit"> .`` in a single
+    ``line`` column (write with df.write.text). Embarrassingly parallel —
+    no shuffle, one codegen projection."""
+    return triples.select(
+        F.concat(
+            F.lit("<"),
+            _col(subj),
+            F.lit("> <"),
+            _col(pred),
+            F.lit("> "),
+            _obj_term(obj),
+            F.lit(" ."),
+        ).alias("line")
+    )
+
+
+def to_turtle(
+    triples: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """One Turtle block per subject: predicate-object pairs joined with
+    ``;`` continuations, deterministically ordered (lexicographic on the
+    serialized pair) so output is stable across cluster sizes. One
+    hash-partition shuffle on subj — the same key the triple sink buckets
+    by (pipeline/triples.py:write_triples), so co-partitioned upstream
+    plans reuse the exchange. Returns (subj, block)."""
+    po = F.concat(
+        F.lit("<"), _col(pred), F.lit("> "), _obj_term(obj)
+    ).alias("po")
+    return (
+        triples.select(_col(subj).alias("subj"), po)
+        .groupBy("subj")
+        .agg(F.array_sort(F.collect_list("po")).alias("pos"))
+        .select(
+            "subj",
+            F.concat(
+                F.lit("<"),
+                F.col("subj"),
+                F.lit("> "),
+                F.array_join(F.col("pos"), " ;\n    "),
+                F.lit(" ."),
+            ).alias("block"),
+        )
+    )

@@ -2162,6 +2162,26 @@ def q_kg_components(spark, sf_dir):
     )
 
 
+def q_kg_kcore(spark, sf_dir):
+    """2-core of the entity co-occurrence KG
+    (operators/graph.py:k_core — Seidman 1983 synchronous peeling,
+    fixed 3 rounds so the whole run replays in SQL; the dense-core
+    pre-filter for KG-embedding training sets). At sf0.01 the graph
+    has 19 nodes and peeling removes the 4 degree-1 leaves (converged
+    by round 1, verified stable through round 6). Oracle = the 3 peel
+    rounds unrolled as degree-filter + edge-semijoin CTEs."""
+    from dbpedia_spotlight_spark.operators.graph import k_core
+
+    edges = cooccurrence_edges(_occs(spark, sf_dir), min_count=150)
+    return k_core(
+        edges.select(
+            F.col("src_uri").alias("src"), F.col("dst_uri").alias("dst")
+        ),
+        k=2,
+        rounds=3,
+    )
+
+
 def q_kg_bgp_optional(spark, sf_dir):
     """SPARQL OPTIONAL + FILTER (operators/kgquery.py:bgp_match — the
     SPARQL 1.1 §5.4 left-join algebra): customers with their nation
@@ -3283,6 +3303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emerging_entities": q_emerging_entities,
         "relation_extract": q_relation_extract,
         "kg_components": q_kg_components,
+        "kg_kcore": q_kg_kcore,
         "kg_type_entailment": q_kg_type_entailment,
         "entity_alignment": q_entity_alignment,
         "kg_shortest_paths": q_kg_shortest_paths,
@@ -3869,6 +3890,29 @@ walk(node, reach) AS (
   SELECT w.node, e2.d FROM walk w JOIN e e2 ON w.reach = e2.s
 )
 SELECT node, least(min(reach), node) AS component FROM walk GROUP BY node
+"""
+
+    # kg_kcore: 3 synchronous peel rounds unrolled — per round one
+    # degree HAVING filter + a two-sided semijoin of the edge set
+    # against the surviving nodes (the Spark loop verbatim)
+    _peel_round = """
+k{t} AS (SELECT u FROM s{p} GROUP BY u HAVING count(*) >= 2),
+s{t} AS (
+  SELECT s.u, s.v FROM s{p} s
+  JOIN k{t} a ON a.u = s.u JOIN k{t} b ON b.u = s.v
+)"""
+    sql["kg_kcore"] = _BASE_CTES + """,
+du AS (SELECT DISTINCT doc_id, uri FROM occs),
+ed AS (
+  SELECT a.uri AS s, b.uri AS d
+  FROM du a JOIN du b ON a.doc_id = b.doc_id AND a.uri < b.uri
+  GROUP BY 1, 2 HAVING count(*) >= 150
+),
+s0 AS (SELECT s AS u, d AS v FROM ed UNION SELECT d, s FROM ed),""" + ",".join(
+        _peel_round.format(t=t, p=t - 1) for t in (1, 2, 3)
+    ) + """
+SELECT u AS node, count(*)::BIGINT AS degree
+FROM s3 GROUP BY u HAVING count(*) >= 2
 """
 
     # kg_bgp_optional: SPARQL left-join algebra — required group LEFT

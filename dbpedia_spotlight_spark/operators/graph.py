@@ -535,3 +535,117 @@ def neighborhood_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous k-core peeling (Seidman 1983; the distributed
+    fixed-round formulation of Montresor et al. 2013) over an undirected
+    graph — the dense "core" of the entity co-occurrence KG, the standard
+    pre-filter for KG-embedding training sets and influence analysis.
+
+    edges: directed pairs, symmetrized + deduped internally.
+    -> (node, degree): nodes surviving `rounds` synchronous peel rounds at
+    threshold k, with their degree INSIDE the surviving subgraph.
+
+    Each round: one degree groupBy + one semi-join of the edge set against
+    the surviving nodes (both keyed on the node — co-partitioned, no
+    skew-side cartesian). A FIXED round count keeps the whole computation
+    replayable in SQL (the label_propagation/global_pagerank convention
+    here); peeling converges in <= max-degeneracy-depth rounds, and at KG
+    scale each round is two shuffles, so callers size `rounds` to the
+    graph (3 suffices for the co-occurrence graphs in tests; pass the
+    measured peel depth for deeper graphs). localCheckpoint truncates
+    lineage per round.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    sym = (
+        e.unionByName(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+    )
+    for _ in range(rounds):
+        keep = (
+            sym.groupBy("_s")
+            .agg(F.count("*").alias("_deg"))
+            .filter(F.col("_deg") >= k)
+            .select("_s")
+        )
+        sym = (
+            sym.join(keep, "_s", "left_semi")
+            .join(keep.withColumnRenamed("_s", "_d"), "_d", "left_semi")
+            .select("_s", "_d")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        sym.groupBy(F.col("_s").alias("node"))
+        .agg(F.count("*").alias("degree"))
+        .filter(F.col("degree") >= k)
+    )
+
+
+def core_numbers(
+    edges: DataFrame,
+    max_k: int = 4,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Coreness (core number) per node: the largest k <= max_k for which
+    the node survives k-core peeling. Peels ascending k, each level
+    starting from the previous level's surviving subgraph (k-core ⊆
+    (k-1)-core, so the edge set only shrinks — the ascending-k reuse that
+    makes this max_k * rounds shuffles total instead of re-peeling the
+    full graph per level). -> (node, coreness) for every node of the
+    symmetrized graph (isolated-by-peeling nodes get coreness 0 if they
+    had an edge but survive no 1-core round... in practice every node
+    with an edge survives k=1 unless peeling removed its last neighbor,
+    in which case it reports the last level it survived)."""
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    sym = (
+        e.unionByName(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+    )
+    result = sym.select(F.col("_s").alias("node")).distinct().withColumn(
+        "coreness", F.lit(0)
+    )
+    current = sym
+    for level in range(1, max_k + 1):
+        for _ in range(rounds):
+            keep = (
+                current.groupBy("_s")
+                .agg(F.count("*").alias("_deg"))
+                .filter(F.col("_deg") >= level)
+                .select("_s")
+            )
+            current = (
+                current.join(keep, "_s", "left_semi")
+                .join(keep.withColumnRenamed("_s", "_d"), "_d", "left_semi")
+                .select("_s", "_d")
+                .localCheckpoint(eager=False)
+            )
+        survivors = (
+            current.groupBy("_s")
+            .agg(F.count("*").alias("_deg"))
+            .filter(F.col("_deg") >= level)
+            .select(F.col("_s").alias("node"))
+        )
+        result = (
+            result.join(
+                survivors.withColumn("_lvl", F.lit(level)), "node", "left"
+            )
+            .select(
+                "node",
+                F.coalesce(F.col("_lvl"), F.col("coreness")).alias("coreness"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return result

@@ -308,3 +308,38 @@ def test_two_hop_pairs_square_graph(spark):
     )
     got = {(r["x"], r["z"]): r["n_paths"] for r in two_hop_pairs(path).collect()}
     assert got == {("a", "c"): 1}
+
+
+def test_k_core_peels_tail_and_reports_core_degrees(spark):
+    """K4 with a pendant chain 4-5-6: the 2-core is exactly the K4 (the
+    chain peels off over two rounds — 6 first, then 5), and surviving
+    degrees are the IN-CORE degrees (node 4 reports 3, not its raw 4).
+    k=4 leaves nothing (K4 max degree inside is 3)."""
+    from dbpedia_spotlight_spark.operators.graph import k_core
+
+    edges = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    edges += [(4, 5), (5, 6), (6, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    core2 = {r.node: r.degree for r in k_core(df, k=2, rounds=3).collect()}
+    assert core2 == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert k_core(df, k=4, rounds=3).count() == 0
+    # one round is NOT enough for the 3-link chain (5 still sees degree 2
+    # until 6 is gone) — documents why rounds is a real knob
+    core2_r1 = {r.node for r in k_core(df, k=2, rounds=1).collect()}
+    assert 5 in core2_r1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        k_core(df, k=0)
+
+
+def test_core_numbers_ascending_levels(spark):
+    """K4 + pendant chain: K4 nodes have coreness 3, chain nodes 1.
+    Reversed/duplicate edges collapse first."""
+    from dbpedia_spotlight_spark.operators.graph import core_numbers
+
+    edges = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    edges += [(4, 5), (5, 6), (5, 4), (6, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r.coreness for r in core_numbers(df, max_k=4, rounds=3).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3, 5: 1, 6: 1}

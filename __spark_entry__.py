@@ -2182,6 +2182,27 @@ def q_kg_kcore(spark, sf_dir):
     )
 
 
+def q_kg_hits(spark, sf_dir):
+    """HITS hubs & authorities (operators/graph.py:hits, Kleinberg 1999)
+    over the bipartite document→entity mention graph: documents score as
+    hubs, entities as authorities — the link-analysis complement of
+    kg_pagerank. 3 synchronous iterations, L2 normalization per
+    half-step; oracle = the iterations unrolled (pull-sum + scalar-norm
+    CTE pairs), both sides rounded to 6 dp."""
+    from dbpedia_spotlight_spark.operators.graph import hits
+
+    edges = _occs(spark, sf_dir).select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("src"),
+        F.col("uri").alias("dst"),
+    )
+    out = hits(edges, iterations=3)
+    return out.select(
+        "node",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
 def q_kg_bgp_optional(spark, sf_dir):
     """SPARQL OPTIONAL + FILTER (operators/kgquery.py:bgp_match — the
     SPARQL 1.1 §5.4 left-join algebra): customers with their nation
@@ -3304,6 +3325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relation_extract": q_relation_extract,
         "kg_components": q_kg_components,
         "kg_kcore": q_kg_kcore,
+        "kg_hits": q_kg_hits,
         "kg_type_entailment": q_kg_type_entailment,
         "entity_alignment": q_entity_alignment,
         "kg_shortest_paths": q_kg_shortest_paths,
@@ -3913,6 +3935,44 @@ s0 AS (SELECT s AS u, d AS v FROM ed UNION SELECT d, s FROM ed),""" + ",".join(
     ) + """
 SELECT u AS node, count(*)::BIGINT AS degree
 FROM s3 GROUP BY u HAVING count(*) >= 2
+"""
+
+    # kg_hits: 3 HITS iterations unrolled — per iteration an authority
+    # pull-sum + scalar L2 norm, then a hub pull-sum + scalar L2 norm
+    # (the Spark loop verbatim; 6-dp rounding absorbs sum-order ulps)
+    _hits_round = """
+aa{t} AS MATERIALIZED (
+  SELECT n.node, n.hub, coalesce(ar.a, 0) AS a
+  FROM sc{p} n LEFT JOIN (
+    SELECT e.d AS node, sum(s.hub) AS a
+    FROM sc{p} s JOIN e ON e.s = s.node GROUP BY 1
+  ) ar USING (node)
+),
+ab{t} AS MATERIALIZED (
+  SELECT node, hub,
+         a / (SELECT sqrt(sum(a * a)) FROM aa{t}) AS auth
+  FROM aa{t}
+),
+ha{t} AS MATERIALIZED (
+  SELECT b.node, coalesce(hr.h, 0) AS h, b.auth
+  FROM ab{t} b LEFT JOIN (
+    SELECT e.s AS node, sum(b2.auth) AS h
+    FROM ab{t} b2 JOIN e ON e.d = b2.node GROUP BY 1
+  ) hr USING (node)
+),
+sc{t} AS MATERIALIZED (
+  SELECT node, h / (SELECT sqrt(sum(h * h)) FROM ha{t}) AS hub, auth
+  FROM ha{t}
+)"""
+    sql["kg_hits"] = _BASE_CTES + """,
+e AS MATERIALIZED (
+  SELECT DISTINCT 'doc:' || doc_id::VARCHAR AS s, uri AS d FROM occs
+),
+nd AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+sc0 AS MATERIALIZED (SELECT node, 1.0 AS hub, 1.0 AS auth FROM nd),""" + ",".join(
+        _hits_round.format(t=t, p=t - 1) for t in (1, 2, 3)
+    ) + """
+SELECT node, round(hub, 6) AS hub, round(auth, 6) AS authority FROM sc3
 """
 
     # kg_bgp_optional: SPARQL left-join algebra — required group LEFT

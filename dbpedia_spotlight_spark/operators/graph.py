@@ -649,3 +649,82 @@ def core_numbers(
             .localCheckpoint(eager=False)
         )
     return result
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over a directed graph,
+    fixed synchronous iterations with L2 normalization per half-step —
+    on the bipartite document→entity mention graph this scores documents
+    as hubs (they cite many authoritative entities) and entities as
+    authorities (they are cited by good hub documents), the classic
+    link-analysis complement to global_pagerank's single score.
+
+    edges: directed (src, dst), deduped internally (HITS is defined on
+    the adjacency set, not multiplicities). -> (node, hub, authority)
+    for every node of the graph; sinks get hub 0, sources authority 0.
+
+    Per iteration: two equi-join + groupBy-sum rounds keyed on the node
+    (authority pull then hub pull), each followed by a broadcast scalar
+    L2 norm — the aggregate is a single row, so the normalization is a
+    broadcast crossJoin, not a shuffle. Fixed rounds + deterministic
+    float math = replayable in SQL (the global_pagerank convention;
+    consumers round at the output)."""
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    scores = nodes.withColumn("hub", F.lit(1.0)).withColumn(
+        "authority", F.lit(1.0)
+    )
+    for _ in range(iterations):
+        auth = (
+            scores.select(F.col("node").alias("_s"), "hub")
+            .join(e, "_s")
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.sum("hub").alias("_a"))
+        )
+        scores = (
+            scores.join(auth, "node", "left")
+            .withColumn("_a", F.coalesce(F.col("_a"), F.lit(0.0)))
+        )
+        a_norm = scores.agg(
+            F.sqrt(F.sum(F.col("_a") * F.col("_a"))).alias("_n")
+        )
+        scores = (
+            scores.crossJoin(F.broadcast(a_norm))
+            .select(
+                "node",
+                "hub",
+                (F.col("_a") / F.col("_n")).alias("authority"),
+            )
+        )
+        hub = (
+            scores.select(F.col("node").alias("_d"), "authority")
+            .join(e, "_d")
+            .groupBy(F.col("_s").alias("node"))
+            .agg(F.sum("authority").alias("_h"))
+        )
+        scores = (
+            scores.join(hub, "node", "left")
+            .withColumn("_h", F.coalesce(F.col("_h"), F.lit(0.0)))
+        )
+        h_norm = scores.agg(
+            F.sqrt(F.sum(F.col("_h") * F.col("_h"))).alias("_n")
+        )
+        scores = (
+            scores.crossJoin(F.broadcast(h_norm))
+            .select(
+                "node",
+                (F.col("_h") / F.col("_n")).alias("hub"),
+                "authority",
+            )
+            .localCheckpoint(eager=False)
+        )
+    return scores

@@ -343,3 +343,29 @@ def test_core_numbers_ascending_levels(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     out = {r.node: r.coreness for r in core_numbers(df, max_k=4, rounds=3).collect()}
     assert out == {1: 3, 2: 3, 3: 3, 4: 3, 5: 1, 6: 1}
+
+
+def test_hits_star_and_chain(spark):
+    """Star center→{a,b,c}: the center is the ONLY hub (hub exactly 1
+    after L2 norm), leaves are equal authorities 1/sqrt(3) with hub 0.
+    Duplicate edges collapse. On h1→{x,y}, h2→x: x outranks y as an
+    authority and h1 outranks h2 as a hub (the defining HITS ordering)."""
+    import math
+
+    from dbpedia_spotlight_spark.operators.graph import hits
+
+    star = spark.createDataFrame(
+        [("c", "a"), ("c", "b"), ("c", "d"), ("c", "a")],
+        "src string, dst string",
+    )
+    out = {r.node: (r.hub, r.authority) for r in hits(star, iterations=3).collect()}
+    assert abs(out["c"][0] - 1.0) < 1e-12 and out["c"][1] == 0.0
+    for leaf in ("a", "b", "d"):
+        assert abs(out[leaf][1] - 1 / math.sqrt(3)) < 1e-12
+        assert out[leaf][0] == 0.0
+    bip = spark.createDataFrame(
+        [("h1", "x"), ("h1", "y"), ("h2", "x")], "src string, dst string"
+    )
+    o2 = {r.node: (r.hub, r.authority) for r in hits(bip, iterations=3).collect()}
+    assert o2["x"][1] > o2["y"][1] > 0
+    assert o2["h1"][0] > o2["h2"][0] > 0

@@ -2182,6 +2182,26 @@ def q_kg_kcore(spark, sf_dir):
     )
 
 
+def q_kg_truss(spark, sf_dir):
+    """3-truss of the entity co-occurrence KG
+    (operators/graph.py:k_truss, Cohen 2008 — edges kept only while a
+    third entity corroborates them via a triangle; the edge-level
+    cohesion filter that complements kg_kcore's node peeling). Fixed 3
+    peel rounds (converged — verified stable through round 5 at both
+    SFs); oracle = per round a wedge-closure triangle CTE, a
+    per-edge credit count, and the support filter, all MATERIALIZED."""
+    from dbpedia_spotlight_spark.operators.graph import k_truss
+
+    edges = cooccurrence_edges(_occs(spark, sf_dir), min_count=150)
+    return k_truss(
+        edges.select(
+            F.col("src_uri").alias("src"), F.col("dst_uri").alias("dst")
+        ),
+        k=3,
+        rounds=3,
+    )
+
+
 def q_kg_hits(spark, sf_dir):
     """HITS hubs & authorities (operators/graph.py:hits, Kleinberg 1999)
     over the bipartite document→entity mention graph: documents score as
@@ -3200,6 +3220,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "kg_kcore": q_kg_kcore,
+        "kg_hits": q_kg_hits,
+        "kg_truss": q_kg_truss,
         "warc_roundtrip": q_warc_roundtrip,
         "url_canonical": q_url_canonical,
         "html_extract": q_html_extract,
@@ -3324,8 +3347,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emerging_entities": q_emerging_entities,
         "relation_extract": q_relation_extract,
         "kg_components": q_kg_components,
-        "kg_kcore": q_kg_kcore,
-        "kg_hits": q_kg_hits,
         "kg_type_entailment": q_kg_type_entailment,
         "entity_alignment": q_entity_alignment,
         "kg_shortest_paths": q_kg_shortest_paths,
@@ -3935,6 +3956,44 @@ s0 AS (SELECT s AS u, d AS v FROM ed UNION SELECT d, s FROM ed),""" + ",".join(
     ) + """
 SELECT u AS node, count(*)::BIGINT AS degree
 FROM s3 GROUP BY u HAVING count(*) >= 2
+"""
+
+    # kg_truss: 3 truss peel rounds unrolled — per round the wedge-
+    # closure triangle enumeration, the 3-way per-edge credit count,
+    # and the support>=k-2 filter (the Spark loop verbatim; edges are
+    # already canonical u<v). MATERIALIZED per level, same reason as
+    # kg_hits.
+    _truss_round = """
+tri{t} AS MATERIALIZED (
+  SELECT l.u AS x, l.v AS y, r.v AS z
+  FROM s{p} l
+  JOIN s{p} r ON l.u = r.u AND l.v < r.v
+  JOIN s{p} c ON c.u = l.v AND c.v = r.v
+),
+sup{t} AS MATERIALIZED (
+  SELECT u, v, support FROM (
+    SELECT e.u, e.v, coalesce(cr.c, 0) AS support
+    FROM s{p} e LEFT JOIN (
+      SELECT eu, ev, count(*) AS c FROM (
+        SELECT x AS eu, y AS ev FROM tri{t}
+        UNION ALL SELECT x, z FROM tri{t}
+        UNION ALL SELECT y, z FROM tri{t}
+      ) GROUP BY 1, 2
+    ) cr ON cr.eu = e.u AND cr.ev = e.v
+  ) WHERE support >= 1
+),
+s{t} AS MATERIALIZED (SELECT u, v FROM sup{t})"""
+    sql["kg_truss"] = _BASE_CTES + """,
+du AS (SELECT DISTINCT doc_id, uri FROM occs),
+ed AS (
+  SELECT a.uri AS s, b.uri AS d
+  FROM du a JOIN du b ON a.doc_id = b.doc_id AND a.uri < b.uri
+  GROUP BY 1, 2 HAVING count(*) >= 150
+),
+s0 AS MATERIALIZED (SELECT s AS u, d AS v FROM ed),""" + ",".join(
+        _truss_round.format(t=t, p=t - 1) for t in (1, 2, 3)
+    ) + """
+SELECT u AS src, v AS dst, support::BIGINT AS support FROM sup3
 """
 
     # kg_hits: 3 HITS iterations unrolled — per iteration an authority

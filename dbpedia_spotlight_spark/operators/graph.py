@@ -728,3 +728,76 @@ def hits(
             .localCheckpoint(eager=False)
         )
     return scores
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-truss peeling (Cohen 2008) — the edge-level cohesion analogue of
+    k_core: an edge survives while it participates in >= k-2 triangles
+    among surviving edges. Trusses are the standard "reliable relation"
+    filter for noisy KG edges (an edge supported by triangles is
+    corroborated by a third entity).
+
+    edges: undirected pairs, canonicalized (min,max) + deduped, self
+    loops dropped. -> (src, dst, support): edges surviving `rounds`
+    synchronous peel rounds, with the triangle support computed in the
+    LAST round (the value that justified keeping them).
+
+    Per round: triangles enumerate via the wedge self-join closed
+    against the edge set (the triangle_counts join shape — bounded by
+    sum-of-degrees-squared, never all-pairs), each triangle credits its
+    three edges, one groupBy-count, one semi-filter. Fixed rounds keeps
+    it SQL-replayable (the k_core convention)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    min_support = k - 2
+    out = None
+    for _ in range(rounds):
+        wedge = (
+            e.alias("l")
+            .join(e.alias("r"), F.col("l.u") == F.col("r.u"))
+            .where(F.col("l.v") < F.col("r.v"))
+            .select(
+                F.col("l.u").alias("x"),
+                F.col("l.v").alias("y"),
+                F.col("r.v").alias("z"),
+            )
+        )
+        tri = wedge.join(
+            e.select(F.col("u").alias("y"), F.col("v").alias("z")),
+            ["y", "z"],
+        )
+        support = (
+            tri.select(F.col("x").alias("u"), F.col("y").alias("v"))
+            .unionAll(tri.select(F.col("x").alias("u"), F.col("z").alias("v")))
+            .unionAll(tri.select(F.col("y").alias("u"), F.col("z").alias("v")))
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("support"))
+        )
+        out = (
+            e.join(support, ["u", "v"], "left")
+            .select(
+                "u",
+                "v",
+                F.coalesce(F.col("support"), F.lit(0)).alias("support"),
+            )
+            .filter(F.col("support") >= min_support)
+            .localCheckpoint(eager=False)
+        )
+        e = out.select("u", "v")
+    return out.select(
+        F.col("u").alias(src), F.col("v").alias(dst), "support"
+    )

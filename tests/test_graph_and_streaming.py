@@ -369,3 +369,26 @@ def test_hits_star_and_chain(spark):
     o2 = {r.node: (r.hub, r.authority) for r in hits(bip, iterations=3).collect()}
     assert o2["x"][1] > o2["y"][1] > 0
     assert o2["h1"][0] > o2["h2"][0] > 0
+
+
+def test_k_truss_peels_uncorroborated_edges(spark):
+    """K4 plus a pendant edge and a triangle hanging off node 4 by a
+    bridge: the 3-truss keeps the K4 (support 2 per edge) and drops the
+    bridge, pendant, AND the hanging triangle is kept (support 1 each)
+    only while its edges stay — it survives because its three edges
+    corroborate each other. k=4 keeps only the K4. Reversed duplicates
+    collapse; k<2 raises."""
+    from dbpedia_spotlight_spark.operators.graph import k_truss
+
+    k4 = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    tri = [(6, 7), (7, 8), (6, 8)]
+    edges = k4 + [(4, 5), (4, 6)] + tri + [(2, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got3 = {(r.src, r.dst): r.support for r in k_truss(df, k=3, rounds=3).collect()}
+    assert got3 == {**{e: 2 for e in k4}, **{e: 1 for e in tri}}
+    got4 = {(r.src, r.dst): r.support for r in k_truss(df, k=4, rounds=3).collect()}
+    assert got4 == {e: 2 for e in k4}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        k_truss(df, k=1)

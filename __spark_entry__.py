@@ -2779,6 +2779,18 @@ def q_turtle_blocks(spark, sf_dir):
     return to_turtle(q_nif_triples(spark, sf_dir))
 
 
+def q_jsonld_nodes(spark, sf_dir):
+    """S12 JSON-LD serializer (functions/rdf.py:to_jsonld): one
+    flattened JSON-LD node object per subject — IRI objects as
+    {"@id": iri} references, literals as JSON strings, values and
+    predicate entries deterministically sorted. Every node is valid
+    JSON (pytest json.loads-checks it); oracle = the same two-level
+    string_agg in DuckDB."""
+    from dbpedia_spotlight_spark.functions.rdf import to_jsonld
+
+    return to_jsonld(q_nif_triples(spark, sf_dir))
+
+
 def q_html_extract(spark, sf_dir):
     """HTML text extraction (functions/html.py): wrap each document in a
     deterministic page (head+title+script+style dropped, comments
@@ -3223,6 +3235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kcore": q_kg_kcore,
         "kg_hits": q_kg_hits,
         "kg_truss": q_kg_truss,
+        "jsonld_nodes": q_jsonld_nodes,
         "warc_roundtrip": q_warc_roundtrip,
         "url_canonical": q_url_canonical,
         "html_extract": q_html_extract,
@@ -3431,6 +3444,29 @@ SELECT subj,
        string_agg(po, ' ;' || chr(10) || '    ' ORDER BY po) || ' .'
        AS block
 FROM po GROUP BY subj
+"""
+
+    # jsonld_nodes: IRI objects become {"@id": iri} references, literal
+    # objects JSON strings (same escape chain as N-Triples — identical
+    # on this char set); values sort inside a predicate, predicate
+    # entries sort inside the node
+    _jsonld_val = (
+        "CASE WHEN regexp_matches(obj, '^https?://')"
+        " THEN '{\"@id\":\"' || obj || '\"}'"
+        f" ELSE '\"' || {_nt_esc} || '\"' END"
+    )
+    sql["jsonld_nodes"] = nif_tri_ctes + f""",
+v AS (SELECT subj, pred, {_jsonld_val} AS val FROM tri),
+pe AS (
+  SELECT subj,
+         '"' || pred || '":[' || string_agg(val, ',' ORDER BY val) || ']'
+         AS entry
+  FROM v GROUP BY subj, pred
+)
+SELECT subj,
+       '{{"@id":"' || subj || '",' ||
+       string_agg(entry, ',' ORDER BY entry) || '}}' AS node
+FROM pe GROUP BY subj
 """
 
     sql["m1_uri_counts"] = _BASE_CTES + (

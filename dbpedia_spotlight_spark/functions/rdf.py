@@ -101,3 +101,60 @@ def to_turtle(
             ).alias("block"),
         )
     )
+
+
+def to_jsonld(
+    triples: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """One flattened JSON-LD node object per subject (W3C JSON-LD 1.1
+    flattened document form, one node per line — the shape
+    ``jsonld.flatten`` emits and entity-KB loaders ingest):
+    ``{"@id": s, p1: [v, ...], p2: [...]}`` with IRI objects as
+    ``{"@id": iri}`` references and literals as JSON strings. Returns
+    (subj, node).
+
+    Deterministic: values sort within a predicate, predicate entries
+    sort within the node, so output is stable across cluster sizes.
+    Escaping: JSON string escaping coincides with the N-Triples chain on
+    the chars we escape (backslash, quote, LF, CR, TAB) — nt_escape is
+    reused; predicates/subjects are IRIs in this engine's triple tables
+    and pass through unescaped (documented convention, same as
+    _obj_term). Two groupBys, both keyed on the subject (the second is
+    map-side-combinable on the first's partitioning); pure column
+    expressions, whole-stage codegen, no UDF."""
+    o = _col(obj)
+    val = F.when(
+        o.rlike(_IRI_RE), F.concat(F.lit('{"@id":"'), o, F.lit('"}'))
+    ).otherwise(F.concat(F.lit('"'), nt_escape(o), F.lit('"')))
+    entries = (
+        triples.select(_col(subj).alias("subj"), _col(pred).alias("pred"), val.alias("_v"))
+        .groupBy("subj", "pred")
+        .agg(F.array_sort(F.collect_list("_v")).alias("_vs"))
+        .select(
+            "subj",
+            F.concat(
+                F.lit('"'),
+                F.col("pred"),
+                F.lit('":['),
+                F.array_join(F.col("_vs"), ","),
+                F.lit("]"),
+            ).alias("_e"),
+        )
+    )
+    return (
+        entries.groupBy("subj")
+        .agg(F.array_sort(F.collect_list("_e")).alias("_es"))
+        .select(
+            "subj",
+            F.concat(
+                F.lit('{"@id":"'),
+                F.col("subj"),
+                F.lit('",'),
+                F.array_join(F.col("_es"), ","),
+                F.lit("}"),
+            ).alias("node"),
+        )
+    )

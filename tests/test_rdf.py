@@ -44,3 +44,31 @@ def test_to_turtle_groups_and_orders(spark):
     assert b.endswith(' .')
     assert "<http://ex/p2>" in b
     assert b.count(";") == 1
+
+
+def test_jsonld_nodes_valid_json_and_shape(spark):
+    """Every node parses as JSON; IRI objects become @id references,
+    literals (incl. quote/newline) escape correctly; multi-valued
+    predicates sort; entry order is deterministic."""
+    import json
+
+    from dbpedia_spotlight_spark.functions.rdf import to_jsonld
+
+    tri = spark.createDataFrame(
+        [
+            ("http://s/1", "http://p/knows", "http://s/2"),
+            ("http://s/1", "http://p/knows", "http://s/0"),
+            ("http://s/1", "http://p/label", 'say "hi"\nnow'),
+            ("http://s/2", "http://p/label", "plain"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    out = {r.subj: r.node for r in to_jsonld(tri).collect()}
+    n1 = json.loads(out["http://s/1"])
+    assert n1["@id"] == "http://s/1"
+    assert n1["http://p/knows"] == [
+        {"@id": "http://s/0"},
+        {"@id": "http://s/2"},
+    ]
+    assert n1["http://p/label"] == ['say "hi"\nnow']
+    assert json.loads(out["http://s/2"])["http://p/label"] == ["plain"]

@@ -2182,6 +2182,51 @@ def q_kg_kcore(spark, sf_dir):
     )
 
 
+def q_kg_schema_entailment(spark, sf_dir):
+    """Property-side RDFS materialization
+    (operators/kgquery.py:rdfs_schema_entailment — rules rdfs5/7
+    subPropertyOf closure, rdfs2 domain, rdfs3 range; completes the
+    class-side rdfs9 of kg_type_entailment). Instance triples from
+    customer→nation→region; the round-2 fixpoint matters here: the
+    domain of the DERIVED locatedIn triples fires only after rdfs7.
+    Oracle = recursive subproperty closure + the two rule rounds
+    unrolled as UNION-distinct CTEs."""
+    from dbpedia_spotlight_spark.operators.kgquery import rdfs_schema_entailment
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    tri = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("subj"),
+        F.lit("inNation").alias("pred"),
+        F.concat(F.lit("n"), F.col("c_nationkey")).alias("obj"),
+    ).unionByName(
+        nat.select(
+            F.concat(F.lit("n"), F.col("n_nationkey")).alias("subj"),
+            F.lit("inRegion").alias("pred"),
+            F.concat(F.lit("r"), F.col("n_regionkey")).alias("obj"),
+        )
+    )
+    sub = spark.createDataFrame(
+        [
+            ("inNation", "locatedIn"),
+            ("inRegion", "locatedIn"),
+            ("locatedIn", "relatedTo"),
+        ],
+        "prop string, superprop string",
+    )
+    dom = spark.createDataFrame(
+        [("inNation", "Customer"), ("locatedIn", "Place")],
+        "prop string, cls string",
+    )
+    rng = spark.createDataFrame(
+        [("inNation", "Nation"), ("inRegion", "Region")],
+        "prop string, cls string",
+    )
+    return rdfs_schema_entailment(
+        tri, subproperties=sub, domains=dom, ranges=rng
+    )
+
+
 def q_kg_truss(spark, sf_dir):
     """3-truss of the entity co-occurrence KG
     (operators/graph.py:k_truss, Cohen 2008 — edges kept only while a
@@ -3236,6 +3281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hits": q_kg_hits,
         "kg_truss": q_kg_truss,
         "jsonld_nodes": q_jsonld_nodes,
+        "kg_schema_entailment": q_kg_schema_entailment,
         "warc_roundtrip": q_warc_roundtrip,
         "url_canonical": q_url_canonical,
         "html_extract": q_html_extract,
@@ -3992,6 +4038,52 @@ s0 AS (SELECT s AS u, d AS v FROM ed UNION SELECT d, s FROM ed),""" + ",".join(
     ) + """
 SELECT u AS node, count(*)::BIGINT AS degree
 FROM s3 GROUP BY u HAVING count(*) >= 2
+"""
+
+    # kg_schema_entailment: recursive subproperty closure, then two
+    # rounds of {rdfs7, rdfs2, rdfs3} as UNION-distinct CTEs (the Spark
+    # loop verbatim — round 2 catches the domain of derived triples)
+    # NOTE: inside a WITH RECURSIVE block DuckDB 1.0 does NOT dedupe
+    # chained UNIONs in non-recursive CTEs (verified: VALUES(1),(1)
+    # UNION-chained keeps all copies) — hence UNION ALL + explicit
+    # SELECT DISTINCT per round
+    _rdfs_round = """
+t{t} AS (
+  SELECT DISTINCT subj, pred, obj FROM (
+    SELECT subj, pred, obj FROM t{p}
+    UNION ALL
+    SELECT t.subj, s.q, t.obj FROM t{p} t JOIN sp s ON s.p = t.pred
+    UNION ALL
+    SELECT t.subj, 'rdf:type', d.c FROM t{p} t JOIN dom d ON d.p = t.pred
+    UNION ALL
+    SELECT t.obj, 'rdf:type', r.c FROM t{p} t JOIN rng r ON r.p = t.pred
+  )
+)"""
+    sql["kg_schema_entailment"] = """
+WITH RECURSIVE
+t0 AS (
+  SELECT DISTINCT * FROM (
+    SELECT 'c' || c_custkey::VARCHAR AS subj, 'inNation' AS pred,
+           'n' || c_nationkey::VARCHAR AS obj FROM customer
+    UNION ALL
+    SELECT 'n' || n_nationkey::VARCHAR, 'inRegion',
+           'r' || n_regionkey::VARCHAR FROM nation
+  )
+),
+spd(p, q) AS (
+  VALUES ('inNation', 'locatedIn'), ('inRegion', 'locatedIn'),
+         ('locatedIn', 'relatedTo')
+),
+sp(p, q) AS (
+  SELECT p, q FROM spd
+  UNION
+  SELECT s.p, d.q FROM sp s JOIN spd d ON d.p = s.q
+),
+dom(p, c) AS (VALUES ('inNation', 'Customer'), ('locatedIn', 'Place')),
+rng(p, c) AS (VALUES ('inNation', 'Nation'), ('inRegion', 'Region')),""" + ",".join(
+        _rdfs_round.format(t=t, p=t - 1) for t in (1, 2)
+    ) + """
+SELECT subj, pred, obj FROM t2
 """
 
     # kg_truss: 3 truss peel rounds unrolled — per round the wedge-

@@ -1297,3 +1297,83 @@ def sparql_describe(triples: DataFrame, query: str) -> DataFrame:
     return triples.join(
         res, on=triples["subj"] == res["r"], how="left_semi"
     ).distinct()
+
+
+def rdfs_schema_entailment(
+    triples: DataFrame,
+    subproperties: DataFrame | None = None,
+    domains: DataFrame | None = None,
+    ranges: DataFrame | None = None,
+    type_pred: str = "rdf:type",
+    rounds: int = 2,
+) -> DataFrame:
+    """Materialize the property-side RDFS rules that complete
+    rdfs_entailment's class-side rdfs9 (W3C RDF 1.1 Semantics §9.2.1):
+
+    - rdfs5+7: ``(s p o) ∧ p rdfs:subPropertyOf* q ⇒ (s q o)`` —
+      the subproperty DAG is transitively closed first (repeated
+      squaring, operators/closure.py), so one join applies the whole
+      hierarchy.
+    - rdfs2: ``(s p o) ∧ p rdfs:domain C ⇒ (s rdf:type C)``.
+    - rdfs3: ``(s p o) ∧ p rdfs:range C ⇒ (o rdf:type C)``.
+
+    ``subproperties``: (prop, superprop) direct edges; ``domains`` /
+    ``ranges``: (prop, cls). Returns the DISTINCT closure of the input
+    triples under the given rules.
+
+    The rules feed each other (a domain-derived rdf:type triple is
+    itself subject to rdfs7 if rdf:type has superproperties), so the
+    pass runs `rounds` times; 2 reaches the fixpoint for every schema
+    whose type predicate carries at most one level of its own schema
+    (real ontologies converge in round 1 — round 2 is the guard).
+    Schema tables are ontology-sized (the smallest tables of any KB),
+    so every rule join broadcasts them; the instance table is scanned
+    once per rule per round and deduped with one distinct."""
+    from dbpedia_spotlight_spark.operators.closure import transitive_closure
+
+    t = triples.select("subj", "pred", "obj")
+    prop_closure = None
+    if subproperties is not None:
+        cols = subproperties.columns
+        prop_closure = transitive_closure(
+            subproperties.select(
+                F.col(cols[0]).alias("class_id"), F.col(cols[1]).alias("ancestor_id")
+            ),
+            src="class_id",
+            dst="ancestor_id",
+        )
+    for _ in range(rounds):
+        new = [t]
+        if prop_closure is not None:
+            new.append(
+                t.join(
+                    F.broadcast(prop_closure), t["pred"] == prop_closure["class_id"]
+                ).select("subj", F.col("ancestor_id").alias("pred"), "obj")
+            )
+        if domains is not None:
+            d = domains.select(
+                F.col(domains.columns[0]).alias("_p"),
+                F.col(domains.columns[1]).alias("_c"),
+            )
+            new.append(
+                t.join(F.broadcast(d), t["pred"] == F.col("_p")).select(
+                    "subj", F.lit(type_pred).alias("pred"), F.col("_c").alias("obj")
+                )
+            )
+        if ranges is not None:
+            r = ranges.select(
+                F.col(ranges.columns[0]).alias("_p"),
+                F.col(ranges.columns[1]).alias("_c"),
+            )
+            new.append(
+                t.join(F.broadcast(r), t["pred"] == F.col("_p")).select(
+                    F.col("obj").alias("subj"),
+                    F.lit(type_pred).alias("pred"),
+                    F.col("_c").alias("obj"),
+                )
+            )
+        out = new[0]
+        for frag in new[1:]:
+            out = out.unionByName(frag)
+        t = out.distinct().localCheckpoint(eager=False)
+    return t

@@ -1185,3 +1185,45 @@ def test_sample_aggregate_deterministic(triples):
         "WHERE { ?p <worksFor> ?c . } GROUP BY ?c",
     )
     assert [(r.c, r.one) for r in out.collect()] == [("acme", "alice")]
+
+
+def test_rdfs_schema_entailment_rules_and_fixpoint(spark):
+    """rdfs7 over a transitively-closed subproperty chain, rdfs2 domain,
+    rdfs3 range — and the round-2 interaction: the domain of a DERIVED
+    superproperty triple fires only after rdfs7 produced it."""
+    from dbpedia_spotlight_spark.operators.kgquery import rdfs_schema_entailment
+
+    tri = spark.createDataFrame(
+        [("a", "worksFor", "b"), ("b", "basedIn", "c")],
+        "subj string, pred string, obj string",
+    )
+    sub = spark.createDataFrame(
+        [("worksFor", "affiliatedWith"), ("affiliatedWith", "relatedTo")],
+        "prop string, superprop string",
+    )
+    dom = spark.createDataFrame(
+        [("worksFor", "Person"), ("affiliatedWith", "Agent")],
+        "prop string, cls string",
+    )
+    rng = spark.createDataFrame(
+        [("worksFor", "Org")], "prop string, cls string"
+    )
+    got = {
+        tuple(r)
+        for r in rdfs_schema_entailment(
+            tri, subproperties=sub, domains=dom, ranges=rng
+        ).collect()
+    }
+    assert got == {
+        ("a", "worksFor", "b"),
+        ("b", "basedIn", "c"),
+        ("a", "affiliatedWith", "b"),
+        ("a", "relatedTo", "b"),
+        ("a", "rdf:type", "Person"),
+        ("a", "rdf:type", "Agent"),
+        ("b", "rdf:type", "Org"),
+    }
+    # rules are individually optional
+    only_rng = rdfs_schema_entailment(tri, ranges=rng).collect()
+    assert ("b", "rdf:type", "Org") in {tuple(r) for r in only_rng}
+    assert len(only_rng) == 3

@@ -2182,6 +2182,57 @@ def q_kg_kcore(spark, sf_dir):
     )
 
 
+def q_kg_shacl(spark, sf_dir):
+    """SHACL-lite validation report (operators/shacl.py:shacl_validate —
+    sh:minCount / sh:maxCount / sh:class over a triple table, the RDF
+    twin of the datapipe table expectations). Fixture: every 10th
+    customer misses its required inNation (minCount), every 97th gets a
+    second one (maxCount), and nations >= 20 are left untyped so their
+    customers' values fail sh:class. Oracle = the three constraint
+    scans as plain SQL."""
+    from dbpedia_spotlight_spark.operators.shacl import shacl_validate
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ck = F.col("c_custkey")
+    tri = (
+        cust.select(
+            F.concat(F.lit("c"), ck).alias("subj"),
+            F.lit("rdf:type").alias("pred"),
+            F.lit("Customer").alias("obj"),
+        )
+        .unionByName(
+            cust.filter(ck % 10 != 0).select(
+                F.concat(F.lit("c"), ck).alias("subj"),
+                F.lit("inNation").alias("pred"),
+                F.concat(F.lit("n"), F.col("c_nationkey")).alias("obj"),
+            )
+        )
+        .unionByName(
+            cust.filter((ck % 97 == 0) & (ck % 10 != 0)).select(
+                F.concat(F.lit("c"), ck).alias("subj"),
+                F.lit("inNation").alias("pred"),
+                F.concat(
+                    F.lit("n"), (F.col("c_nationkey") + 1) % 25
+                ).alias("obj"),
+            )
+        )
+        .unionByName(
+            nat.filter(F.col("n_nationkey") < 20).select(
+                F.concat(F.lit("n"), F.col("n_nationkey")).alias("subj"),
+                F.lit("rdf:type").alias("pred"),
+                F.lit("Nation").alias("obj"),
+            )
+        )
+    )
+    shapes = spark.createDataFrame(
+        [("Customer", "inNation", 1, 1, "Nation")],
+        "target_class string, pred string, min_count long, "
+        "max_count long, value_class string",
+    )
+    return shacl_validate(tri, shapes)
+
+
 def q_kg_schema_entailment(spark, sf_dir):
     """Property-side RDFS materialization
     (operators/kgquery.py:rdfs_schema_entailment — rules rdfs5/7
@@ -3282,6 +3333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_truss": q_kg_truss,
         "jsonld_nodes": q_jsonld_nodes,
         "kg_schema_entailment": q_kg_schema_entailment,
+        "kg_shacl": q_kg_shacl,
         "warc_roundtrip": q_warc_roundtrip,
         "url_canonical": q_url_canonical,
         "html_extract": q_html_extract,
@@ -4038,6 +4090,50 @@ s0 AS (SELECT s AS u, d AS v FROM ed UNION SELECT d, s FROM ed),""" + ",".join(
     ) + """
 SELECT u AS node, count(*)::BIGINT AS degree
 FROM s3 GROUP BY u HAVING count(*) >= 2
+"""
+
+    # kg_shacl: the three SHACL-core constraint scans as plain SQL —
+    # cardinality from one (subj,pred) count left-joined to the focus
+    # set, sh:class as a NOT EXISTS against the type assertions
+    sql["kg_shacl"] = """
+WITH tri AS (
+  SELECT 'c' || c_custkey::VARCHAR AS subj, 'rdf:type' AS pred,
+         'Customer' AS obj FROM customer
+  UNION ALL
+  SELECT 'c' || c_custkey::VARCHAR, 'inNation',
+         'n' || c_nationkey::VARCHAR
+  FROM customer WHERE c_custkey % 10 != 0
+  UNION ALL
+  SELECT 'c' || c_custkey::VARCHAR, 'inNation',
+         'n' || ((c_nationkey + 1) % 25)::VARCHAR
+  FROM customer WHERE c_custkey % 97 = 0 AND c_custkey % 10 != 0
+  UNION ALL
+  SELECT 'n' || n_nationkey::VARCHAR, 'rdf:type', 'Nation'
+  FROM nation WHERE n_nationkey < 20
+),
+types AS (SELECT subj AS node, obj AS cls FROM tri WHERE pred = 'rdf:type'),
+focus AS (SELECT node FROM types WHERE cls = 'Customer'),
+cnt AS (
+  SELECT subj AS node, count(*) AS n FROM tri
+  WHERE pred = 'inNation' GROUP BY 1
+),
+card AS (
+  SELECT f.node, coalesce(c.n, 0) AS n FROM focus f LEFT JOIN cnt c USING (node)
+)
+SELECT DISTINCT * FROM (
+  SELECT node AS focus, 'Customer' AS target_class, 'inNation' AS pred,
+         'minCount' AS "constraint", '1' AS expected, n::VARCHAR AS actual
+  FROM card WHERE n < 1
+  UNION ALL
+  SELECT node, 'Customer', 'inNation', 'maxCount', '1', n::VARCHAR
+  FROM card WHERE n > 1
+  UNION ALL
+  SELECT t.subj, 'Customer', 'inNation', 'class', 'Nation', t.obj
+  FROM tri t JOIN focus f ON f.node = t.subj
+  WHERE t.pred = 'inNation' AND NOT EXISTS (
+    SELECT 1 FROM types ty WHERE ty.node = t.obj AND ty.cls = 'Nation'
+  )
+)
 """
 
     # kg_schema_entailment: recursive subproperty closure, then two

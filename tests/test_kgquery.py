@@ -1227,3 +1227,41 @@ def test_rdfs_schema_entailment_rules_and_fixpoint(spark):
     only_rng = rdfs_schema_entailment(tri, ranges=rng).collect()
     assert ("b", "rdf:type", "Org") in {tuple(r) for r in only_rng}
     assert len(only_rng) == 3
+
+
+def test_shacl_validate_cardinality_and_class(spark):
+    """minCount catches focus nodes with too few values (including
+    zero via the left-join coalesce), maxCount too many, class every
+    untyped value; conformant focus nodes emit nothing."""
+    from dbpedia_spotlight_spark.operators.shacl import shacl_validate
+
+    tri = spark.createDataFrame(
+        [
+            ("alice", "rdf:type", "Person"),
+            ("bob", "rdf:type", "Person"),
+            ("carol", "rdf:type", "Person"),
+            ("alice", "knows", "bob"),
+            ("alice", "knows", "carol"),
+            ("alice", "knows", "dan"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    shapes = spark.createDataFrame(
+        [("Person", "knows", 1, 2, "Person")],
+        "target_class string, pred string, min_count long, "
+        "max_count long, value_class string",
+    )
+    got = {tuple(r) for r in shacl_validate(tri, shapes).collect()}
+    assert got == {
+        ("bob", "Person", "knows", "minCount", "1", "0"),
+        ("carol", "Person", "knows", "minCount", "1", "0"),
+        ("alice", "Person", "knows", "maxCount", "2", "3"),
+        ("alice", "Person", "knows", "class", "Person", "dan"),
+    }
+    # null constraints disable checks
+    lax = spark.createDataFrame(
+        [("Person", "knows", None, None, None)],
+        "target_class string, pred string, min_count long, "
+        "max_count long, value_class string",
+    )
+    assert shacl_validate(tri, lax).count() == 0

@@ -2233,6 +2233,130 @@ def q_kg_shacl(spark, sf_dir):
     return shacl_validate(tri, shapes)
 
 
+def q_kg_sameas(spark, sf_dir):
+    """owl:sameAs canonicalization (operators/kbmaintain.py:
+    sameas_canonicalize — pointer-doubling min-label components over the
+    sameAs graph, then a two-sided subj/obj rewrite join + distinct).
+    Fixture: every 7th supplier carries a duplicate id dup_s{k} asserted
+    sameAs s{k}; every 14th chains a third alias dup2_s{k} sameAs
+    dup_s{k}. Data triples live on all aliases, so the rewrite both
+    renames (hasName moves to the canonical id) and collapses (the
+    duplicate inNation assertions merge). Oracle = recursive undirected
+    reachability + min-label per node in DuckDB."""
+    from dbpedia_spotlight_spark.operators.kbmaintain import sameas_canonicalize
+
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    k = F.col("s_suppkey")
+    sid = F.concat(F.lit("s"), k)
+    dup = F.concat(F.lit("dup_s"), k)
+    dup2 = F.concat(F.lit("dup2_s"), k)
+    nat = F.concat(F.lit("n"), F.col("s_nationkey"))
+    tri = (
+        sup.select(
+            sid.alias("subj"), F.lit("inNation").alias("pred"), nat.alias("obj")
+        )
+        .unionByName(
+            sup.filter(k % 7 == 0).select(
+                dup.alias("subj"),
+                F.lit("owl:sameAs").alias("pred"),
+                sid.alias("obj"),
+            )
+        )
+        .unionByName(
+            sup.filter(k % 14 == 0).select(
+                dup2.alias("subj"),
+                F.lit("owl:sameAs").alias("pred"),
+                dup.alias("obj"),
+            )
+        )
+        .unionByName(
+            sup.filter(k % 7 == 0).select(
+                dup.alias("subj"),
+                F.lit("inNation").alias("pred"),
+                nat.alias("obj"),
+            )
+        )
+        .unionByName(
+            sup.filter(k % 14 == 0).select(
+                dup2.alias("subj"),
+                F.lit("hasName").alias("pred"),
+                F.col("s_name").alias("obj"),
+            )
+        )
+    )
+    return sameas_canonicalize(tri)
+
+
+def q_kg_diff(spark, sf_dir):
+    """KB snapshot diff (operators/kbmaintain.py:kb_diff — two anti-joins
+    on the full triple key; output sized to the change, not the KB).
+    Fixture: old snapshot has byCustomer triples for orderkey % 3 != 0,
+    new for % 5 != 0, and every 11th order's hasPriority value is
+    upgraded in the new snapshot (a changed value = one removed + one
+    added row). Oracle = two EXCEPTs."""
+    from dbpedia_spotlight_spark.operators.kbmaintain import kb_diff
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ok = F.col("o_orderkey")
+    oid = F.concat(F.lit("o"), ok)
+    by_cust = [
+        oid.alias("subj"),
+        F.lit("byCustomer").alias("pred"),
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("obj"),
+    ]
+    old = orders.filter(ok % 3 != 0).select(*by_cust).unionByName(
+        orders.select(
+            oid.alias("subj"),
+            F.lit("hasPriority").alias("pred"),
+            F.col("o_orderpriority").alias("obj"),
+        )
+    )
+    new = orders.filter(ok % 5 != 0).select(*by_cust).unionByName(
+        orders.select(
+            oid.alias("subj"),
+            F.lit("hasPriority").alias("pred"),
+            F.when(ok % 11 == 0, F.lit("0-UPGRADED"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("obj"),
+        )
+    )
+    return kb_diff(old, new)
+
+
+def q_kg_closure_delta(spark, sf_dir):
+    """Incremental transitive-closure maintenance
+    (operators/kbmaintain.py:transitive_closure_delta — semi-naive: seed
+    C?∘E_new∘C?, then square the accumulated delta; never re-joins the
+    old closure to itself). Fixture: successor edges over customer keys
+    form chains of 4 (old, k % 4 != 0); the new batch stitches four
+    blocks into chains of 16 (k % 4 == 0 and k % 16 != 0) — each
+    stitched chain threads THREE new edges, so the multi-block
+    composition path is exercised, not just the seed. Oracle = one
+    recursive closure over the union edge set (the from-scratch answer
+    the incremental path must reproduce)."""
+    from dbpedia_spotlight_spark.operators.closure import transitive_closure
+    from dbpedia_spotlight_spark.operators.kbmaintain import (
+        transitive_closure_delta,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    a = cust.select(F.col("c_custkey").alias("k"))
+    succ = (
+        a.alias("x")
+        .join(a.alias("y"), F.col("y.k") == F.col("x.k") + 1)
+        .select(
+            F.col("x.k").alias("kk"),
+            F.concat(F.lit("c"), F.col("x.k")).alias("src"),
+            F.concat(F.lit("c"), F.col("y.k")).alias("dst"),
+        )
+    )
+    old_edges = succ.filter(F.col("kk") % 4 != 0).select("src", "dst")
+    new_edges = succ.filter(
+        (F.col("kk") % 4 == 0) & (F.col("kk") % 16 != 0)
+    ).select("src", "dst")
+    return transitive_closure_delta(transitive_closure(old_edges), new_edges)
+
+
 def q_kg_schema_entailment(spark, sf_dir):
     """Property-side RDFS materialization
     (operators/kgquery.py:rdfs_schema_entailment — rules rdfs5/7
@@ -3328,6 +3452,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "kg_sameas": q_kg_sameas,
+        "kg_diff": q_kg_diff,
+        "kg_closure_delta": q_kg_closure_delta,
         "kg_kcore": q_kg_kcore,
         "kg_hits": q_kg_hits,
         "kg_truss": q_kg_truss,
@@ -4090,6 +4217,90 @@ s0 AS (SELECT s AS u, d AS v FROM ed UNION SELECT d, s FROM ed),""" + ",".join(
     ) + """
 SELECT u AS node, count(*)::BIGINT AS degree
 FROM s3 GROUP BY u HAVING count(*) >= 2
+"""
+
+    # kg_sameas: undirected recursive reachability per node, min label =
+    # canonical, then the two-sided rewrite with sameAs triples dropped
+    sql["kg_sameas"] = """
+WITH RECURSIVE tri AS (
+  SELECT 's' || s_suppkey::VARCHAR AS subj, 'inNation' AS pred,
+         'n' || s_nationkey::VARCHAR AS obj FROM supplier
+  UNION ALL
+  SELECT 'dup_s' || s_suppkey::VARCHAR, 'owl:sameAs',
+         's' || s_suppkey::VARCHAR FROM supplier WHERE s_suppkey % 7 = 0
+  UNION ALL
+  SELECT 'dup2_s' || s_suppkey::VARCHAR, 'owl:sameAs',
+         'dup_s' || s_suppkey::VARCHAR FROM supplier WHERE s_suppkey % 14 = 0
+  UNION ALL
+  SELECT 'dup_s' || s_suppkey::VARCHAR, 'inNation',
+         'n' || s_nationkey::VARCHAR FROM supplier WHERE s_suppkey % 7 = 0
+  UNION ALL
+  SELECT 'dup2_s' || s_suppkey::VARCHAR, 'hasName', s_name
+  FROM supplier WHERE s_suppkey % 14 = 0
+),
+sa AS (SELECT subj AS a, obj AS b FROM tri WHERE pred = 'owl:sameAs' AND subj != obj),
+ed AS (SELECT a AS src, b AS dst FROM sa UNION SELECT b, a FROM sa),
+reach(node, t) AS (
+  SELECT src, src FROM ed
+  UNION
+  SELECT r.node, e.dst FROM reach r JOIN ed e ON e.src = r.t
+),
+canon AS (SELECT node, min(t) AS canonical FROM reach GROUP BY node)
+SELECT DISTINCT
+  coalesce(cs.canonical, t.subj) AS subj, t.pred,
+  coalesce(co.canonical, t.obj) AS obj
+FROM tri t
+LEFT JOIN canon cs ON cs.node = t.subj
+LEFT JOIN canon co ON co.node = t.obj
+WHERE t.pred != 'owl:sameAs'
+"""
+
+    # kg_diff: the two snapshots as CTEs, then added = new EXCEPT old,
+    # removed = old EXCEPT new
+    sql["kg_diff"] = """
+WITH old AS (
+  SELECT 'o' || o_orderkey::VARCHAR AS subj, 'byCustomer' AS pred,
+         'c' || o_custkey::VARCHAR AS obj
+  FROM orders WHERE o_orderkey % 3 != 0
+  UNION ALL
+  SELECT 'o' || o_orderkey::VARCHAR, 'hasPriority', o_orderpriority
+  FROM orders
+),
+new AS (
+  SELECT 'o' || o_orderkey::VARCHAR AS subj, 'byCustomer' AS pred,
+         'c' || o_custkey::VARCHAR AS obj
+  FROM orders WHERE o_orderkey % 5 != 0
+  UNION ALL
+  SELECT 'o' || o_orderkey::VARCHAR, 'hasPriority',
+         CASE WHEN o_orderkey % 11 = 0 THEN '0-UPGRADED'
+              ELSE o_orderpriority END
+  FROM orders
+)
+SELECT subj, pred, obj, 'added' AS change FROM (
+  SELECT subj, pred, obj FROM new EXCEPT SELECT subj, pred, obj FROM old
+)
+UNION ALL
+SELECT subj, pred, obj, 'removed' FROM (
+  SELECT subj, pred, obj FROM old EXCEPT SELECT subj, pred, obj FROM new
+)
+"""
+
+    # kg_closure_delta: the incremental result must equal the
+    # from-scratch recursive closure over the UNION edge set
+    sql["kg_closure_delta"] = """
+WITH RECURSIVE ed AS (
+  SELECT 'c' || x.c_custkey::VARCHAR AS src,
+         'c' || y.c_custkey::VARCHAR AS dst
+  FROM customer x JOIN customer y ON y.c_custkey = x.c_custkey + 1
+  WHERE x.c_custkey % 4 != 0
+     OR (x.c_custkey % 4 = 0 AND x.c_custkey % 16 != 0)
+),
+tc(src, dst) AS (
+  SELECT src, dst FROM ed
+  UNION
+  SELECT t.src, e.dst FROM tc t JOIN ed e ON e.src = t.dst
+)
+SELECT src, dst FROM tc
 """
 
     # kg_shacl: the three SHACL-core constraint scans as plain SQL —

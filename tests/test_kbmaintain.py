@@ -1,0 +1,113 @@
+"""KB maintenance: owl:sameAs canonicalization, snapshot diff, and
+incremental transitive-closure maintenance (operators/kbmaintain.py)."""
+
+from pyspark.sql import functions as F
+
+from dbpedia_spotlight_spark.operators.closure import transitive_closure
+from dbpedia_spotlight_spark.operators.kbmaintain import (
+    kb_diff,
+    sameas_canonicalize,
+    sameas_components,
+    transitive_closure_delta,
+)
+
+
+def _tri(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_sameas_components_chain_and_symmetry(spark):
+    # a=b, b=c (chain) plus d=e asserted in both directions; f untouched
+    tri = _tri(
+        spark,
+        [
+            ("b", "owl:sameAs", "a"),
+            ("b", "owl:sameAs", "c"),
+            ("d", "owl:sameAs", "e"),
+            ("e", "owl:sameAs", "d"),
+            ("f", "knows", "a"),
+        ],
+    )
+    got = {(r.node, r.canonical) for r in sameas_components(tri).collect()}
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "d"), ("e", "d")}
+
+
+def test_sameas_canonicalize_rewrites_and_collapses(spark):
+    tri = _tri(
+        spark,
+        [
+            ("b", "owl:sameAs", "a"),
+            # both assertions collapse to one canonical triple
+            ("a", "type", "Person"),
+            ("b", "type", "Person"),
+            # object-side rewrite
+            ("x", "knows", "b"),
+            # untouched triple passes through
+            ("x", "knows", "z"),
+        ],
+    )
+    got = {tuple(r) for r in sameas_canonicalize(tri).collect()}
+    assert got == {
+        ("a", "type", "Person"),
+        ("x", "knows", "a"),
+        ("x", "knows", "z"),
+    }
+    # drop_sameas=False keeps the (canonicalized) sameAs assertions
+    kept = {
+        tuple(r)
+        for r in sameas_canonicalize(tri, drop_sameas=False).collect()
+    }
+    assert ("a", "owl:sameAs", "a") in kept
+
+
+def test_kb_diff_added_removed_only(spark):
+    old = _tri(spark, [("a", "p", "b"), ("a", "p", "c")])
+    new = _tri(spark, [("a", "p", "b"), ("a", "p", "d")])
+    got = {tuple(r) for r in kb_diff(old, new).collect()}
+    assert got == {
+        ("a", "p", "d", "added"),
+        ("a", "p", "c", "removed"),
+    }
+
+
+def _pairs(df):
+    return {(r.src, r.dst) for r in df.collect()}
+
+
+def test_closure_delta_equals_full_rebuild_long_new_chain(spark):
+    # old graph: two disjoint old paths 0->1->2 and 5->6
+    old_edges = spark.createDataFrame(
+        [("n0", "n1"), ("n1", "n2"), ("n5", "n6")], "src string, dst string"
+    )
+    c_old = transitive_closure(old_edges)
+    # new edges: a pure new chain n2->n3->n4->n5 (forces multi-block B^k
+    # compositions: the n0->n6 path threads old, new, new, new, old)
+    new_edges = spark.createDataFrame(
+        [("n2", "n3"), ("n3", "n4"), ("n4", "n5")], "src string, dst string"
+    )
+    updated = transitive_closure_delta(c_old, new_edges)
+    rebuilt = transitive_closure(old_edges.union(new_edges))
+    assert _pairs(updated) == _pairs(rebuilt)
+    assert ("n0", "n6") in _pairs(updated)
+
+
+def test_closure_delta_equals_full_rebuild_dense_weave(spark):
+    # deterministic pseudo-random graph: old edges i -> (i*7+3) % 20,
+    # new edges i -> (i*11+5) % 20 for a sample of nodes; delta result
+    # must equal a from-scratch closure (cycles included)
+    old = [(f"v{i}", f"v{(i * 7 + 3) % 20}") for i in range(0, 20, 2)]
+    new = [(f"v{i}", f"v{(i * 11 + 5) % 20}") for i in range(1, 20, 3)]
+    old_edges = spark.createDataFrame(old, "src string, dst string")
+    new_edges = spark.createDataFrame(new, "src string, dst string")
+    updated = transitive_closure_delta(transitive_closure(old_edges), new_edges)
+    rebuilt = transitive_closure(old_edges.union(new_edges))
+    assert _pairs(updated) == _pairs(rebuilt)
+
+
+def test_closure_delta_empty_new_edges_is_identity(spark):
+    old_edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    c_old = transitive_closure(old_edges)
+    empty = old_edges.filter(F.lit(False))
+    assert _pairs(transitive_closure_delta(c_old, empty)) == _pairs(c_old)

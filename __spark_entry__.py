@@ -2233,6 +2233,39 @@ def q_kg_shacl(spark, sf_dir):
     return shacl_validate(tri, shapes)
 
 
+def q_wiki_kg_extract(spark, sf_dir):
+    """KG construction from raw wiki markup (io/wikiextract.py:
+    wiki_kg_triples — category links, first-level infobox key=value
+    cells, interlanguage sameAs; one regexp/split/explode projection per
+    extractor, zero UDF). Fixture: each part row renders to a page whose
+    markup embeds its own columns ({{Infobox product}}, two categories,
+    one [[de:...]] link). The oracle does NOT re-parse: it constructs
+    the expected triples straight from the part columns, so the
+    extraction must exactly invert the synthesis."""
+    from dbpedia_spotlight_spark.io.wikiextract import wiki_kg_triples
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    docs = part.select(
+        F.col("p_partkey").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("{{Infobox product | name = "),
+            F.col("p_name"),
+            F.lit(" | brand = "),
+            F.col("p_brand"),
+            F.lit(" | size = "),
+            F.col("p_size"),
+            F.lit("}} An article. [[Category:"),
+            F.col("p_type"),
+            F.lit("]] [[Category:Brand "),
+            F.col("p_brand"),
+            F.lit("]] [[de:"),
+            F.col("p_name"),
+            F.lit("]]"),
+        ).alias("text"),
+    )
+    return wiki_kg_triples(docs)
+
+
 def q_kg_sameas(spark, sf_dir):
     """owl:sameAs canonicalization (operators/kbmaintain.py:
     sameas_canonicalize — pointer-doubling min-label components over the
@@ -3452,6 +3485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "wiki_kg_extract": q_wiki_kg_extract,
         "kg_sameas": q_kg_sameas,
         "kg_diff": q_kg_diff,
         "kg_closure_delta": q_kg_closure_delta,
@@ -4217,6 +4251,28 @@ s0 AS (SELECT s AS u, d AS v FROM ed UNION SELECT d, s FROM ed),""" + ",".join(
     ) + """
 SELECT u AS node, count(*)::BIGINT AS degree
 FROM s3 GROUP BY u HAVING count(*) >= 2
+"""
+
+    # wiki_kg_extract: constructs the EXPECTED triples straight from the
+    # part columns (no re-parsing) — the extractor must invert the
+    # markup synthesis exactly
+    sql["wiki_kg_extract"] = """
+SELECT 'page:' || p_partkey::VARCHAR AS subj, 'rdf:type' AS pred,
+       'Infobox:product' AS obj FROM part
+UNION ALL
+SELECT 'page:' || p_partkey::VARCHAR, 'prop:name', p_name FROM part
+UNION ALL
+SELECT 'page:' || p_partkey::VARCHAR, 'prop:brand', p_brand FROM part
+UNION ALL
+SELECT 'page:' || p_partkey::VARCHAR, 'prop:size', p_size::VARCHAR FROM part
+UNION ALL
+SELECT 'page:' || p_partkey::VARCHAR, 'dcterms:subject',
+       'Category:' || replace(p_type, ' ', '_') FROM part
+UNION ALL
+SELECT 'page:' || p_partkey::VARCHAR, 'dcterms:subject',
+       'Category:Brand_' || replace(p_brand, ' ', '_') FROM part
+UNION ALL
+SELECT 'page:' || p_partkey::VARCHAR, 'owl:sameAs', 'de:' || p_name FROM part
 """
 
     # kg_sameas: undirected recursive reachability per node, min label =

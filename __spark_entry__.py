@@ -2233,6 +2233,25 @@ def q_kg_shacl(spark, sf_dir):
     return shacl_validate(tri, shapes)
 
 
+def q_trigram_perplexity(spark, sf_dir):
+    """Conditional trigram LM self-perplexity per document
+    (datapipe/textstats.py:ngram_doc_logprob — add-k smoothing, ctx
+    counts folded from the gram table, V a scalar; per-doc grams
+    pre-aggregated before the model join). The CCNet/KenLM quality
+    signal next to the unigram logprob. Oracle = the same trigram
+    algebra via positional self-joins in DuckDB; logprob rounded to 6
+    decimals on both sides (the driver's float-hash granularity)."""
+    from dbpedia_spotlight_spark.datapipe.textstats import ngram_doc_logprob
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    out = ngram_doc_logprob(docs, order=3, k=0.1)
+    return out.select(
+        "doc_id", "n_grams", F.round("logprob", 6).alias("logprob")
+    )
+
+
 def q_wiki_kg_extract(spark, sf_dir):
     """KG construction from raw wiki markup (io/wikiextract.py:
     wiki_kg_triples — category links, first-level infobox key=value
@@ -3485,6 +3504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "trigram_perplexity": q_trigram_perplexity,
         "wiki_kg_extract": q_wiki_kg_extract,
         "kg_sameas": q_kg_sameas,
         "kg_diff": q_kg_diff,
@@ -4251,6 +4271,44 @@ s0 AS (SELECT s AS u, d AS v FROM ed UNION SELECT d, s FROM ed),""" + ",".join(
     ) + """
 SELECT u AS node, count(*)::BIGINT AS degree
 FROM s3 GROUP BY u HAVING count(*) >= 2
+"""
+
+    # trigram_perplexity: trigrams via positional self-joins, ctx counts
+    # folded from the gram counts, add-k smoothing with V = |vocab|
+    sql["trigram_perplexity"] = r"""
+WITH ws AS (
+  SELECT doc_id::VARCHAR AS doc_id,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS w
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS word FROM ws
+),
+tri AS (
+  SELECT a.doc_id,
+         a.word || ' ' || b.word || ' ' || c.word AS gram,
+         a.word || ' ' || b.word AS ctx
+  FROM pos a
+  JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN pos c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+),
+tric AS (SELECT gram, count(*) AS gn FROM tri GROUP BY 1),
+ctxc AS (SELECT ctx, count(*) AS cn FROM tri GROUP BY 1),
+v AS (SELECT count(DISTINCT word)::DOUBLE AS vv FROM pos),
+doc AS (
+  SELECT doc_id, gram, ctx, count(*) AS c FROM tri GROUP BY 1, 2, 3
+),
+sc AS (
+  SELECT d.doc_id, d.c,
+         ln((g.gn + 0.1) / (x.cn + 0.1 * v.vv)) AS lp
+  FROM doc d
+  JOIN tric g USING (gram)
+  JOIN ctxc x ON x.ctx = d.ctx
+  CROSS JOIN v
+)
+SELECT doc_id, sum(c)::BIGINT AS n_grams,
+       round(sum(c * lp) / sum(c), 6) AS logprob
+FROM sc GROUP BY doc_id
 """
 
     # wiki_kg_extract: constructs the EXPECTED triples straight from the

@@ -493,3 +493,100 @@ def normalize_nfc(
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
         run, NFC_SCHEMA
     )
+
+
+def ngram_counts(
+    df: DataFrame, text_col: str = "text", order: int = 3
+) -> DataFrame:
+    """Corpus n-gram counts -> (gram, n), gram = space-joined lowercase
+    whitespace tokens. The gram array per document is built with one
+    codegen transform(sequence) over the words array (no UDF, no
+    per-token shuffle); only the groupBy shuffles, keyed by gram."""
+    if order < 1:
+        raise ValueError(f"order must be >= 1, got {order}")
+    grams = df.select(words_col(F.col(text_col)).alias("_ws")).filter(
+        F.size("_ws") >= order
+    ).select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(_ws) - {order}), "
+                f"i -> concat_ws(' ', slice(_ws, i + 1, {order})))"
+            )
+        ).alias("gram")
+    )
+    return grams.groupBy("gram").agg(F.count("*").alias("n"))
+
+
+def ngram_doc_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order: int = 3,
+    k: float = 0.1,
+    model_corpus: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet/KenLM-style conditional n-gram scoring: mean add-k-smoothed
+    log P(w_i | w_{i-order+1..i-1}) per document, under an n-gram model
+    trained on ``model_corpus`` (a clean reference corpus; defaults to
+    ``df`` itself for self-perplexity). -> (id_col, n_grams, logprob,
+    perplexity) where perplexity = exp(-logprob); documents shorter than
+    ``order`` words emit nothing.
+
+    Model: P(w|ctx) = (c(gram) + k) / (c(ctx) + k·V), with c(ctx)
+    summed over the gram counts (one corpus pass builds both tables) and
+    V = |distinct unigrams| (a scalar). Unseen grams/contexts get the
+    smoothing floor via left-join coalesce.
+
+    Scale shape at 100 TB: per-doc grams pre-aggregate to
+    (doc, gram, c) so the model join probes once per DISTINCT gram per
+    doc; the gram and ctx model tables are shuffle-joined dims (a
+    web-scale trigram table is billions of rows — never broadcast).
+    Gram keys are Zipf-skewed but pre-aggregation caps any one key's
+    per-doc fan-out; AQE skew-join covers the rest. To bound model size
+    on open-domain corpora, prune with a count threshold or feature-hash
+    the gram key into fixed buckets (datapipe/dsir.py's trick) — the
+    smoothing floor absorbs the pruned mass.
+    """
+    corpus = model_corpus if model_corpus is not None else df
+    gram_model = ngram_counts(corpus, text_col=text_col, order=order)
+    ctx_of = F.expr("substring_index(gram, ' ', " + str(order - 1) + ")")
+    ctx_model = gram_model.groupBy(ctx_of.alias("ctx")).agg(
+        F.sum("n").alias("ctx_n")
+    )
+    vocab = corpus.select(
+        F.explode(words_col(F.col(text_col))).alias("w")
+    ).agg(F.countDistinct("w").cast("double").alias("_V"))
+
+    per = (
+        df.select(F.col(id_col), words_col(F.col(text_col)).alias("_ws"))
+        .filter(F.size("_ws") >= order)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(_ws) - {order}), "
+                    f"i -> concat_ws(' ', slice(_ws, i + 1, {order})))"
+                )
+            ).alias("gram"),
+        )
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("c"))
+        .withColumn("ctx", ctx_of)
+    )
+    scored = (
+        per.join(gram_model.withColumnRenamed("n", "gram_n"), "gram", "left")
+        .join(ctx_model, "ctx", "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "_lp",
+            F.log(
+                (F.coalesce(F.col("gram_n"), F.lit(0)) + F.lit(k))
+                / (F.coalesce(F.col("ctx_n"), F.lit(0)) + F.lit(k) * F.col("_V"))
+            ),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        (F.sum(F.col("c") * F.col("_lp")) / F.sum("c")).alias("logprob"),
+    )
+    return agg.withColumn("perplexity", F.exp(-F.col("logprob")))

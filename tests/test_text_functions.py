@@ -184,3 +184,36 @@ def test_bpe_train_matches_reference(spark):
     # the overlap case: 'aaa' merges left-to-right once under pair (a, a)
     if ("a  a" in [m[1] for m in merges]):
         assert got_segs["aaa"].startswith("aa")
+
+
+def test_ngram_doc_logprob_hand_checked(spark):
+    """Trigram add-k scoring against hand-computed probabilities, plus
+    the unseen-gram smoothing floor and the too-short-doc exclusion."""
+    import math
+
+    from dbpedia_spotlight_spark.datapipe.textstats import ngram_doc_logprob
+
+    corpus = spark.createDataFrame(
+        [("d1", "a b a b a"), ("d2", "a b")], "doc_id string, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in ngram_doc_logprob(corpus, order=3, k=0.5).collect()
+    }
+    # d2 has < 3 words -> absent
+    assert set(rows) == {"d1"}
+    # grams: "a b a" x2, "b a b" x1; ctx: "a b"->2, "b a"->1; V=2
+    expected = (
+        2 * math.log((2 + 0.5) / (2 + 0.5 * 2))
+        + 1 * math.log((1 + 0.5) / (1 + 0.5 * 2))
+    ) / 3
+    assert rows["d1"].n_grams == 3
+    assert abs(rows["d1"].logprob - expected) < 1e-9
+    assert abs(rows["d1"].perplexity - math.exp(-expected)) < 1e-9
+
+    # unseen gram AND unseen context under a foreign model -> floor
+    # ln(k / (k*V)) = ln(1/V)
+    foreign = spark.createDataFrame([("x", "b b b")], "doc_id string, text string")
+    got = ngram_doc_logprob(foreign, order=3, k=0.5, model_corpus=corpus).collect()
+    assert len(got) == 1
+    assert abs(got[0].logprob - math.log(0.5 / (0.5 * 2))) < 1e-9

@@ -2233,6 +2233,92 @@ def q_kg_shacl(spark, sf_dir):
     return shacl_validate(tri, shapes)
 
 
+def _customer_kg(spark, sf_dir):
+    """Shared fixture: customer/nation/orders as a typed triple table —
+    customers typed, nations typed only below key 20 (leaves an untyped
+    bucket), orders untyped, `placed` multi-valued per customer."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cid = F.concat(F.lit("c"), F.col("c_custkey"))
+    return (
+        cust.select(
+            cid.alias("subj"), F.lit("rdf:type").alias("pred"),
+            F.lit("Customer").alias("obj"),
+        )
+        .unionByName(
+            cust.select(
+                cid.alias("subj"), F.lit("inNation").alias("pred"),
+                F.concat(F.lit("n"), F.col("c_nationkey")).alias("obj"),
+            )
+        )
+        .unionByName(
+            cust.select(
+                cid.alias("subj"), F.lit("hasSegment").alias("pred"),
+                F.col("c_mktsegment").alias("obj"),
+            )
+        )
+        .unionByName(
+            nat.filter(F.col("n_nationkey") < 20).select(
+                F.concat(F.lit("n"), F.col("n_nationkey")).alias("subj"),
+                F.lit("rdf:type").alias("pred"),
+                F.lit("Nation").alias("obj"),
+            )
+        )
+        .unionByName(
+            orders.select(
+                F.concat(F.lit("c"), F.col("o_custkey")).alias("subj"),
+                F.lit("placed").alias("pred"),
+                F.concat(F.lit("o"), F.col("o_orderkey")).alias("obj"),
+            )
+        )
+    )
+
+
+_CUSTOMER_KG_SQL = """
+  SELECT 'c' || c_custkey::VARCHAR AS subj, 'rdf:type' AS pred,
+         'Customer' AS obj FROM customer
+  UNION ALL
+  SELECT 'c' || c_custkey::VARCHAR, 'inNation',
+         'n' || c_nationkey::VARCHAR FROM customer
+  UNION ALL
+  SELECT 'c' || c_custkey::VARCHAR, 'hasSegment', c_mktsegment FROM customer
+  UNION ALL
+  SELECT 'n' || n_nationkey::VARCHAR, 'rdf:type', 'Nation'
+  FROM nation WHERE n_nationkey < 20
+  UNION ALL
+  SELECT 'c' || o_custkey::VARCHAR, 'placed', 'o' || o_orderkey::VARCHAR
+  FROM orders
+"""
+
+
+def q_kg_property_table(spark, sf_dir):
+    """Property-table pivot (operators/kglayout.py:property_table — one
+    groupBy(subj) with a conditional-min aggregate per predicate; the
+    RDF-store wide layout the reference's MemoryStore uses natively).
+    `placed` is multi-valued, so the deterministic min pick is
+    exercised; nations have no pivoted predicates and surface as
+    all-null rows with their type triple counted. Oracle = GROUP BY with
+    min(CASE WHEN) columns."""
+    from dbpedia_spotlight_spark.operators.kglayout import property_table
+
+    return property_table(
+        _customer_kg(spark, sf_dir), ["inNation", "hasSegment", "placed"]
+    )
+
+
+def q_kg_schema_summary(spark, sf_dir):
+    """Quotient-graph schema summary (operators/kglayout.py:
+    schema_summary — edges joined to the type table on both endpoints,
+    one groupBy; the profiling step that picks property-table columns).
+    Fixture leaves nations >= 20 and all orders untyped, so the untyped
+    bucket appears on both sides. Oracle = the same two left joins +
+    GROUP BY in SQL."""
+    from dbpedia_spotlight_spark.operators.kglayout import schema_summary
+
+    return schema_summary(_customer_kg(spark, sf_dir))
+
+
 def q_trigram_perplexity(spark, sf_dir):
     """Conditional trigram LM self-perplexity per document
     (datapipe/textstats.py:ngram_doc_logprob — add-k smoothing, ctx
@@ -3504,6 +3590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "kg_property_table": q_kg_property_table,
+        "kg_schema_summary": q_kg_schema_summary,
         "trigram_perplexity": q_trigram_perplexity,
         "wiki_kg_extract": q_wiki_kg_extract,
         "kg_sameas": q_kg_sameas,
@@ -4271,6 +4359,30 @@ s0 AS (SELECT s AS u, d AS v FROM ed UNION SELECT d, s FROM ed),""" + ",".join(
     ) + """
 SELECT u AS node, count(*)::BIGINT AS degree
 FROM s3 GROUP BY u HAVING count(*) >= 2
+"""
+
+    # kg_property_table / kg_schema_summary: the shared customer KG CTE,
+    # then a min(CASE WHEN) pivot / double type join + GROUP BY
+    sql["kg_property_table"] = f"""
+WITH tri AS ({_CUSTOMER_KG_SQL})
+SELECT subj,
+       min(CASE WHEN pred = 'inNation' THEN obj END) AS innation,
+       min(CASE WHEN pred = 'hasSegment' THEN obj END) AS hassegment,
+       min(CASE WHEN pred = 'placed' THEN obj END) AS placed,
+       count(*)::BIGINT AS n_triples
+FROM tri GROUP BY subj
+"""
+
+    sql["kg_schema_summary"] = f"""
+WITH tri AS ({_CUSTOMER_KG_SQL}),
+types AS (SELECT subj AS node, obj AS cls FROM tri WHERE pred = 'rdf:type'),
+ed AS (SELECT subj, pred, obj FROM tri WHERE pred != 'rdf:type')
+SELECT coalesce(ts.cls, 'untyped') AS subj_type, e.pred,
+       coalesce(tb.cls, 'untyped') AS obj_type, count(*)::BIGINT AS n
+FROM ed e
+LEFT JOIN types ts ON ts.node = e.subj
+LEFT JOIN types tb ON tb.node = e.obj
+GROUP BY 1, 2, 3
 """
 
     # trigram_perplexity: trigrams via positional self-joins, ctx counts

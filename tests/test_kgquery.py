@@ -1265,3 +1265,58 @@ def test_shacl_validate_cardinality_and_class(spark):
         "max_count long, value_class string",
     )
     assert shacl_validate(tri, lax).count() == 0
+
+
+def test_property_table_pivot_min_and_counts(spark):
+    from dbpedia_spotlight_spark.operators.kglayout import property_table
+
+    tri = spark.createDataFrame(
+        [
+            ("e1", "rdf:type", "Person"),
+            ("e1", "foaf:name", "Ada"),
+            ("e1", "foaf:name", "Augusta"),  # multi-valued -> min
+            ("e1", "born", "1815"),
+            ("e2", "foaf:name", "Zed"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    rows = {
+        r.subj: r
+        for r in property_table(tri, ["foaf:name", "born"]).collect()
+    }
+    assert rows["e1"].foaf_name == "Ada"
+    assert rows["e1"].born == "1815"
+    assert rows["e1"].n_triples == 4
+    assert rows["e2"].foaf_name == "Zed"
+    assert rows["e2"].born is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        property_table(tri, [])
+
+
+def test_schema_summary_quotient_multitype_untyped(spark):
+    from dbpedia_spotlight_spark.operators.kglayout import schema_summary
+
+    tri = spark.createDataFrame(
+        [
+            ("a", "rdf:type", "Person"),
+            ("a", "rdf:type", "Author"),  # multi-typed subject
+            ("b", "rdf:type", "Book"),
+            ("a", "wrote", "b"),
+            ("a", "likes", "x"),  # untyped object
+            ("z", "wrote", "b"),  # untyped subject
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = {
+        (r.subj_type, r.pred, r.obj_type): r.n
+        for r in schema_summary(tri).collect()
+    }
+    assert got == {
+        ("Person", "wrote", "Book"): 1,
+        ("Author", "wrote", "Book"): 1,
+        ("Person", "likes", "untyped"): 1,
+        ("Author", "likes", "untyped"): 1,
+        ("untyped", "wrote", "Book"): 1,
+    }

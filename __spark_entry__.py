@@ -2319,6 +2319,18 @@ def q_kg_schema_summary(spark, sf_dir):
     return schema_summary(_customer_kg(spark, sf_dir))
 
 
+def q_kg_fact_ranking(spark, sf_dir):
+    """Entity summarization (operators/kglayout.py:fact_ranking —
+    predicate-rarity scores via a broadcast pred-count dim, top-k per
+    subject via a subj-partitioned row_number; no global sort). On the
+    customer KG the rare `rdf:type Nation` facts outrank the ubiquitous
+    `placed` edges. Oracle = the same rarity algebra + ROW_NUMBER in
+    SQL, both sides rounding score to 6 decimals."""
+    from dbpedia_spotlight_spark.operators.kglayout import fact_ranking
+
+    return fact_ranking(_customer_kg(spark, sf_dir), k=2)
+
+
 def q_trigram_perplexity(spark, sf_dir):
     """Conditional trigram LM self-perplexity per document
     (datapipe/textstats.py:ngram_doc_logprob — add-k smoothing, ctx
@@ -3592,6 +3604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_property_table": q_kg_property_table,
         "kg_schema_summary": q_kg_schema_summary,
+        "kg_fact_ranking": q_kg_fact_ranking,
         "trigram_perplexity": q_trigram_perplexity,
         "wiki_kg_extract": q_wiki_kg_extract,
         "kg_sameas": q_kg_sameas,
@@ -4383,6 +4396,23 @@ FROM ed e
 LEFT JOIN types ts ON ts.node = e.subj
 LEFT JOIN types tb ON tb.node = e.obj
 GROUP BY 1, 2, 3
+"""
+
+    sql["kg_fact_ranking"] = f"""
+WITH tri AS ({_CUSTOMER_KG_SQL}),
+pc AS (SELECT pred, count(*) AS c FROM tri GROUP BY pred),
+tot AS (SELECT sum(c)::DOUBLE AS t FROM pc),
+scored AS (
+  SELECT tri.subj, tri.pred, tri.obj,
+         round(-ln(pc.c / tot.t), 6) AS score,
+         row_number() OVER (
+           PARTITION BY tri.subj
+           ORDER BY -ln(pc.c / tot.t) DESC, tri.pred, tri.obj
+         ) AS rank
+  FROM tri JOIN pc USING (pred) CROSS JOIN tot
+)
+SELECT subj, pred, obj, score, rank::INT AS rank
+FROM scored WHERE rank <= 2
 """
 
     # trigram_perplexity: trigrams via positional self-joins, ctx counts

@@ -94,3 +94,38 @@ def schema_summary(
         )
         .agg(F.count("*").alias("n"))
     )
+
+
+def fact_ranking(
+    triples: DataFrame,
+    k: int = 3,
+) -> DataFrame:
+    """Entity summarization (LinkSUM/RELIN family): keep each subject's
+    k most INFORMATIVE facts, scoring a fact by its predicate's rarity
+    -ln(c(pred) / total_edges) — ubiquitous predicates (type, label)
+    score near zero, rare ones bubble up. Deterministic ties: (pred,
+    obj) lexicographic. -> (subj, pred, obj, score, rank), rank <= k.
+
+    Scale shape: predicate counts are a tiny dim (|distinct preds|,
+    broadcast); the top-k is a row_number window PARTITIONED BY subj —
+    per-entity state only, no global sort. Type triples rank like any
+    other fact (callers filter first if summaries shouldn't spend
+    budget on types).
+    """
+    from pyspark.sql import Window
+
+    pc = triples.groupBy("pred").agg(F.count("*").alias("_pc"))
+    tot = pc.agg(F.sum("_pc").cast("double").alias("_T"))
+    scored = (
+        triples.join(F.broadcast(pc), "pred")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("score", -F.log(F.col("_pc") / F.col("_T")))
+    )
+    w = Window.partitionBy("subj").orderBy(
+        F.col("score").desc(), F.col("pred"), F.col("obj")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("subj", "pred", "obj", F.round("score", 6).alias("score"), "rank")
+    )

@@ -1320,3 +1320,40 @@ def test_schema_summary_quotient_multitype_untyped(spark):
         ("Author", "likes", "untyped"): 1,
         ("untyped", "wrote", "Book"): 1,
     }
+
+
+def test_fact_ranking_rarity_topk_ties(spark):
+    """Rare predicates outrank ubiquitous ones; k truncates per subject;
+    ties break lexicographically by (pred, obj)."""
+    import math
+
+    from dbpedia_spotlight_spark.operators.kglayout import fact_ranking
+
+    tri = spark.createDataFrame(
+        [
+            # 'type' is ubiquitous (4 of 8 edges), 'rare' appears once
+            ("a", "rdf:type", "T"),
+            ("b", "rdf:type", "T"),
+            ("c", "rdf:type", "T"),
+            ("d", "rdf:type", "T"),
+            ("a", "rare", "x"),
+            ("a", "mid", "y1"),
+            ("a", "mid", "y2"),
+            ("b", "mid", "y3"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    rows = [
+        (r.subj, r.pred, r.obj, r.rank)
+        for r in fact_ranking(tri, k=2)
+        .filter("subj = 'a'")
+        .orderBy("rank")
+        .collect()
+    ]
+    # rare (1/8) beats mid (3/8); k=2 keeps the first of the two mids
+    assert rows == [("a", "rare", "x", 1), ("a", "mid", "y1", 2)]
+    scores = {
+        r.pred: r.score for r in fact_ranking(tri, k=4).filter("subj='a'").collect()
+    }
+    assert abs(scores["rare"] - round(-math.log(1 / 8), 6)) < 1e-9
+    assert abs(scores["mid"] - round(-math.log(3 / 8), 6)) < 1e-9

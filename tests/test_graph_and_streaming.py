@@ -392,3 +392,54 @@ def test_k_truss_peels_uncorroborated_edges(spark):
 
     with _pytest.raises(ValueError):
         k_truss(df, k=1)
+
+
+def test_kg_ingest_stream_incremental_closure(spark, tmp_path):
+    """Two availableNow passes over a growing triple directory: the KB
+    dedupes re-sent triples, and the closure table matches a
+    from-scratch transitive closure after each pass."""
+    from dbpedia_spotlight_spark.operators.closure import transitive_closure
+    from dbpedia_spotlight_spark.streaming.kg_ingest import (
+        load_kb,
+        run_kg_ingest_stream,
+    )
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    kb = str(tmp_path / "kb")
+    ckpt = str(tmp_path / "ckpt")
+
+    def tri(rows):
+        return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+    batch1 = [
+        ("a", "skos:broader", "b"),
+        ("b", "skos:broader", "c"),
+        ("a", "label", "Alpha"),
+    ]
+    tri(batch1).write.mode("append").parquet(str(inp))
+    q = run_kg_ingest_stream(spark, str(inp), kb, ckpt)
+    q.awaitTermination(120)
+
+    got1 = {tuple(r) for r in load_kb(spark, kb, "closure").collect()}
+    assert got1 == {("a", "b"), ("b", "c"), ("a", "c")}
+    assert load_kb(spark, kb, "triples").count() == 3
+
+    # second file: one duplicate triple (dropped), one stitching edge
+    batch2 = [
+        ("a", "skos:broader", "b"),  # duplicate
+        ("c", "skos:broader", "d"),
+    ]
+    tri(batch2).write.mode("append").parquet(str(inp))
+    q2 = run_kg_ingest_stream(spark, str(inp), kb, ckpt)
+    q2.awaitTermination(120)
+
+    triples = load_kb(spark, kb, "triples")
+    assert triples.count() == 4  # duplicate deduped
+    edges = triples.filter("pred = 'skos:broader'").select(
+        triples.subj.alias("src"), triples.obj.alias("dst")
+    )
+    expect = {tuple(r) for r in transitive_closure(edges).collect()}
+    got2 = {tuple(r) for r in load_kb(spark, kb, "closure").collect()}
+    assert got2 == expect
+    assert ("a", "d") in got2

@@ -2331,6 +2331,18 @@ def q_kg_fact_ranking(spark, sf_dir):
     return fact_ranking(_customer_kg(spark, sf_dir), k=2)
 
 
+def q_kg_entity_digest(spark, sf_dir):
+    """Per-entity neighborhood content hash (operators/kbmaintain.py:
+    entity_digest — binary-sorted (pred, obj) fact list, unit-separator
+    joined, md5; 32 bytes per subject is the payload for cross-cluster
+    KB delta shipping). Oracle = md5(string_agg(... ORDER BY ...)) in
+    DuckDB over the same customer KG — the hash itself is compared, so
+    sort order and separators must agree byte-for-byte."""
+    from dbpedia_spotlight_spark.operators.kbmaintain import entity_digest
+
+    return entity_digest(_customer_kg(spark, sf_dir))
+
+
 def q_trigram_perplexity(spark, sf_dir):
     """Conditional trigram LM self-perplexity per document
     (datapipe/textstats.py:ngram_doc_logprob — add-k smoothing, ctx
@@ -3605,6 +3617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_property_table": q_kg_property_table,
         "kg_schema_summary": q_kg_schema_summary,
         "kg_fact_ranking": q_kg_fact_ranking,
+        "kg_entity_digest": q_kg_entity_digest,
         "trigram_perplexity": q_trigram_perplexity,
         "wiki_kg_extract": q_wiki_kg_extract,
         "kg_sameas": q_kg_sameas,
@@ -4396,6 +4409,14 @@ FROM ed e
 LEFT JOIN types ts ON ts.node = e.subj
 LEFT JOIN types tb ON tb.node = e.obj
 GROUP BY 1, 2, 3
+"""
+
+    sql["kg_entity_digest"] = f"""
+WITH tri AS ({_CUSTOMER_KG_SQL})
+SELECT subj, count(*)::BIGINT AS n_facts,
+       md5(string_agg(pred || chr(31) || obj, chr(30)
+                      ORDER BY pred || chr(31) || obj)) AS digest
+FROM tri GROUP BY subj
 """
 
     sql["kg_fact_ranking"] = f"""

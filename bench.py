@@ -78,6 +78,13 @@ HEADLINE = [
     "html_extract",
     "url_canonical",
     "turtle_blocks",
+    # round-4 additions (this session)
+    "wiki_kg_extract",
+    "trigram_perplexity",
+    "kg_closure_delta",
+    "kg_sameas",
+    "kg_shacl",
+    "kg_fact_ranking",
 ]
 
 

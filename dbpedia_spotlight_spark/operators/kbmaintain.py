@@ -188,3 +188,25 @@ def transitive_closure_delta(
             f"transitive_closure_delta did not converge in {max_iterations} rounds"
         )
     return total.select(F.col("src").alias(src), F.col("dst").alias(dst))
+
+
+def entity_digest(triples: DataFrame) -> DataFrame:
+    """Content hash of each subject's outbound neighborhood -> (subj,
+    n_facts, digest): md5 over the BINARY-sorted (pred, obj) fact list
+    (unit-separator joined, so no fact pair can collide with another
+    by concatenation). Two snapshots agree on an entity iff digests
+    match — kb_diff tells you WHICH triples changed, this tells you
+    WHICH ENTITIES changed at 1/1000th the comparison payload (32 bytes
+    per subject), the right granularity for shipping KB deltas between
+    clusters.
+
+    One groupBy(subj) with collect_list + array_sort + concat_ws + md5,
+    all codegen; determinism comes from the sort, not task order.
+    """
+    fact = F.concat_ws("\x1f", F.col("pred"), F.col("obj"))
+    return triples.groupBy("subj").agg(
+        F.count("*").cast("long").alias("n_facts"),
+        F.md5(
+            F.concat_ws("\x1e", F.array_sort(F.collect_list(fact)))
+        ).alias("digest"),
+    )

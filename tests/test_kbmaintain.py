@@ -111,3 +111,22 @@ def test_closure_delta_empty_new_edges_is_identity(spark):
     c_old = transitive_closure(old_edges)
     empty = old_edges.filter(F.lit(False))
     assert _pairs(transitive_closure_delta(c_old, empty)) == _pairs(c_old)
+
+
+def test_entity_digest_order_invariant_and_sensitive(spark):
+    """Digest ignores triple order, changes on any fact change, and the
+    unit-separator join prevents concatenation collisions."""
+    from dbpedia_spotlight_spark.operators.kbmaintain import entity_digest
+
+    a = _tri(spark, [("e", "p", "x"), ("e", "q", "y")])
+    b = _tri(spark, [("e", "q", "y"), ("e", "p", "x")])  # reordered
+    c = _tri(spark, [("e", "p", "x"), ("e", "q", "z")])  # changed
+    da = entity_digest(a).collect()[0]
+    db = entity_digest(b).collect()[0]
+    dc = entity_digest(c).collect()[0]
+    assert da.digest == db.digest and da.n_facts == 2
+    assert da.digest != dc.digest
+    # 'p' + 'qy' must not collide with 'pq' + 'y'
+    e1 = entity_digest(_tri(spark, [("e", "p", "qy")])).collect()[0]
+    e2 = entity_digest(_tri(spark, [("e", "pq", "y")])).collect()[0]
+    assert e1.digest != e2.digest

@@ -2331,6 +2331,22 @@ def q_kg_fact_ranking(spark, sf_dir):
     return fact_ranking(_customer_kg(spark, sf_dir), k=2)
 
 
+def q_kg_update(spark, sf_dir):
+    """SPARQL 1.1 Update (operators/kgquery.py:sparql_update —
+    functional DELETE/INSERT WHERE: one sparql_select solves the group,
+    delete lands as a left_anti join, insert as union+distinct, both
+    templates instantiated against the ORIGINAL graph's bindings). The
+    update rewrites BUILDING-segment customers' inNation edges to wasIn.
+    Oracle = the same rewrite as join/anti-join SQL."""
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_update
+
+    return sparql_update(
+        _customer_kg(spark, sf_dir),
+        "DELETE { ?c <inNation> ?n } INSERT { ?c <wasIn> ?n } "
+        'WHERE { ?c <inNation> ?n . ?c <hasSegment> "BUILDING" . }',
+    )
+
+
 def q_kg_entity_digest(spark, sf_dir):
     """Per-entity neighborhood content hash (operators/kbmaintain.py:
     entity_digest — binary-sorted (pred, obj) fact list, unit-separator
@@ -3618,6 +3634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_schema_summary": q_kg_schema_summary,
         "kg_fact_ranking": q_kg_fact_ranking,
         "kg_entity_digest": q_kg_entity_digest,
+        "kg_update": q_kg_update,
         "trigram_perplexity": q_trigram_perplexity,
         "wiki_kg_extract": q_wiki_kg_extract,
         "kg_sameas": q_kg_sameas,
@@ -4409,6 +4426,20 @@ FROM ed e
 LEFT JOIN types ts ON ts.node = e.subj
 LEFT JOIN types tb ON tb.node = e.obj
 GROUP BY 1, 2, 3
+"""
+
+    sql["kg_update"] = f"""
+WITH tri AS ({_CUSTOMER_KG_SQL}),
+b AS (
+  SELECT 'c' || c_custkey::VARCHAR AS subj FROM customer
+  WHERE c_mktsegment = 'BUILDING'
+)
+SELECT t.subj, t.pred, t.obj
+FROM tri t LEFT JOIN b ON b.subj = t.subj
+WHERE NOT (t.pred = 'inNation' AND b.subj IS NOT NULL)
+UNION
+SELECT t.subj, 'wasIn', t.obj
+FROM tri t JOIN b ON b.subj = t.subj WHERE t.pred = 'inNation'
 """
 
     sql["kg_entity_digest"] = f"""

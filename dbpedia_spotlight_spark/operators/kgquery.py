@@ -1377,3 +1377,130 @@ def rdfs_schema_entailment(
             out = out.unionByName(frag)
         t = out.distinct().localCheckpoint(eager=False)
     return t
+
+
+def _parse_triple_templates(block: str, what: str) -> list:
+    """Tokenize a `{ s p o . ... }` template block into (s, p, o) term
+    triples (IRIs unwrapped, quoted literals unquoted, ?vars kept)."""
+    toks = _SPARQL_RE.findall(block)
+
+    def term(tok: str):
+        if tok.startswith("<") and tok.endswith(">"):
+            return tok[1:-1]
+        if tok and tok[0] in "\"'" and tok[-1] == tok[0] and len(tok) >= 2:
+            return tok[1:-1]
+        return tok
+
+    out, i = [], 0
+    while i < len(toks):
+        if toks[i] == ".":
+            i += 1
+            continue
+        if i + 2 >= len(toks):
+            raise ValueError(f"{what} template needs (s p o) triples")
+        out.append(tuple(term(t) for t in toks[i:i + 3]))
+        i += 3
+    if not out:
+        raise ValueError(f"empty {what} template")
+    return out
+
+
+def _instantiate_templates(bindings: DataFrame, templates: list) -> DataFrame:
+    """One (subj, pred, obj) row per solution per template; solutions
+    leaving a null slot (unbound optional var) drop, per the
+    incomplete-triple rule. DISTINCT (graphs are sets)."""
+    cols = set(bindings.columns)
+    missing = {t[1:] for tr in templates for t in tr if _is_var(t)} - cols
+    if missing:
+        raise ValueError(f"template variables not bound: {sorted(missing)}")
+    out = None
+    for s, p, o in templates:
+        row = bindings.select(
+            (F.col(s[1:]) if _is_var(s) else F.lit(s)).alias("subj"),
+            (F.col(p[1:]) if _is_var(p) else F.lit(p)).alias("pred"),
+            (F.col(o[1:]) if _is_var(o) else F.lit(o)).alias("obj"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.na.drop().distinct()
+
+
+def sparql_update(triples: DataFrame, query: str) -> DataFrame:
+    """SPARQL 1.1 Update (§3.1) over an immutable triple DataFrame —
+    returns the UPDATED graph (functional semantics: parquet/Iceberg
+    tables version forward rather than mutate; pair with
+    streaming/kg_ingest.py's CURRENT-marker commit for the storage
+    side). Supported forms::
+
+        INSERT DATA { ground triples }
+        DELETE DATA { ground triples }
+        DELETE WHERE { patterns }              # template == pattern
+        DELETE { tmpl } INSERT { tmpl } WHERE { group }   # either
+        INSERT { tmpl } WHERE { group }                   # part alone
+        DELETE { tmpl } WHERE { group }
+
+    Per §3.1.3 both templates instantiate against the bindings of the
+    ORIGINAL graph, deletes apply before inserts, and a solution that
+    leaves a template slot unbound drops that instantiation.
+
+    Scale shape: one sparql_select solves the WHERE group; the delta
+    graphs are tiny next to the KB, so the delete lands as a left_anti
+    join (delta broadcast-eligible) and the insert as union+distinct —
+    the same shapes as operators/kbmaintain.py:kb_diff.
+    """
+    re_ = __import__("re")
+    q = query.strip()
+
+    m = re_.match(r"INSERT\s+DATA\s*\{(.*)\}\s*$", q, re_.S | re_.I)
+    if m:
+        tmpl = _parse_triple_templates(m.group(1), "INSERT DATA")
+        if any(_is_var(t) for tr in tmpl for t in tr):
+            raise ValueError("INSERT DATA takes ground triples only")
+        spark = triples.sparkSession
+        delta = spark.createDataFrame(
+            tmpl, "subj string, pred string, obj string"
+        )
+        return triples.unionByName(delta).distinct()
+
+    m = re_.match(r"DELETE\s+DATA\s*\{(.*)\}\s*$", q, re_.S | re_.I)
+    if m:
+        tmpl = _parse_triple_templates(m.group(1), "DELETE DATA")
+        if any(_is_var(t) for tr in tmpl for t in tr):
+            raise ValueError("DELETE DATA takes ground triples only")
+        spark = triples.sparkSession
+        delta = spark.createDataFrame(
+            tmpl, "subj string, pred string, obj string"
+        )
+        return triples.join(delta, ["subj", "pred", "obj"], "left_anti")
+
+    m = re_.match(r"DELETE\s+WHERE\s*(\{.*\})\s*$", q, re_.S | re_.I)
+    if m:
+        tmpl = _parse_triple_templates(m.group(1)[1:-1], "DELETE WHERE")
+        bindings = sparql_select(triples, "SELECT * WHERE " + m.group(1))
+        dele = _instantiate_templates(bindings, tmpl)
+        return triples.join(dele, ["subj", "pred", "obj"], "left_anti")
+
+    m = re_.match(
+        r"(?:DELETE\s*\{(?P<d>.*?)\}\s*)?(?:INSERT\s*\{(?P<i>.*?)\}\s*)?"
+        r"WHERE\s*(?P<w>\{.*\})\s*$",
+        q,
+        re_.S | re_.I,
+    )
+    if m and (m.group("d") is not None or m.group("i") is not None):
+        bindings = sparql_select(triples, "SELECT * WHERE " + m.group("w"))
+        out = triples
+        if m.group("d") is not None:
+            dele = _instantiate_templates(
+                bindings, _parse_triple_templates(m.group("d"), "DELETE")
+            )
+            out = out.join(dele, ["subj", "pred", "obj"], "left_anti")
+        if m.group("i") is not None:
+            ins = _instantiate_templates(
+                bindings, _parse_triple_templates(m.group("i"), "INSERT")
+            )
+            out = out.unionByName(ins).distinct()
+        return out
+
+    raise ValueError(
+        "unsupported update form (INSERT/DELETE DATA, DELETE WHERE, "
+        "DELETE/INSERT ... WHERE)"
+    )

@@ -1357,3 +1357,62 @@ def test_fact_ranking_rarity_topk_ties(spark):
     }
     assert abs(scores["rare"] - round(-math.log(1 / 8), 6)) < 1e-9
     assert abs(scores["mid"] - round(-math.log(3 / 8), 6)) < 1e-9
+
+
+def test_sparql_update_all_forms(spark):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_update
+
+    tri = spark.createDataFrame(
+        [
+            ("a", "type", "Person"),
+            ("b", "type", "Person"),
+            ("a", "in", "x"),
+            ("b", "in", "y"),
+        ],
+        "subj string, pred string, obj string",
+    )
+
+    def s(df):
+        return {tuple(r) for r in df.collect()}
+
+    base = s(tri)
+
+    # INSERT DATA: ground triples union in; duplicates collapse
+    ins = sparql_update(
+        tri, "INSERT DATA { <c> <type> <Person> . <a> <in> <x> }"
+    )
+    assert s(ins) == base | {("c", "type", "Person")}
+
+    # DELETE DATA: exact ground triples drop; absent triples are no-ops
+    dele = sparql_update(tri, "DELETE DATA { <a> <in> <x> . <z> <in> <q> }")
+    assert s(dele) == base - {("a", "in", "x")}
+
+    # DELETE WHERE: pattern doubles as template
+    dw = sparql_update(tri, "DELETE WHERE { ?p <in> ?o . }")
+    assert s(dw) == {("a", "type", "Person"), ("b", "type", "Person")}
+
+    # DELETE/INSERT WHERE: both templates over the ORIGINAL bindings
+    mv = sparql_update(
+        tri,
+        "DELETE { ?p <in> ?o } INSERT { ?p <movedFrom> ?o } "
+        "WHERE { ?p <in> ?o . ?p <type> <Person> . }",
+    )
+    assert s(mv) == {
+        ("a", "type", "Person"),
+        ("b", "type", "Person"),
+        ("a", "movedFrom", "x"),
+        ("b", "movedFrom", "y"),
+    }
+
+    # INSERT-only WHERE
+    io_ = sparql_update(
+        tri, "INSERT { ?p <knownAs> ?o } WHERE { ?p <in> ?o . }"
+    )
+    assert s(io_) == base | {("a", "knownAs", "x"), ("b", "knownAs", "y")}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sparql_update(tri, "INSERT DATA { ?v <p> <o> }")
+    with _pytest.raises(ValueError):
+        sparql_update(tri, "LOAD <http://x>")

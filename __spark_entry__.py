@@ -2331,6 +2331,73 @@ def q_kg_fact_ranking(spark, sf_dir):
     return fact_ranking(_customer_kg(spark, sf_dir), k=2)
 
 
+def q_kg_owl_entailment(spark, sf_dir):
+    """OWL property-characteristic materialization
+    (operators/kgquery.py:owl_property_entailment — inverseOf /
+    SymmetricProperty / TransitiveProperty to fixpoint; the inverse rule
+    must fire on transitively-DERIVED edges too). Fixture: customer
+    within nation within region (transitive, depth 2), within inverseOf
+    contains, borders symmetric between consecutive nations. Oracle =
+    the rule set unrolled as explicit UNIONs (depth-2 closure needs one
+    join round)."""
+    from dbpedia_spotlight_spark.operators.kgquery import (
+        owl_property_entailment,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    tri = (
+        cust.select(
+            F.concat(F.lit("c"), F.col("c_custkey")).alias("subj"),
+            F.lit("within").alias("pred"),
+            F.concat(F.lit("n"), F.col("c_nationkey")).alias("obj"),
+        )
+        .unionByName(
+            nat.select(
+                F.concat(F.lit("n"), F.col("n_nationkey")).alias("subj"),
+                F.lit("within").alias("pred"),
+                F.concat(F.lit("r"), F.col("n_regionkey")).alias("obj"),
+            )
+        )
+        .unionByName(
+            nat.filter(F.col("n_nationkey") < 24).select(
+                F.concat(F.lit("n"), F.col("n_nationkey")).alias("subj"),
+                F.lit("borders").alias("pred"),
+                F.concat(F.lit("n"), F.col("n_nationkey") + 1).alias("obj"),
+            )
+        )
+    )
+    inv = spark.createDataFrame(
+        [("within", "contains")], "prop string, inverse string"
+    )
+    sym = spark.createDataFrame([("borders",)], "prop string")
+    trans = spark.createDataFrame([("within",)], "prop string")
+    return owl_property_entailment(
+        tri, inverse_of=inv, symmetric=sym, transitive=trans
+    )
+
+
+def q_kg_direct_mapping(spark, sf_dir):
+    """W3C Direct Mapping (operators/kglayout.py:direct_mapping — one
+    stack() unpivot, nulls dropped, rdf:type per row): the nation table
+    lifted to RDF. Oracle = per-column UNION ALL."""
+    from dbpedia_spotlight_spark.operators.kglayout import direct_mapping
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return direct_mapping(nat, "n_nationkey", "nation")
+
+
+def q_kg_dangling(spark, sf_dir):
+    """Referential-integrity profile (operators/kglayout.py:
+    dangling_objects): on the customer KG, `placed` targets (orders) are
+    never subjects — 100% dangling; `inNation` dangles exactly for
+    nations >= 20 (untyped, never subjects); `hasSegment` literals all
+    dangle. Oracle = the same anti-probe + groupBy in SQL."""
+    from dbpedia_spotlight_spark.operators.kglayout import dangling_objects
+
+    return dangling_objects(_customer_kg(spark, sf_dir))
+
+
 def q_kg_update(spark, sf_dir):
     """SPARQL 1.1 Update (operators/kgquery.py:sparql_update —
     functional DELETE/INSERT WHERE: one sparql_select solves the group,
@@ -3635,6 +3702,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fact_ranking": q_kg_fact_ranking,
         "kg_entity_digest": q_kg_entity_digest,
         "kg_update": q_kg_update,
+        "kg_owl_entailment": q_kg_owl_entailment,
+        "kg_direct_mapping": q_kg_direct_mapping,
+        "kg_dangling": q_kg_dangling,
         "trigram_perplexity": q_trigram_perplexity,
         "wiki_kg_extract": q_wiki_kg_extract,
         "kg_sameas": q_kg_sameas,
@@ -4426,6 +4496,64 @@ FROM ed e
 LEFT JOIN types ts ON ts.node = e.subj
 LEFT JOIN types tb ON tb.node = e.obj
 GROUP BY 1, 2, 3
+"""
+
+    # kg_owl_entailment: the rule set unrolled — within closure is
+    # depth 2 (one join round), contains = swap of ALL within,
+    # borders = both directions
+    sql["kg_owl_entailment"] = """
+WITH w AS (
+  SELECT 'c' || c_custkey::VARCHAR AS subj,
+         'n' || c_nationkey::VARCHAR AS obj FROM customer
+  UNION ALL
+  SELECT 'n' || n_nationkey::VARCHAR, 'r' || n_regionkey::VARCHAR
+  FROM nation
+),
+wc AS (
+  SELECT subj, obj FROM w
+  UNION
+  SELECT a.subj, b.obj FROM w a JOIN w b ON a.obj = b.subj
+),
+bo AS (
+  SELECT 'n' || n_nationkey::VARCHAR AS subj,
+         'n' || (n_nationkey + 1)::VARCHAR AS obj
+  FROM nation WHERE n_nationkey < 24
+)
+SELECT DISTINCT * FROM (
+  SELECT subj, 'within' AS pred, obj FROM wc
+  UNION ALL
+  SELECT obj, 'contains', subj FROM wc
+  UNION ALL
+  SELECT subj, 'borders', obj FROM bo
+  UNION ALL
+  SELECT obj, 'borders', subj FROM bo
+)
+"""
+
+    sql["kg_direct_mapping"] = """
+SELECT 'nation/n_nationkey=' || n_nationkey::VARCHAR AS subj,
+       'nation#n_name' AS pred, n_name AS obj
+FROM nation WHERE n_name IS NOT NULL
+UNION ALL
+SELECT 'nation/n_nationkey=' || n_nationkey::VARCHAR,
+       'nation#n_regionkey', n_regionkey::VARCHAR
+FROM nation WHERE n_regionkey IS NOT NULL
+UNION ALL
+SELECT 'nation/n_nationkey=' || n_nationkey::VARCHAR,
+       'rdf:type', 'nation'
+FROM nation
+"""
+
+    sql["kg_dangling"] = f"""
+WITH tri AS ({_CUSTOMER_KG_SQL}),
+subjects AS (SELECT DISTINCT subj AS s FROM tri),
+ed AS (SELECT pred, obj FROM tri WHERE pred != 'rdf:type')
+SELECT pred, count(*)::BIGINT AS n_edges,
+       sum(CASE WHEN s IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_dangling,
+       round(sum(CASE WHEN s IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS dangling_ratio
+FROM ed LEFT JOIN subjects ON subjects.s = ed.obj
+GROUP BY pred
 """
 
     sql["kg_update"] = f"""

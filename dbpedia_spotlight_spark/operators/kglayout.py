@@ -129,3 +129,67 @@ def fact_ranking(
         .filter(F.col("rank") <= k)
         .select("subj", "pred", "obj", F.round("score", 6).alias("score"), "rank")
     )
+
+
+def direct_mapping(
+    df: DataFrame,
+    key_col: str,
+    table_name: str | None = None,
+) -> DataFrame:
+    """W3C Direct Mapping (RDB2RDF, the zero-config half of R2RML):
+    one row -> one subject `<table>/<key>=<value>`, one triple per
+    non-null column `(subject, <table>#<column>, value-as-string)` plus
+    an rdf:type triple `(subject, rdf:type, <table>)`. This is THE
+    entry point for lifting existing warehouse tables into the KG the
+    rest of this engine queries/validates/maintains.
+
+    One stack() unpivot per row — no shuffle at all until the caller's
+    own distinct/write; nulls drop per the W3C rule (absent fact, not
+    an empty literal).
+    """
+    tn = table_name or "table"
+    cols = [c for c in df.columns if c != key_col]
+    if not cols:
+        raise ValueError("direct_mapping needs at least one non-key column")
+    subj = F.concat(
+        F.lit(f"{tn}/{key_col}="), F.col(key_col).cast("string")
+    )
+    stack_args = ", ".join(
+        f"'{tn}#{c}', cast(`{c}` as string)" for c in cols
+    )
+    props = df.select(
+        subj.alias("subj"),
+        F.expr(f"stack({len(cols)}, {stack_args})").alias("pred", "obj"),
+    ).filter(F.col("obj").isNotNull())
+    types = df.select(
+        subj.alias("subj"),
+        F.lit("rdf:type").alias("pred"),
+        F.lit(tn).alias("obj"),
+    )
+    return props.unionByName(types)
+
+
+def dangling_objects(
+    triples: DataFrame,
+    type_pred: str = TYPE_PRED,
+) -> DataFrame:
+    """Referential-integrity profile: per predicate, how many object
+    values point at a resource the KB knows NOTHING about (never a
+    subject of any triple)? -> (pred, n_edges, n_dangling,
+    dangling_ratio rounded to 6) — the KB-construction QA signal for
+    'this extractor emits references it never resolves'. Type triples
+    are excluded (class IRIs are vocabulary, not instances).
+
+    One distinct subject set (left_anti probe side), one groupBy —
+    both shuffles keyed on the value id.
+    """
+    subjects = triples.select(F.col("subj").alias("_s")).distinct()
+    edges = triples.filter(F.col("pred") != type_pred)
+    flagged = edges.join(
+        subjects, edges["obj"] == subjects["_s"], "left"
+    ).select("pred", F.col("_s").isNull().cast("long").alias("_dang"))
+    return flagged.groupBy("pred").agg(
+        F.count("*").alias("n_edges"),
+        F.sum("_dang").alias("n_dangling"),
+        F.round(F.sum("_dang") / F.count("*"), 6).alias("dangling_ratio"),
+    )

@@ -1504,3 +1504,105 @@ def sparql_update(triples: DataFrame, query: str) -> DataFrame:
         "unsupported update form (INSERT/DELETE DATA, DELETE WHERE, "
         "DELETE/INSERT ... WHERE)"
     )
+
+
+def owl_property_entailment(
+    triples: DataFrame,
+    inverse_of: DataFrame | None = None,
+    symmetric: DataFrame | None = None,
+    transitive: DataFrame | None = None,
+    max_iterations: int = 10,
+) -> DataFrame:
+    """OWL property-characteristic materialization, the property-side
+    complement of rdfs_schema_entailment: owl:inverseOf ((s,p,o) &
+    (p inv q) -> (o,q,s), both directions), owl:SymmetricProperty
+    ((s,p,o) -> (o,p,s)), owl:TransitiveProperty (per-predicate
+    transitive closure). Run to FIXPOINT, because the rules feed each
+    other (the inverse of a transitively-derived edge must itself be
+    asserted).
+
+    Schema inputs: inverse_of(prop, inverse), symmetric(prop),
+    transitive(prop) — ontology-sized, broadcast into every rule join.
+
+    -> the entailed graph (base ∪ derived), distinct.
+
+    Scale shape: each round is 2-3 broadcast equi-joins + one
+    repeated-squaring closure restricted to the transitive predicates'
+    edges (never the whole KB); lineage truncated per round. Real
+    ontologies close in 2-3 rounds (the loop guard is for pathological
+    rule feedback).
+    """
+    from dbpedia_spotlight_spark.operators.closure import transitive_closure
+
+    spark = triples.sparkSession
+    inv = None
+    if inverse_of is not None:
+        fwd = inverse_of.select(
+            F.col("prop").alias("_p"), F.col("inverse").alias("_q")
+        )
+        inv = fwd.unionByName(
+            fwd.select(F.col("_q").alias("_p"), F.col("_p").alias("_q"))
+        ).distinct()
+    sym = (
+        symmetric.select(F.col("prop").alias("_p")).distinct()
+        if symmetric is not None
+        else None
+    )
+    trans = (
+        transitive.select(F.col("prop").alias("_p")).distinct()
+        if transitive is not None
+        else None
+    )
+
+    cur = triples.select("subj", "pred", "obj").distinct().localCheckpoint()
+    n = cur.count()
+    for _ in range(max_iterations):
+        derived = [cur]
+        if inv is not None:
+            derived.append(
+                cur.join(
+                    F.broadcast(inv), cur["pred"] == F.col("_p")
+                ).select(
+                    F.col("obj").alias("subj"),
+                    F.col("_q").alias("pred"),
+                    F.col("subj").alias("obj"),
+                )
+            )
+        if sym is not None:
+            derived.append(
+                cur.join(
+                    F.broadcast(sym), cur["pred"] == F.col("_p")
+                ).select(
+                    F.col("obj").alias("subj"),
+                    "pred",
+                    F.col("subj").alias("obj"),
+                )
+            )
+        if trans is not None:
+            tedges = cur.join(
+                F.broadcast(trans), cur["pred"] == F.col("_p")
+            ).select("pred", F.col("subj").alias("src"), F.col("obj").alias("dst"))
+            preds = [r._p for r in trans.collect()]  # ontology-sized
+            for p in preds:
+                closed = transitive_closure(
+                    tedges.filter(F.col("pred") == p).select("src", "dst")
+                )
+                derived.append(
+                    closed.select(
+                        F.col("src").alias("subj"),
+                        F.lit(p).alias("pred"),
+                        F.col("dst").alias("obj"),
+                    )
+                )
+        stepped = derived[0]
+        for d in derived[1:]:
+            stepped = stepped.unionByName(d)
+        stepped = stepped.distinct().localCheckpoint()
+        n_next = stepped.count()
+        cur = stepped
+        if n_next == n:
+            return cur
+        n = n_next
+    raise RuntimeError(
+        f"owl_property_entailment did not converge in {max_iterations} rounds"
+    )

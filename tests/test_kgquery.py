@@ -1416,3 +1416,75 @@ def test_sparql_update_all_forms(spark):
         sparql_update(tri, "INSERT DATA { ?v <p> <o> }")
     with _pytest.raises(ValueError):
         sparql_update(tri, "LOAD <http://x>")
+
+
+def test_owl_property_entailment_fixpoint(spark):
+    """inverseOf applies to transitively-DERIVED edges (rule feedback),
+    symmetric closes both directions, and the result is a fixpoint."""
+    from dbpedia_spotlight_spark.operators.kgquery import (
+        owl_property_entailment,
+    )
+
+    tri = spark.createDataFrame(
+        [
+            ("c1", "within", "n1"),
+            ("n1", "within", "r1"),
+            ("n1", "borders", "n2"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    inv = spark.createDataFrame(
+        [("within", "contains")], "prop string, inverse string"
+    )
+    sym = spark.createDataFrame([("borders",)], "prop string")
+    trans = spark.createDataFrame([("within",)], "prop string")
+    got = {
+        tuple(r)
+        for r in owl_property_entailment(
+            tri, inverse_of=inv, symmetric=sym, transitive=trans
+        ).collect()
+    }
+    assert got == {
+        ("c1", "within", "n1"),
+        ("n1", "within", "r1"),
+        ("c1", "within", "r1"),  # transitive
+        ("n1", "contains", "c1"),  # inverse of base
+        ("r1", "contains", "n1"),
+        ("r1", "contains", "c1"),  # inverse of DERIVED edge
+        ("n1", "borders", "n2"),
+        ("n2", "borders", "n1"),  # symmetric
+    }
+
+
+def test_direct_mapping_and_dangling_objects(spark):
+    from dbpedia_spotlight_spark.operators.kglayout import (
+        dangling_objects,
+        direct_mapping,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Ada", None), (2, None, "uk")],
+        "id int, name string, country string",
+    )
+    got = {tuple(r) for r in direct_mapping(df, "id", "person").collect()}
+    assert got == {
+        ("person/id=1", "person#name", "Ada"),
+        ("person/id=1", "rdf:type", "person"),
+        ("person/id=2", "person#country", "uk"),
+        ("person/id=2", "rdf:type", "person"),
+    }
+
+    tri = spark.createDataFrame(
+        [
+            ("a", "rdf:type", "T"),
+            ("a", "knows", "b"),
+            ("a", "knows", "ghost"),
+            ("b", "in", "x"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    rows = {r.pred: r for r in dangling_objects(tri).collect()}
+    # 'b' is a subject (of 'in'); 'ghost' and 'x' are not
+    assert rows["knows"].n_edges == 2 and rows["knows"].n_dangling == 1
+    assert rows["knows"].dangling_ratio == 0.5
+    assert rows["in"].n_dangling == 1

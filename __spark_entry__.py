@@ -2331,6 +2331,41 @@ def q_kg_fact_ranking(spark, sf_dir):
     return fact_ranking(_customer_kg(spark, sf_dir), k=2)
 
 
+def q_kg_void_stats(spark, sf_dir):
+    """VoID dataset description (operators/kglayout.py:void_stats — one
+    multi-distinct aggregate row: triples / distinct subjects / objects
+    / properties / classes). Oracle = the same five aggregates."""
+    from dbpedia_spotlight_spark.operators.kglayout import void_stats
+
+    return void_stats(_customer_kg(spark, sf_dir))
+
+
+def q_kg_path_profile(spark, sf_dir):
+    """Predicate 2-path statistics (operators/kglayout.py:path_profile
+    - the join-cardinality table the BGP compiler's selectivity
+    ordering estimates chain patterns ?a <p1> ?m . ?m <p2> ?b with):
+    one self-join on the middle node + groupBy, type triples excluded.
+    Fixture: customer -inNation-> nation -inRegion-> region, so
+    (inNation, inRegion) composes once per customer. Oracle = the same
+    self-join in SQL."""
+    from dbpedia_spotlight_spark.operators.kglayout import path_profile
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    tri = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("subj"),
+        F.lit("inNation").alias("pred"),
+        F.concat(F.lit("n"), F.col("c_nationkey")).alias("obj"),
+    ).unionByName(
+        nat.select(
+            F.concat(F.lit("n"), F.col("n_nationkey")).alias("subj"),
+            F.lit("inRegion").alias("pred"),
+            F.concat(F.lit("r"), F.col("n_regionkey")).alias("obj"),
+        )
+    )
+    return path_profile(tri)
+
+
 def q_kg_owl_entailment(spark, sf_dir):
     """OWL property-characteristic materialization
     (operators/kgquery.py:owl_property_entailment — inverseOf /
@@ -3703,6 +3738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_digest": q_kg_entity_digest,
         "kg_update": q_kg_update,
         "kg_owl_entailment": q_kg_owl_entailment,
+        "kg_void_stats": q_kg_void_stats,
+        "kg_path_profile": q_kg_path_profile,
         "kg_direct_mapping": q_kg_direct_mapping,
         "kg_dangling": q_kg_dangling,
         "trigram_perplexity": q_trigram_perplexity,
@@ -4496,6 +4533,30 @@ FROM ed e
 LEFT JOIN types ts ON ts.node = e.subj
 LEFT JOIN types tb ON tb.node = e.obj
 GROUP BY 1, 2, 3
+"""
+
+    sql["kg_void_stats"] = f"""
+WITH tri AS ({_CUSTOMER_KG_SQL})
+SELECT count(*)::BIGINT AS n_triples,
+       count(DISTINCT subj)::BIGINT AS n_subjects,
+       count(DISTINCT obj)::BIGINT AS n_objects,
+       count(DISTINCT pred)::BIGINT AS n_properties,
+       count(DISTINCT CASE WHEN pred = 'rdf:type' THEN obj END)::BIGINT
+         AS n_classes
+FROM tri
+"""
+
+    sql["kg_path_profile"] = """
+WITH ed AS (
+  SELECT 'c' || c_custkey::VARCHAR AS subj, 'inNation' AS pred,
+         'n' || c_nationkey::VARCHAR AS obj FROM customer
+  UNION ALL
+  SELECT 'n' || n_nationkey::VARCHAR, 'inRegion',
+         'r' || n_regionkey::VARCHAR FROM nation
+)
+SELECT a.pred AS pred1, b.pred AS pred2, count(*)::BIGINT AS n
+FROM ed a JOIN ed b ON a.obj = b.subj
+GROUP BY 1, 2
 """
 
     # kg_owl_entailment: the rule set unrolled — within closure is

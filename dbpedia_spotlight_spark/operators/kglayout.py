@@ -193,3 +193,46 @@ def dangling_objects(
         F.sum("_dang").alias("n_dangling"),
         F.round(F.sum("_dang") / F.count("*"), 6).alias("dangling_ratio"),
     )
+
+
+def void_stats(triples: DataFrame, type_pred: str = TYPE_PRED) -> DataFrame:
+    """VoID dataset description (W3C VoID: void:triples,
+    void:distinctSubjects, void:distinctObjects, void:properties,
+    void:classes) as ONE aggregation row — the dataset-level statistics
+    a cost-based BGP planner (operators/kgquery.py orders joins by
+    selectivity) and a dataset catalog both need.
+
+    Single pass: count + approx-free exact distincts in one agg (four
+    shuffles fused by the planner into one multi-distinct aggregate).
+    """
+    return triples.agg(
+        F.count("*").cast("long").alias("n_triples"),
+        F.countDistinct("subj").cast("long").alias("n_subjects"),
+        F.countDistinct("obj").cast("long").alias("n_objects"),
+        F.countDistinct("pred").cast("long").alias("n_properties"),
+        F.countDistinct(
+            F.when(F.col("pred") == type_pred, F.col("obj"))
+        ).cast("long").alias("n_classes"),
+    )
+
+
+def path_profile(
+    triples: DataFrame, type_pred: str = TYPE_PRED
+) -> DataFrame:
+    """Predicate 2-path statistics: how many length-2 paths compose
+    pred1 then pred2 through a shared middle node -> (pred1, pred2, n).
+    This is the join-cardinality table for SPARQL planning: the BGP
+    compiler's selectivity ordering picks which pattern pair to join
+    first, and (pred1, pred2) path counts are exactly the estimate it
+    needs for chain patterns ?a <p1> ?m . ?m <p2> ?b.
+
+    One self-equi-join on the middle node + one groupBy; type triples
+    excluded (class IRIs terminate paths). Per-(pred1,pred2) counts are
+    map-side combinable after the join.
+    """
+    ed = triples.filter(F.col("pred") != type_pred)
+    a = ed.select(F.col("pred").alias("pred1"), F.col("obj").alias("_m"))
+    b = ed.select(F.col("subj").alias("_m"), F.col("pred").alias("pred2"))
+    return a.join(b, "_m").groupBy("pred1", "pred2").agg(
+        F.count("*").cast("long").alias("n")
+    )

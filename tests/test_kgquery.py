@@ -1488,3 +1488,32 @@ def test_direct_mapping_and_dangling_objects(spark):
     assert rows["knows"].n_edges == 2 and rows["knows"].n_dangling == 1
     assert rows["knows"].dangling_ratio == 0.5
     assert rows["in"].n_dangling == 1
+
+
+def test_void_stats_and_path_profile(spark):
+    from dbpedia_spotlight_spark.operators.kglayout import (
+        path_profile,
+        void_stats,
+    )
+
+    tri = spark.createDataFrame(
+        [
+            ("a", "rdf:type", "T"),
+            ("b", "rdf:type", "U"),
+            ("a", "p", "b"),
+            ("b", "q", "c"),
+            ("b", "q", "d"),
+            ("x", "p", "b"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    v = void_stats(tri).collect()[0]
+    assert (v.n_triples, v.n_subjects, v.n_properties, v.n_classes) == (
+        6, 3, 3, 2,
+    )
+    assert v.n_objects == 5  # {T, U, b, c, d}
+    got = {
+        (r.pred1, r.pred2): r.n for r in path_profile(tri).collect()
+    }
+    # p->q paths: (a,b,q*2) + (x,b,q*2) = 4; no other middles compose
+    assert got == {("p", "q"): 4}

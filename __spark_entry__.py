@@ -2331,6 +2331,28 @@ def q_kg_fact_ranking(spark, sf_dir):
     return fact_ranking(_customer_kg(spark, sf_dir), k=2)
 
 
+def q_events_funnel(spark, sf_dir):
+    """Strictly-ordered funnel (datapipe/funnel.py:funnel_counts — one
+    (user, min ts) frontier aggregate + user-key join per step, never a
+    per-user event sort). view -> click -> purchase over the events
+    table. Oracle = the per-step min-frontier CTE chain."""
+    from dbpedia_spotlight_spark.datapipe.funnel import funnel_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+def q_events_retention(spark, sf_dir):
+    """Weekly retention cohorts (datapipe/funnel.py:retention_cohorts —
+    first-seen-week cohort per user joined to distinct user-weeks; the
+    offset-0 row is the cohort size). Oracle = the same two aggregates
+    + join in SQL, cohort dates rendered yyyy-MM-dd on both sides."""
+    from dbpedia_spotlight_spark.datapipe.funnel import retention_cohorts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_cohorts(ev, period="week")
+
+
 def q_kg_void_stats(spark, sf_dir):
     """VoID dataset description (operators/kglayout.py:void_stats — one
     multi-distinct aggregate row: triples / distinct subjects / objects
@@ -3739,6 +3761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_update": q_kg_update,
         "kg_owl_entailment": q_kg_owl_entailment,
         "kg_void_stats": q_kg_void_stats,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "kg_path_profile": q_kg_path_profile,
         "kg_direct_mapping": q_kg_direct_mapping,
         "kg_dangling": q_kg_dangling,
@@ -4533,6 +4557,44 @@ FROM ed e
 LEFT JOIN types ts ON ts.node = e.subj
 LEFT JOIN types tb ON tb.node = e.obj
 GROUP BY 1, 2, 3
+"""
+
+    sql["events_funnel"] = """
+WITH s0 AS (
+  SELECT user_id AS u, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s1 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN s0 ON s0.u = e.user_id AND e.ts > s0.t
+  WHERE e.event_type = 'click' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t
+  FROM events e JOIN s1 ON s1.u = e.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT 0 AS step_idx, 'view' AS step,
+       (SELECT count(*) FROM s0)::BIGINT AS n_users
+UNION ALL
+SELECT 1, 'click', (SELECT count(*) FROM s1)::BIGINT
+UNION ALL
+SELECT 2, 'purchase', (SELECT count(*) FROM s2)::BIGINT
+"""
+
+    sql["events_retention"] = """
+WITH pu AS (
+  SELECT user_id AS u, date_trunc('week', min(ts)) AS cohort
+  FROM events GROUP BY 1
+),
+act AS (
+  SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS p FROM events
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+       (date_diff('day', cohort, p) // 7)::BIGINT AS period_offset,
+       count(DISTINCT u)::BIGINT AS n_users
+FROM act JOIN pu USING (u)
+GROUP BY 1, 2
 """
 
     sql["kg_void_stats"] = f"""

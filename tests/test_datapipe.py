@@ -1584,3 +1584,61 @@ def test_kmv_sketch_plan_shape(spark):
             # partitionBy would put the sort key first
             spec = line.split("windowspecdefinition(", 1)[1]
             assert not spec.lstrip().startswith("_h"), line
+
+
+def test_funnel_counts_strict_order(spark):
+    """Conversion requires the next step STRICTLY AFTER the earliest
+    previous-step match; counts are non-increasing."""
+    import datetime as dt
+
+    from dbpedia_spotlight_spark.datapipe.funnel import funnel_counts
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1 converts fully: signup@1 -> view@2 -> buy@3
+        (1, t(1), "signup"), (1, t(2), "view"), (1, t(3), "buy"),
+        # u2: buy BEFORE view -> stops after view
+        (2, t(1), "signup"), (2, t(3), "view"), (2, t(2), "buy"),
+        # u3: view only, never signed up -> not even step 1
+        (3, t(1), "view"),
+        # u4: signup only
+        (4, t(5), "signup"),
+        # u5: view at the SAME ts as signup -> strict > excludes it
+        (5, t(1), "signup"), (5, t(1), "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r.step_idx, r.step): r.n_users
+        for r in funnel_counts(ev, ["signup", "view", "buy"]).collect()
+    }
+    assert got == {(0, "signup"): 4, (1, "view"): 2, (2, "buy"): 1}
+
+
+def test_retention_cohorts_offsets(spark):
+    import datetime as dt
+
+    from dbpedia_spotlight_spark.datapipe.funnel import retention_cohorts
+
+    d = lambda day, h=0: dt.datetime(2024, 1, day, h)  # noqa: E731
+    rows = [
+        (1, d(1)), (1, d(2)),   # week of Jan 1: offsets 0 only (both days same week)
+        (1, d(10)),             # next week: offset 1
+        (2, d(1)),              # offset 0 only
+        (3, d(10)), (3, d(24)),  # cohort Jan 8 week; offsets 0 and 2
+    ]
+    ev = spark.createDataFrame(
+        [(u, ts, "e") for u, ts in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = {
+        (r.cohort, r.period_offset): r.n_users
+        for r in retention_cohorts(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 2): 1,
+    }

@@ -2331,6 +2331,27 @@ def q_kg_fact_ranking(spark, sf_dir):
     return fact_ranking(_customer_kg(spark, sf_dir), k=2)
 
 
+def q_kg_fastrp(spark, sf_dir):
+    """FastRP node embeddings over the entity co-occurrence KG
+    (datapipe/kg_samples.py:fastrp_embeddings — emb = w1·(D⁻¹A)R +
+    w2·(D⁻¹A)²R with an md5-deterministic Achlioptas projection, so the
+    embedding VALUES themselves hash-check against a DuckDB replay of
+    the identical arithmetic; joins+groupBy only, dim multiplies rows
+    not shuffles). Oracle = projection + two propagation hops unrolled
+    in SQL, values rounded to 6 dp."""
+    from dbpedia_spotlight_spark.datapipe.kg_samples import fastrp_embeddings
+
+    edges = cooccurrence_edges(_occs(spark, sf_dir), min_count=150)
+    sym = edges.select(
+        F.col("src_uri").alias("src"), F.col("dst_uri").alias("dst")
+    ).unionByName(
+        edges.select(
+            F.col("dst_uri").alias("src"), F.col("src_uri").alias("dst")
+        )
+    )
+    return fastrp_embeddings(sym, dim=4)
+
+
 def q_events_funnel(spark, sf_dir):
     """Strictly-ordered funnel (datapipe/funnel.py:funnel_counts — one
     (user, min ts) frontier aggregate + user-key join per step, never a
@@ -3763,6 +3784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_void_stats": q_kg_void_stats,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
+        "kg_fastrp": q_kg_fastrp,
         "kg_path_profile": q_kg_path_profile,
         "kg_direct_mapping": q_kg_direct_mapping,
         "kg_dangling": q_kg_dangling,
@@ -4557,6 +4579,46 @@ FROM ed e
 LEFT JOIN types ts ON ts.node = e.subj
 LEFT JOIN types tb ON tb.node = e.obj
 GROUP BY 1, 2, 3
+"""
+
+    # kg_fastrp: md5-deterministic projection + two D^-1·A hops,
+    # replayed end-to-end — embedding values compared by hash
+    sql["kg_fastrp"] = _BASE_CTES + """,
+du AS (SELECT DISTINCT doc_id, uri FROM occs),
+ed AS (
+  SELECT a.uri AS s, b.uri AS d
+  FROM du a JOIN du b ON a.doc_id = b.doc_id AND a.uri < b.uri
+  GROUP BY 1, 2 HAVING count(*) >= 150
+),
+sym AS (SELECT s AS src, d AS dst FROM ed UNION ALL SELECT d, s FROM ed),
+nd AS (SELECT DISTINCT src AS node FROM sym
+       UNION SELECT DISTINCT dst FROM sym),
+rp AS (
+  SELECT node, j,
+         CASE b WHEN 0 THEN sqrt(3) WHEN 1 THEN -sqrt(3) END AS r
+  FROM (
+    SELECT node, j,
+           ('0x' || substr(md5(node || chr(31) || j::VARCHAR), 1, 12))
+             ::BIGINT % 6 AS b
+    FROM nd, (SELECT unnest(generate_series(0, 3)) AS j)
+  )
+  WHERE b <= 1
+),
+deg AS (SELECT src, count(*) AS dg FROM sym GROUP BY 1),
+h1 AS (
+  SELECT s.src AS node, r.j, sum(r.r / deg.dg) AS v
+  FROM sym s JOIN rp r ON r.node = s.dst JOIN deg ON deg.src = s.src
+  GROUP BY 1, 2
+),
+h2 AS (
+  SELECT s.src AS node, p.j, sum(p.v / deg.dg) AS v
+  FROM sym s JOIN h1 p ON p.node = s.dst JOIN deg ON deg.src = s.src
+  GROUP BY 1, 2
+)
+SELECT coalesce(h1.node, h2.node) AS node,
+       coalesce(h1.j, h2.j)::INT AS j,
+       round(1.0 * coalesce(h1.v, 0) + 2.0 * coalesce(h2.v, 0), 6) AS value
+FROM h1 FULL OUTER JOIN h2 ON h1.node = h2.node AND h1.j = h2.j
 """
 
     sql["events_funnel"] = """

@@ -186,3 +186,81 @@ def random_walks(
             )
         )
     return out
+
+
+def fastrp_projection(
+    nodes: DataFrame, dim: int = 8, s: int = 3
+) -> DataFrame:
+    """Achlioptas sparse random projection for FastRP (Chen et al. 2019,
+    "Fast and Accurate Network Embeddings via Very Sparse Random
+    Projection"): r[node, j] ∈ {+√s, -√s, 0} with P(±) = 1/(2s),
+    DETERMINISTIC from md5_48(node∥j) — the projection (and therefore
+    the whole embedding) replays bit-identically across runs, executors
+    and engines. Zero entries are dropped (the matrix is sparse by
+    construction: 2/3 zeros at s=3). -> (node, j, r)."""
+    import math
+
+    js = F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("j")
+    base = nodes.select("node", js)
+    bucket = _hash48(F.concat_ws("\x1f", F.col("node"), F.col("j"))) % (2 * s)
+    r = (
+        F.when(bucket == 0, F.lit(math.sqrt(s)))
+        .when(bucket == 1, F.lit(-math.sqrt(s)))
+        .otherwise(F.lit(0.0))
+    )
+    return base.withColumn("r", r).filter(F.col("r") != 0.0)
+
+
+def fastrp_embeddings(
+    edges: DataFrame,
+    dim: int = 8,
+    weights: tuple = (1.0, 2.0),
+) -> DataFrame:
+    """FastRP node embeddings: emb = w1·(D⁻¹A)R + w2·(D⁻¹A)²R over a
+    directed edge set (symmetrize first for undirected graphs) ->
+    (node, j, value) long format, value rounded to 6 dp.
+
+    Everything is joins + groupBy sums — each propagation hop is one
+    equi-join of the edge list against the previous (node, j, v) table
+    keyed on the neighbor, then a (src, j) sum; no vectors ever sit on
+    the driver, and dim multiplies rows (dim·|V| working set), not
+    shuffle count. Being hash-deterministic, the embedding VALUES are
+    oracle-checkable in SQL — unusual for an embedding method and the
+    reason FastRP (not SGD-trained TransE) is the in-engine default;
+    negative_samples/random_walks above feed external trainers for the
+    learned alternatives.
+    """
+    w1, w2 = float(weights[0]), float(weights[1])
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("_deg"))
+    proj = fastrp_projection(nodes, dim=dim)
+
+    def hop(prev: DataFrame, val_col: str) -> DataFrame:
+        return (
+            edges.join(
+                prev.withColumnRenamed("node", "dst"), "dst"
+            )
+            .join(deg, "src")
+            .groupBy(F.col("src").alias("node"), "j")
+            .agg(F.sum(F.col(val_col) / F.col("_deg")).alias("v"))
+        )
+
+    e1 = hop(proj, "r")
+    e2 = hop(e1.withColumnRenamed("v", "r"), "r")
+    return (
+        e1.withColumnRenamed("v", "_v1")
+        .join(e2.withColumnRenamed("v", "_v2"), ["node", "j"], "full_outer")
+        .select(
+            "node",
+            "j",
+            F.round(
+                w1 * F.coalesce(F.col("_v1"), F.lit(0.0))
+                + w2 * F.coalesce(F.col("_v2"), F.lit(0.0)),
+                6,
+            ).alias("value"),
+        )
+    )

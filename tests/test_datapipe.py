@@ -1642,3 +1642,40 @@ def test_retention_cohorts_offsets(spark):
         ("2024-01-08", 0): 1,
         ("2024-01-08", 2): 1,
     }
+
+
+def test_fastrp_embeddings_deterministic_and_structural(spark):
+    """Embeddings replay identically across invocations; structurally
+    equivalent nodes (same neighborhood) get identical vectors; a hop-1
+    value equals the hand-computed mean of neighbor projections."""
+    from dbpedia_spotlight_spark.datapipe.kg_samples import (
+        fastrp_embeddings,
+        fastrp_projection,
+    )
+    from pyspark.sql import functions as F
+
+    # star: hub h connected to a, b; a and b are structurally identical
+    ed = spark.createDataFrame(
+        [("h", "a"), ("h", "b"), ("a", "h"), ("b", "h")],
+        "src string, dst string",
+    )
+    e1 = {(r.node, r.j): r.value for r in fastrp_embeddings(ed, dim=4).collect()}
+    e2 = {(r.node, r.j): r.value for r in fastrp_embeddings(ed, dim=4).collect()}
+    assert e1 == e2 and e1
+    va = [e1.get(("a", j), 0.0) for j in range(4)]
+    vb = [e1.get(("b", j), 0.0) for j in range(4)]
+    assert va == vb  # same single neighbor (h) -> identical embeddings
+
+    # hand-check hop-1 for the hub: mean over {a, b} of their projections
+    proj = {
+        (r.node, r.j): r.r
+        for r in fastrp_projection(
+            spark.createDataFrame([("h",), ("a",), ("b",)], "node string"),
+            dim=4,
+        ).collect()
+    }
+    emb = fastrp_embeddings(ed, dim=4, weights=(1.0, 0.0))
+    got_h = {r.j: r.value for r in emb.filter(F.col("node") == "h").collect()}
+    for j in range(4):
+        expect = (proj.get(("a", j), 0.0) + proj.get(("b", j), 0.0)) / 2
+        assert abs(got_h.get(j, 0.0) - round(expect, 6)) < 1e-9

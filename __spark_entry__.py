@@ -3313,6 +3313,22 @@ def q_nt_lines(spark, sf_dir):
     return to_ntriples(q_nif_triples(spark, sf_dir))
 
 
+def q_nquads_lines(spark, sf_dir):
+    """N-Quads dataset serializer (functions/rdf.py:to_nquads +
+    with_graph): the NIF mention triples lifted into per-predicate named
+    graphs (the provenance-tracking pattern for multi-extractor KG
+    construction) — one text line per statement with the graph label
+    appended, zero shuffle. Oracle = the nt_lines string build + the
+    graph term."""
+    from dbpedia_spotlight_spark.functions.rdf import to_nquads, with_graph
+
+    quads = with_graph(
+        q_nif_triples(spark, sf_dir),
+        F.concat(F.lit("http://graphs/"), F.col("pred")),
+    )
+    return to_nquads(quads)
+
+
 def q_turtle_blocks(spark, sf_dir):
     """S12 Turtle serializer (functions/rdf.py:to_turtle): one block per
     subject with deterministically ordered ``;`` predicate-object
@@ -3803,6 +3819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "html_extract": q_html_extract,
         "nt_lines": q_nt_lines,
+        "nquads_lines": q_nquads_lines,
         "turtle_blocks": q_turtle_blocks,
         "annotate_windowed": q_annotate_windowed,
         "kg_construct": q_kg_construct,
@@ -3995,6 +4012,12 @@ SELECT subj, 'http://www.w3.org/2005/11/its/rdf#taConfidence',
     sql["nt_lines"] = nif_tri_ctes + f"""
 SELECT '<' || subj || '> <' || pred || '> ' || {_obj_term_sql} || ' .'
        AS line
+FROM tri
+"""
+
+    sql["nquads_lines"] = nif_tri_ctes + f"""
+SELECT '<' || subj || '> <' || pred || '> ' || {_obj_term_sql}
+       || ' <http://graphs/' || pred || '> .' AS line
 FROM tri
 """
 

@@ -158,3 +158,44 @@ def to_jsonld(
             ).alias("node"),
         )
     )
+
+
+def to_nquads(
+    quads: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    graph: str = "graph",
+) -> DataFrame:
+    """One N-Quads line per statement: ``<s> <p> <o|"lit"> <g> .`` — the
+    named-graph (RDF dataset) serialization; a NULL graph falls back to
+    the default graph and serializes as a plain N-Triples line (the
+    N-Quads spec makes the graph label optional). Same zero-shuffle
+    projection shape as to_ntriples."""
+    g = _col(graph)
+    return quads.select(
+        F.concat(
+            F.lit("<"),
+            _col(subj),
+            F.lit("> <"),
+            _col(pred),
+            F.lit("> "),
+            _obj_term(obj),
+            F.when(g.isNull(), F.lit("")).otherwise(
+                F.concat(F.lit(" <"), g, F.lit(">"))
+            ),
+            F.lit(" ."),
+        ).alias("line")
+    )
+
+
+def with_graph(
+    triples: DataFrame, graph_name, graph_col: str = "graph"
+) -> DataFrame:
+    """Lift a triple table into a named graph: adds a constant (or
+    column-derived) graph label -> quads. Datasets assemble by
+    unionByName of per-source lifts — provenance tracking for
+    multi-extractor KG construction (each wikiextract/direct_mapping/
+    relation_extract source keeps its origin)."""
+    g = F.lit(graph_name) if isinstance(graph_name, str) else graph_name
+    return triples.withColumn(graph_col, g)

@@ -72,3 +72,24 @@ def test_jsonld_nodes_valid_json_and_shape(spark):
     ]
     assert n1["http://p/label"] == ['say "hi"\nnow']
     assert json.loads(out["http://s/2"])["http://p/label"] == ["plain"]
+
+
+def test_to_nquads_and_with_graph(spark):
+    from pyspark.sql import functions as F
+
+    from dbpedia_spotlight_spark.functions.rdf import to_nquads, with_graph
+
+    tri = spark.createDataFrame(
+        [("http://e/a", "http://p/knows", 'say "hi"')],
+        "subj string, pred string, obj string",
+    )
+    quads = with_graph(tri, "http://g/wiki")
+    lines = {r.line for r in to_nquads(quads).collect()}
+    assert lines == {
+        '<http://e/a> <http://p/knows> "say \\"hi\\"" <http://g/wiki> .'
+    }
+    # null graph -> default graph, plain N-Triples line
+    dq = quads.withColumn("graph", F.lit(None).cast("string"))
+    assert {r.line for r in to_nquads(dq).collect()} == {
+        '<http://e/a> <http://p/knows> "say \\"hi\\"" .'
+    }

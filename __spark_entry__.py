@@ -2331,6 +2331,18 @@ def q_kg_fact_ranking(spark, sf_dir):
     return fact_ranking(_customer_kg(spark, sf_dir), k=2)
 
 
+def q_kg_predicate_profile(spark, sf_dir):
+    """PARIS-style predicate profiling (operators/kglayout.py:
+    predicate_profile — functionality / inverse-functionality ratios +
+    dominant-datatype inference in one groupBy on the predicate key).
+    On the customer KG, inNation and hasSegment are functional (one
+    value per customer) while placed is highly non-functional. Oracle =
+    the same aggregates + ROW_NUMBER dtype pick in SQL."""
+    from dbpedia_spotlight_spark.operators.kglayout import predicate_profile
+
+    return predicate_profile(_customer_kg(spark, sf_dir))
+
+
 def q_kg_fastrp(spark, sf_dir):
     """FastRP node embeddings over the entity co-occurrence KG
     (datapipe/kg_samples.py:fastrp_embeddings — emb = w1·(D⁻¹A)R +
@@ -3801,6 +3813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "kg_fastrp": q_kg_fastrp,
+        "kg_predicate_profile": q_kg_predicate_profile,
         "kg_path_profile": q_kg_path_profile,
         "kg_direct_mapping": q_kg_direct_mapping,
         "kg_dangling": q_kg_dangling,
@@ -4602,6 +4615,39 @@ FROM ed e
 LEFT JOIN types ts ON ts.node = e.subj
 LEFT JOIN types tb ON tb.node = e.obj
 GROUP BY 1, 2, 3
+"""
+
+    sql["kg_predicate_profile"] = f"""
+WITH tri AS ({_CUSTOMER_KG_SQL}),
+ed AS (
+  SELECT pred, subj, obj,
+         CASE WHEN regexp_matches(obj, '^-?\\d+$') THEN 'integer'
+              WHEN regexp_matches(obj, '^-?\\d+\\.\\d+$') THEN 'decimal'
+              WHEN regexp_matches(obj, '^\\d{{4}}-\\d{{2}}-\\d{{2}}$')
+                THEN 'date'
+              ELSE 'string' END AS dt
+  FROM tri WHERE pred != 'rdf:type'
+),
+dom AS (
+  SELECT pred, dt AS dominant_dtype, c AS dom_c FROM (
+    SELECT pred, dt, count(*) AS c,
+           row_number() OVER (PARTITION BY pred
+                              ORDER BY count(*) DESC, dt) AS rn
+    FROM ed GROUP BY pred, dt
+  ) WHERE rn = 1
+),
+st AS (
+  SELECT pred, count(*)::BIGINT AS n_triples,
+         count(DISTINCT subj)::BIGINT AS n_subjects,
+         count(DISTINCT obj)::BIGINT AS n_objects
+  FROM ed GROUP BY pred
+)
+SELECT st.pred, n_triples, n_subjects, n_objects,
+       round(n_subjects::DOUBLE / n_triples, 6) AS functionality,
+       round(n_objects::DOUBLE / n_triples, 6) AS inverse_functionality,
+       dominant_dtype,
+       round(dom_c::DOUBLE / n_triples, 6) AS dtype_share
+FROM st JOIN dom ON dom.pred = st.pred
 """
 
     # kg_fastrp: md5-deterministic projection + two D^-1·A hops,

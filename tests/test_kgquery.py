@@ -1517,3 +1517,30 @@ def test_void_stats_and_path_profile(spark):
     }
     # p->q paths: (a,b,q*2) + (x,b,q*2) = 4; no other middles compose
     assert got == {("p", "q"): 4}
+
+
+def test_predicate_profile_functionality_and_dtypes(spark):
+    from dbpedia_spotlight_spark.operators.kglayout import predicate_profile
+
+    tri = spark.createDataFrame(
+        [
+            ("a", "rdf:type", "T"),          # excluded
+            ("a", "age", "41"),
+            ("b", "age", "7"),               # functional, all integer
+            ("a", "knows", "b"),
+            ("a", "knows", "c"),             # non-functional
+            ("b", "knows", "c"),
+            ("a", "born", "1984-05-01"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    rows = {r.pred: r for r in predicate_profile(tri).collect()}
+    assert set(rows) == {"age", "knows", "born"}
+    assert rows["age"].functionality == 1.0
+    assert rows["age"].dominant_dtype == "integer"
+    assert rows["age"].inverse_functionality == 1.0
+    k = rows["knows"]
+    assert k.n_triples == 3 and k.n_subjects == 2 and k.n_objects == 2
+    assert k.functionality == round(2 / 3, 6)
+    assert k.dominant_dtype == "string"
+    assert rows["born"].dominant_dtype == "date"

@@ -132,12 +132,42 @@ def _path_df(triples: DataFrame, node: tuple) -> DataFrame:
     raise ValueError(f"unknown path node {node!r}")
 
 
+def predicate_counts(triples: DataFrame) -> dict:
+    """{pred: triple count} — the statistics dim for cost-based BGP
+    ordering (pass as bgp_match(pred_stats=...)). Predicate vocabularies
+    are tiny (thousands), so the collect is bounded; compute once per
+    KB snapshot and reuse across queries."""
+    return {
+        r["pred"]: r["n"]
+        for r in triples.groupBy("pred").agg(F.count("*").alias("n")).collect()
+    }
+
+
+def _estimated_rows(pat: tuple, stats: dict, default: int) -> float:
+    """Cardinality estimate for one triple pattern: the predicate's
+    actual count when the predicate is a constant (property paths and
+    variable predicates fall back to the whole-KB default), divided by
+    10 per additional bound subject/object term — the classic
+    selectivity-factor heuristic, now anchored on REAL predicate counts
+    instead of constant-arity alone."""
+    s_term, p_term, o_term = pat
+    if isinstance(p_term, str) and not _is_var(p_term) and not p_term.endswith("+"):
+        est = float(stats.get(p_term, default))
+    else:
+        est = float(default)
+    for t in (s_term, o_term):
+        if not _is_var(t):
+            est /= 10.0
+    return est
+
+
 def bgp_match(
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],
     optional: list[tuple[str, str, str]] | None = None,
     filters: list[str] | None = None,
     minus: list[tuple[str, str, str]] | None = None,
+    pred_stats: dict | None = None,
 ) -> DataFrame:
     """Match a SPARQL-style basic graph pattern against a triple table.
 
@@ -170,6 +200,14 @@ def bgp_match(
     scan), and among equals, patterns sharing a variable with the bound
     set come first — a cross join is only emitted when the BGP is
     genuinely disconnected.
+
+    ``pred_stats``: optional {pred: count} dict (predicate_counts) that
+    upgrades the ordering from the constant-arity heuristic to COST-
+    BASED: patterns are ordered by estimated cardinality (the
+    predicate's real count, /10 per extra bound term). At 100 TB the
+    difference between starting from a 100-row predicate and a
+    10^10-row one is the whole query; the heuristic can't see it, the
+    stats can. Semantics are identical either way (ordering only).
     """
     if not patterns:
         raise ValueError("empty basic graph pattern")
@@ -222,11 +260,19 @@ def bgp_match(
                 df = df.filter(F.col(col) == F.lit(term))
         return df.select(*cols), set(seen)
 
-    # most-constrained-first: sort by number of constants descending
-    order = sorted(
-        range(len(patterns)),
-        key=lambda i: -sum(0 if _is_var(t) else 1 for t in patterns[i]),
-    )
+    if pred_stats is not None:
+        # cost-based: smallest estimated cardinality first
+        default = max(pred_stats.values(), default=1) * 10
+        order = sorted(
+            range(len(patterns)),
+            key=lambda i: _estimated_rows(patterns[i], pred_stats, default),
+        )
+    else:
+        # most-constrained-first: sort by number of constants descending
+        order = sorted(
+            range(len(patterns)),
+            key=lambda i: -sum(0 if _is_var(t) else 1 for t in patterns[i]),
+        )
     remaining = list(order)
     first = remaining.pop(0)
     result, bound = _relation(patterns[first])

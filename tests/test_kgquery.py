@@ -1544,3 +1544,38 @@ def test_predicate_profile_functionality_and_dtypes(spark):
     assert k.functionality == round(2 / 3, 6)
     assert k.dominant_dtype == "string"
     assert rows["born"].dominant_dtype == "date"
+
+
+def test_bgp_cost_based_ordering_same_semantics(spark):
+    """pred_stats changes only the join order: results identical to the
+    heuristic path, and the estimator ranks a rare predicate below a
+    huge one regardless of constant arity."""
+    from dbpedia_spotlight_spark.operators.kgquery import (
+        _estimated_rows,
+        bgp_match,
+        predicate_counts,
+    )
+
+    tri = spark.createDataFrame(
+        [("a", "rare", "b"), ("b", "common", "c"), ("b", "common", "d"),
+         ("a", "common", "c"), ("d", "common", "a")],
+        "subj string, pred string, obj string",
+    )
+    stats = predicate_counts(tri)
+    assert stats == {"rare": 1, "common": 4}
+    # at realistic KB proportions a constant-subject common pattern still
+    # estimates BIGGER than the all-variable rare pattern — the arity
+    # heuristic gets this wrong (it would rank the bound pattern first)
+    kb = {"rare": 50, "common": 40_000}
+    assert _estimated_rows(("?x", "rare", "?y"), kb, 10**6) < _estimated_rows(
+        ("a", "common", "?y"), kb, 10**6
+    )
+    pats = [("?x", "common", "?y"), ("?y", "rare", "?z")]
+    base = {
+        tuple(sorted(r.asDict().items())) for r in bgp_match(tri, pats).collect()
+    }
+    cost = {
+        tuple(sorted(r.asDict().items()))
+        for r in bgp_match(tri, pats, pred_stats=stats).collect()
+    }
+    assert base == cost and base

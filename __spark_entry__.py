@@ -3797,12 +3797,107 @@ def q_annotate_windowed(spark, sf_dir):
     )
 
 
+_BPE_MERGES = 6
+
+
+def q_bpe_learn(spark, sf_dir):
+    """Distributed BPE tokenizer training (datapipe/bpe.py:learn_bpe —
+    Sennrich iterative pair merging over the word-frequency table; one
+    pair-explode + map-side-combinable groupBy and ONE scalar collect
+    per round, greedy merge application as a JVM-side F.aggregate fold,
+    zero UDF). Deterministic tie-break (count DESC, left ASC, right
+    ASC). Oracle = the same six rounds in DuckDB over a '·'-wrapped
+    symbol-string representation where the greedy left-to-right fold is
+    exactly non-overlapping replace('·a··b·' -> '·ab·')."""
+    from dbpedia_spotlight_spark.datapipe.bpe import learn_bpe
+
+    docs = _docs(spark, sf_dir).select("text")
+    merges, _ = learn_bpe(docs, num_merges=_BPE_MERGES)
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "merge_rank int, lhs string, rhs string, pair_count long",
+    )
+
+
+def q_bpe_tokens(spark, sf_dir):
+    """Corpus token frequencies under the learned BPE merges
+    (datapipe/bpe.py:token_frequencies — the encode fold applied to the
+    vocab once, token counts freq-weighted; corpus-side cost is one
+    regexp tokenize + one groupBy). Covers the encode path end-to-end
+    against the DuckDB replay of the same merges."""
+    from dbpedia_spotlight_spark.datapipe.bpe import (
+        learn_bpe,
+        token_frequencies,
+    )
+
+    docs = _docs(spark, sf_dir).select("text")
+    merges, _ = learn_bpe(docs, num_merges=_BPE_MERGES)
+    return token_frequencies(docs, merges).select(
+        "token", F.col("n").cast("long").alias("n")
+    )
+
+
+def q_rdfxml_blocks(spark, sf_dir):
+    """S12 RDF/XML serializer (functions/rdf.py:to_rdfxml): one
+    rdf:Description block per subject, property elements carrying their
+    own inline xmlns (namespace = predicate IRI minus its NCName tail),
+    IRI objects as rdf:resource attributes, literals as escaped text
+    content, elements sorted inside the block. Completes the at-rest
+    RDF family (NT/NQ/Turtle/JSON-LD/RDF-XML). Oracle = the same
+    escape + split + string_agg in DuckDB."""
+    from dbpedia_spotlight_spark.functions.rdf import to_rdfxml
+
+    return to_rdfxml(q_nif_triples(spark, sf_dir))
+
+
+def q_kg_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction over the entity co-occurrence graph
+    (operators/graph.py:adamic_adar): non-adjacent pairs scored
+    sum(1/ln(deg(y))) over common neighbors y — rare shared neighbors
+    outweigh hubs, the strongest of the local predictors in
+    Liben-Nowell/Kleinberg's study and the weighted refinement of
+    kg_two_hop's raw common-neighbor count. Candidates only from the
+    wedge self-join, never all-pairs."""
+    from dbpedia_spotlight_spark.operators.graph import adamic_adar
+
+    edges = cooccurrence_edges(_occs(spark, sf_dir), min_count=150).select(
+        F.col("src_uri").alias("src"), F.col("dst_uri").alias("dst")
+    )
+    return adamic_adar(edges).select(
+        F.col("a").alias("src_uri"),
+        F.col("b").alias("dst_uri"),
+        "n_common",
+        "score",
+    )
+
+
+def q_kg_graph_summary(spark, sf_dir):
+    """Global KG health profile (operators/graph.py:graph_summary):
+    nodes, edges, avg/max degree, triangle count, transitivity
+    (3T/wedges, Newman 2003) and degree assortativity (Newman 2002
+    endpoint-degree Pearson) over the entity co-occurrence graph — the
+    snapshot-over-snapshot regression check a production KG build runs
+    before shipping. All scalar reductions; triangles via the
+    degree-ordered compact-forward join."""
+    from dbpedia_spotlight_spark.operators.graph import graph_summary
+
+    edges = cooccurrence_edges(_occs(spark, sf_dir), min_count=150).select(
+        F.col("src_uri").alias("src"), F.col("dst_uri").alias("dst")
+    )
+    return graph_summary(edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "rdfxml_blocks": q_rdfxml_blocks,
+        "kg_graph_summary": q_kg_graph_summary,
+        "kg_adamic_adar": q_kg_adamic_adar,
+        "bpe_learn": q_bpe_learn,
+        "bpe_tokens": q_bpe_tokens,
         "kg_property_table": q_kg_property_table,
         "kg_schema_summary": q_kg_schema_summary,
         "kg_fact_ranking": q_kg_fact_ranking,
@@ -4066,6 +4161,41 @@ SELECT subj,
        '{{"@id":"' || subj || '",' ||
        string_agg(entry, ',' ORDER BY entry) || '}}' AS node
 FROM pe GROUP BY subj
+"""
+
+    # rdfxml_blocks: predicate splits at its trailing NCName; the
+    # property element declares its namespace inline; IRI objects ->
+    # rdf:resource attributes, literals -> escaped text content;
+    # elements sort inside the block (same ORDER BY elem = array_sort)
+    _xe_ns = ('replace(replace(replace(replace(substring(pred, 1, length(pred) - length(lraw)), \'&\',\'&amp;\'),\'<\',\'&lt;\'),\'>\',\'&gt;\'),\'"\',\'&quot;\')')
+    _xe_obj = ('replace(replace(replace(replace(obj, \'&\',\'&amp;\'),\'<\',\'&lt;\'),\'>\',\'&gt;\'),\'"\',\'&quot;\')')
+    _xe_subj = ('replace(replace(replace(replace(subj, \'&\',\'&amp;\'),\'<\',\'&lt;\'),\'>\',\'&gt;\'),\'"\',\'&quot;\')')
+    sql["rdfxml_blocks"] = nif_tri_ctes + f""",
+sp AS (
+  SELECT subj, pred, obj,
+         regexp_extract(pred, '([A-Za-z_][A-Za-z0-9_.-]*)$', 1) AS lraw
+  FROM tri
+),
+el AS (
+  SELECT subj,
+         CASE WHEN lraw = '' THEN '_p' ELSE lraw END AS loc,
+         {_xe_ns} AS ns, obj FROM sp
+),
+ex AS (
+  SELECT subj,
+         CASE WHEN regexp_matches(obj, '^https?://')
+              THEN '<n:' || loc || ' xmlns:n="' || ns ||
+                   '" rdf:resource="' || {_xe_obj} || '"/>'
+              ELSE '<n:' || loc || ' xmlns:n="' || ns || '">' ||
+                   {_xe_obj} || '</n:' || loc || '>'
+         END AS elem
+  FROM el
+)
+SELECT subj,
+       '<rdf:Description rdf:about="' || {_xe_subj} || '">' || chr(10) ||
+       '    ' || string_agg(elem, chr(10) || '    ' ORDER BY elem) ||
+       chr(10) || '</rdf:Description>' AS block
+FROM ex GROUP BY subj
 """
 
     sql["m1_uri_counts"] = _BASE_CTES + (
@@ -5436,6 +5566,56 @@ SELECT a.u AS src_uri, b.v AS dst_uri, count(*)::BIGINT AS n_paths
 FROM sym a JOIN sym b ON a.v = b.u AND a.u < b.v
 ANTI JOIN ed e ON e.s = a.u AND e.d = b.v
 GROUP BY 1, 2
+"""
+
+    sql["kg_adamic_adar"] = _BASE_CTES + """,
+du AS (SELECT DISTINCT doc_id, uri FROM occs),
+ed AS (
+  SELECT a.uri AS s, b.uri AS d
+  FROM du a JOIN du b ON a.doc_id = b.doc_id AND a.uri < b.uri
+  GROUP BY 1, 2 HAVING count(*) >= 150
+),
+sym AS (SELECT s AS u, d AS v FROM ed UNION ALL SELECT d, s FROM ed),
+deg AS (SELECT u, count(*)::BIGINT AS deg FROM sym GROUP BY u)
+SELECT a.u AS src_uri, b.v AS dst_uri, count(*)::BIGINT AS n_common,
+       round(sum(1.0 / ln(m.deg)), 6) AS score
+FROM sym a JOIN sym b ON a.v = b.u AND a.u < b.v
+JOIN deg m ON m.u = a.v
+ANTI JOIN ed e ON e.s = a.u AND e.d = b.v
+GROUP BY 1, 2
+"""
+
+    sql["kg_graph_summary"] = _BASE_CTES + """,
+du AS (SELECT DISTINCT doc_id, uri FROM occs),
+ed AS (
+  SELECT a.uri AS s, b.uri AS d
+  FROM du a JOIN du b ON a.doc_id = b.doc_id AND a.uri < b.uri
+  GROUP BY 1, 2 HAVING count(*) >= 150
+),
+sym AS (SELECT s AS u, d AS v FROM ed UNION ALL SELECT d, s FROM ed),
+deg AS (SELECT u, count(*)::BIGINT AS deg FROM sym GROUP BY u),
+tri AS (
+  SELECT count(*)::BIGINT AS t FROM ed e1
+  JOIN ed e2 ON e2.s = e1.s AND e2.d > e1.d
+  JOIN ed e3 ON e3.s = e1.d AND e3.d = e2.d
+),
+base AS (
+  SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+         (SELECT count(*) FROM ed)::BIGINT AS n_edges,
+         round((SELECT avg(deg) FROM deg), 6) AS avg_degree,
+         (SELECT max(deg) FROM deg)::BIGINT AS max_degree,
+         (SELECT sum(deg * (deg - 1) / 2.0) FROM deg) AS wedges,
+         (SELECT t FROM tri) AS t
+),
+assort AS (
+  SELECT round(corr(d1.deg, d2.deg), 6) AS assortativity
+  FROM sym JOIN deg d1 ON d1.u = sym.u JOIN deg d2 ON d2.u = sym.v
+)
+SELECT n_nodes, n_edges, avg_degree, max_degree, t AS n_triangles,
+       round(CASE WHEN wedges > 0 THEN 3.0 * t / wedges ELSE 0.0 END, 6)
+         AS transitivity,
+       assortativity
+FROM base, assort
 """
 
     sql["kg_negative_samples"] = _BASE_CTES + """,
@@ -7583,6 +7763,52 @@ SELECT doc_id,
          ELSE ''
        END AS domain
 FROM documents
+"""
+
+    # bpe_learn / bpe_tokens: six Sennrich BPE rounds replayed in DuckDB
+    # over a '·'-wrapped symbol-string vocab ('low' -> '·l··o··w··</w>·').
+    # Greedy left-to-right merge of (a,b) is exactly non-overlapping
+    # replace('·a··b·' -> '·ab·') on that representation (symbols are
+    # '·'-free and nonempty, so block boundaries are unambiguous), which
+    # is what the Spark side's F.aggregate fold computes.
+    _bpe_ctes = [
+        r"""w1 AS (
+  SELECT word, count(*)::BIGINT AS freq,
+         regexp_replace(word, '(.)', '·\1·', 'g') || '·</w>·' AS s
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents)
+  GROUP BY word
+)"""
+    ]
+    for _r in range(1, _BPE_MERGES + 1):
+        _bpe_ctes.append(f"""p{_r} AS (
+  SELECT p.a AS a, p.b AS b, sum(freq)::BIGINT AS cnt FROM (
+    SELECT freq,
+           unnest([{{'a': l[x], 'b': l[x + 1]}}
+                   for x in generate_series(1, len(l) - 1)]) AS p
+    FROM (SELECT freq, string_split(trim(s, '·'), '··') AS l FROM w{_r})
+  ) GROUP BY 1, 2
+)""")
+        _bpe_ctes.append(f"""m{_r} AS (
+  SELECT a, b, cnt FROM p{_r} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+)""")
+        _bpe_ctes.append(f"""w{_r + 1} AS (
+  SELECT word, freq,
+         replace(s, '·' || m.a || '··' || m.b || '·',
+                    '·' || m.a || m.b || '·') AS s
+  FROM w{_r}, m{_r} m
+)""")
+    _bpe_with = "WITH " + ",\n".join(_bpe_ctes) + "\n"
+    sql["bpe_learn"] = _bpe_with + "\nUNION ALL\n".join(
+        f"SELECT {_r} AS merge_rank, a AS lhs, b AS rhs, cnt AS pair_count"
+        f" FROM m{_r}"
+        for _r in range(1, _BPE_MERGES + 1)
+    )
+    sql["bpe_tokens"] = _bpe_with + f"""
+SELECT t AS token, sum(freq)::BIGINT AS n
+FROM (SELECT freq, unnest(string_split(trim(s, '·'), '··')) AS t
+      FROM w{_BPE_MERGES + 1})
+GROUP BY t
 """
 
     return sql

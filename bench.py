@@ -85,6 +85,10 @@ HEADLINE = [
     "kg_sameas",
     "kg_shacl",
     "kg_fact_ranking",
+    "bpe_learn",
+    "kg_adamic_adar",
+    "kg_graph_summary",
+    "rdfxml_blocks",
 ]
 
 

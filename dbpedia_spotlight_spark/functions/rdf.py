@@ -199,3 +199,81 @@ def with_graph(
     relation_extract source keeps its origin)."""
     g = F.lit(graph_name) if isinstance(graph_name, str) else graph_name
     return triples.withColumn(graph_col, g)
+
+
+def xml_escape(lit) -> Column:
+    """XML content/attribute escaping (& first so entities are never
+    double-escaped; the same four-char set the JAXP serializer escapes,
+    pipeline/serializers.py:_xml_escape)."""
+    out = F.replace(_col(lit), F.lit("&"), F.lit("&amp;"))
+    out = F.replace(out, F.lit("<"), F.lit("&lt;"))
+    out = F.replace(out, F.lit(">"), F.lit("&gt;"))
+    return F.replace(out, F.lit('"'), F.lit("&quot;"))
+
+
+_LOCAL_RE = r"([A-Za-z_][A-Za-z0-9_.-]*)$"
+
+
+def to_rdfxml(
+    triples: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """One RDF/XML description block per subject (W3C RDF 1.1 XML
+    syntax) — the last of the at-rest RDF forms next to N-Triples,
+    N-Quads, Turtle and JSON-LD; the serialization the reference's own
+    NTripleSource-era DBpedia dumps shipped in (reference consumes
+    RDF/XML-derived dumps via io/NTripleSource; OutputManager.java emits
+    per-annotation XML — this is the triple-table counterpart).
+
+    Each predicate IRI splits into (namespace, local name) at the last
+    XML-NCName boundary; the property element declares its own prefix
+    inline (``<n:local xmlns:n="ns">``), so blocks are self-contained
+    and need no document-level namespace negotiation — the property
+    attribute trick every streaming RDF/XML writer uses. IRI objects
+    become ``rdf:resource`` attributes, literals become text content
+    (both XML-escaped). A predicate with no NCName tail (ends in ``/``
+    or ``#``) keeps the whole IRI as namespace with local ``_p``
+    (deterministic, documented fallback). Elements sort
+    lexicographically inside a block, so output is stable across
+    cluster sizes; one subject-keyed groupBy, pure codegen, no UDF.
+    Returns (subj, block)."""
+    p = _col(pred)
+    local = F.regexp_extract(p, _LOCAL_RE, 1)
+    local = F.when(local == "", F.lit("_p")).otherwise(local)
+    ns = F.substring(
+        p, F.lit(1),
+        F.length(p) - F.length(F.regexp_extract(p, _LOCAL_RE, 1)),
+    )
+    o = _col(obj)
+    elem = F.when(
+        o.rlike(_IRI_RE),
+        F.concat(
+            F.lit("<n:"), local,
+            F.lit(' xmlns:n="'), xml_escape(ns),
+            F.lit('" rdf:resource="'), xml_escape(o), F.lit('"/>'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<n:"), local,
+            F.lit(' xmlns:n="'), xml_escape(ns), F.lit('">'),
+            xml_escape(o),
+            F.lit("</n:"), local, F.lit(">"),
+        )
+    )
+    return (
+        triples.select(_col(subj).alias("subj"), elem.alias("_e"))
+        .groupBy("subj")
+        .agg(F.array_sort(F.collect_list("_e")).alias("_es"))
+        .select(
+            "subj",
+            F.concat(
+                F.lit('<rdf:Description rdf:about="'),
+                xml_escape(F.col("subj")),
+                F.lit('">\n    '),
+                F.array_join(F.col("_es"), "\n    "),
+                F.lit("\n</rdf:Description>"),
+            ).alias("block"),
+        )
+    )

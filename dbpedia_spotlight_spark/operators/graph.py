@@ -801,3 +801,153 @@ def k_truss(
     return out.select(
         F.col("u").alias(src), F.col("v").alias(dst), "support"
     )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    exclude_adjacent: bool = True,
+) -> DataFrame:
+    """Adamic-Adar link-prediction scores over an undirected edge list:
+    for every canonical pair (a < b) with >= 1 common neighbor,
+    score = sum over common neighbors y of 1/ln(deg(y)) — the
+    frequency-weighted refinement of two_hop_pairs' raw
+    common-neighbors count (Adamic & Adar 2003, "Friends and neighbors
+    on the Web"; Liben-Nowell & Kleinberg 2007 rank it the strongest
+    of the local predictors). Rare shared neighbors count more than
+    celebrity hubs — exactly the right prior for KG completion, where
+    co-occurring through <United_States> says far less than through a
+    niche entity. -> (a, b, n_common, score), score rounded to 6.
+
+    Scale shape: identical wedge self-join as neighborhood_jaccard
+    (candidates ONLY from shared intermediates, never all-pairs); the
+    intermediate's degree rides the wedge join (one broadcast-size
+    degree dim joined pre-wedge on the intermediate key), so the
+    per-pair aggregation is one map-side-combinable groupBy. A common
+    neighbor of a distinct pair has degree >= 2, so ln(deg) >= ln 2 —
+    no zero division by construction. With exclude_adjacent (the
+    link-prediction form), existing edges leave via one anti-join."""
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    sym = e.unionByName(
+        e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+    ).distinct()
+    deg = sym.groupBy("_s").agg(F.count("*").alias("deg"))
+    mid_deg = deg.select(
+        F.col("_s").alias("_d"), F.col("deg").alias("_mdeg")
+    )
+    wedge = (
+        sym.join(mid_deg, "_d")
+        .alias("l")
+        .join(sym.alias("r"), F.col("l._d") == F.col("r._d"))
+        .where(F.col("l._s") < F.col("r._s"))
+        .groupBy(F.col("l._s").alias("a"), F.col("r._s").alias("b"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.round(
+                F.sum(F.lit(1.0) / F.log(F.col("l._mdeg"))), 6
+            ).alias("score"),
+        )
+    )
+    if exclude_adjacent:
+        canon = sym.where(F.col("_s") < F.col("_d")).select(
+            F.col("_s").alias("a"), F.col("_d").alias("b")
+        )
+        wedge = wedge.join(canon, ["a", "b"], "left_anti")
+    return wedge
+
+
+def graph_summary(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """One-row global profile of an undirected graph: n_nodes, n_edges,
+    avg_degree, max_degree, global clustering coefficient
+    (3·triangles / wedges — the transitivity ratio of Newman 2003
+    §III.B, NOT the mean of local coefficients) and degree
+    assortativity (Newman 2002: Pearson correlation of endpoint
+    degrees over the symmetrized edge list). The five-number health
+    check run on every KG build before shipping it — a collapsed
+    assortativity or clustering value between snapshots flags an
+    extraction regression upstream.
+
+    All aggregates are scalar reductions over the edge/degree/triangle
+    tables (every one map-side-combinable); triangles reuse the
+    degree-ordered compact-forward operator, so the profile inherits
+    its O(sqrt(m)) wedge bound. Floats round to 6 for cross-engine
+    replay."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+    counts = e.agg(F.count("*").alias("n_edges")).crossJoin(
+        deg.agg(
+            F.count("*").alias("n_nodes"),
+            F.max("deg").alias("max_degree"),
+            F.round(F.avg("deg"), 6).alias("avg_degree"),
+            F.sum(
+                F.col("deg") * (F.col("deg") - 1) / F.lit(2)
+            ).alias("_wedges"),
+        )
+    )
+    tri_total = triangle_counts(e, "a", "b").agg(
+        F.coalesce(F.sum("n_triangles"), F.lit(0)).alias("_tri3")
+    )
+    da = deg.select(F.col("a"), F.col("deg").alias("_du"))
+    db = deg.select(
+        F.col("a").alias("b"), F.col("deg").alias("_dv")
+    )
+    # Pearson r spelled out with try_divide: a degree-regular graph has
+    # zero endpoint-degree variance, where ANSI-mode corr() raises and
+    # SQL engines return NULL — try_divide gives the NULL convention.
+    # Degrees are small ints, so the sums are exact in doubles and the
+    # one-pass formula replays bit-stably cross-engine at round(6).
+    x, y = F.col("_du").cast("double"), F.col("_dv").cast("double")
+    assort = (
+        sym.join(da, "a")
+        .join(db, "b")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(x).alias("_sx"),
+            F.sum(y).alias("_sy"),
+            F.sum(x * x).alias("_sxx"),
+            F.sum(y * y).alias("_syy"),
+            F.sum(x * y).alias("_sxy"),
+        )
+        .select(
+            F.round(
+                F.try_divide(
+                    F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"),
+                    F.sqrt(
+                        (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+                        * (F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy"))
+                    ),
+                ),
+                6,
+            ).alias("assortativity")
+        )
+    )
+    return (
+        counts.crossJoin(tri_total)
+        .crossJoin(assort)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "avg_degree",
+            "max_degree",
+            (F.col("_tri3") / F.lit(3)).cast("long").alias("n_triangles"),
+            F.round(
+                F.when(F.col("_wedges") > 0, F.col("_tri3") / F.col("_wedges"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("transitivity"),
+            "assortativity",
+        )
+    )

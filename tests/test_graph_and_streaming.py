@@ -443,3 +443,60 @@ def test_kg_ingest_stream_incremental_closure(spark, tmp_path):
     got2 = {tuple(r) for r in load_kb(spark, kb, "closure").collect()}
     assert got2 == expect
     assert ("a", "d") in got2
+
+
+def test_adamic_adar_square_with_diagonal(spark):
+    import math
+
+    from dbpedia_spotlight_spark.operators.graph import adamic_adar
+
+    # square 1-2-3-4-1 plus chord 1-3: candidate pair is (2,4) only
+    # (all other non-adjacent pairs don't exist: 1-3 is an edge now).
+    # N(2)={1,3}, N(4)={1,3} -> common {1,3}, deg(1)=3, deg(3)=3.
+    edges = spark.createDataFrame(
+        [("1", "2"), ("2", "3"), ("3", "4"), ("4", "1"), ("1", "3")],
+        "src string, dst string",
+    )
+    rows = adamic_adar(edges).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.a, r.b, r.n_common) == ("2", "4", 2)
+    assert r.score == round(2 / math.log(3), 6)
+    # include_adjacent form also scores the chord (1,3): common {2,4},
+    # both degree 2
+    all_rows = {
+        (r.a, r.b): r.score
+        for r in adamic_adar(edges, exclude_adjacent=False).collect()
+    }
+    assert all_rows[("1", "3")] == round(2 / math.log(2), 6)
+    assert ("2", "4") in all_rows
+
+
+def test_graph_summary_k4_plus_pendant(spark):
+    from dbpedia_spotlight_spark.operators.graph import graph_summary
+
+    # K4 on 1-4 plus pendant 5 attached to 1
+    edges = spark.createDataFrame(
+        [
+            ("1", "2"), ("1", "3"), ("1", "4"),
+            ("2", "3"), ("2", "4"), ("3", "4"), ("1", "5"),
+        ],
+        "src string, dst string",
+    )
+    r = graph_summary(edges).first()
+    assert (r.n_nodes, r.n_edges, r.max_degree) == (5, 7, 4)
+    assert r.avg_degree == round(14 / 5, 6)
+    assert r.n_triangles == 4  # K4 has exactly C(4,3)
+    # wedges: deg 4,3,3,3,1 -> 6+3+3+3+0 = 15; transitivity = 12/15
+    assert r.transitivity == 0.8
+    assert r.assortativity is not None
+
+    # degree-regular graph (a 4-cycle): zero degree variance -> NULL,
+    # never NaN (cross-engine replay)
+    cyc = spark.createDataFrame(
+        [("1", "2"), ("2", "3"), ("3", "4"), ("4", "1")],
+        "src string, dst string",
+    )
+    rc = graph_summary(cyc).first()
+    assert rc.assortativity is None
+    assert rc.n_triangles == 0 and rc.transitivity == 0.0

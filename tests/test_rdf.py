@@ -93,3 +93,45 @@ def test_to_nquads_and_with_graph(spark):
     assert {r.line for r in to_nquads(dq).collect()} == {
         '<http://e/a> <http://p/knows> "say \\"hi\\"" .'
     }
+
+
+def test_to_rdfxml_blocks(spark):
+    import math
+
+    from dbpedia_spotlight_spark.functions.rdf import to_rdfxml
+
+    tri = spark.createDataFrame(
+        [
+            # hash namespace + IRI object -> rdf:resource attribute
+            ("http://ex/s1", "http://ex/ns#knows", "http://ex/o1"),
+            # slash namespace + literal with every escaped char
+            ("http://ex/s1", "http://ex/name", 'a & b < c > d " e'),
+            # predicate with no NCName tail -> '_p' fallback, ns = whole IRI
+            ("http://ex/s2", "http://ex/ns#", "v"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    rows = {r.subj: r.block for r in to_rdfxml(tri).collect()}
+    b1 = rows["http://ex/s1"]
+    assert b1.startswith('<rdf:Description rdf:about="http://ex/s1">')
+    assert b1.endswith("</rdf:Description>")
+    assert (
+        '<n:knows xmlns:n="http://ex/ns#" rdf:resource="http://ex/o1"/>'
+        in b1
+    )
+    assert (
+        '<n:name xmlns:n="http://ex/">'
+        "a &amp; b &lt; c &gt; d &quot; e</n:name>" in b1
+    )
+    # elements sorted lexicographically: <n:knows... before <n:name...
+    assert b1.index("<n:knows") < b1.index("<n:name")
+    assert '<n:_p xmlns:n="http://ex/ns#">v</n:_p>' in rows["http://ex/s2"]
+    # every block is well-formed XML once the rdf: prefix is declared
+    import xml.etree.ElementTree as ET
+
+    for block in rows.values():
+        ET.fromstring(
+            '<r xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+            + block
+            + "</r>"
+        )

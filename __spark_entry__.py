@@ -3887,12 +3887,111 @@ def q_kg_graph_summary(spark, sf_dir):
     return graph_summary(edges)
 
 
+def q_iv_stats(spark, sf_dir):
+    """Per-document modality profile over the rich interleaved synth
+    (two media spans of cycling kinds): zero-shuffle array folds."""
+    from dbpedia_spotlight_spark.datapipe.interleaved import (
+        flat_to_interleaved_multi,
+        interleaved_stats,
+    )
+
+    iv = flat_to_interleaved_multi(_docs(spark, sf_dir))
+    return interleaved_stats(iv).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_spans", "n_text", "n_image", "n_audio", "n_video",
+        "text_chars", "text_tokens", "first_media_idx", "media_ratio",
+    )
+
+
+def q_iv_media_context(spark, sf_dir):
+    """Caption-context harvesting: flanking words for every media span
+    (one doc-partitioned window, slicing in column math)."""
+    from dbpedia_spotlight_spark.datapipe.interleaved import (
+        flat_to_interleaved_multi,
+        media_context,
+    )
+
+    iv = flat_to_interleaved_multi(_docs(spark, sf_dir))
+    return media_context(iv, n_words=4).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "span_idx", "kind", "media_ref", "before_text", "after_text",
+    )
+
+
+def q_iv_pack(spark, sf_dir):
+    """Multimodal concat-and-chunk packing (media atomic, text splits
+    exact) at a 2048-token budget; the prefix sum is distributed."""
+    from dbpedia_spotlight_spark.datapipe.interleaved import (
+        flat_to_interleaved_multi,
+        pack_interleaved,
+    )
+
+    iv = flat_to_interleaved_multi(_docs(spark, sf_dir))
+    return pack_interleaved(iv, budget=2048).select(
+        "chunk_id",
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "span_idx", "kind", "media_ref", "tok_start", "n_tok_slice",
+    )
+
+
+def q_iv_span_diff(spark, sf_dir):
+    """North-rule span-sequence invariant as a regression diff: compare
+    the synth against a deterministically perturbed twin (doc_id%13==5
+    dropped, %7==0 truncated by one span, %11==3 first-span text edited,
+    one synthetic extra doc) and emit one row per differing doc."""
+    from dbpedia_spotlight_spark.datapipe.interleaved import (
+        flat_to_interleaved_multi,
+        span_diff,
+    )
+
+    iv = flat_to_interleaved_multi(_docs(spark, sf_dir))
+    d = F.col("doc_id").cast("bigint")
+    pert = (
+        iv.filter(d % 13 != 5)
+        .withColumn(
+            "spans",
+            F.when(
+                d % 7 == 0, F.slice("spans", 1, F.size("spans") - 1)
+            )
+            .when(
+                d % 11 == 3,
+                F.concat(
+                    F.array(
+                        F.struct(
+                            F.col("spans")[0]["kind"].alias("kind"),
+                            F.concat(
+                                F.lit("X "), F.col("spans")[0]["text"]
+                            ).alias("text"),
+                            F.col("spans")[0]["media_ref"].alias("media_ref"),
+                            F.col("spans")[0]["offset"].alias("offset"),
+                        )
+                    ),
+                    F.slice("spans", 2, F.size("spans") - 1),
+                ),
+            )
+            .otherwise(F.col("spans")),
+        )
+    )
+    extra = spark.createDataFrame(
+        [("zz_extra", [("text", "zz", None, 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    return span_diff(iv, pert.unionByName(extra)).select(
+        "doc_id", "status", "n_expected", "n_actual", "first_diff_idx"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "iv_stats": q_iv_stats,
+        "iv_media_context": q_iv_media_context,
+        "iv_pack": q_iv_pack,
+        "iv_span_diff": q_iv_span_diff,
         "rdfxml_blocks": q_rdfxml_blocks,
         "kg_graph_summary": q_kg_graph_summary,
         "kg_adamic_adar": q_kg_adamic_adar,
@@ -4067,6 +4166,152 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
+
+    # Shared CTE replaying flat_to_interleaved_multi's span layout as flat
+    # per-doc columns: token-third slices, cycling media kinds, span/token
+    # counts. kinds list is 1-indexed in DuckDB via list_extract.
+    _IV_CTES = """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n,
+         list_extract(['image','audio','video'], (doc_id % 3 + 1)::INT)
+           AS kind_a,
+         list_extract(['image','audio','video'], ((doc_id+1) % 3 + 1)::INT)
+           AS kind_b
+  FROM documents
+),
+iv AS (
+  SELECT doc_id, text, toks, n, kind_a, kind_b,
+         ceil(n / 3)::INT AS k1,
+         ceil((n - ceil(n / 3)::INT) / 2)::INT AS k2,
+         ceil(n / 2)::INT AS h,
+         CASE WHEN n >= 3 THEN 5 WHEN n = 2 THEN 3 ELSE 1 END AS n_spans,
+         CASE WHEN n >= 3 THEN 3 WHEN n = 2 THEN 2 ELSE 1 END AS n_text
+  FROM t
+),
+iv_txt AS (
+  SELECT *,
+    CASE WHEN n >= 3 THEN array_to_string(list_slice(toks, 1, k1), ' ')
+         WHEN n = 2  THEN array_to_string(list_slice(toks, 1, h), ' ')
+         ELSE text END AS t1,
+    CASE WHEN n >= 3 THEN array_to_string(list_slice(toks, k1+1, k1+k2), ' ')
+         WHEN n = 2  THEN array_to_string(list_slice(toks, h+1, n), ' ')
+         END AS t2,
+    CASE WHEN n >= 3
+         THEN array_to_string(list_slice(toks, k1+k2+1, n), ' ') END AS t3
+  FROM iv
+)
+"""
+
+    sql["iv_stats"] = _IV_CTES + """
+SELECT doc_id, n_spans, n_text,
+  (CASE WHEN n >= 2 AND kind_a = 'image' THEN 1 ELSE 0 END
+   + CASE WHEN n >= 3 AND kind_b = 'image' THEN 1 ELSE 0 END)::INT AS n_image,
+  (CASE WHEN n >= 2 AND kind_a = 'audio' THEN 1 ELSE 0 END
+   + CASE WHEN n >= 3 AND kind_b = 'audio' THEN 1 ELSE 0 END)::INT AS n_audio,
+  (CASE WHEN n >= 2 AND kind_a = 'video' THEN 1 ELSE 0 END
+   + CASE WHEN n >= 3 AND kind_b = 'video' THEN 1 ELSE 0 END)::INT AS n_video,
+  (length(t1) + coalesce(length(t2), 0) + coalesce(length(t3), 0))::BIGINT
+    AS text_chars,
+  n::BIGINT AS text_tokens,
+  CASE WHEN n >= 2 THEN 1 END::INT AS first_media_idx,
+  round((n_spans - n_text) / n_spans::DOUBLE, 6) AS media_ratio
+FROM iv_txt
+"""
+
+    sql["iv_media_context"] = _IV_CTES + """
+, ctx AS (
+  -- media span 1 (always present when n >= 2): between t1 and t2
+  SELECT doc_id, 1 AS span_idx, kind_a AS kind,
+         kind_a || '://' || doc_id::VARCHAR || '/0' AS media_ref,
+         t1 AS before_full, t2 AS after_full
+  FROM iv_txt WHERE n >= 2
+  UNION ALL
+  -- media span 3 (n >= 3): between t2 and t3
+  SELECT doc_id, 3, kind_b,
+         kind_b || '://' || doc_id::VARCHAR || '/1', t2, t3
+  FROM iv_txt WHERE n >= 3
+)
+SELECT doc_id, span_idx, kind, media_ref,
+  array_to_string(list_slice(string_split(before_full, ' '),
+    greatest(len(string_split(before_full, ' ')) - 3, 1),
+    len(string_split(before_full, ' '))), ' ') AS before_text,
+  array_to_string(list_slice(string_split(after_full, ' '), 1, 4), ' ')
+    AS after_text
+FROM ctx
+"""
+
+    # pack_interleaved replay: per-span rows with within-doc running token
+    # offsets, a corpus-wide prefix sum over VARCHAR doc_id order (the
+    # operator's range partitioning key), then media -> start chunk and
+    # text -> generate_series over overlapped chunks.
+    sql["iv_pack"] = _IV_CTES + """
+, spans AS (
+  SELECT doc_id, 0 AS span_idx, 'text' AS kind, NULL AS media_ref,
+         CASE WHEN n >= 3 THEN k1 WHEN n = 2 THEN h ELSE n END::BIGINT
+           AS cost
+  FROM iv_txt
+  UNION ALL
+  SELECT doc_id, 1, kind_a, kind_a || '://' || doc_id::VARCHAR || '/0',
+         CASE kind_a WHEN 'image' THEN 576 WHEN 'audio' THEN 1500
+                     WHEN 'video' THEN 7200 ELSE 1 END
+  FROM iv_txt WHERE n >= 2
+  UNION ALL
+  SELECT doc_id, 2, 'text', NULL,
+         CASE WHEN n >= 3 THEN k2 ELSE n - h END
+  FROM iv_txt WHERE n >= 2
+  UNION ALL
+  SELECT doc_id, 3, kind_b, kind_b || '://' || doc_id::VARCHAR || '/1',
+         CASE kind_b WHEN 'image' THEN 576 WHEN 'audio' THEN 1500
+                     WHEN 'video' THEN 7200 ELSE 1 END
+  FROM iv_txt WHERE n >= 3
+  UNION ALL
+  SELECT doc_id, 4, 'text', NULL, n - k1 - k2 FROM iv_txt WHERE n >= 3
+),
+offs AS (
+  SELECT *,
+    coalesce(sum(cost) OVER (
+      ORDER BY doc_id::VARCHAR, span_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS g_off
+  FROM spans
+),
+live AS (SELECT * FROM offs WHERE cost > 0)
+SELECT (g_off // 2048)::BIGINT AS chunk_id, doc_id, span_idx, kind, media_ref,
+       0 AS tok_start, cost::BIGINT AS n_tok_slice
+FROM live WHERE kind <> 'text'
+UNION ALL
+SELECT c.chunk_id::BIGINT, l.doc_id, l.span_idx, l.kind, l.media_ref,
+       greatest(c.chunk_id * 2048 - l.g_off, 0)::INT AS tok_start,
+       (least((c.chunk_id + 1) * 2048, l.g_off + l.cost)
+        - greatest(c.chunk_id * 2048, l.g_off))::BIGINT AS n_tok_slice
+FROM live l,
+     LATERAL (SELECT unnest(generate_series(
+         (l.g_off // 2048)::BIGINT,
+         ((l.g_off + l.cost - 1) // 2048)::BIGINT)) AS chunk_id) c
+WHERE l.kind = 'text'
+"""
+
+    sql["iv_span_diff"] = """
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n,
+         CASE WHEN len(string_split(text, ' ')) >= 3 THEN 5
+              WHEN len(string_split(text, ' ')) = 2 THEN 3
+              ELSE 1 END AS n_spans
+  FROM documents
+)
+SELECT doc_id::VARCHAR AS doc_id, 'missing_doc' AS status,
+       n_spans AS n_expected, NULL::INT AS n_actual,
+       NULL::INT AS first_diff_idx
+FROM t WHERE doc_id % 13 = 5
+UNION ALL
+SELECT doc_id::VARCHAR, 'length', n_spans, n_spans - 1, NULL
+FROM t WHERE doc_id % 13 <> 5 AND doc_id % 7 = 0
+UNION ALL
+SELECT doc_id::VARCHAR, 'span', n_spans, n_spans, 0
+FROM t WHERE doc_id % 13 <> 5 AND doc_id % 7 <> 0 AND doc_id % 11 = 3
+UNION ALL
+SELECT 'zz_extra', 'extra_doc', NULL, 1, NULL
+"""
 
     sql["spot_dictionary"] = _BASE_CTES + "SELECT doc_id, pos, surface_form FROM spots"
 

@@ -86,6 +86,8 @@ HEADLINE = [
     "kg_shacl",
     "kg_fact_ranking",
     "bpe_learn",
+    "iv_stats",
+    "iv_pack",
     "kg_adamic_adar",
     "kg_graph_summary",
     "rdfxml_blocks",

@@ -3982,12 +3982,76 @@ def q_iv_span_diff(spark, sf_dir):
     )
 
 
+def _lang_label_triples(spark, sf_dir):
+    """Typed-literal triple fixture from the documents table: one
+    lang-tagged label per doc ("<first 20 chars>"@<lang>) plus one
+    xsd:integer-typed n_chars triple — real RDF 1.1 literal forms built
+    with functions/rdfterm constructors."""
+    from dbpedia_spotlight_spark.functions.rdfterm import (
+        lang_literal,
+        typed_literal,
+    )
+
+    docs = _docs(spark, sf_dir)
+    subj = F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+    labels = docs.select(
+        subj.alias("subj"),
+        F.lit("http://ex/label").alias("pred"),
+        lang_literal(F.substring("text", 1, 20), F.col("lang")).alias("obj"),
+    )
+    sizes = docs.select(
+        subj.alias("subj"),
+        F.lit("http://ex/nChars").alias("pred"),
+        typed_literal(
+            F.col("n_chars").cast("string"),
+            "http://www.w3.org/2001/XMLSchema#integer",
+        ).alias("obj"),
+    )
+    return labels.unionByName(sizes)
+
+
+def q_kg_lang_literals(spark, sf_dir):
+    """RDF 1.1 typed-literal term model: construct lang-tagged + typed
+    literals, parse them back with the term accessors (value / lang /
+    datatype) — all anchored-regex codegen, no UDF."""
+    from dbpedia_spotlight_spark.functions.rdfterm import (
+        term_datatype,
+        term_lang,
+        term_value,
+    )
+
+    tri = _lang_label_triples(spark, sf_dir)
+    return tri.select(
+        "subj",
+        "pred",
+        "obj",
+        term_value("obj").alias("value"),
+        term_lang("obj").alias("lang_tag"),
+        term_datatype("obj").alias("datatype"),
+    )
+
+
+def q_kg_sparql_lang(spark, sf_dir):
+    """SPARQL LANG/LANGMATCHES builtins end-to-end: RFC 4647 range
+    filtering over lang-tagged literals through the SPARQL front end."""
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    tri = _lang_label_triples(spark, sf_dir)
+    return sparql_select(
+        tri,
+        "SELECT ?s ?o WHERE { ?s <http://ex/label> ?o . "
+        "FILTER(LANGMATCHES(LANG(?o), 'en')) }",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "kg_lang_literals": q_kg_lang_literals,
+        "kg_sparql_lang": q_kg_sparql_lang,
         "iv_stats": q_iv_stats,
         "iv_media_context": q_iv_media_context,
         "iv_pack": q_iv_pack,
@@ -4166,6 +4230,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
+
+    # Typed-literal term fixture twin (documents has no quotes/
+    # backslashes, so the N-Triples escape chain is the identity here
+    # and the oracle builds terms by plain concatenation).
+    _LANG_TRI = """
+WITH labels AS (
+  SELECT 'doc://' || doc_id::VARCHAR AS subj,
+         'http://ex/label' AS pred,
+         '"' || substring(text, 1, 20) || '"@' || lang AS obj,
+         substring(text, 1, 20) AS value, lang AS lang_tag,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString'
+           AS datatype
+  FROM documents
+),
+sizes AS (
+  SELECT 'doc://' || doc_id::VARCHAR AS subj,
+         'http://ex/nChars' AS pred,
+         '"' || n_chars::VARCHAR
+             || '"^^<http://www.w3.org/2001/XMLSchema#integer>' AS obj,
+         n_chars::VARCHAR AS value, '' AS lang_tag,
+         'http://www.w3.org/2001/XMLSchema#integer' AS datatype
+  FROM documents
+)
+"""
+
+    sql["kg_lang_literals"] = _LANG_TRI + """
+SELECT subj, pred, obj, value, lang_tag, datatype FROM labels
+UNION ALL
+SELECT subj, pred, obj, value, lang_tag, datatype FROM sizes
+"""
+
+    sql["kg_sparql_lang"] = _LANG_TRI + """
+SELECT DISTINCT subj AS s, obj AS o FROM labels
+WHERE lower(lang_tag) = 'en' OR lower(lang_tag) LIKE 'en-%'
+"""
 
     # Shared CTE replaying flat_to_interleaved_multi's span layout as flat
     # per-doc columns: token-third slices, cycling media kinds, span/token

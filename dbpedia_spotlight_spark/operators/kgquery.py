@@ -505,13 +505,12 @@ _SPARQL_RE = __import__("re").compile(
 _SQL_WORDS = frozenset(
     "and or not in like is null true false between exists case when then"
     " else end cast as rlike contains startswith endswith length lower"
-    " upper isnotnull string abs ceil floor round".split()
+    " upper isnotnull string abs ceil floor round regexp_extract".split()
 )
 
 # SPARQL 1.1 §17 builtin functions -> the Spark SQL function with the
 # same (string, string) -> value semantics over our plain-string terms.
-# Translated per token when followed by "(". No lang tags / datatypes in
-# the engine's triple model, so langMatches/datatype stay unsupported.
+# Translated per token when followed by "(".
 _SPARQL_FNS = {
     "REGEX": "rlike",
     "CONTAINS": "contains",
@@ -521,8 +520,121 @@ _SPARQL_FNS = {
     "LCASE": "lower",
     "UCASE": "upper",
     "BOUND": "isnotnull",
-    "STR": "string",
 }
+
+# Term-model builtins (LANG / DATATYPE / STR / LANGMATCHES) expand to SQL
+# templates over the N-Triples lexical forms of functions/rdfterm.py —
+# a lang-tagged literal is stored as `"v"@en`, a typed one as
+# `"v"^^<dt>`. Backslashes double for embedding in SQL string literals.
+
+
+def _sql_re(py_re: str) -> str:
+    return py_re.replace("\\", "\\\\").replace("'", "''")
+
+
+def _term_regexes():
+    from dbpedia_spotlight_spark.functions.rdfterm import (
+        _DT_RE, _LANG_RE, _VALUE_RE,
+    )
+
+    return _sql_re(_VALUE_RE), _sql_re(_LANG_RE), _sql_re(_DT_RE)
+
+
+def _tpl_lang(args: list[str]) -> str:
+    _, lang_re, _ = _term_regexes()
+    return f"regexp_extract({args[0]}, '{lang_re}', 1)"
+
+
+def _tpl_datatype(args: list[str]) -> str:
+    val_re, lang_re, dt_re = _term_regexes()
+    x = args[0]
+    return (
+        f"CASE WHEN {x} RLIKE '{dt_re}' THEN regexp_extract({x}, '{dt_re}', 1) "
+        f"WHEN {x} RLIKE '{lang_re}' "
+        "THEN 'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString' "
+        f"WHEN {x} RLIKE '{val_re}' "
+        "THEN 'http://www.w3.org/2001/XMLSchema#string' END"
+    )
+
+
+def _tpl_str(args: list[str]) -> str:
+    # Lexical value of a literal term, pass-through for IRIs/bare strings
+    # (escape sequences stay escaped in the FILTER path; term_value on
+    # the DataFrame side does the full unescape).
+    val_re, _, _ = _term_regexes()
+    x = args[0]
+    return (
+        f"CASE WHEN {x} RLIKE '{val_re}' "
+        f"THEN regexp_extract({x}, '{val_re}', 1) ELSE {x} END"
+    )
+
+
+def _tpl_langmatches(args: list[str]) -> str:
+    # RFC 4647 basic filtering: '*' matches any non-empty tag, else
+    # case-insensitive exact or range- prefix match.
+    a, b = args[0], args[1]
+    return (
+        f"CASE WHEN lower({b}) = '*' THEN {a} != '' "
+        f"ELSE lower({a}) = lower({b}) "
+        f"OR lower({a}) LIKE lower({b}) || '-%' END"
+    )
+
+
+_TERM_TEMPLATES = {
+    "LANG": (_tpl_lang, 1),
+    "DATATYPE": (_tpl_datatype, 1),
+    "STR": (_tpl_str, 1),
+    "LANGMATCHES": (_tpl_langmatches, 2),
+}
+
+
+def _resolve_term_builtins(toks: list[str]) -> list[str]:
+    """Expand LANG/DATATYPE/STR/LANGMATCHES calls (possibly nested, e.g.
+    LANGMATCHES(LANG(?o), 'en')) into SQL template strings. Operates on
+    ALREADY-TRANSLATED tokens; paren matching splits top-level commas."""
+    out, i = [], 0
+    while i < len(toks):
+        t = toks[i]
+        entry = _TERM_TEMPLATES.get(t.upper())
+        if entry and i + 1 < len(toks) and toks[i + 1] == "(":
+            depth, j = 0, i + 1
+            while j < len(toks):
+                if toks[j] == "(":
+                    depth += 1
+                elif toks[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if j >= len(toks):
+                raise ValueError(f"unbalanced parens in FILTER near {t}")
+            inner = toks[i + 2 : j]
+            args, cur, d = [], [], 0
+            for tk in inner:
+                if tk == "(":
+                    d += 1
+                elif tk == ")":
+                    d -= 1
+                if tk == "," and d == 0:
+                    args.append(cur)
+                    cur = []
+                else:
+                    cur.append(tk)
+            args.append(cur)
+            fn, arity = entry
+            if len(args) != arity:
+                raise ValueError(
+                    f"{t} expects {arity} argument(s), got {len(args)}"
+                )
+            arg_sql = [
+                " ".join(_resolve_term_builtins(a)).strip() for a in args
+            ]
+            out.append("(" + fn(arg_sql) + ")")
+            i = j + 1
+        else:
+            out.append(t)
+            i += 1
+    return out
 
 
 def _filter_expr_sql(expr_toks: list[str]) -> str:
@@ -556,7 +668,7 @@ def _filter_expr_sql(expr_toks: list[str]) -> str:
             out.append(_SPARQL_FNS[t.upper()])
         else:
             out.append(t)
-    return " ".join(out)
+    return " ".join(_resolve_term_builtins(out))
 
 
 def _filter_identifiers(expr: str) -> set:
@@ -604,9 +716,15 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     (inverse), parenthesised combinations; ``/`` binds tighter than
     ``|``. Zero-length paths relate every term in the graph to itself
     (§18.4). FILTERs may use the §17 builtins REGEX/CONTAINS/STRSTARTS/
-    STRENDS/STRLEN/LCASE/UCASE/BOUND/STR (translated to the Spark SQL
-    functions with identical plain-string semantics). Trailing OFFSET n
-    is supported next to LIMIT. ASK and CONSTRUCT forms live in
+    STRENDS/STRLEN/LCASE/UCASE/BOUND (translated to the Spark SQL
+    functions with identical plain-string semantics) plus the term-model
+    builtins LANG/DATATYPE/STR/LANGMATCHES over the N-Triples lexical
+    literal forms of functions/rdfterm.py (``"v"@en``, ``"v"^^<dt>``) —
+    LANG returns '' for untagged terms, DATATYPE returns rdf:langString
+    / xsd:string / the ^^ tag (NULL for IRIs), STR strips quotes+tags,
+    LANGMATCHES does RFC 4647 basic filtering incl. '*' and range-
+    prefix matches; calls nest (LANGMATCHES(LANG(?o), 'en')). Trailing
+    OFFSET n is supported next to LIMIT. ASK and CONSTRUCT forms live in
     sparql_ask / sparql_construct.
 
     Terms: ``?var``, ``<iri>`` (angle brackets stripped), quoted

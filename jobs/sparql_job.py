@@ -19,7 +19,9 @@ and HAVING; subqueries { SELECT ... } joined on shared vars; ORDER BY
 [ASC|DESC]; LIMIT / OFFSET; BIND(expr AS ?var); FILTER EXISTS / NOT
 EXISTS groups (correlated semi/anti joins); negated property sets !<p>
 and !(<a>|<b>); §17 FILTER builtins (REGEX/CONTAINS/STRSTARTS/STRENDS/
-STRLEN/LCASE/UCASE/BOUND/STR). Queries starting with ASK, CONSTRUCT or
+STRLEN/LCASE/UCASE/BOUND) and the typed-literal term builtins
+LANG/DATATYPE/STR/LANGMATCHES over `"v"@en` / `"v"^^<dt>` object terms
+(functions/rdfterm.py). Queries starting with ASK, CONSTRUCT or
 DESCRIBE dispatch to sparql_ask / sparql_construct / sparql_describe
 (boolean row / constructed triple graph / outbound description). Writes
 the result as parquet and prints one JSON metrics line.

@@ -4044,12 +4044,67 @@ def q_kg_sparql_lang(spark, sf_dir):
     )
 
 
+def _nation_quads(spark, sf_dir):
+    """Quad table (subj, pred, obj, graph): per-nation named graphs of
+    customer facts (segment + name) plus a 'meta' graph labelling each
+    nation graph — the provenance layout to_nquads/lift_named_graphs
+    serialize and the GRAPH clause queries."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    g = F.concat(F.lit("nation"), F.col("c_nationkey"))
+    c = F.concat(F.lit("c"), F.col("c_custkey"))
+    return (
+        cust.select(
+            c.alias("subj"), F.lit("segment").alias("pred"),
+            F.col("c_mktsegment").alias("obj"), g.alias("graph"),
+        )
+        .unionByName(
+            cust.select(
+                c.alias("subj"), F.lit("named").alias("pred"),
+                F.col("c_name").alias("obj"), g.alias("graph"),
+            )
+        )
+        .unionByName(
+            nat.select(
+                F.concat(F.lit("nation"), F.col("n_nationkey")).alias("subj"),
+                F.lit("label").alias("pred"),
+                F.col("n_name").alias("obj"),
+                F.lit("meta").alias("graph"),
+            )
+        )
+    )
+
+
+def q_kg_graph_clause(spark, sf_dir):
+    """SPARQL 1.1 §13 GRAPH clause over a named-graph quad dataset
+    (operators/kgquery.py:sparql_select_quads + graph_bgp_match): the
+    default-graph block matches the union of all graphs (?g <label>
+    ?nname binds each nation graph's name from the meta graph), the
+    GRAPH ?g group joins two patterns WITHIN one graph (BUILDING-segment
+    customers and their names, co-located per nation graph), blocks join
+    on the shared graph variable, and a FILTER drops one nation. The
+    reference's SPARQL endpoint (core/.../sparql/SparqlQueryExecuter.java)
+    forwards full SPARQL incl. GRAPH to DBpedia; this is the engine-side
+    dataset algebra. Oracle = the same conjunctive query as SQL with an
+    explicit same-graph equi-join."""
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select_quads
+
+    return sparql_select_quads(
+        _nation_quads(spark, sf_dir),
+        "SELECT ?g ?c ?cname WHERE { "
+        "?g <label> ?nname . "
+        "GRAPH ?g { ?c <segment> 'BUILDING' . ?c <named> ?cname . } "
+        "FILTER(?nname != 'FRANCE') }",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "kg_graph_clause": q_kg_graph_clause,
         "kg_lang_literals": q_kg_lang_literals,
         "kg_sparql_lang": q_kg_sparql_lang,
         "iv_stats": q_iv_stats,
@@ -4253,6 +4308,34 @@ sizes AS (
          'http://www.w3.org/2001/XMLSchema#integer' AS datatype
   FROM documents
 )
+"""
+
+    # kg_graph_clause: GRAPH-clause algebra as SQL — the within-group join
+    # carries graph equality (a.graph = b.graph), the default block scans
+    # the union of graphs, blocks join on the graph variable.
+    sql["kg_graph_clause"] = """
+WITH quads AS (
+  SELECT 'c' || c_custkey AS subj, 'segment' AS pred,
+         c_mktsegment AS obj, 'nation' || c_nationkey AS graph
+  FROM customer
+  UNION ALL
+  SELECT 'c' || c_custkey, 'named', c_name, 'nation' || c_nationkey
+  FROM customer
+  UNION ALL
+  SELECT 'nation' || n_nationkey, 'label', n_name, 'meta' FROM nation
+),
+dflt AS (
+  SELECT DISTINCT subj AS g, obj AS nname FROM quads WHERE pred = 'label'
+),
+grp AS (
+  SELECT DISTINCT a.graph AS g, a.subj AS c, b.obj AS cname
+  FROM quads a
+  JOIN quads b ON a.graph = b.graph AND a.subj = b.subj
+  WHERE a.pred = 'segment' AND a.obj = 'BUILDING' AND b.pred = 'named'
+)
+SELECT DISTINCT dflt.g AS g, grp.c AS c, grp.cname AS cname
+FROM dflt JOIN grp ON dflt.g = grp.g
+WHERE dflt.nname <> 'FRANCE'
 """
 
     sql["kg_lang_literals"] = _LANG_TRI + """

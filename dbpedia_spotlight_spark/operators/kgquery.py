@@ -1770,3 +1770,218 @@ def owl_property_entailment(
     raise RuntimeError(
         f"owl_property_entailment did not converge in {max_iterations} rounds"
     )
+
+
+# ---------------------------------------------------------------------------
+# Named graphs: GRAPH clause over quad tables (SPARQL 1.1 §13)
+# ---------------------------------------------------------------------------
+
+
+def graph_bgp_match(
+    quads: DataFrame,
+    gterm: str,
+    patterns: list[tuple[str, str, str]],
+    graph_col: str = "graph",
+) -> DataFrame:
+    """Match a basic graph pattern inside a GRAPH clause against a quad
+    table (subj, pred, obj, <graph_col>) — SPARQL 1.1 §13.3: every
+    pattern in the group matches within the SAME graph; ``gterm`` is
+    either ``?var`` (the graph name becomes a binding, one result row
+    per graph it matches in) or a constant IRI (restricts the group to
+    that graph). Returns one column per variable (incl. the graph var).
+
+    Scale shape: identical to bgp_match — each pattern is a
+    constant-filtered scan projected to its variable columns (the graph
+    column rides along as one more variable position), joined
+    most-constrained-first on shared variables. With a variable graph
+    term the graph var is shared by construction, so the within-group
+    joins are always connected (never a cross join); with a constant
+    the graph filter pushes into every scan."""
+    if not patterns:
+        raise ValueError("empty GRAPH group")
+    quads = quads.withColumnRenamed(graph_col, "_g")
+
+    def _rel(pat):
+        if len(pat) != 3:
+            raise ValueError(f"pattern must be a (s,p,o) triple: {pat!r}")
+        df = quads
+        positions = [
+            ("_g", gterm),
+            ("subj", pat[0]), ("pred", pat[1]), ("obj", pat[2]),
+        ]
+        cols, seen = [], {}
+        for col, t in positions:
+            if _is_var(t):
+                name = t[1:]
+                if name in seen:
+                    df = df.filter(F.col(col) == F.col(seen[name]))
+                else:
+                    seen[name] = col
+                    cols.append(F.col(col).alias(name))
+            else:
+                df = df.filter(F.col(col) == F.lit(t))
+        return df.select(*cols), set(seen)
+
+    order = sorted(
+        range(len(patterns)),
+        key=lambda i: -sum(0 if _is_var(t) else 1 for t in patterns[i]),
+    )
+    remaining = list(order)
+    result, bound = _rel(patterns[remaining.pop(0)])
+    while remaining:
+        pick = next(
+            (
+                i
+                for i in remaining
+                if {t[1:] for t in patterns[i] if _is_var(t)} & bound
+                or _is_var(gterm)
+            ),
+            remaining[0],
+        )
+        remaining.remove(pick)
+        rel, vs = _rel(patterns[pick])
+        shared = sorted(vs & bound)
+        result = (
+            result.join(rel, on=shared) if shared else result.crossJoin(rel)
+        )
+        bound |= vs
+    return result.distinct()
+
+
+def sparql_select_quads(
+    quads: DataFrame, query: str, graph_col: str = "graph"
+) -> DataFrame:
+    """SPARQL SELECT over a NAMED-GRAPH dataset — a quad table
+    (subj, pred, obj, <graph_col>), e.g. the with_graph /
+    lift_named_graphs output that to_nquads serializes.
+
+    Supported subset (a dedicated §13 front end next to sparql_select's
+    single-graph grammar; unsupported syntax raises ValueError):
+
+        SELECT (DISTINCT)? (?v ... | *) WHERE {
+            ?s <p> ?o .                      # default-graph pattern:
+                                             #   matches the UNION of all
+                                             #   graphs (RDF-dataset
+                                             #   default-as-union, the
+                                             #   common store behavior)
+            GRAPH ?g { ?s <p2> ?x . ... }    # graph var becomes a binding
+            GRAPH <http://g> { ... }         # constant graph restriction
+            FILTER(...)                      # over any bound variable,
+                                             #   applied after all joins
+        }
+
+    Any number of GRAPH groups; groups and the default-graph block join
+    on shared variables (connected-first order). FILTER supports the
+    full builtin set of _filter_expr_sql incl. LANG/DATATYPE/
+    LANGMATCHES. Property paths / OPTIONAL / MINUS inside GRAPH groups
+    are not supported here — lift the group to a triple view and use
+    sparql_select for those.
+
+    Scale: each GRAPH group compiles via graph_bgp_match (constant
+    graphs push a filter into every scan; variable graphs join within
+    one graph by construction); the default-graph block reuses the full
+    cost-ordered bgp_match over the projected triple view. Cross-block
+    joins are equi-joins on shared variables."""
+    toks = _SPARQL_RE.findall(query)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take(expected: str | None = None) -> str:
+        nonlocal pos
+        if pos >= len(toks):
+            raise ValueError(f"unexpected end of query (wanted {expected})")
+        t = toks[pos]
+        pos += 1
+        if expected and t.upper() != expected.upper():
+            raise ValueError(f"expected {expected}, got {t!r}")
+        return t
+
+    def term(tok: str) -> str:
+        if tok.startswith("<") and tok.endswith(">"):
+            return tok[1:-1]
+        if tok and tok[0] in "\"'":
+            return tok[1:-1]
+        return tok
+
+    take("SELECT")
+    if peek() and peek().upper() == "DISTINCT":
+        take()  # bgp set semantics are already distinct
+    proj = []
+    while peek() and peek().upper() != "WHERE":
+        t = take()
+        if t == "*":
+            proj = None
+        elif t.startswith("?"):
+            proj.append(t[1:])
+        else:
+            raise ValueError(f"bad projection term {t!r}")
+    take("WHERE")
+    take("{")
+
+    def pattern_triple():
+        s, p, o = term(take()), term(take()), term(take())
+        if peek() == ".":
+            take()
+        return (s, p, o)
+
+    default_pats, graph_groups, filters = [], [], []
+    while peek() and peek() != "}":
+        head = peek()
+        if head.upper() == "GRAPH":
+            take()
+            g = term(take())
+            take("{")
+            pats = []
+            while peek() and peek() != "}":
+                pats.append(pattern_triple())
+            take("}")
+            graph_groups.append((g, pats))
+        elif head.upper() == "FILTER":
+            take()
+            take("(")
+            depth, expr_toks = 1, []
+            while depth:
+                t = take()
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    depth -= 1
+                    if not depth:
+                        break
+                expr_toks.append(t)
+            filters.append(_filter_expr_sql(expr_toks))
+        else:
+            default_pats.append(pattern_triple())
+    take("}")
+    if not default_pats and not graph_groups:
+        raise ValueError("empty WHERE block")
+
+    blocks: list[tuple[DataFrame, set]] = []
+    if default_pats:
+        tri = quads.select("subj", "pred", "obj")
+        df = bgp_match(tri, default_pats)
+        blocks.append((df, set(df.columns)))
+    for g, pats in graph_groups:
+        df = graph_bgp_match(quads, g, pats, graph_col=graph_col)
+        blocks.append((df, set(df.columns)))
+
+    result, bound = blocks[0]
+    rest = blocks[1:]
+    while rest:
+        i = next(
+            (k for k, (_, vs) in enumerate(rest) if vs & bound), 0
+        )
+        df, vs = rest.pop(i)
+        shared = sorted(vs & bound)
+        result = result.join(df, on=shared) if shared else result.crossJoin(df)
+        bound |= vs
+    for f in filters:
+        result = result.filter(F.expr(f))
+    if proj is not None:
+        missing = [v for v in proj if v not in bound]
+        if missing:
+            raise ValueError(f"projected variables not bound: {missing}")
+        result = result.select(*proj)
+    return result.distinct()

@@ -1579,3 +1579,109 @@ def test_bgp_cost_based_ordering_same_semantics(spark):
         for r in bgp_match(tri, pats, pred_stats=stats).collect()
     }
     assert base == cost and base
+
+
+# ---- GRAPH clause over quads (SPARQL 1.1 §13) ----
+
+
+@pytest.fixture()
+def quads(spark):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame(
+        [
+            Row(subj="a", pred="http://p/knows", obj="b", graph="http://g/1"),
+            Row(subj="b", pred="http://p/knows", obj="c", graph="http://g/1"),
+            Row(subj="a", pred="http://p/knows", obj="c", graph="http://g/2"),
+            Row(subj="c", pred="http://p/type", obj="Person", graph="http://g/2"),
+            Row(subj="a", pred="http://p/type", obj="Person", graph="http://g/1"),
+        ]
+    )
+
+
+def test_graph_var_binds_graph_name(quads):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select_quads
+
+    got = sorted(
+        (r["g"], r["x"], r["y"])
+        for r in sparql_select_quads(
+            quads,
+            "SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x <http://p/knows> ?y . } }",
+        ).collect()
+    )
+    assert got == [
+        ("http://g/1", "a", "b"),
+        ("http://g/1", "b", "c"),
+        ("http://g/2", "a", "c"),
+    ]
+
+
+def test_graph_group_joins_within_one_graph(quads):
+    # a->b->c chain exists only inside g/1; the cross-graph a->c/2 + c
+    # edges must NOT produce a match (§13.3: one graph per GRAPH group).
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select_quads
+
+    got = sparql_select_quads(
+        quads,
+        "SELECT ?g ?x WHERE { GRAPH ?g { ?x <http://p/knows> ?y . "
+        "?y <http://p/knows> ?z . } }",
+    ).collect()
+    assert [(r["g"], r["x"]) for r in got] == [("http://g/1", "a")]
+
+
+def test_graph_constant_restricts(quads):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select_quads
+
+    got = sparql_select_quads(
+        quads,
+        "SELECT ?x ?y WHERE { GRAPH <http://g/2> "
+        "{ ?x <http://p/knows> ?y . } }",
+    ).collect()
+    assert [(r["x"], r["y"]) for r in got] == [("a", "c")]
+
+
+def test_default_graph_is_union_plus_filter(quads):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select_quads
+
+    got = sorted(
+        r["x"]
+        for r in sparql_select_quads(
+            quads,
+            "SELECT ?x WHERE { ?x <http://p/type> ?t . "
+            "FILTER(?t = 'Person') }",
+        ).collect()
+    )
+    assert got == ["a", "c"]  # from both graphs
+
+
+def test_graph_group_joins_default_block_on_shared_var(quads):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select_quads
+
+    got = sparql_select_quads(
+        quads,
+        "SELECT ?x ?g WHERE { ?x <http://p/type> ?t . "
+        "GRAPH ?g { ?x <http://p/knows> ?y . ?y <http://p/knows> ?z . } }",
+    ).collect()
+    assert [(r["x"], r["g"]) for r in got] == [("a", "http://g/1")]
+
+
+def test_quads_parser_errors(quads):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select_quads
+
+    with pytest.raises(ValueError, match="empty WHERE"):
+        sparql_select_quads(quads, "SELECT ?x WHERE { }")
+    with pytest.raises(ValueError, match="not bound"):
+        sparql_select_quads(
+            quads,
+            "SELECT ?nope WHERE { GRAPH ?g { ?x <http://p/knows> ?y . } }",
+        )
+
+
+def test_graph_bgp_match_custom_graph_col(spark):
+    from dbpedia_spotlight_spark.operators.kgquery import graph_bgp_match
+
+    q = spark.createDataFrame(
+        [("a", "p", "b", "gX")], "subj string, pred string, obj string, g string"
+    )
+    got = graph_bgp_match(q, "?gg", [("?s", "p", "?o")], graph_col="g").collect()
+    assert [(r["gg"], r["s"], r["o"]) for r in got] == [("gX", "a", "b")]

@@ -4098,12 +4098,59 @@ def q_kg_graph_clause(spark, sf_dir):
     )
 
 
+def _claim_quads(spark, sf_dir):
+    """Conflicting multi-source claims from orders: each order priority
+    is a 'source' (named graph) asserting the status of its customer —
+    different orders of one customer genuinely disagree, giving real
+    conflict groups for truth discovery."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return orders.select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("subj"),
+        F.lit("status").alias("pred"),
+        F.col("o_orderstatus").alias("obj"),
+        F.col("o_orderpriority").alias("graph"),
+    )
+
+
+def q_kg_fact_fusion(spark, sf_dir):
+    """Truth discovery over multi-source claims
+    (operators/fusion.py:fact_fusion — TruthFinder/Sums-family mutual
+    reinforcement, 2 rounds unrolled): per-source trust = mean
+    confidence of its claims, per-fact confidence = trust-weighted vote
+    share within the (subj, pred) conflict group. The reference merges
+    extractor outputs with no provenance weighting
+    (index/.../CreateSpotlightModel.scala); this is the standard
+    KG-construction conflict-resolution step (Knowledge Vault, KDD'14).
+    Oracle = the same two rounds as SQL CTEs with identical per-round
+    round(6) resync."""
+    from dbpedia_spotlight_spark.operators.fusion import fact_fusion
+
+    return fact_fusion(_claim_quads(spark, sf_dir), rounds=2)
+
+
+def q_kg_conflict_resolution(spark, sf_dir):
+    """Winner selection per conflict group
+    (operators/fusion.py:resolve_conflicts): argmax confidence with
+    (n_sources, lexicographic object) tie-breaks — emits a functional,
+    conflict-free triple table ready for closure/entailment/export.
+    Window is partitioned by the bounded (subj, pred) group, no global
+    sort. Oracle = ROW_NUMBER twin."""
+    from dbpedia_spotlight_spark.operators.fusion import (
+        fact_fusion,
+        resolve_conflicts,
+    )
+
+    return resolve_conflicts(fact_fusion(_claim_quads(spark, sf_dir), rounds=2))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "kg_fact_fusion": q_kg_fact_fusion,
+        "kg_conflict_resolution": q_kg_conflict_resolution,
         "kg_graph_clause": q_kg_graph_clause,
         "kg_lang_literals": q_kg_lang_literals,
         "kg_sparql_lang": q_kg_sparql_lang,
@@ -4308,6 +4355,69 @@ sizes AS (
          'http://www.w3.org/2001/XMLSchema#integer' AS datatype
   FROM documents
 )
+"""
+
+    # kg_fact_fusion: the 2-round Sums/TruthFinder iteration unrolled as
+    # CTEs — per-round round(6) resyncs floats between engines exactly as
+    # the operator does.
+    _FUSION_CTES = """
+WITH claims AS (
+  SELECT DISTINCT 'c' || o_custkey AS subj, 'status' AS pred,
+         o_orderstatus AS obj, o_orderpriority AS src
+  FROM orders
+),
+facts AS (SELECT DISTINCT subj, pred, obj FROM claims),
+gs AS (SELECT subj, pred, count(*) AS n_obj FROM facts GROUP BY subj, pred),
+conf0 AS (
+  SELECT f.subj, f.pred, f.obj, round(1.0 / gs.n_obj, 6) AS confidence
+  FROM facts f JOIN gs USING (subj, pred)
+),
+trust1 AS (
+  SELECT src, round(avg(confidence), 6) AS trust
+  FROM claims JOIN conf0 USING (subj, pred, obj) GROUP BY src
+),
+sup1 AS (
+  SELECT subj, pred, obj, sum(trust) AS support
+  FROM claims JOIN trust1 USING (src) GROUP BY subj, pred, obj
+),
+tot1 AS (SELECT subj, pred, sum(support) AS total FROM sup1 GROUP BY subj, pred),
+conf1 AS (
+  SELECT subj, pred, obj, round(support / total, 6) AS confidence
+  FROM sup1 JOIN tot1 USING (subj, pred)
+),
+trust2 AS (
+  SELECT src, round(avg(confidence), 6) AS trust
+  FROM claims JOIN conf1 USING (subj, pred, obj) GROUP BY src
+),
+sup2 AS (
+  SELECT subj, pred, obj, sum(trust) AS support
+  FROM claims JOIN trust2 USING (src) GROUP BY subj, pred, obj
+),
+tot2 AS (SELECT subj, pred, sum(support) AS total FROM sup2 GROUP BY subj, pred),
+conf2 AS (
+  SELECT subj, pred, obj, round(support / total, 6) AS confidence
+  FROM sup2 JOIN tot2 USING (subj, pred)
+),
+ns AS (
+  SELECT subj, pred, obj, count(*) AS n_sources
+  FROM claims GROUP BY subj, pred, obj
+),
+fused AS (
+  SELECT subj, pred, obj, confidence, n_sources
+  FROM conf2 JOIN ns USING (subj, pred, obj)
+)
+"""
+    sql["kg_fact_fusion"] = _FUSION_CTES + """
+SELECT subj, pred, obj, confidence, n_sources FROM fused
+"""
+
+    sql["kg_conflict_resolution"] = _FUSION_CTES + """
+SELECT subj, pred, obj, confidence, n_sources FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY subj, pred
+    ORDER BY confidence DESC, n_sources DESC, obj ASC
+  ) AS rk FROM fused
+) WHERE rk = 1
 """
 
     # kg_graph_clause: GRAPH-clause algebra as SQL — the within-group join

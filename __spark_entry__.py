@@ -4112,6 +4112,44 @@ def _claim_quads(spark, sf_dir):
     )
 
 
+def q_kg_bnode_canon(spark, sf_dir):
+    """Blank-node canonical labeling (functions/rdf.py:
+    canonical_bnode_labels — the 1-WL color-refinement core of W3C
+    RDF-CANON/URDNA2015, 2 rounds unrolled): reified orders and their
+    customers as blank nodes; two bnodes share a label iff their 2-hop
+    neighborhoods are indistinguishable, independent of bnode numbering
+    — the RDF-level dedup/diff primitive. md5 is used as the label hash
+    because it is bit-identical across engines (not a security use);
+    the oracle replays both rounds with DuckDB's md5 over the same
+    sorted signature multisets."""
+    from dbpedia_spotlight_spark.functions.rdf import canonical_bnode_labels
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = F.concat(F.lit("_:o"), F.col("o_orderkey"))
+    c = F.concat(F.lit("_:c"), F.col("o_custkey"))
+    tri = (
+        orders.select(
+            o.alias("subj"), F.lit("by").alias("pred"), c.alias("obj")
+        )
+        .unionByName(
+            orders.select(
+                o.alias("subj"),
+                F.lit("status").alias("pred"),
+                F.col("o_orderstatus").alias("obj"),
+            )
+        )
+        .unionByName(
+            cust.select(
+                F.concat(F.lit("_:c"), F.col("c_custkey")).alias("subj"),
+                F.lit("seg").alias("pred"),
+                F.col("c_mktsegment").alias("obj"),
+            )
+        )
+    )
+    return canonical_bnode_labels(tri, iterations=2)
+
+
 def q_kg_fact_fusion(spark, sf_dir):
     """Truth discovery over multi-source claims
     (operators/fusion.py:fact_fusion — TruthFinder/Sums-family mutual
@@ -4149,6 +4187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "kg_bnode_canon": q_kg_bnode_canon,
         "kg_fact_fusion": q_kg_fact_fusion,
         "kg_conflict_resolution": q_kg_conflict_resolution,
         "kg_graph_clause": q_kg_graph_clause,
@@ -4355,6 +4394,50 @@ sizes AS (
          'http://www.w3.org/2001/XMLSchema#integer' AS datatype
   FROM documents
 )
+"""
+
+    # kg_bnode_canon: both color-refinement rounds unrolled; round-1
+    # labels are '' for bnode neighbors (the uniform start), round-2
+    # joins the round-1 md5 labels. starts_with avoids LIKE's '_'
+    # wildcard on the '_:' prefix.
+    sql["kg_bnode_canon"] = """
+WITH tri AS (
+  SELECT '_:o' || o_orderkey AS subj, 'by' AS pred,
+         '_:c' || o_custkey AS obj
+  FROM orders
+  UNION ALL
+  SELECT '_:o' || o_orderkey, 'status', o_orderstatus FROM orders
+  UNION ALL
+  SELECT '_:c' || c_custkey, 'seg', c_mktsegment FROM customer
+),
+sig1 AS (
+  SELECT subj AS bnode,
+         'O|' || pred || '|' ||
+         (CASE WHEN starts_with(obj, '_:') THEN '' ELSE obj END) AS sig
+  FROM tri WHERE starts_with(subj, '_:')
+  UNION ALL
+  SELECT obj,
+         'I|' || pred || '|' ||
+         (CASE WHEN starts_with(subj, '_:') THEN '' ELSE subj END)
+  FROM tri WHERE starts_with(obj, '_:')
+),
+lab1 AS (
+  SELECT bnode, md5(string_agg(sig, chr(10) ORDER BY sig)) AS label
+  FROM sig1 GROUP BY bnode
+),
+sig2 AS (
+  SELECT t.subj AS bnode,
+         'O|' || t.pred || '|' || coalesce(l.label, t.obj) AS sig
+  FROM tri t LEFT JOIN lab1 l ON t.obj = l.bnode
+  WHERE starts_with(t.subj, '_:')
+  UNION ALL
+  SELECT t.obj,
+         'I|' || t.pred || '|' || coalesce(l.label, t.subj)
+  FROM tri t LEFT JOIN lab1 l ON t.subj = l.bnode
+  WHERE starts_with(t.obj, '_:')
+)
+SELECT bnode, md5(string_agg(sig, chr(10) ORDER BY sig)) AS label
+FROM sig2 GROUP BY bnode
 """
 
     # kg_fact_fusion: the 2-round Sums/TruthFinder iteration unrolled as

@@ -277,3 +277,95 @@ def to_rdfxml(
             ).alias("block"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Blank-node canonicalization (RDF dataset canonicalization, WL-style)
+# ---------------------------------------------------------------------------
+
+
+def canonical_bnode_labels(
+    triples: DataFrame, iterations: int = 2
+) -> DataFrame:
+    """Deterministic canonical labels for blank nodes — the
+    color-refinement (1-WL) core of RDF dataset canonicalization
+    (W3C RDF-CANON / URDNA2015's first-degree hashing generalized to
+    n degrees; Hogan, "Canonical Forms for Isomorphic and Equivalent
+    RDF Graphs", TOCS 2017). Two blank nodes get the same label iff
+    their n-hop neighborhoods are indistinguishable, so labels are
+    stable across graph serializations that renumber bnodes — the
+    primitive for RDF-level dataset diff and dedup (the same role
+    kg_diff/entity digests play for IRI-named nodes).
+
+    Blank nodes are terms with the ``_:`` prefix (subject or object
+    position). Ground terms (IRIs/literals) contribute their own value
+    as a fixed label. Per iteration, every bnode hashes the sorted
+    multiset of its edge signatures::
+
+        out-edge (b, p, o):  "O|" + p + "|" + label(o)
+        in-edge  (s, p, b):  "I|" + p + "|" + label(s)
+
+    with md5 — chosen because it is bit-identical across engines, so an
+    unrolled SQL twin reproduces labels exactly (not a security use).
+    Returns (bnode, label).
+
+    Scale shape: each iteration is two equi-joins of the bnode-incident
+    edge list against the label table plus one hash aggregation
+    (sort_array(collect_list) over per-node edge lists — bounded by node
+    degree, the same per-group shape as the entity-digest operator); the
+    Python loop only composes the bounded-depth plan. No UDF, no driver
+    data.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    is_b = lambda c: F.col(c).startswith("_:")  # noqa: E731
+    edges = triples.filter(is_b("subj") | is_b("obj")).select(
+        "subj", "pred", "obj"
+    )
+    bnodes = (
+        edges.filter(is_b("subj")).select(F.col("subj").alias("bnode"))
+        .unionByName(
+            edges.filter(is_b("obj")).select(F.col("obj").alias("bnode"))
+        )
+        .distinct()
+    )
+    labels = bnodes.select("bnode", F.lit("").alias("label"))
+    for _ in range(iterations):
+        ol = labels.select(
+            F.col("bnode").alias("obj"), F.col("label").alias("_olab")
+        )
+        sl = labels.select(
+            F.col("bnode").alias("subj"), F.col("label").alias("_slab")
+        )
+        out_sigs = (
+            edges.filter(is_b("subj"))
+            .join(ol, "obj", "left")
+            .select(
+                F.col("subj").alias("bnode"),
+                F.concat(
+                    F.lit("O|"), F.col("pred"), F.lit("|"),
+                    F.coalesce(F.col("_olab"), F.col("obj")),
+                ).alias("sig"),
+            )
+        )
+        in_sigs = (
+            edges.filter(is_b("obj"))
+            .join(sl, "subj", "left")
+            .select(
+                F.col("obj").alias("bnode"),
+                F.concat(
+                    F.lit("I|"), F.col("pred"), F.lit("|"),
+                    F.coalesce(F.col("_slab"), F.col("subj")),
+                ).alias("sig"),
+            )
+        )
+        labels = (
+            out_sigs.unionByName(in_sigs)
+            .groupBy("bnode")
+            .agg(
+                F.md5(
+                    F.concat_ws("\n", F.sort_array(F.collect_list("sig")))
+                ).alias("label")
+            )
+        )
+    return labels

@@ -1,4 +1,6 @@
 """N-Triples / Turtle serializers (functions/rdf.py)."""
+import pytest
+
 
 from dbpedia_spotlight_spark.functions.rdf import (
     nt_escape,
@@ -135,3 +137,59 @@ def test_to_rdfxml_blocks(spark):
             + block
             + "</r>"
         )
+
+
+# ---- blank-node canonicalization (color refinement) ----
+
+
+@pytest.fixture()
+def bnode_tri(spark):
+    rows = [
+        ("_:o1", "by", "_:c1"), ("_:o1", "status", "F"),
+        ("_:o2", "by", "_:c1"), ("_:o2", "status", "F"),
+        ("_:o3", "by", "_:c2"), ("_:o3", "status", "O"),
+        ("http://x", "p", "http://y"),  # ground-only triple: ignored
+    ]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_bnode_canon_isomorphic_twins(bnode_tri):
+    from dbpedia_spotlight_spark.functions.rdf import canonical_bnode_labels
+
+    lab = {
+        r["bnode"]: r["label"]
+        for r in canonical_bnode_labels(bnode_tri, 2).collect()
+    }
+    assert set(lab) == {"_:o1", "_:o2", "_:o3", "_:c1", "_:c2"}
+    # o1/o2 have indistinguishable 2-hop neighborhoods; o3 differs
+    assert lab["_:o1"] == lab["_:o2"] != lab["_:o3"]
+    assert lab["_:c1"] != lab["_:c2"]
+
+
+def test_bnode_canon_stable_under_renaming(spark):
+    from dbpedia_spotlight_spark.functions.rdf import canonical_bnode_labels
+
+    g1 = [("_:a", "p", "_:b"), ("_:b", "q", "v")]
+    g2 = [("_:zz", "p", "_:k"), ("_:k", "q", "v")]  # same graph, renamed
+    l1 = sorted(
+        r["label"]
+        for r in canonical_bnode_labels(
+            spark.createDataFrame(g1, "subj string, pred string, obj string"),
+            3,
+        ).collect()
+    )
+    l2 = sorted(
+        r["label"]
+        for r in canonical_bnode_labels(
+            spark.createDataFrame(g2, "subj string, pred string, obj string"),
+            3,
+        ).collect()
+    )
+    assert l1 == l2
+
+
+def test_bnode_canon_validation(bnode_tri):
+    from dbpedia_spotlight_spark.functions.rdf import canonical_bnode_labels
+
+    with pytest.raises(ValueError, match="iterations"):
+        canonical_bnode_labels(bnode_tri, 0)

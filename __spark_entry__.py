@@ -3341,6 +3341,22 @@ def q_nquads_lines(spark, sf_dir):
     return to_nquads(quads)
 
 
+def q_trig_blocks(spark, sf_dir):
+    """TriG dataset serializer (functions/rdf.py:to_trig): the NIF
+    mention triples lifted into per-predicate named graphs and emitted
+    as ``<g> { turtle-blocks }`` — the at-rest form of a provenance-
+    tracked RDF dataset (the named-graph twin of turtle_blocks, closing
+    the serializer family). Oracle = the same two-level string_agg with
+    the graph wrapper."""
+    from dbpedia_spotlight_spark.functions.rdf import to_trig, with_graph
+
+    quads = with_graph(
+        q_nif_triples(spark, sf_dir),
+        F.concat(F.lit("http://graphs/"), F.col("pred")),
+    )
+    return to_trig(quads)
+
+
 def q_turtle_blocks(spark, sf_dir):
     """S12 Turtle serializer (functions/rdf.py:to_turtle): one block per
     subject with deterministically ordered ``;`` predicate-object
@@ -3510,6 +3526,359 @@ def q_kg_path_seq_alt(spark, sf_dir):
         t,
         "SELECT ?c ?v WHERE { ?c <inNation>/(<named>|<within>) ?v . }",
     )
+
+
+def q_kg_path_quantified(spark, sf_dir):
+    """Bounded path repetition <within>{1,2} through the string parser
+    (operators/kgquery.py:maybe_quant → _path_df "rep" node): each
+    customer's nation paired with everything 1 or 2 <within> hops up
+    (region, then world). Powers come from binary decomposition and are
+    memoized across the k range — {n,m} costs O(log m + (m-n)) joins,
+    never m. Oracle = explicit 1-hop ∪ 2-hop union joined from
+    inNation."""
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    t = _kg_geo_triples(spark, sf_dir)
+    return sparql_select(
+        t, "SELECT ?c ?a WHERE { ?c <inNation> ?n . ?n <within>{1,2} ?a . }"
+    )
+
+
+def q_kg_rdf_lists(spark, sf_dir):
+    """RDF collection flattening (operators/rdfstruct.py:rdf_list_members):
+    each region's nations encoded as a canonical rdf:first/rdf:rest list
+    (cons cells cell:r{rk}:{i}, ordered by nationkey, nil-terminated),
+    then flattened back to (head, pos, member) via min-plus repeated
+    squaring over the rest edges — O(log L) join rounds per length-L
+    list. Oracle inverts the synthesis directly with row_number()."""
+    from pyspark.sql import Window
+
+    from dbpedia_spotlight_spark.operators.rdfstruct import rdf_list_members
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    base = nat.select(
+        F.col("n_regionkey").alias("rk"),
+        (F.row_number().over(w) - 1).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy("n_regionkey")).alias("cnt"),
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias(
+            "member"
+        ),
+    )
+    cell = F.concat(
+        F.lit("cell:r"), F.col("rk").cast("string"), F.lit(":"),
+        F.col("i").cast("string"),
+    )
+    nxt = F.when(
+        F.col("i") + 1 < F.col("cnt"),
+        F.concat(
+            F.lit("cell:r"), F.col("rk").cast("string"), F.lit(":"),
+            (F.col("i") + 1).cast("string"),
+        ),
+    ).otherwise(F.lit("rdf:nil"))
+    triples = base.select(
+        cell.alias("subj"), F.lit("rdf:first").alias("pred"),
+        F.col("member").alias("obj"),
+    ).unionByName(
+        base.select(
+            cell.alias("subj"), F.lit("rdf:rest").alias("pred"),
+            nxt.alias("obj"),
+        )
+    )
+    return rdf_list_members(triples)
+
+
+def q_kg_reify(spark, sf_dir):
+    """Statement reification (RDF Schema §5.3, rdfstruct.py:
+    reify_statements): every geo fact becomes four triples under a
+    content-addressed statement node (md5 of the fact) — deterministic,
+    idempotent, generate-only (no shuffle beyond the input distinct).
+    Oracle builds the same four legs with DuckDB's md5."""
+    from dbpedia_spotlight_spark.operators.rdfstruct import reify_statements
+
+    return reify_statements(_kg_geo_triples(spark, sf_dir))
+
+
+def q_kg_unreify(spark, sf_dir):
+    """Round-trip proof for reification: unreify(reify(facts)) must equal
+    the original distinct fact set — the oracle IS the plain geo triple
+    CTE, so a hash match certifies losslessness. unreify is one groupBy
+    pivot on the statement node (map-side combinable, no join)."""
+    from dbpedia_spotlight_spark.operators.rdfstruct import (
+        reify_statements,
+        unreify_statements,
+    )
+
+    return unreify_statements(reify_statements(_kg_geo_triples(spark, sf_dir)))
+
+
+def q_kg_katz(spark, sf_dir):
+    """Katz centrality over the entity co-occurrence KG
+    (operators/graph.py:katz_centrality): attenuated inbound-walk count,
+    x_{t+1} = β + α·Aᵀx_t, 3 rounds, α=0.1 — the non-normalized
+    complement to kg_pagerank (no out-degree split, so heavily-citing
+    hubs don't dilute their endorsements). Oracle = the rounds unrolled
+    in SQL over the same symmetrized edge set."""
+    from dbpedia_spotlight_spark.operators.graph import katz_centrality
+
+    edges = cooccurrence_edges(_occs(spark, sf_dir), min_count=150)
+    sym = edges.select(
+        F.col("src_uri").alias("src"), F.col("dst_uri").alias("dst")
+    ).unionByName(
+        edges.select(
+            F.col("dst_uri").alias("src"), F.col("src_uri").alias("dst")
+        )
+    )
+    k = katz_centrality(sym, iterations=3, alpha=0.1, beta=1.0)
+    return k.select("node", F.round("katz", 6).alias("katz"))
+
+
+def q_kg_walks(spark, sf_dir):
+    """Deterministic random walks for graph-embedding corpora
+    (operators/graph.py:deterministic_walks — DeepWalk's sampling stage
+    with hash draws instead of RNG state, so a re-executed task emits
+    identical walks): 2-hop walks from every node of the geo containment
+    graph. Oracle = the steps unrolled with the same md5-argmin in
+    DuckDB, which certifies cross-engine reproducibility — the whole
+    point of the operator."""
+    from dbpedia_spotlight_spark.operators.graph import deterministic_walks
+
+    t = _kg_geo_triples(spark, sf_dir)
+    e = (
+        t.filter(F.col("pred").isin("inNation", "within"))
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+    )
+    return deterministic_walks(e, walk_length=2, walks_per_node=1)
+
+
+def q_kg_asof(spark, sf_dir):
+    """Temporal KB as-of snapshot (operators/temporal.py): every order
+    contributes a change log — status OPEN at o_orderdate, the final
+    o_orderstatus 30 days later — folded to interval-versioned facts
+    (one window pass, no join) and snapshotted at 1995-06-17. Oracle
+    computes the same snapshot closed-form with a CASE over the
+    interval arithmetic."""
+    from dbpedia_spotlight_spark.operators.temporal import (
+        fold_changelog,
+        kb_as_of,
+    )
+
+    return kb_as_of(
+        fold_changelog(_order_status_changelog(spark, sf_dir)),
+        "1995-06-17",
+    )
+
+
+def q_kg_kb_delta(spark, sf_dir):
+    """Temporal KB delta (operators/temporal.py:kb_changes_between): the
+    add/del fact set moving the order-status KB from the 1995-06-17
+    snapshot to 1996-06-17 — what an incremental downstream consumer
+    applies instead of re-reading the snapshot. One pass over the
+    version table + full-outer join of the two filtered states."""
+    from dbpedia_spotlight_spark.operators.temporal import (
+        fold_changelog,
+        kb_changes_between,
+    )
+
+    return kb_changes_between(
+        fold_changelog(_order_status_changelog(spark, sf_dir)),
+        "1995-06-17",
+        "1996-06-17",
+    )
+
+
+def _order_status_changelog(spark, sf_dir):
+    """Deterministic fact change log from orders: (o<key>, status) is
+    OPEN from o_orderdate and becomes the terminal o_orderstatus 30
+    days later (TPC-H statuses O/F/P never collide with 'OPEN')."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    subj = F.concat(F.lit("o"), F.col("o_orderkey").cast("string"))
+    c1 = o.select(
+        subj.alias("subj"),
+        F.lit("status").alias("pred"),
+        F.lit("OPEN").alias("obj"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    c2 = o.select(
+        subj.alias("subj"),
+        F.lit("status").alias("pred"),
+        F.col("o_orderstatus").alias("obj"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+    )
+    return c1.unionByName(c2)
+
+
+def q_kg_shacl_terms(spark, sf_dir):
+    """SHACL value-term constraints (operators/shacl.py round-4
+    extension — sh:pattern on literal content, sh:nodeKind against the
+    quoted-literal term convention): nation names as quoted literals
+    checked against ^[A-C], raw-name code values violating
+    nodeKind=Literal. Oracle replays both predicates in SQL."""
+    from dbpedia_spotlight_spark.operators.shacl import shacl_validate
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+    tri = (
+        nat.select(
+            n.alias("subj"), F.lit("rdf:type").alias("pred"),
+            F.lit("Nation").alias("obj"),
+        )
+        .unionByName(
+            nat.select(
+                n.alias("subj"), F.lit("named").alias("pred"),
+                F.concat(F.lit('"'), F.col("n_name"), F.lit('"')).alias("obj"),
+            )
+        )
+        .unionByName(
+            nat.select(
+                n.alias("subj"), F.lit("code").alias("pred"),
+                F.col("n_name").alias("obj"),
+            )
+        )
+    )
+    shapes = spark.createDataFrame(
+        [
+            ("Nation", "named", None, None, None, "^[A-C]", None,
+             "Literal", None),
+            ("Nation", "code", None, None, None, None, None,
+             "Literal", None),
+        ],
+        "target_class string, pred string, min_count long, "
+        "max_count long, value_class string, pattern string, "
+        "datatype string, node_kind string, in_values string",
+    )
+    return shacl_validate(tri, shapes)
+
+
+def q_kg_coref(spark, sf_dir):
+    """Within-doc coreference chains (operators/coref.py): every mention
+    links to its nearest earlier token-containing antecedent; chain ids
+    resolve to the root mention by pointer doubling (O(log chain)
+    rounds). The _occs mentions are single tokens, so containment
+    reduces to equality here and the oracle states the result closed-
+    form with window functions (nearest-earlier = max-over-preceding,
+    chain root = min-over-partition); the multi-token containment path
+    is pinned by pytest (tests/test_coref.py)."""
+    from dbpedia_spotlight_spark.operators.coref import (
+        coref_chain_ids,
+        coref_links,
+    )
+
+    m = _occs(spark, sf_dir).select("doc_id", "pos", "surface_form")
+    links = coref_links(m)
+    ids = coref_chain_ids(m, links)
+    return (
+        m.join(
+            links.select("doc_id", "pos", "antecedent_pos"),
+            ["doc_id", "pos"],
+            "left",
+        )
+        .join(ids, ["doc_id", "pos"])
+        .select("doc_id", "pos", "surface_form", "antecedent_pos", "chain_id")
+    )
+
+
+def q_kg_pred_align(spark, sf_dir):
+    """PARIS-style cross-KB predicate alignment (operators/kbaugment.py:
+    predicate_alignment): kb2 re-expresses the geo facts under renamed
+    predicates (locatedIn/containedBy/label) with only even-key
+    customers, and instance-pair Jaccard recovers the schema mapping —
+    one shuffle on (subj, obj), predicate pairs that share no instance
+    never meet. Oracle mirrors the join + Jaccard arithmetic."""
+    from dbpedia_spotlight_spark.operators.kbaugment import (
+        predicate_alignment,
+    )
+
+    kb1 = _kg_geo_triples(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    kb2 = (
+        cust.filter(F.col("c_custkey") % 2 == 0)
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+                "subj"
+            ),
+            F.lit("locatedIn").alias("pred"),
+            F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias(
+                "obj"
+            ),
+        )
+        .unionByName(
+            nat.select(
+                F.concat(
+                    F.lit("n"), F.col("n_nationkey").cast("string")
+                ).alias("subj"),
+                F.lit("containedBy").alias("pred"),
+                F.concat(
+                    F.lit("r"), F.col("n_regionkey").cast("string")
+                ).alias("obj"),
+            )
+        )
+        .unionByName(
+            nat.select(
+                F.concat(
+                    F.lit("n"), F.col("n_nationkey").cast("string")
+                ).alias("subj"),
+                F.lit("label").alias("pred"),
+                F.col("n_name").alias("obj"),
+            )
+        )
+        .unionByName(
+            reg.select(
+                F.concat(
+                    F.lit("r"), F.col("r_regionkey").cast("string")
+                ).alias("subj"),
+                F.lit("label").alias("pred"),
+                F.col("r_name").alias("obj"),
+            )
+        )
+    )
+    return predicate_alignment(kb1, kb2, min_jaccard=0.2)
+
+
+def q_kg_subsumption(spark, sf_dir):
+    """Class-subsumption induction from instance overlap
+    (operators/kbaugment.py:subsumption_mining, Völker & Niepert 2011):
+    BUILDING customers double-typed BuildingCustomer and region-2
+    nations AsiaNation; instance-overlap confidence proposes
+    BuildingCustomer ⊑ Customer and AsiaNation ⊑ Nation while the
+    reverse directions fall below the 0.95 gate. Instance-keyed
+    self-join, never class x class. Oracle replays the counts."""
+    from dbpedia_spotlight_spark.operators.kbaugment import (
+        subsumption_mining,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c = F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+    n = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+    types = (
+        cust.select(
+            c.alias("subj"), F.lit("rdf:type").alias("pred"),
+            F.lit("Customer").alias("obj"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+                c.alias("subj"), F.lit("rdf:type").alias("pred"),
+                F.lit("BuildingCustomer").alias("obj"),
+            )
+        )
+        .unionByName(
+            nat.select(
+                n.alias("subj"), F.lit("rdf:type").alias("pred"),
+                F.lit("Nation").alias("obj"),
+            )
+        )
+        .unionByName(
+            nat.filter(F.col("n_regionkey") == 2).select(
+                n.alias("subj"), F.lit("rdf:type").alias("pred"),
+                F.lit("AsiaNation").alias("obj"),
+            )
+        )
+    )
+    return subsumption_mining(types, min_support=2, min_confidence=0.95)
 
 
 def q_kg_bgp_two_optionals(spark, sf_dir):
@@ -4187,6 +4556,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "kg_path_quantified": q_kg_path_quantified,
+        "kg_rdf_lists": q_kg_rdf_lists,
+        "kg_reify": q_kg_reify,
+        "kg_unreify": q_kg_unreify,
+        "kg_katz": q_kg_katz,
+        "kg_walks": q_kg_walks,
+        "kg_asof": q_kg_asof,
+        "kg_kb_delta": q_kg_kb_delta,
+        "kg_shacl_terms": q_kg_shacl_terms,
+        "trig_blocks": q_trig_blocks,
+        "kg_coref": q_kg_coref,
+        "kg_pred_align": q_kg_pred_align,
+        "kg_subsumption": q_kg_subsumption,
         "kg_bnode_canon": q_kg_bnode_canon,
         "kg_fact_fusion": q_kg_fact_fusion,
         "kg_conflict_resolution": q_kg_conflict_resolution,
@@ -4741,6 +5123,25 @@ SELECT subj, 'http://www.w3.org/2005/11/its/rdf#taConfidence',
 SELECT '<' || subj || '> <' || pred || '> ' || {_obj_term_sql} || ' .'
        AS line
 FROM tri
+"""
+
+    sql["trig_blocks"] = nif_tri_ctes + f""",
+gpo AS (
+  SELECT 'http://graphs/' || pred AS graph, subj,
+         '<' || pred || '> ' || {_obj_term_sql} AS po
+  FROM tri
+),
+stmt AS (
+  SELECT graph, subj,
+         '  <' || subj || '> ' ||
+         string_agg(po, ' ;' || chr(10) || '    ' ORDER BY po) || ' .'
+         AS s
+  FROM gpo GROUP BY graph, subj
+)
+SELECT graph,
+       '<' || graph || '> {{' || chr(10) ||
+       string_agg(s, chr(10) ORDER BY s) || chr(10) || '}}' AS block
+FROM stmt GROUP BY graph
 """
 
     sql["nquads_lines"] = nif_tri_ctes + f"""
@@ -8138,6 +8539,226 @@ star AS (
 SELECT DISTINCT cn.subj AS c, s.obj AS a
 FROM (SELECT subj, obj FROM tr WHERE pred = 'inNation') cn
 JOIN star s ON s.subj = cn.obj
+"""
+
+    # kg_rdf_lists: invert the list synthesis directly — pos is the
+    # 0-based nationkey rank within the region, head is that region's
+    # cell 0 (the operator recovers exactly this from first/rest edges)
+    sql["kg_rdf_lists"] = """
+SELECT 'cell:r' || n_regionkey::VARCHAR || ':0' AS head,
+       (ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey)
+        - 1)::BIGINT AS pos,
+       'n' || n_nationkey::VARCHAR AS member
+FROM nation
+"""
+
+    # kg_reify: the four reification legs per distinct geo fact, statement
+    # id = md5 of the 0x1f-joined fact (matches Spark's md5/concat_ws)
+    sql["kg_reify"] = f"""
+WITH {_KG_GEO_CTE.lstrip()},
+facts AS (SELECT DISTINCT subj, pred, obj FROM tr),
+sid AS (
+  SELECT 'stmt:' || md5(subj || chr(31) || pred || chr(31) || obj) AS s,
+         subj, pred, obj
+  FROM facts
+)
+SELECT s AS subj, 'rdf:type' AS pred, 'rdf:Statement' AS obj FROM sid
+UNION ALL SELECT s, 'rdf:subject', subj FROM sid
+UNION ALL SELECT s, 'rdf:predicate', pred FROM sid
+UNION ALL SELECT s, 'rdf:object', obj FROM sid
+"""
+
+    # kg_unreify: the round trip must reproduce the distinct fact set
+    sql["kg_unreify"] = f"""
+WITH {_KG_GEO_CTE.lstrip()}
+SELECT DISTINCT subj, pred, obj FROM tr
+"""
+
+    # kg_coref: single-token mentions -> containment == equality, so the
+    # chains are per-(doc, sf) position runs: nearest-earlier antecedent
+    # and first-occurrence chain root, both plain window functions
+    sql["kg_coref"] = _BASE_CTES + """
+SELECT doc_id, pos, surface_form,
+       max(pos) OVER (
+         PARTITION BY doc_id, surface_form ORDER BY pos
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ) AS antecedent_pos,
+       min(pos) OVER (PARTITION BY doc_id, surface_form) AS chain_id
+FROM occs
+"""
+
+    # kg_pred_align: instance-pair Jaccard between the geo KB and its
+    # renamed partial twin
+    sql["kg_pred_align"] = f"""
+WITH {_KG_GEO_CTE.lstrip()},
+kb1 AS (SELECT DISTINCT pred AS pred1, subj, obj FROM tr),
+kb2 AS (
+  SELECT DISTINCT pred2, subj, obj FROM (
+    SELECT 'locatedIn' AS pred2, 'c' || c_custkey::VARCHAR AS subj,
+           'n' || c_nationkey::VARCHAR AS obj
+    FROM customer WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT 'containedBy', 'n' || n_nationkey::VARCHAR,
+           'r' || n_regionkey::VARCHAR FROM nation
+    UNION ALL
+    SELECT 'label', 'n' || n_nationkey::VARCHAR, n_name FROM nation
+    UNION ALL
+    SELECT 'label', 'r' || r_regionkey::VARCHAR, r_name FROM region
+  )
+),
+inter AS (
+  SELECT a.pred1, b.pred2, count(*) AS overlap
+  FROM kb1 a JOIN kb2 b ON a.subj = b.subj AND a.obj = b.obj
+  GROUP BY 1, 2
+),
+s1 AS (SELECT pred1, count(*) AS n1 FROM kb1 GROUP BY 1),
+s2 AS (SELECT pred2, count(*) AS n2 FROM kb2 GROUP BY 1)
+SELECT i.pred1, i.pred2, i.overlap, s1.n1, s2.n2,
+       round(i.overlap / (s1.n1 + s2.n2 - i.overlap), 6) AS jaccard
+FROM inter i JOIN s1 USING (pred1) JOIN s2 USING (pred2)
+WHERE i.overlap / (s1.n1 + s2.n2 - i.overlap) >= 0.2
+"""
+
+    # kg_subsumption: instance-overlap confidence over the synthesized
+    # double-typed instances
+    sql["kg_subsumption"] = """
+WITH inst AS (
+  SELECT DISTINCT subj AS i, cls FROM (
+    SELECT 'c' || c_custkey::VARCHAR AS subj, 'Customer' AS cls
+    FROM customer
+    UNION ALL
+    SELECT 'c' || c_custkey::VARCHAR, 'BuildingCustomer'
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT 'n' || n_nationkey::VARCHAR, 'Nation' FROM nation
+    UNION ALL
+    SELECT 'n' || n_nationkey::VARCHAR, 'AsiaNation'
+    FROM nation WHERE n_regionkey = 2
+  )
+),
+sizes AS (SELECT cls, count(*) AS n FROM inst GROUP BY 1),
+pairs AS (
+  SELECT a.cls AS subcls, b.cls AS supercls, count(*) AS support
+  FROM inst a JOIN inst b ON a.i = b.i AND a.cls != b.cls
+  GROUP BY 1, 2
+)
+SELECT p.subcls, p.supercls, p.support,
+       round(p.support / s.n, 6) AS confidence
+FROM pairs p JOIN sizes s ON s.cls = p.subcls
+WHERE p.support >= 2 AND p.support / s.n >= 0.95
+"""
+
+    # kg_katz: 3 Katz rounds unrolled over the symmetrized cooc edges
+    _katz_round = """
+i{t} AS (
+  SELECT e.v AS node, sum(x.katz) AS inn
+  FROM k{p} x JOIN sym e ON x.node = e.u GROUP BY 1
+),
+k{t} AS (
+  SELECT nd.node, 1.0 + 0.1 * coalesce(i.inn, 0) AS katz
+  FROM nd LEFT JOIN i{t} i USING (node)
+)"""
+    sql["kg_katz"] = _BASE_CTES + """,
+du AS (SELECT DISTINCT doc_id, uri FROM occs),
+ed AS (
+  SELECT a.uri AS s, b.uri AS d
+  FROM du a JOIN du b ON a.doc_id = b.doc_id AND a.uri < b.uri
+  GROUP BY 1, 2 HAVING count(*) >= 150
+),
+sym AS (SELECT s AS u, d AS v FROM ed UNION ALL SELECT d, s FROM ed),
+nd AS (SELECT DISTINCT u AS node FROM sym),
+k0 AS (SELECT node, 1.0 AS katz FROM nd),""" + ",".join(
+        _katz_round.format(t=t, p=t - 1) for t in (1, 2, 3)
+    ) + """
+SELECT node, round(katz, 6) AS katz FROM k3
+"""
+
+    # kg_walks: the two md5-argmin steps unrolled; ORDER BY the hash then
+    # the neighbor reproduces Spark's min_by tie-break deterministically
+    _walk_step = """
+c{t} AS (
+  SELECT s{p}.walk_id, e.v,
+         row_number() OVER (
+           PARTITION BY s{p}.walk_id
+           ORDER BY md5(s{p}.walk_id || chr(31) || '{t}' || chr(31) || e.v),
+                    e.v
+         ) AS rn
+  FROM s{p} JOIN e ON s{p}.node = e.u
+),
+s{t} AS (SELECT walk_id, {t} AS step, v AS node FROM c{t} WHERE rn = 1)"""
+    sql["kg_walks"] = f"""
+WITH {_KG_GEO_CTE.lstrip()},
+e AS (
+  SELECT DISTINCT subj AS u, obj AS v FROM tr
+  WHERE pred IN ('inNation', 'within')
+),
+nd AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+s0 AS (
+  SELECT 'w:' || node || ':0' AS walk_id, 0 AS step, node FROM nd
+),""" + ",".join(_walk_step.format(t=t, p=t - 1) for t in (1, 2)) + """
+SELECT walk_id, step, node FROM s0
+UNION ALL SELECT walk_id, step, node FROM s1
+UNION ALL SELECT walk_id, step, node FROM s2
+"""
+
+    # kg_asof: closed-form snapshot — OPEN inside the first 30 days,
+    # the terminal status after; orders opened later don't exist yet
+    sql["kg_asof"] = """
+SELECT 'o' || o_orderkey::VARCHAR AS subj, 'status' AS pred,
+       CASE WHEN o_orderdate + INTERVAL 30 DAY <= TIMESTAMP '1995-06-17'
+            THEN o_orderstatus ELSE 'OPEN' END AS obj
+FROM orders
+WHERE o_orderdate <= TIMESTAMP '1995-06-17'
+"""
+
+    sql["kg_kb_delta"] = """
+WITH a AS (
+  SELECT 'o' || o_orderkey::VARCHAR AS subj, 'status' AS pred,
+         CASE WHEN o_orderdate + INTERVAL 30 DAY <= TIMESTAMP '1995-06-17'
+              THEN o_orderstatus ELSE 'OPEN' END AS obj
+  FROM orders WHERE o_orderdate <= TIMESTAMP '1995-06-17'
+),
+b AS (
+  SELECT 'o' || o_orderkey::VARCHAR AS subj, 'status' AS pred,
+         CASE WHEN o_orderdate + INTERVAL 30 DAY <= TIMESTAMP '1996-06-17'
+              THEN o_orderstatus ELSE 'OPEN' END AS obj
+  FROM orders WHERE o_orderdate <= TIMESTAMP '1996-06-17'
+)
+SELECT b.subj, b.pred, b.obj, 'add' AS op FROM b
+WHERE NOT EXISTS (
+  SELECT 1 FROM a WHERE a.subj = b.subj AND a.pred = b.pred
+    AND a.obj = b.obj
+)
+UNION ALL
+SELECT a.subj, a.pred, a.obj, 'del' FROM a
+WHERE NOT EXISTS (
+  SELECT 1 FROM b WHERE b.subj = a.subj AND b.pred = a.pred
+    AND b.obj = a.obj
+)
+"""
+
+    # kg_shacl_terms: pattern on the literal CONTENT (quotes stripped),
+    # nodeKind=Literal violated by every raw (unquoted) code value
+    sql["kg_shacl_terms"] = """
+SELECT 'n' || n_nationkey::VARCHAR AS focus, 'Nation' AS target_class,
+       'named' AS pred, 'pattern' AS "constraint",
+       '^[A-C]' AS expected, '"' || n_name || '"' AS actual
+FROM nation WHERE NOT regexp_matches(n_name, '^[A-C]')
+UNION ALL
+SELECT 'n' || n_nationkey::VARCHAR, 'Nation', 'code', 'nodeKind',
+       'Literal', n_name
+FROM nation
+"""
+
+    # kg_path_quantified: <within>{{1,2}} = explicit 1-hop UNION 2-hop
+    sql["kg_path_quantified"] = f"""
+WITH {_KG_GEO_CTE.lstrip()},
+w1 AS (SELECT subj, obj FROM tr WHERE pred = 'within'),
+w2 AS (SELECT a.subj, b.obj FROM w1 a JOIN w1 b ON a.obj = b.subj),
+w12 AS (SELECT subj, obj FROM w1 UNION SELECT subj, obj FROM w2)
+SELECT DISTINCT cn.subj AS c, w.obj AS a
+FROM (SELECT subj, obj FROM tr WHERE pred = 'inNation') cn
+JOIN w12 w ON w.subj = cn.obj
 """
 
     sql["kg_path_seq_alt"] = f"""

@@ -189,6 +189,64 @@ def to_nquads(
     )
 
 
+def to_trig(
+    quads: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    graph: str = "graph",
+) -> DataFrame:
+    """One TriG block per named graph (W3C TriG: Turtle subject blocks
+    wrapped in ``<g> { ... }``; a NULL graph is the default graph and
+    emits its statements unwrapped, per the spec). Statements and their
+    ``;`` predicate-object continuations are deterministically ordered,
+    so output is stable across cluster sizes. Two groupBys keyed
+    (graph, subj) then (graph) — the graph key is the partitioning a
+    dataset sink wants anyway, so the final exchange is reused by the
+    writer. Returns (graph, block); completes the serializer family
+    next to to_ntriples/to_turtle/to_nquads/to_jsonld/to_rdfxml."""
+    po = F.concat(
+        F.lit("<"), _col(pred), F.lit("> "), _obj_term(obj)
+    ).alias("po")
+    stmts = (
+        quads.select(
+            _col(graph).alias("graph"), _col(subj).alias("subj"), po
+        )
+        .groupBy("graph", "subj")
+        .agg(F.array_sort(F.collect_list("po")).alias("pos"))
+        .select(
+            "graph",
+            F.concat(
+                F.lit("  <"),
+                F.col("subj"),
+                F.lit("> "),
+                F.array_join(F.col("pos"), " ;\n    "),
+                F.lit(" ."),
+            ).alias("_stmt"),
+        )
+    )
+    return (
+        stmts.groupBy("graph")
+        .agg(F.array_sort(F.collect_list("_stmt")).alias("_ss"))
+        .select(
+            "graph",
+            F.when(
+                F.col("graph").isNull(), F.array_join(F.col("_ss"), "\n")
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("<"),
+                    F.col("graph"),
+                    F.lit("> {\n"),
+                    F.array_join(F.col("_ss"), "\n"),
+                    F.lit("\n}"),
+                )
+            )
+            .alias("block"),
+        )
+    )
+
+
 def with_graph(
     triples: DataFrame, graph_name, graph_col: str = "graph"
 ) -> DataFrame:

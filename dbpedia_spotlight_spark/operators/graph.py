@@ -951,3 +951,129 @@ def graph_summary(
             "assortativity",
         )
     )
+
+
+def katz_centrality(
+    edges: DataFrame,
+    iterations: int = 4,
+    alpha: float = 0.1,
+    beta: float = 1.0,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Katz centrality (Katz 1953) over a directed edge set: the
+    attenuated count of ALL inbound walks, x = Σ_k α^k (Aᵀ)^k · β·1,
+    computed by the truncated fixed-point iteration
+    x_{t+1}(v) = β + α · Σ_{u→v} x_t(u), x_0 = β·1.
+
+    Complements PageRank in the KG entity-importance toolbox: no
+    out-degree normalization, so a node cited by well-cited nodes scores
+    high even when its citers also point elsewhere (PageRank splits
+    their mass; Katz does not). α must stay below 1/λ_max for the full
+    series to converge — at the default 0.1 the truncation error after
+    4 rounds is ≤ (α·λ)^5, already sub-rounding for co-occurrence
+    graphs.
+
+    -> (node, katz). Each iteration is one equi-join + one groupBy-sum
+    keyed on the node (co-partitioned, map-side partial agg), lineage
+    truncated per round; deterministic, so a SQL twin unrolling the same
+    rounds reproduces it bit-for-bit after rounding.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    x = nodes.withColumn("katz", F.lit(float(beta)))
+    for _ in range(iterations):
+        inflow = (
+            x.withColumnRenamed("node", "_s")
+            .join(e, "_s")
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.sum("katz").alias("_in"))
+        )
+        x = (
+            nodes.join(inflow, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(float(beta))
+                    + F.lit(float(alpha))
+                    * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("katz"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return x
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    walk_length: int = 3,
+    walks_per_node: int = 2,
+    seed: str = "w",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Graph-context corpus generation: fixed-length walks from every
+    node, the sampling stage of DeepWalk/node2vec (Perozzi 2014, Grover
+    2016) re-expressed so the result is REPRODUCIBLE on any cluster —
+    at each step the walk takes the neighbor minimizing
+    md5(walk_id ⊕ step ⊕ neighbor), a deterministic hash draw instead of
+    an RNG (per-partition RNG state never survives re-execution of a
+    failed task; a content hash does).
+
+    -> (walk_id, step, node) with step 0..walk_length, walk_id =
+    "<seed>:<start>:<w>". Dead ends stop early. Each step is one
+    equi-join on the frontier + one hash-argmin (min_by) groupBy —
+    walks advance in lockstep, so a length-L walk costs L co-partitioned
+    join rounds over |nodes|·walks_per_node frontier rows, never a
+    per-walk task.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    starts = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                e.sparkSession.range(walks_per_node).select(
+                    F.col("id").cast("string").alias("_w")
+                )
+            )
+        )
+        .select(
+            F.concat(
+                F.lit(seed), F.lit(":"), F.col("node"), F.lit(":"), F.col("_w")
+            ).alias("walk_id"),
+            F.lit(0).alias("step"),
+            "node",
+        )
+    )
+    out = starts
+    frontier = starts
+    for k in range(1, walk_length + 1):
+        nxt = (
+            frontier.withColumnRenamed("node", "_s")
+            .join(e, "_s")
+            .groupBy("walk_id")
+            .agg(
+                F.min_by(
+                    F.col("_d"),
+                    F.md5(
+                        F.concat_ws(
+                            "\x1f",
+                            F.col("walk_id"),
+                            F.lit(str(k)),
+                            F.col("_d"),
+                        )
+                    ),
+                ).alias("node")
+            )
+            .select("walk_id", F.lit(k).alias("step"), "node")
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionByName(nxt)
+        frontier = nxt
+    return out

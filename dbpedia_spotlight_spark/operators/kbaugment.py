@@ -154,3 +154,107 @@ def align_entities(
             "edit_distance",
         )
     )
+
+
+def predicate_alignment(
+    kb1: DataFrame,
+    kb2: DataFrame,
+    min_jaccard: float = 0.2,
+) -> DataFrame:
+    """Cross-KB predicate matching (the relation-alignment half of PARIS,
+    Suchanek et al., VLDB 2012 §5.2, simplified to instance-pair Jaccard):
+    two predicates align when they relate largely the same (subj, obj)
+    pairs — the signal that lets a merged KB collapse kb1:<locatedIn>
+    onto kb2:<inNation> without schema input.
+
+    -> (pred1, pred2, overlap, n1, n2, jaccard) for pairs with
+    jaccard >= min_jaccard.
+
+    Scale shape: one shuffle on (subj, obj) for the instance-pair
+    equi-join — never pred x pred; predicates that share no instance
+    pair never meet. Per-predicate pair counts are a map-side-combinable
+    groupBy, broadcast back onto the (tiny) alignment result.
+    """
+    p1 = kb1.select(
+        F.col("pred").alias("pred1"), "subj", "obj"
+    ).distinct()
+    p2 = kb2.select(
+        F.col("pred").alias("pred2"), "subj", "obj"
+    ).distinct()
+    inter = (
+        p1.join(p2, ["subj", "obj"])
+        .groupBy("pred1", "pred2")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    n1 = p1.groupBy("pred1").agg(F.count(F.lit(1)).alias("n1"))
+    n2 = p2.groupBy("pred2").agg(F.count(F.lit(1)).alias("n2"))
+    return (
+        inter.join(F.broadcast(n1), "pred1")
+        .join(F.broadcast(n2), "pred2")
+        .withColumn(
+            "_j",
+            F.col("overlap") / (F.col("n1") + F.col("n2") - F.col("overlap")),
+        )
+        # gate on the RAW ratio, round only for output — a value that
+        # rounds up across the threshold must not flip the decision
+        .filter(F.col("_j") >= F.lit(min_jaccard))
+        .select(
+            "pred1", "pred2", "overlap", "n1", "n2",
+            F.round(F.col("_j"), 6).alias("jaccard"),
+        )
+    )
+
+
+def subsumption_mining(
+    triples: DataFrame,
+    type_pred: str = "rdf:type",
+    min_support: int = 2,
+    min_confidence: float = 0.95,
+) -> DataFrame:
+    """Class-subsumption induction from instance overlap (the schema-
+    discovery step of ontology learning, Völker & Niepert "Statistical
+    Schema Induction", ESWC 2011): B ⊑ A is proposed when nearly every
+    instance of B is also typed A — conf = |B ∩ A| / |B| — turning flat
+    extraction types into a class hierarchy without a hand ontology.
+
+    -> (subcls, supercls, support, confidence) with support = |B ∩ A|,
+    conf >= min_confidence, support >= min_support, B != A. Symmetric
+    pairs (conf 1.0 both ways) surface as two rows — equivalence, the
+    caller's call.
+
+    Scale shape: one self-equi-join of the type table on the INSTANCE
+    key (never class x class), then a class-pair groupBy; class
+    cardinalities broadcast. Type tables are the smallest fact slice of
+    any KB, and instances with t types emit t² join rows — bounded by
+    the type-set size, not the KB.
+    """
+    inst = (
+        triples.filter(F.col("pred") == type_pred)
+        .select(F.col("subj").alias("_i"), F.col("obj").alias("cls"))
+        .distinct()
+    )
+    sizes = inst.groupBy("cls").agg(F.count(F.lit(1)).alias("_n"))
+    pairs = (
+        inst.select("_i", F.col("cls").alias("subcls"))
+        .join(inst.select("_i", F.col("cls").alias("supercls")), "_i")
+        .filter(F.col("subcls") != F.col("supercls"))
+        .groupBy("subcls", "supercls")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("cls").alias("subcls"), "_n")),
+            "subcls",
+        )
+        .withColumn("_c", F.col("support") / F.col("_n"))
+        # gate on the RAW ratio, round only for output (same rule as
+        # predicate_alignment)
+        .filter(
+            (F.col("support") >= F.lit(min_support))
+            & (F.col("_c") >= F.lit(min_confidence))
+        )
+        .select(
+            "subcls", "supercls", "support",
+            F.round(F.col("_c"), 6).alias("confidence"),
+        )
+    )

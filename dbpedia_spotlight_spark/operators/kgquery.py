@@ -129,6 +129,51 @@ def _path_df(triples: DataFrame, node: tuple) -> DataFrame:
         return triples.filter(~F.col("pred").isin(list(node[1]))).select(
             "subj", "obj"
         )
+    if kind == "rep":
+        # Bounded repetition <p>{n,m} (the pre-CR SPARQL 1.1 draft form,
+        # kept by Jena/Virtuoso as an extension): union of the k-fold
+        # compositions for k in n..m; {n,} composes P^n with P* (whose
+        # identity member supplies every length ≥ n). Powers come from
+        # binary decomposition — {8} costs 3 join rounds, not 7 — and
+        # each power is memoized across the k range, so {n,m} costs
+        # O(log m + (m - n)) joins total.
+        _, sub, lo, hi = node
+        base = _path_df(triples, sub)
+
+        def _compose(a: DataFrame, b: DataFrame) -> DataFrame:
+            return (
+                a.select("subj", F.col("obj").alias("_m"))
+                .join(b.select(F.col("subj").alias("_m"), "obj"), "_m")
+                .select("subj", "obj")
+                .distinct()
+            )
+
+        memo: dict = {}
+
+        def _power(k: int) -> DataFrame:
+            if k in memo:
+                return memo[k]
+            if k == 1:
+                r = base
+            elif k % 2 == 0:
+                half = _power(k // 2)
+                r = _compose(half, half)
+            else:
+                r = _compose(_power(k - 1), base)
+            memo[k] = r
+            return r
+
+        if hi is None:
+            star = _path_df(triples, ("star", sub))
+            return _compose(_power(lo), star) if lo else star
+        if hi == 0:
+            return _graph_identity(triples)
+        parts = [_graph_identity(triples)] if lo == 0 else []
+        parts += [_power(k) for k in range(max(lo, 1), hi + 1)]
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = acc.unionByName(p)
+        return acc.distinct()
     raise ValueError(f"unknown path node {node!r}")
 
 
@@ -779,6 +824,28 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
 
     _QUANT = {"+": "plus", "*": "star", "?": "opt"}
 
+    def maybe_quant(node: tuple) -> tuple:
+        """Apply a trailing path quantifier if one follows: + * ? or the
+        bounded-repetition form {n} / {n,} / {n,m} (draft §9.1, kept as
+        an extension by Jena/Virtuoso — compiled to ("rep", node, n, m)
+        with m=None for the unbounded tail)."""
+        if peek() in ("+", "*", "?"):
+            return (_QUANT[take()], node)
+        if peek() == "{":
+            take()
+            lo = int(take())
+            hi: int | None = lo
+            if peek() == ",":
+                take()
+                hi = None if peek() == "}" else int(take())
+            take("}")
+            if hi is not None and hi < lo:
+                raise ValueError(
+                    f"path quantifier {{{lo},{hi}}}: max < min"
+                )
+            return ("rep", node, lo, hi)
+        return node
+
     def path_atom() -> tuple:
         t = take()
         if t == "^":
@@ -811,16 +878,11 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
                         "(!^<p>) are not supported"
                     )
                 members.append(term(m))
-            node = ("negset", members)
-            if peek() in ("+", "*", "?"):
-                node = (_QUANT[take()], node)
-            return node
+            return maybe_quant(("negset", members))
         if t == "(":
             node = path_expr()
             take(")")
-            if peek() in ("+", "*", "?"):
-                node = (_QUANT[take()], node)
-            return node
+            return maybe_quant(node)
         if t.startswith("?"):
             raise ValueError(f"variable {t!r} inside a property path")
         quant = None
@@ -834,7 +896,7 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
             if len(t) > 1 and t[-1] in "+*?":
                 quant, t = t[-1], t[:-1]
             base = ("iri", t)
-        return (_QUANT[quant], base) if quant else base
+        return (_QUANT[quant], base) if quant else maybe_quant(base)
 
     def path_seq() -> tuple:
         parts = [path_atom()]

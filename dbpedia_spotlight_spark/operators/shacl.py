@@ -1,6 +1,7 @@
 """SHACL-lite shape validation over a triple table — the KG-construction
 QA gate (W3C SHACL core constraints, the subset that covers real KB loads:
-sh:minCount, sh:maxCount, sh:class). The reference pipeline validates its
+sh:minCount, sh:maxCount, sh:class, sh:pattern, sh:datatype, sh:nodeKind,
+sh:in). The reference pipeline validates its
 exported model tables structurally (index/.../CreateSpotlightModel.scala
 asserts table invariants at build time); for an RDF export the same role
 is played by shape validation, so this engine ships it as a first-class
@@ -35,6 +36,22 @@ def shacl_validate(
     - max_count: <= max_count values.
     - value_class: every value must itself be typed value_class.
 
+    Four further SHACL core value constraints are honored when their
+    column exists in ``shapes`` (all nullable — absent column ==
+    all-null column, so existing shape tables keep working):
+
+    - pattern: every value's literal content (term_value for
+      ``"v"@lang`` / ``"v"^^<dt>`` forms, the raw term otherwise) must
+      match the anchored-as-written regex (sh:pattern semantics).
+    - datatype: every value must be a typed literal carrying exactly
+      that datatype IRI (sh:datatype; plain strings only satisfy
+      xsd:string, per RDF 1.1 §3.3 where simple literals ARE
+      xsd:string).
+    - node_kind: 'IRI' (value must not be a quoted literal form) or
+      'Literal' (must be) — sh:nodeKind against the engine's string
+      term convention (functions/rdfterm.py).
+    - in_values: pipe-separated allowed-value list (sh:in).
+
     -> violations (focus, target_class, pred, constraint, expected,
     actual): empty result = conformant graph. Cardinality violations
     report counts; class violations report the offending value, one row
@@ -45,19 +62,31 @@ def shacl_validate(
     left_anti join against the type table keyed on the value. Shapes
     broadcast (they are the smallest table of any KB).
     """
+    def _opt(name: str):
+        if name in shapes.columns:
+            return F.col(name).cast("string")
+        return F.lit(None).cast("string")
+
     sh = shapes.select(
         F.col("target_class").alias("_tc"),
         F.col("pred").alias("_p"),
         F.col("min_count").cast("long").alias("_min"),
         F.col("max_count").cast("long").alias("_max"),
         F.col("value_class").alias("_vc"),
+        _opt("pattern").alias("_pat"),
+        _opt("datatype").alias("_dt"),
+        _opt("node_kind").alias("_nk"),
+        _opt("in_values").alias("_in"),
     )
     types = triples.filter(F.col("pred") == type_pred).select(
         F.col("subj").alias("_node"), F.col("obj").alias("_cls")
     )
     focus = types.join(
         F.broadcast(sh), types["_cls"] == sh["_tc"]
-    ).select("_node", "_tc", "_p", "_min", "_max", "_vc")
+    ).select(
+        "_node", "_tc", "_p", "_min", "_max", "_vc",
+        "_pat", "_dt", "_nk", "_in",
+    )
 
     counts = triples.groupBy(
         F.col("subj").alias("_node"), F.col("pred").alias("_p")
@@ -105,4 +134,87 @@ def shacl_validate(
         F.col("_vc").alias("expected"),
         F.col("_val").alias("actual"),
     )
-    return min_viol.unionByName(max_viol).unionByName(class_viol).distinct()
+
+    # value-term constraints (pattern / datatype / nodeKind / in) share
+    # ONE focus-x-values join; each is a filter over it, so the instance
+    # table is scanned once more in total, not once per constraint
+    from dbpedia_spotlight_spark.functions.rdfterm import (  # noqa: PLC0415
+        _DT_RE,
+        _VALUE_RE,
+        XSD_STRING,
+    )
+
+    RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+    valcon = focus.filter(
+        F.col("_pat").isNotNull()
+        | F.col("_dt").isNotNull()
+        | F.col("_nk").isNotNull()
+        | F.col("_in").isNotNull()
+    ).join(
+        triples.select(
+            F.col("subj").alias("_node"),
+            F.col("pred").alias("_p"),
+            F.col("obj").alias("_val"),
+        ),
+        ["_node", "_p"],
+    )
+    is_literal = F.col("_val").startswith('"')
+    content = F.when(
+        is_literal, F.regexp_extract(F.col("_val"), _VALUE_RE, 1)
+    ).otherwise(F.col("_val"))
+    eff_dt = (
+        F.when(
+            F.col("_val").rlike(_DT_RE),
+            F.regexp_extract(F.col("_val"), _DT_RE, 1),
+        )
+        .when(F.col("_val").rlike(r'^".*"@'), F.lit(RDF_LANGSTRING))
+        .when(is_literal, F.lit(XSD_STRING))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+    def _viol(cond, name: str, expected):
+        return valcon.filter(cond).select(
+            F.col("_node").alias("focus"),
+            F.col("_tc").alias("target_class"),
+            F.col("_p").alias("pred"),
+            F.lit(name).alias("constraint"),
+            expected.alias("expected"),
+            F.col("_val").alias("actual"),
+        )
+
+    pat_viol = _viol(
+        F.col("_pat").isNotNull() & ~F.regexp_like(content, F.col("_pat")),
+        "pattern",
+        F.col("_pat"),
+    )
+    dt_viol = _viol(
+        F.col("_dt").isNotNull()
+        & ~(eff_dt.isNotNull() & (eff_dt == F.col("_dt"))),
+        "datatype",
+        F.col("_dt"),
+    )
+    nk_viol = _viol(
+        F.col("_nk").isNotNull()
+        & (
+            ((F.col("_nk") == "IRI") & is_literal)
+            | ((F.col("_nk") == "Literal") & ~is_literal)
+        ),
+        "nodeKind",
+        F.col("_nk"),
+    )
+    in_viol = _viol(
+        F.col("_in").isNotNull()
+        & ~F.array_contains(F.split(F.col("_in"), r"\|"), F.col("_val")),
+        "in",
+        F.col("_in"),
+    )
+
+    return (
+        min_viol.unionByName(max_viol)
+        .unionByName(class_viol)
+        .unionByName(pat_viol)
+        .unionByName(dt_viol)
+        .unionByName(nk_viol)
+        .unionByName(in_viol)
+        .distinct()
+    )

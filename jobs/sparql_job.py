@@ -9,8 +9,9 @@ triple table (e.g. the kg_export_job / annotate_job --triples output).
 
 The triple table must have (subj, pred, obj) string columns. Supports the
 engine's SPARQL subset (operators/kgquery.py:sparql_select): conjunctive
-triple patterns; property paths (<p>+ / <p>* / <p>? quantifiers, <a>/<b>
-sequences, <a>|<b> alternation, parenthesised combinations); any number
+triple patterns; property paths (<p>+ / <p>* / <p>? quantifiers, bounded
+repetition <p>{n} / <p>{n,} / <p>{n,m}, <a>/<b> sequences, <a>|<b>
+alternation, parenthesised combinations); any number
 of OPTIONAL groups; one MINUS group; { } UNION { } chains; FILTERs
 (optional-only variables filtered after their left join); VALUES inline
 data (single- and multi-variable); aggregates COUNT/SUM/MIN/MAX/AVG with

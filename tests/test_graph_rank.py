@@ -1,0 +1,72 @@
+"""Katz centrality and deterministic random walks (operators/graph.py)."""
+
+import hashlib
+
+from dbpedia_spotlight_spark.operators.graph import (
+    deterministic_walks,
+    katz_centrality,
+)
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def test_katz_centrality_hand_computed(spark):
+    # b->a, c->a, a->d; alpha=0.5 beta=1, 2 rounds:
+    # x1: a=1+.5*2=2, d=1+.5*1=1.5, b=c=1
+    # x2: a=2 (b,c unchanged), d=1+.5*x1(a)=2
+    e = _edges(spark, [("b", "a"), ("c", "a"), ("a", "d")])
+    got = {
+        r.node: r.katz
+        for r in katz_centrality(e, iterations=2, alpha=0.5, beta=1.0).collect()
+    }
+    assert got == {"a": 2.0, "b": 1.0, "c": 1.0, "d": 2.0}
+
+
+def test_katz_no_inbound_stays_beta(spark):
+    e = _edges(spark, [("a", "b")])
+    got = {r.node: r.katz for r in katz_centrality(e, iterations=3).collect()}
+    assert got["a"] == 1.0
+
+
+def test_walks_follow_chain_and_stop_at_dead_end(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    out = deterministic_walks(e, walk_length=2, walks_per_node=1)
+    rows = {(r.walk_id, r.step): r.node for r in out.collect()}
+    assert rows[("w:a:0", 0)] == "a"
+    assert rows[("w:a:0", 1)] == "b"
+    assert rows[("w:a:0", 2)] == "c"
+    assert rows[("w:b:0", 2)] == "d"
+    # d is a dead end: its walk has only step 0; c's walk stops at step 1
+    assert ("w:d:0", 1) not in rows
+    assert rows[("w:c:0", 1)] == "d"
+    assert ("w:c:0", 2) not in rows
+
+
+def test_walks_branch_choice_matches_hash_argmin(spark):
+    # e has two successors; the walk must take argmin md5(walk\x1f1\x1fnbr)
+    e = _edges(spark, [("e", "x"), ("e", "y")])
+    out = deterministic_walks(e, walk_length=1, walks_per_node=1)
+    got = {r.node for r in out.collect() if r.step == 1 and "w:e" in r.walk_id}
+    expect = min(
+        ["x", "y"],
+        key=lambda n: hashlib.md5(f"w:e:0\x1f1\x1f{n}".encode()).hexdigest(),
+    )
+    assert got == {expect}
+
+
+def test_walks_reproducible_across_runs(spark):
+    e = _edges(
+        spark,
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "b")],
+    )
+    r1 = sorted(
+        (r.walk_id, r.step, r.node)
+        for r in deterministic_walks(e, walk_length=3).collect()
+    )
+    r2 = sorted(
+        (r.walk_id, r.step, r.node)
+        for r in deterministic_walks(e, walk_length=3).collect()
+    )
+    assert r1 == r2 and len(r1) > 0

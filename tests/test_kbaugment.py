@@ -193,3 +193,70 @@ def test_success_marker_exists_local_and_missing(spark, tmp_path):
     open(os.path.join(d, "_SUCCESS"), "w").close()
     assert success_marker_exists(spark, d)
     assert not success_marker_exists(spark, str(tmp_path / "absent"))
+
+
+def test_predicate_alignment_jaccard_and_blocking(spark):
+    from dbpedia_spotlight_spark.operators.kbaugment import (
+        predicate_alignment,
+    )
+
+    kb1 = spark.createDataFrame(
+        [
+            ("a", "p", "x"),
+            ("b", "p", "y"),
+            ("c", "p", "z"),
+            ("a", "q", "x"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    kb2 = spark.createDataFrame(
+        [
+            ("a", "P2", "x"),
+            ("b", "P2", "y"),
+            ("d", "P2", "w"),
+            ("zz", "R2", "zz"),  # shares no pair with kb1 -> never meets p
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = {
+        (r.pred1, r.pred2): (r.overlap, r.n1, r.n2, r.jaccard)
+        for r in predicate_alignment(kb1, kb2, min_jaccard=0.2).collect()
+    }
+    # p~P2: overlap {a,b} = 2, n1=3, n2=3 -> 2/4 = 0.5
+    assert got[("p", "P2")] == (2, 3, 3, 0.5)
+    # q~P2: overlap {(a,x)} = 1, 1/(1+3-1) = 1/3 >= 0.2
+    assert got[("q", "P2")] == (1, 1, 3, 0.333333)
+    assert all(p2 != "R2" for (_, p2) in got)
+
+
+def test_subsumption_mining_directions_and_gates(spark):
+    from dbpedia_spotlight_spark.operators.kbaugment import (
+        subsumption_mining,
+    )
+
+    rows = [("i%d" % i, "rdf:type", "Animal") for i in range(10)]
+    rows += [("i%d" % i, "rdf:type", "Dog") for i in range(3)]
+    rows += [("x", "rdf:type", "Rock")]
+    tri = spark.createDataFrame(
+        rows, "subj string, pred string, obj string"
+    )
+    got = {
+        (r.subcls, r.supercls): (r.support, r.confidence)
+        for r in subsumption_mining(tri).collect()
+    }
+    # every Dog is an Animal (3/3); Animal ⊑ Dog is 3/10, gated out;
+    # Rock shares no instances
+    assert got == {("Dog", "Animal"): (3, 1.0)}
+
+
+def test_subsumption_min_support_gate(spark):
+    from dbpedia_spotlight_spark.operators.kbaugment import (
+        subsumption_mining,
+    )
+
+    tri = spark.createDataFrame(
+        [("i1", "rdf:type", "A"), ("i1", "rdf:type", "B")],
+        "subj string, pred string, obj string",
+    )
+    # conf 1.0 both ways but support 1 < 2
+    assert subsumption_mining(tri).count() == 0

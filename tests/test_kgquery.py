@@ -691,6 +691,50 @@ def test_path_parenthesised_combination(chain):
     assert sorted(r.x for r in out.collect()) == ["B", "c"]
 
 
+def test_path_quantified_exact(chain):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(chain, "SELECT ?x WHERE { a <sub>{2} ?x . }")
+    assert sorted(r.x for r in out.collect()) == ["c"]
+
+
+def test_path_quantified_range(chain):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(chain, "SELECT ?x WHERE { a <sub>{1,2} ?x . }")
+    assert sorted(r.x for r in out.collect()) == ["b", "c"]
+
+
+def test_path_quantified_zero_includes_identity(chain):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(chain, "SELECT ?x WHERE { a <sub>{0,1} ?x . }")
+    assert sorted(r.x for r in out.collect()) == ["a", "b"]
+
+
+def test_path_quantified_unbounded_tail(chain):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(chain, "SELECT ?x WHERE { a <sub>{1,} ?x . }")
+    assert sorted(r.x for r in out.collect()) == ["b", "c"]
+
+
+def test_path_quantified_on_group(chain):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    out = sparql_select(
+        chain, "SELECT ?x WHERE { a (<sub>){1,2} ?x . }"
+    )
+    assert sorted(r.x for r in out.collect()) == ["b", "c"]
+
+
+def test_path_quantifier_max_below_min_rejected(chain):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    with pytest.raises(ValueError):
+        sparql_select(chain, "SELECT ?x WHERE { a <sub>{3,2} ?x . }")
+
+
 def test_path_variable_inside_path_rejected(chain):
     from dbpedia_spotlight_spark.operators.kgquery import sparql_select
 
@@ -1265,6 +1309,66 @@ def test_shacl_validate_cardinality_and_class(spark):
         "max_count long, value_class string",
     )
     assert shacl_validate(tri, lax).count() == 0
+
+
+def test_shacl_value_term_constraints(spark):
+    """pattern runs on the literal CONTENT (quotes/tags stripped),
+    datatype honors RDF 1.1 simple-literal==xsd:string and
+    lang-tag==rdf:langString, nodeKind splits quoted literals from
+    IRIs, and in_values is an exact allow-list on the raw term."""
+    from dbpedia_spotlight_spark.operators.shacl import shacl_validate
+
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+    tri = spark.createDataFrame(
+        [
+            ("d1", "rdf:type", "Doc"),
+            ("d1", "code", '"AB12"'),                       # ok
+            ("d1", "age", f'"41"^^<{XSD_INT}>'),            # ok
+            ("d1", "status", "open"),                        # ok (in list)
+            ("d1", "home", "http://x.org/d1"),               # ok IRI
+            ("d2", "rdf:type", "Doc"),
+            ("d2", "code", '"nope!"'),                      # pattern viol
+            ("d2", "age", '"old"'),                         # datatype viol
+            ("d2", "status", "broken"),                      # in viol
+            ("d2", "home", '"not an iri"'),                 # nodeKind viol
+        ],
+        "subj string, pred string, obj string",
+    )
+    shapes = spark.createDataFrame(
+        [
+            ("Doc", "code", None, None, None, "^[A-Z]+[0-9]+$", None, None, None),
+            ("Doc", "age", None, None, None, None, XSD_INT, None, None),
+            ("Doc", "status", None, None, None, None, None, None, "open|closed"),
+            ("Doc", "home", None, None, None, None, None, "IRI", None),
+        ],
+        "target_class string, pred string, min_count long, max_count long, "
+        "value_class string, pattern string, datatype string, "
+        "node_kind string, in_values string",
+    )
+    got = {tuple(r) for r in shacl_validate(tri, shapes).collect()}
+    assert got == {
+        ("d2", "Doc", "code", "pattern", "^[A-Z]+[0-9]+$", '"nope!"'),
+        ("d2", "Doc", "age", "datatype", XSD_INT, '"old"'),
+        ("d2", "Doc", "status", "in", "open|closed", "broken"),
+        ("d2", "Doc", "home", "nodeKind", "IRI", '"not an iri"'),
+    }
+
+
+def test_shacl_old_shape_schema_still_works(spark):
+    """Shape tables without the round-4 value-term columns validate
+    exactly as before (absent column == constraint disabled)."""
+    from dbpedia_spotlight_spark.operators.shacl import shacl_validate
+
+    tri = spark.createDataFrame(
+        [("a", "rdf:type", "T")], "subj string, pred string, obj string"
+    )
+    shapes = spark.createDataFrame(
+        [("T", "p", 1, None, None)],
+        "target_class string, pred string, min_count long, "
+        "max_count long, value_class string",
+    )
+    got = {tuple(r) for r in shacl_validate(tri, shapes).collect()}
+    assert got == {("a", "T", "p", "minCount", "1", "0")}
 
 
 def test_property_table_pivot_min_and_counts(spark):

@@ -193,3 +193,29 @@ def test_bnode_canon_validation(bnode_tri):
 
     with pytest.raises(ValueError, match="iterations"):
         canonical_bnode_labels(bnode_tri, 0)
+
+
+def test_to_trig_named_and_default_graphs(spark):
+    from dbpedia_spotlight_spark.functions.rdf import to_trig
+
+    quads = spark.createDataFrame(
+        [
+            ("http://ex/s1", "http://ex/p1", "http://ex/o1", "http://g/1"),
+            ("http://ex/s1", "http://ex/p2", "lit", "http://g/1"),
+            ("http://ex/s2", "http://ex/p1", "x", "http://g/1"),
+            ("http://ex/s3", "http://ex/p1", "y", None),  # default graph
+        ],
+        "subj string, pred string, obj string, graph string",
+    )
+    rows = {r.graph: r.block for r in to_trig(quads).collect()}
+    g1 = rows["http://g/1"]
+    assert g1.startswith("<http://g/1> {\n")
+    assert g1.endswith("\n}")
+    # s1's two predicates are one ';'-joined statement; s2 its own line
+    assert (
+        '  <http://ex/s1> <http://ex/p1> <http://ex/o1> ;\n'
+        '    <http://ex/p2> "lit" .' in g1
+    )
+    assert '\n  <http://ex/s2> <http://ex/p1> "x" .' in g1
+    # default graph: bare statements, no wrapper
+    assert rows[None] == '  <http://ex/s3> <http://ex/p1> "y" .'

@@ -4550,12 +4550,98 @@ def q_kg_conflict_resolution(spark, sf_dir):
     return resolve_conflicts(fact_fusion(_claim_quads(spark, sf_dir), rounds=2))
 
 
+def _ring_edges(spark, sf_dir):
+    """Shared cyclic fixture for the SCC/centrality queries: nations form
+    one directed ring per region (each nation points at the next
+    nationkey in its region, the largest wraps to the smallest), and
+    every customer points at its nation — so nations are genuine
+    multi-node SCCs and customers are singleton sources. Deterministic
+    from the TPC-H keys; the oracle rebuilds it with the same window."""
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    ring = nat.select(
+        F.concat(F.lit("n"), F.col("n_nationkey")).alias("src"),
+        F.concat(
+            F.lit("n"),
+            F.coalesce(
+                F.lead("n_nationkey").over(w),
+                F.first("n_nationkey").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+                ),
+            ),
+        ).alias("dst"),
+    )
+    tails = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("n"), F.col("c_nationkey")).alias("dst"),
+    )
+    return ring.unionByName(tails)
+
+
+def q_kg_scc(spark, sf_dir):
+    """Strongly connected components of a directed KG with cycles
+    (operators/graph.py:strongly_connected_components — mutual
+    reachability over the repeated-squaring closure, min-id labels).
+    The reference hits this exact shape in redirect loops
+    (core/.../RedirectResolver) and skos:broader cycles; collapsing
+    SCCs first is what makes the closure/entailment DAG assumptions
+    true. Fixture: nation rings per region (real multi-node SCCs) +
+    customer tails (singletons). Oracle = recursive-CTE reachability,
+    mutual-pair join, min-groupBy."""
+    from dbpedia_spotlight_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    return strongly_connected_components(_ring_edges(spark, sf_dir))
+
+
+def q_kg_closeness(spark, sf_dir):
+    """Closeness + harmonic centrality over the directed ring-and-tails
+    graph (operators/graph.py:closeness_centrality — min-plus
+    repeated-squaring distance matrix, log-diameter joins, then one
+    groupBy). Harmonic is the disconnected-safe variant (Marchiori &
+    Latora 2000); closeness carries the Wasserman-Faust partial-reach
+    correction. Oracle = recursive-CTE min-distance twin with the same
+    normalization, both sides rounded to 6 dp."""
+    from dbpedia_spotlight_spark.operators.graph import closeness_centrality
+
+    c = closeness_centrality(_ring_edges(spark, sf_dir))
+    return c.select(
+        "node",
+        "reached",
+        "total_dist",
+        F.round("closeness", 6).alias("closeness"),
+        F.round("harmonic", 6).alias("harmonic"),
+    )
+
+
+def q_kg_exists(spark, sf_dir):
+    """Positive FILTER EXISTS through the SPARQL parser (§8.1.1 —
+    operators/kgquery.py:sparql_select): customers kept only when a
+    correlated pattern matches (they carry a segment edge, which only
+    BUILDING customers do). The negative twin kg_not_exists is already
+    on record; this pins the semi-join half of the pair. Oracle =
+    EXISTS subquery."""
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    t = _kg_geo_triples(spark, sf_dir)
+    return sparql_select(
+        t,
+        "SELECT ?c ?n WHERE { ?c <inNation> ?n . "
+        "FILTER EXISTS { ?c <segment> ?s . } }",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "kg_scc": q_kg_scc,
+        "kg_closeness": q_kg_closeness,
+        "kg_exists": q_kg_exists,
         "kg_path_quantified": q_kg_path_quantified,
         "kg_rdf_lists": q_kg_rdf_lists,
         "kg_reify": q_kg_reify,
@@ -4753,6 +4839,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
+
+    # Ring-and-tails cyclic fixture twin (see _ring_edges): nation rings
+    # per region via the same lead/first window, customer tails.
+    _RING_CTE = """
+ring AS (
+  SELECT 'n' || n_nationkey::VARCHAR AS src,
+         'n' || coalesce(
+            lead(n_nationkey) OVER w,
+            first_value(n_nationkey) OVER (
+              PARTITION BY n_regionkey ORDER BY n_nationkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         )::VARCHAR AS dst
+  FROM nation
+  WINDOW w AS (PARTITION BY n_regionkey ORDER BY n_nationkey)
+),
+edges AS (
+  SELECT src, dst FROM ring
+  UNION ALL
+  SELECT 'c' || c_custkey::VARCHAR, 'n' || c_nationkey::VARCHAR
+  FROM customer
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+)"""
+
+    sql["kg_scc"] = f"""
+WITH RECURSIVE {_RING_CTE.lstrip()},
+reach (src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+mutual AS (
+  SELECT a.src AS node, a.dst AS peer
+  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+  UNION ALL
+  SELECT node, node FROM nodes
+)
+SELECT node, min(peer) AS component FROM mutual GROUP BY 1
+"""
+
+    sql["kg_closeness"] = f"""
+WITH RECURSIVE {_RING_CTE.lstrip()},
+walk (src, dst, d) AS (
+  SELECT src, dst, 1 FROM edges WHERE src != dst
+  UNION
+  SELECT w.src, e.dst, w.d + 1
+  FROM walk w JOIN edges e ON w.dst = e.src
+  WHERE w.d < 8 AND w.src != e.dst
+),
+dist AS (SELECT src, dst, min(d) AS d FROM walk GROUP BY 1, 2),
+per AS (
+  SELECT src AS node, count(*) AS reached, sum(d) AS total_dist,
+         sum(1.0 / d) AS harmonic
+  FROM dist GROUP BY 1
+),
+n AS (SELECT count(*) AS total FROM nodes)
+SELECT nodes.node,
+       coalesce(per.reached, 0)::BIGINT AS reached,
+       coalesce(per.total_dist, 0)::BIGINT AS total_dist,
+       round(CASE WHEN per.total_dist IS NOT NULL
+             THEN (per.reached / (n.total - 1.0))
+                  * (per.reached / per.total_dist)
+             ELSE 0.0 END, 6) AS closeness,
+       round(coalesce(per.harmonic, 0.0), 6) AS harmonic
+FROM nodes CROSS JOIN n LEFT JOIN per ON per.node = nodes.node
+"""
+
+    sql["kg_exists"] = f"""
+WITH {_KG_GEO_CTE.lstrip()}
+SELECT t.subj AS c, t.obj AS n
+FROM tr t
+WHERE t.pred = 'inNation'
+  AND EXISTS (
+    SELECT 1 FROM tr s WHERE s.pred = 'segment' AND s.subj = t.subj
+  )
+"""
 
     # Typed-literal term fixture twin (documents has no quotes/
     # backslashes, so the N-Triples escape chain is the identity here

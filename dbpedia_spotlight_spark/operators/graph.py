@@ -1077,3 +1077,151 @@ def deterministic_walks(
         out = out.unionByName(nxt)
         frontier = nxt
     return out
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph: the partition
+    the reference needs wherever a "hierarchy" is not actually acyclic —
+    Wikipedia redirect loops (`RedirectResolver` breaks them ad hoc),
+    category cycles, skos:broader cycles in imported vocabularies. The
+    condensation (one node per SCC) is the DAG every closure/entailment
+    operator assumes; running them on the raw graph without collapsing
+    SCCs first re-derives each cycle's facts once per member.
+
+    Algorithm: mutual reachability over the repeated-squaring transitive
+    closure (closure.py:transitive_closure, log-depth rounds) — u and v
+    share a component iff u→*v and v→*u; the component id is the
+    minimum node id of the mutually-reachable set (including u itself,
+    so singletons label themselves). One self-join of the closure on the
+    reversed pair + one min-groupBy.
+
+    Scale shape: right-sized for SCHEMA-side graphs (redirects,
+    category/ontology lattices — 10^6-10^7 nodes), where the closure is
+    the artifact being built anyway. For billion-node instance graphs
+    use label_propagation on the symmetrized graph first and run this
+    inside weak components. -> (node, component).
+    """
+    from .closure import transitive_closure
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    reach = transitive_closure(e, max_iterations=max_iterations)
+    mutual = (
+        reach.alias("a")
+        .join(
+            reach.alias("b"),
+            (F.col("a.src") == F.col("b.dst")) & (F.col("a.dst") == F.col("b.src")),
+        )
+        .select(F.col("a.src").alias("node"), F.col("a.dst").alias("peer"))
+    )
+    return (
+        nodes.select("node", F.col("node").alias("peer"))
+        .unionByName(mutual)
+        .groupBy("node")
+        .agg(F.min("peer").alias("component"))
+    )
+
+
+def distance_matrix(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 10,
+) -> DataFrame:
+    """All-pairs unweighted shortest-path distances by min-plus repeated
+    squaring: D_{k+1}(u,v) = min(D_k(u,v), min_w D_k(u,w) + D_k(w,v)),
+    D_0 = edges at distance 1. After k rounds every distance ≤ 2^k is
+    final, so diameter-D graphs converge in ceil(log2 D) joins — the
+    same log-depth shape as transitive_closure but carrying the hop
+    count. Fixpoint detected on (pair count, total distance), both
+    monotone. -> (src, dst, dist), self-pairs excluded.
+
+    Scale shape: output is the reach set — quadratic on dense graphs.
+    Meant for the schema/entity-neighborhood graphs the centrality
+    queries run on; for instance-scale graphs use shortest_paths
+    (kgquery) from a bounded source set instead.
+    """
+    cur = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col(src) != F.col(dst))
+        .distinct()
+        .withColumn("dist", F.lit(1))
+        .localCheckpoint()
+    )
+    stats = cur.agg(F.count("*"), F.sum("dist")).first()
+    for _ in range(max_iterations):
+        stepped = (
+            cur.alias("a")
+            .join(cur.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(
+                F.col("a.src").alias("src"),
+                F.col("b.dst").alias("dst"),
+                (F.col("a.dist") + F.col("b.dist")).alias("dist"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .unionByName(cur)
+            .groupBy("src", "dst")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        nxt = stepped.agg(F.count("*"), F.sum("dist")).first()
+        cur = stepped
+        if tuple(nxt) == tuple(stats):
+            return cur
+        stats = nxt
+    raise RuntimeError(
+        f"distance_matrix did not converge in {max_iterations} rounds"
+    )
+
+
+def closeness_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Closeness and harmonic centrality per node over the directed
+    distance matrix. Harmonic (Marchiori & Latora 2000) sums 1/d over
+    reachable targets — well-defined on disconnected graphs, the variant
+    modern KG-quality stacks report; closeness uses the Wasserman-Faust
+    correction (r/(n-1)) · (r/Σd) so partial reach is penalized rather
+    than rewarded. One distance_matrix + one groupBy.
+
+    -> (node, reached, total_dist, closeness, harmonic); nodes that
+    reach nothing (pure sinks) appear with reached=0 and 0.0 scores.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_total = nodes.count()
+    d = distance_matrix(e, max_iterations=max_iterations)
+    per = d.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("reached"),
+        F.sum("dist").alias("total_dist"),
+        F.sum(F.lit(1.0) / F.col("dist")).alias("harmonic"),
+    )
+    return nodes.join(per, "node", "left").select(
+        "node",
+        F.coalesce(F.col("reached"), F.lit(0)).alias("reached"),
+        F.coalesce(F.col("total_dist"), F.lit(0)).alias("total_dist"),
+        F.when(
+            F.col("total_dist").isNotNull(),
+            (F.col("reached") / F.lit(float(n_total - 1)))
+            * (F.col("reached") / F.col("total_dist")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("closeness"),
+        F.coalesce(F.col("harmonic"), F.lit(0.0)).alias("harmonic"),
+    )

@@ -70,3 +70,61 @@ def test_walks_reproducible_across_runs(spark):
         for r in deterministic_walks(e, walk_length=3).collect()
     )
     assert r1 == r2 and len(r1) > 0
+
+
+def test_scc_two_cycles_and_tail(spark):
+    # a<->b (SCC {a,b}), c->d->e->c (SCC {c,d,e}), t->a (singleton)
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "a"), ("c", "d"), ("d", "e"), ("e", "c"), ("t", "a")],
+    )
+    from dbpedia_spotlight_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    got = {r.node: r.component for r in strongly_connected_components(e).collect()}
+    assert got == {"a": "a", "b": "a", "c": "c", "d": "c", "e": "c", "t": "t"}
+
+
+def test_scc_dag_all_singletons(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+    from dbpedia_spotlight_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    got = {r.node: r.component for r in strongly_connected_components(e).collect()}
+    assert got == {"a": "a", "b": "b", "c": "c"}
+
+
+def test_distance_matrix_shortcut_wins(spark):
+    # a->b->c->d plus shortcut a->c: d(a,c)=1, d(a,d)=2
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")])
+    from dbpedia_spotlight_spark.operators.graph import distance_matrix
+
+    got = {(r.src, r.dst): r.dist for r in distance_matrix(e).collect()}
+    assert got[("a", "c")] == 1
+    assert got[("a", "d")] == 2
+    assert got[("a", "b")] == 1
+    assert ("d", "a") not in got
+
+
+def test_distance_matrix_cycle_no_self_pairs(spark):
+    e = _edges(spark, [("a", "b"), ("b", "a")])
+    from dbpedia_spotlight_spark.operators.graph import distance_matrix
+
+    got = {(r.src, r.dst): r.dist for r in distance_matrix(e).collect()}
+    assert got == {("a", "b"): 1, ("b", "a"): 1}
+
+
+def test_closeness_hand_computed(spark):
+    # path a->b->c, n=3. a: reaches {b:1, c:2}, closeness=(2/2)*(2/3),
+    # harmonic=1+0.5; c reaches nothing -> zeros.
+    e = _edges(spark, [("a", "b"), ("b", "c")])
+    from dbpedia_spotlight_spark.operators.graph import closeness_centrality
+
+    rows = {r.node: r for r in closeness_centrality(e).collect()}
+    assert rows["a"].reached == 2 and rows["a"].total_dist == 3
+    assert abs(rows["a"].closeness - (2 / 2) * (2 / 3)) < 1e-9
+    assert abs(rows["a"].harmonic - 1.5) < 1e-9
+    assert rows["c"].reached == 0 and rows["c"].closeness == 0.0
+    assert rows["c"].harmonic == 0.0

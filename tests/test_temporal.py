@@ -67,3 +67,80 @@ def test_kb_changes_between(spark):
         ("e1", "status", "B", "add"),
         ("e1", "label", "L", "add"),
     }
+
+
+def test_allen_all_thirteen_relations(spark):
+    from dbpedia_spotlight_spark.operators.temporal import interval_align
+
+    import datetime as dt
+
+    d = dt.date
+    # right interval fixed [10, 20); left varies to hit every relation
+    cases = [
+        ("equals", d(2020, 1, 10), d(2020, 1, 20)),
+        ("before", d(2020, 1, 1), d(2020, 1, 5)),
+        ("after", d(2020, 1, 25), d(2020, 1, 28)),
+        ("meets", d(2020, 1, 5), d(2020, 1, 10)),
+        ("met_by", d(2020, 1, 20), d(2020, 1, 25)),
+        ("starts", d(2020, 1, 10), d(2020, 1, 15)),
+        ("started_by", d(2020, 1, 10), d(2020, 1, 25)),
+        ("finishes", d(2020, 1, 15), d(2020, 1, 20)),
+        ("finished_by", d(2020, 1, 5), d(2020, 1, 20)),
+        ("during", d(2020, 1, 12), d(2020, 1, 18)),
+        ("contains", d(2020, 1, 5), d(2020, 1, 25)),
+        ("overlaps", d(2020, 1, 5), d(2020, 1, 15)),
+        ("overlapped_by", d(2020, 1, 15), d(2020, 1, 25)),
+    ]
+    left = spark.createDataFrame(
+        [(name, s, e) for name, s, e in cases],
+        "key string, valid_from date, valid_to date",
+    )
+    right = spark.createDataFrame(
+        [(name, d(2020, 1, 10), d(2020, 1, 20)) for name, _, _ in cases],
+        "key string, valid_from date, valid_to date",
+    )
+    out = interval_align(left, right, on="key")
+    got = {r.key: r.relation for r in out.collect()}
+    assert got == {name: name for name, _, _ in cases}
+
+
+def test_interval_overlap_pairs_matches_naive(spark):
+    import datetime as dt
+
+    from dbpedia_spotlight_spark.operators.temporal import (
+        interval_overlap_pairs,
+    )
+
+    d = dt.date(2020, 1, 1)
+    rows = [
+        (f"i{k}", d + dt.timedelta(days=7 * k), d + dt.timedelta(days=7 * k + 40))
+        for k in range(12)
+    ]
+    iv = spark.createDataFrame(rows, "id string, valid_from date, valid_to date")
+    got = {
+        (r.a, r.b)
+        for r in interval_overlap_pairs(iv, bucket_width_days=10).collect()
+    }
+    naive = {
+        (a[0], b[0])
+        for a in rows
+        for b in rows
+        if a[0] < b[0] and a[1] < b[2] and b[1] < a[2]
+    }
+    assert got == naive and len(naive) > 0
+
+
+def test_interval_overlap_pairs_disjoint_empty(spark):
+    import datetime as dt
+
+    from dbpedia_spotlight_spark.operators.temporal import (
+        interval_overlap_pairs,
+    )
+
+    d = dt.date(2020, 1, 1)
+    rows = [
+        ("x", d, d + dt.timedelta(days=5)),
+        ("y", d + dt.timedelta(days=400), d + dt.timedelta(days=405)),
+    ]
+    iv = spark.createDataFrame(rows, "id string, valid_from date, valid_to date")
+    assert interval_overlap_pairs(iv).count() == 0

@@ -4704,6 +4704,56 @@ def q_kg_interval_overlaps(spark, sf_dir):
     )
 
 
+def _typed_instance_triples(spark, sf_dir):
+    """Typed instance graph for shape mining: Customer and Nation classes
+    with rdf:type rows, IRI edges (inNation/within), plain literals
+    (name), typed integer literals (bal), and a BUILDING-only segment
+    edge so one predicate is genuinely optional."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c = F.concat(F.lit("c"), F.col("c_custkey"))
+    return (
+        cust.select(c.alias("subj"), F.lit("rdf:type").alias("pred"),
+                    F.lit("Customer").alias("obj"))
+        .unionByName(cust.select(
+            c.alias("subj"), F.lit("inNation").alias("pred"),
+            F.concat(F.lit("n"), F.col("c_nationkey")).alias("obj")))
+        .unionByName(cust.select(
+            c.alias("subj"), F.lit("name").alias("pred"),
+            F.concat(F.lit('"'), F.col("c_name"), F.lit('"')).alias("obj")))
+        .unionByName(cust.select(
+            c.alias("subj"), F.lit("bal").alias("pred"),
+            F.concat(
+                F.lit('"'), (F.col("c_custkey") % 100).cast("string"),
+                F.lit('"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+            ).alias("obj")))
+        .unionByName(cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+            c.alias("subj"), F.lit("segment").alias("pred"),
+            F.lit('"BUILDING"').alias("obj")))
+        .unionByName(nat.select(
+            F.concat(F.lit("n"), F.col("n_nationkey")).alias("subj"),
+            F.lit("rdf:type").alias("pred"), F.lit("Nation").alias("obj")))
+        .unionByName(nat.select(
+            F.concat(F.lit("n"), F.col("n_nationkey")).alias("subj"),
+            F.lit("within").alias("pred"),
+            F.concat(F.lit("r"), F.col("n_regionkey")).alias("obj")))
+    )
+
+
+def q_kg_shape_infer(spark, sf_dir):
+    """SHACL shape MINING from instance data
+    (operators/shacl.py:infer_shapes — the sheXer/RDF2Graph workflow:
+    infer per-(class, predicate) minCount/maxCount/nodeKind/datatype/
+    sh:in-enum shapes from a trusted snapshot, then enforce them on the
+    next build with shacl_validate). Enum candidates are row_number-
+    capped before any collect, so high-cardinality predicates (name
+    here) never materialize value sets. Oracle = the same aggregates
+    with string_agg over the capped distinct projection."""
+    from dbpedia_spotlight_spark.operators.shacl import infer_shapes
+
+    return infer_shapes(_typed_instance_triples(spark, sf_dir), max_in_values=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
@@ -4715,6 +4765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_exists": q_kg_exists,
         "kg_interval_align": q_kg_interval_align,
         "kg_interval_overlaps": q_kg_interval_overlaps,
+        "kg_shape_infer": q_kg_shape_infer,
         "kg_path_quantified": q_kg_path_quantified,
         "kg_rdf_lists": q_kg_rdf_lists,
         "kg_reify": q_kg_reify,
@@ -5043,6 +5094,93 @@ SELECT a.id AS a, b.id AS b,
        strftime(b.e, '%Y-%m-%d') AS b_end
 FROM iv a JOIN iv b
   ON a.id < b.id AND a.s < b.e AND b.s < a.e
+"""
+
+    # kg_shape_infer: term_datatype replicated for the fixture's three
+    # term forms (plain IRI, '"v"', '"v"^^<dt>'); in_values from the
+    # distinct projection with the same <= 8 cap.
+    sql["kg_shape_infer"] = """
+WITH tri AS (
+  SELECT 'c' || c_custkey::VARCHAR AS subj, 'rdf:type' AS pred,
+         'Customer' AS obj FROM customer
+  UNION ALL
+  SELECT 'c' || c_custkey::VARCHAR, 'inNation',
+         'n' || c_nationkey::VARCHAR FROM customer
+  UNION ALL
+  SELECT 'c' || c_custkey::VARCHAR, 'name', '"' || c_name || '"'
+  FROM customer
+  UNION ALL
+  SELECT 'c' || c_custkey::VARCHAR, 'bal',
+         '"' || (c_custkey % 100)::VARCHAR
+             || '"^^<http://www.w3.org/2001/XMLSchema#integer>'
+  FROM customer
+  UNION ALL
+  SELECT 'c' || c_custkey::VARCHAR, 'segment', '"BUILDING"'
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION ALL
+  SELECT 'n' || n_nationkey::VARCHAR, 'rdf:type', 'Nation' FROM nation
+  UNION ALL
+  SELECT 'n' || n_nationkey::VARCHAR, 'within',
+         'r' || n_regionkey::VARCHAR FROM nation
+),
+types AS (
+  SELECT subj AS inst, obj AS cls FROM tri WHERE pred = 'rdf:type'
+),
+cls_n AS (SELECT cls, count(DISTINCT inst) AS n FROM types GROUP BY 1),
+props AS (
+  SELECT t.cls, p.pred, p.subj, p.obj,
+         CASE WHEN p.obj LIKE '"%' THEN 1 ELSE 0 END AS is_lit,
+         CASE
+           WHEN regexp_extract(p.obj, '\\^\\^<([^>]*)>$', 1) != ''
+             THEN regexp_extract(p.obj, '\\^\\^<([^>]*)>$', 1)
+           WHEN p.obj LIKE '"%'
+             THEN 'http://www.w3.org/2001/XMLSchema#string'
+         END AS dt
+  FROM tri p JOIN types t ON p.subj = t.inst
+  WHERE p.pred != 'rdf:type'
+),
+per_focus AS (
+  SELECT cls, pred, subj, count(*) AS cnt
+  FROM props GROUP BY 1, 2, 3
+),
+card AS (
+  SELECT cls, pred, count(*) AS n_focus,
+         min(cnt) AS min_present, max(cnt) AS max_count
+  FROM per_focus GROUP BY 1, 2
+),
+vals AS (
+  SELECT cls, pred, min(is_lit) AS all_lit, max(is_lit) AS any_lit,
+         count(DISTINCT dt) AS n_dt, min(dt) AS dt
+  FROM props GROUP BY 1, 2
+),
+dvals AS (
+  SELECT DISTINCT cls, pred, obj FROM props
+),
+capped AS (
+  SELECT cls, pred, obj,
+         row_number() OVER (PARTITION BY cls, pred ORDER BY obj) AS rn
+  FROM dvals
+),
+enum AS (
+  SELECT cls, pred, count(*) AS n_vals,
+         string_agg(obj, '|' ORDER BY obj) AS val_set
+  FROM capped WHERE rn <= 9 GROUP BY 1, 2
+)
+SELECT card.cls AS target_class, card.pred,
+       card.n_focus::BIGINT AS n_focus,
+       (CASE WHEN card.n_focus < cls_n.n THEN 0
+             ELSE card.min_present END)::BIGINT AS min_count,
+       card.max_count::BIGINT AS max_count,
+       CASE WHEN vals.all_lit = 1 THEN 'Literal'
+            WHEN vals.any_lit = 0 THEN 'IRI' END AS node_kind,
+       CASE WHEN vals.all_lit = 1 AND vals.n_dt = 1 THEN vals.dt
+       END AS datatype,
+       CASE WHEN enum.n_vals <= 8 THEN enum.val_set END AS in_values
+FROM card
+JOIN vals ON vals.cls = card.cls AND vals.pred = card.pred
+JOIN enum ON enum.cls = card.cls AND enum.pred = card.pred
+JOIN cls_n ON cls_n.cls = card.cls
+WHERE card.n_focus >= 1
 """
 
     # Typed-literal term fixture twin (documents has no quotes/

@@ -218,3 +218,110 @@ def shacl_validate(
         .unionByName(in_viol)
         .distinct()
     )
+
+
+def infer_shapes(
+    triples: DataFrame,
+    type_pred: str = TYPE_PRED,
+    max_in_values: int = 8,
+    min_support: int = 1,
+) -> DataFrame:
+    """MINE property shapes from instance data — the inverse of
+    shacl_validate, and the step a KG built from extraction actually
+    starts with: nobody hand-writes shapes for 10^4 predicates, they
+    are inferred from a trusted snapshot and then enforced on the next
+    build (the sheXer / RDF2Graph workflow; the reference hard-codes
+    the same invariants for its model tables in
+    index/.../CreateSpotlightModel.scala assertions).
+
+    Per (target_class, pred) of any class instance carrying the
+    predicate (support >= min_support focus nodes):
+
+    - min_count: 0 when some class instance LACKS the predicate, else
+      the observed per-instance minimum; max_count: observed maximum.
+    - node_kind: 'Literal' when every value is a quoted-literal term,
+      'IRI' when none is (functions/rdfterm.py term convention), null
+      when mixed.
+    - datatype: the single observed literal datatype (term_datatype:
+      ^^IRI, langString for tagged, xsd:string for plain quoted) when
+      uniform AND node_kind is Literal, else null.
+    - in_values: '|'-joined sorted distinct values when the predicate
+      ranges over <= max_in_values distinct terms (an enum candidate,
+      sh:in), else null.
+
+    Scale shape: one equi-join of the non-type scan against the type
+    table on the subject (both shuffle-keyed on subj), then two
+    groupBys — (class, pred, subj) for cardinalities, (class, pred)
+    for the shape row. Enum candidates come from a distinct-value
+    projection row_number-capped at max_in_values+1 BEFORE any
+    collect, so a predicate with 10^9 distinct objects contributes at
+    most k+1 rows to the array build — enum mining never materializes
+    a giant set. All codegen, no UDF.
+    """
+    from pyspark.sql import Window
+    from ..functions.rdfterm import term_datatype
+
+    types = triples.filter(F.col("pred") == type_pred).select(
+        F.col("subj").alias("inst"), F.col("obj").alias("cls")
+    )
+    class_sizes = types.groupBy("cls").agg(
+        F.countDistinct("inst").alias("_cls_n")
+    )
+    props = (
+        triples.filter(F.col("pred") != type_pred)
+        .join(types, F.col("subj") == F.col("inst"))
+        .select("cls", "pred", "subj", "obj")
+    )
+    per_focus = props.groupBy("cls", "pred", "subj").agg(
+        F.count("*").alias("_cnt")
+    )
+    card = per_focus.groupBy("cls", "pred").agg(
+        F.count("*").alias("_n_focus"),
+        F.min("_cnt").alias("_min_present"),
+        F.max("_cnt").alias("max_count"),
+    )
+    is_lit = F.col("obj").startswith('"')
+    vals = props.groupBy("cls", "pred").agg(
+        F.min(is_lit.cast("int")).alias("_all_lit"),
+        F.max(is_lit.cast("int")).alias("_any_lit"),
+        F.countDistinct(term_datatype(F.col("obj"))).alias("_n_dt"),
+        F.min(term_datatype(F.col("obj"))).alias("_dt"),
+    )
+    dvals = props.select("cls", "pred", "obj").distinct()
+    rn = F.row_number().over(
+        Window.partitionBy("cls", "pred").orderBy("obj")
+    )
+    enum = (
+        dvals.withColumn("_rn", rn)
+        .filter(F.col("_rn") <= max_in_values + 1)
+        .groupBy("cls", "pred")
+        .agg(
+            F.count("*").alias("_n_vals"),
+            F.array_sort(F.collect_set("obj")).alias("_val_set"),
+        )
+    )
+    return (
+        card.join(vals, ["cls", "pred"])
+        .join(enum, ["cls", "pred"])
+        .join(class_sizes, "cls")
+        .filter(F.col("_n_focus") >= min_support)
+        .select(
+            F.col("cls").alias("target_class"),
+            "pred",
+            F.col("_n_focus").alias("n_focus"),
+            F.when(F.col("_n_focus") < F.col("_cls_n"), F.lit(0))
+            .otherwise(F.col("_min_present"))
+            .alias("min_count"),
+            "max_count",
+            F.when(F.col("_all_lit") == 1, F.lit("Literal"))
+            .when(F.col("_any_lit") == 0, F.lit("IRI"))
+            .alias("node_kind"),
+            F.when(
+                (F.col("_all_lit") == 1) & (F.col("_n_dt") == 1), F.col("_dt")
+            ).alias("datatype"),
+            F.when(
+                F.col("_n_vals") <= max_in_values,
+                F.concat_ws("|", F.col("_val_set")),
+            ).alias("in_values"),
+        )
+    )

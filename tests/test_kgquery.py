@@ -1789,3 +1789,80 @@ def test_graph_bgp_match_custom_graph_col(spark):
     )
     got = graph_bgp_match(q, "?gg", [("?s", "p", "?o")], graph_col="g").collect()
     assert [(r["gg"], r["s"], r["o"]) for r in got] == [("gX", "a", "b")]
+
+
+def test_infer_shapes_hand_fixture(spark):
+    from dbpedia_spotlight_spark.operators.shacl import infer_shapes
+
+    rows = [
+        ("a", "rdf:type", "Person"),
+        ("b", "rdf:type", "Person"),
+        ("a", "name", '"Alice"'),
+        ("b", "name", '"Bob"'),
+        ("a", "age", '"30"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ("a", "knows", "b"),
+        ("a", "knows", "c"),
+        ("a", "mixed", '"x"'),
+        ("a", "mixed", "iri1"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {
+        (r.target_class, r.pred): r
+        for r in infer_shapes(t, max_in_values=3).collect()
+    }
+    name = got[("Person", "name")]
+    assert (name.min_count, name.max_count, name.node_kind) == (1, 1, "Literal")
+    assert name.datatype == "http://www.w3.org/2001/XMLSchema#string"
+    assert name.in_values == '"Alice"|"Bob"'
+    age = got[("Person", "age")]
+    assert age.min_count == 0  # b lacks age
+    assert age.datatype == "http://www.w3.org/2001/XMLSchema#integer"
+    knows = got[("Person", "knows")]
+    assert (knows.max_count, knows.node_kind) == (2, "IRI")
+    mixed = got[("Person", "mixed")]
+    assert mixed.node_kind is None and mixed.datatype is None
+
+
+def test_infer_shapes_enum_cap_nulls_in_values(spark):
+    from dbpedia_spotlight_spark.operators.shacl import infer_shapes
+
+    rows = [("s", "rdf:type", "T")] + [
+        ("s", "p", f"v{i}") for i in range(10)
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    row = infer_shapes(t, max_in_values=3).filter("pred = 'p'").first()
+    assert row.in_values is None and row.max_count == 10
+
+
+def test_inferred_shapes_validate_clean_on_source(spark):
+    # Mined shapes, fed back through shacl_validate on the SAME data,
+    # must report zero violations (the mine-then-enforce contract).
+    from dbpedia_spotlight_spark.operators.shacl import (
+        infer_shapes,
+        shacl_validate,
+    )
+
+    rows = [
+        ("a", "rdf:type", "Person"),
+        ("b", "rdf:type", "Person"),
+        ("a", "name", '"Alice"'),
+        ("b", "name", '"Bob"'),
+        ("a", "knows", "b"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    shapes = (
+        infer_shapes(t)
+        .withColumnRenamed("target_class", "target_class")
+        .selectExpr(
+            "target_class",
+            "pred",
+            "min_count",
+            "max_count",
+            "cast(null as string) as value_class",
+            "cast(null as string) as pattern",
+            "datatype",
+            "node_kind",
+            "in_values",
+        )
+    )
+    assert shacl_validate(t, shapes).count() == 0

@@ -4754,6 +4754,53 @@ def q_kg_shape_infer(spark, sf_dir):
     return infer_shapes(_typed_instance_triples(spark, sf_dir), max_in_values=8)
 
 
+def q_kg_literal_outliers(spark, sf_dir):
+    """Numeric-fact outlier detection
+    (operators/kglayout.py:numeric_literal_outliers — Tukey far-out
+    fences per predicate, the Wienand & Paulheim ESWC'14 DBpedia
+    numeric-error detector): a 'bal' predicate over typed integer
+    literals with deterministic unit-error injections (custkey % 97 ==
+    0 gets a 100x value), plus a clean 'qty' predicate as negative
+    control. Exact interpolated quartiles (percentile == DuckDB
+    quantile_cont), fence table broadcast back onto the value scan.
+    Oracle = the same fences in SQL."""
+    from dbpedia_spotlight_spark.operators.kglayout import (
+        numeric_literal_outliers,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bal = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("subj"),
+        F.lit("bal").alias("pred"),
+        F.concat(
+            F.lit('"'),
+            F.when(
+                F.col("c_custkey") % 97 == 0, (F.col("c_custkey") % 100) * 100
+            )
+            .otherwise(F.col("c_custkey") % 100)
+            .cast("string"),
+            F.lit('"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+        ).alias("obj"),
+    )
+    qty = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey")).alias("subj"),
+        F.lit("qty").alias("pred"),
+        F.concat(
+            F.lit('"'), F.col("l_quantity").cast("int").cast("string"),
+            F.lit('"'),
+        ).alias("obj"),
+    )
+    out = numeric_literal_outliers(bal.unionByName(qty), k=3.0)
+    return out.select(
+        "pred",
+        "subj",
+        F.round("value", 6).alias("value"),
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
@@ -4766,6 +4813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_interval_align": q_kg_interval_align,
         "kg_interval_overlaps": q_kg_interval_overlaps,
         "kg_shape_infer": q_kg_shape_infer,
+        "kg_literal_outliers": q_kg_literal_outliers,
         "kg_path_quantified": q_kg_path_quantified,
         "kg_rdf_lists": q_kg_rdf_lists,
         "kg_reify": q_kg_reify,
@@ -5181,6 +5229,32 @@ JOIN vals ON vals.cls = card.cls AND vals.pred = card.pred
 JOIN enum ON enum.cls = card.cls AND enum.pred = card.pred
 JOIN cls_n ON cls_n.cls = card.cls
 WHERE card.n_focus >= 1
+"""
+
+    sql["kg_literal_outliers"] = """
+WITH vals AS (
+  SELECT 'bal' AS pred, 'c' || c_custkey::VARCHAR AS subj,
+         (CASE WHEN c_custkey % 97 = 0 THEN (c_custkey % 100) * 100
+               ELSE c_custkey % 100 END)::DOUBLE AS value
+  FROM customer
+  UNION ALL
+  SELECT 'qty', 'o' || l_orderkey::VARCHAR, l_quantity::INT::DOUBLE
+  FROM lineitem
+),
+fences AS (
+  SELECT pred,
+         quantile_cont(value, 0.25)
+           - 3.0 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25))
+           AS lo,
+         quantile_cont(value, 0.75)
+           + 3.0 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25))
+           AS hi
+  FROM vals GROUP BY 1 HAVING count(*) >= 10
+)
+SELECT v.pred, v.subj, round(v.value, 6) AS value,
+       round(f.lo, 6) AS lo, round(f.hi, 6) AS hi
+FROM vals v JOIN fences f USING (pred)
+WHERE v.value < f.lo OR v.value > f.hi
 """
 
     # Typed-literal term fixture twin (documents has no quotes/

@@ -303,3 +303,53 @@ def predicate_profile(
             "dtype_share"
         ),
     )
+
+
+def numeric_literal_outliers(
+    triples: DataFrame,
+    k: float = 3.0,
+    min_values: int = 10,
+) -> DataFrame:
+    """Numeric-literal outlier detection per predicate — the KG-quality
+    check that catches extraction unit errors (a population of 1.4e9
+    next to populations in millions, a year parsed into a height field):
+    Tukey fences at quartiles ± k·IQR (Tukey 1977; k=3 is the "far out"
+    fence, tuned for error detection rather than tail flagging —
+    Wienand & Paulheim, ESWC'14 apply exactly this family to DBpedia
+    numeric facts).
+
+    Values: the literal content (functions/rdfterm.term_value — quotes,
+    tags stripped) cast to double; non-numeric objects drop out. Exact
+    interpolated quartiles via percentile() — keyed by PREDICATE, whose
+    cardinality is schema-sized, so the non-partial aggregate is cheap
+    and the fence table broadcasts back onto the value scan.
+
+    -> (pred, subj, value, lo, hi) for values strictly outside
+    [lo, hi]; predicates with fewer than min_values numeric values are
+    skipped (quartiles of 3 points flag nothing but noise).
+    """
+    from ..functions.rdfterm import term_value
+    from pyspark.sql.functions import broadcast
+
+    vals = triples.select(
+        "pred",
+        "subj",
+        term_value(F.col("obj")).try_cast("double").alias("value"),
+    ).filter(F.col("value").isNotNull())
+    fences = (
+        vals.groupBy("pred")
+        .agg(
+            F.count("*").alias("_n"),
+            F.percentile("value", F.lit(0.25)).alias("_q1"),
+            F.percentile("value", F.lit(0.75)).alias("_q3"),
+        )
+        .filter(F.col("_n") >= min_values)
+        .select(
+            "pred",
+            (F.col("_q1") - k * (F.col("_q3") - F.col("_q1"))).alias("lo"),
+            (F.col("_q3") + k * (F.col("_q3") - F.col("_q1"))).alias("hi"),
+        )
+    )
+    return vals.join(broadcast(fences), "pred").filter(
+        (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    )

@@ -1866,3 +1866,34 @@ def test_inferred_shapes_validate_clean_on_source(spark):
         )
     )
     assert shacl_validate(t, shapes).count() == 0
+
+
+def test_numeric_literal_outliers(spark):
+    from dbpedia_spotlight_spark.operators.kglayout import (
+        numeric_literal_outliers,
+    )
+
+    rows = (
+        [("s%d" % i, "p", '"%d"' % i) for i in range(1, 21)]
+        + [("bad", "p", '"100000"')]
+        + [("x", "p", "notnum")]  # non-numeric drops out
+        + [("y", "q", '"1"'), ("z", "q", '"99999"')]  # under min_values
+    )
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = numeric_literal_outliers(t, k=3.0, min_values=10).collect()
+    assert {(r.pred, r.subj) for r in got} == {("p", "bad")}
+    assert got[0].value == 100000.0
+
+
+def test_numeric_literal_outliers_typed_literals(spark):
+    from dbpedia_spotlight_spark.operators.kglayout import (
+        numeric_literal_outliers,
+    )
+
+    xsd = '"%d"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    rows = [("s%d" % i, "p", xsd % i) for i in range(1, 21)] + [
+        ("bad", "p", xsd % -5000)
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = numeric_literal_outliers(t).collect()
+    assert [r.subj for r in got] == ["bad"]

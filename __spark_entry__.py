@@ -4801,6 +4801,48 @@ def q_kg_literal_outliers(spark, sf_dir):
     )
 
 
+def q_rdfstar_roundtrip(spark, sf_dir):
+    """RDF-star statement annotations round-tripped
+    (functions/rdf.py:to_turtle_star / parse_turtle_star — the W3C
+    RDF-star CG syntax for fact-level provenance, the modern form of
+    rdf:Statement reification already on record via kg_reify): each
+    customer-nationality fact annotated with an extraction confidence
+    literal and a source IRI, serialized to `<< <s> <p> o >> <ap> ao .`
+    lines and parsed back. Returning the PARSED rows hash-checked
+    against the original annotation set proves serializer and parser
+    are mutual inverses on both IRI and literal annotation objects.
+    Oracle = the original annotation set in SQL."""
+    from dbpedia_spotlight_spark.functions.rdf import (
+        parse_turtle_star,
+        to_turtle_star,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    base = cust.select(
+        F.concat(F.lit("http://ex/c"), F.col("c_custkey")).alias("subj"),
+        F.lit("http://ex/inNation").alias("pred"),
+        F.concat(F.lit("http://ex/n"), F.col("c_nationkey")).alias("obj"),
+    )
+    ann = base.select(
+        "subj",
+        "pred",
+        "obj",
+        F.lit("http://ex/confidence").alias("ann_pred"),
+        F.concat(
+            F.lit("0."), (F.length("subj") % 10).cast("string")
+        ).alias("ann_obj"),
+    ).unionByName(
+        base.select(
+            "subj",
+            "pred",
+            "obj",
+            F.lit("http://ex/source").alias("ann_pred"),
+            F.concat(F.lit("http://src/"), F.col("subj")).alias("ann_obj"),
+        )
+    )
+    return parse_turtle_star(to_turtle_star(ann))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
@@ -4814,6 +4856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_interval_overlaps": q_kg_interval_overlaps,
         "kg_shape_infer": q_kg_shape_infer,
         "kg_literal_outliers": q_kg_literal_outliers,
+        "rdfstar_roundtrip": q_rdfstar_roundtrip,
         "kg_path_quantified": q_kg_path_quantified,
         "kg_rdf_lists": q_kg_rdf_lists,
         "kg_reify": q_kg_reify,
@@ -5255,6 +5298,23 @@ SELECT v.pred, v.subj, round(v.value, 6) AS value,
        round(f.lo, 6) AS lo, round(f.hi, 6) AS hi
 FROM vals v JOIN fences f USING (pred)
 WHERE v.value < f.lo OR v.value > f.hi
+"""
+
+    # rdfstar_roundtrip: parse(serialize(x)) == x, so the oracle IS the
+    # original annotation set.
+    sql["rdfstar_roundtrip"] = """
+WITH base AS (
+  SELECT 'http://ex/c' || c_custkey::VARCHAR AS subj,
+         'http://ex/inNation' AS pred,
+         'http://ex/n' || c_nationkey::VARCHAR AS obj
+  FROM customer
+)
+SELECT subj, pred, obj, 'http://ex/confidence' AS ann_pred,
+       '0.' || (length(subj) % 10)::VARCHAR AS ann_obj
+FROM base
+UNION ALL
+SELECT subj, pred, obj, 'http://ex/source', 'http://src/' || subj
+FROM base
 """
 
     # Typed-literal term fixture twin (documents has no quotes/

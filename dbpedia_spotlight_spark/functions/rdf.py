@@ -427,3 +427,85 @@ def canonical_bnode_labels(
             )
         )
     return labels
+
+
+def nt_unescape(lit) -> Column:
+    """Inverse of nt_escape: unwind N-Triples string escapes. Escaped
+    backslashes route through a sentinel first so '\\\\n' (escaped
+    backslash + n) is never misread as an escaped newline."""
+    t = F.replace(_col(lit), F.lit("\\\\"), F.lit("\x00"))
+    for esc, raw in (
+        ("\\t", "\t"), ("\\r", "\r"), ("\\n", "\n"), ('\\"', '"'),
+    ):
+        t = F.replace(t, F.lit(esc), F.lit(raw))
+    return F.replace(t, F.lit("\x00"), F.lit("\\"))
+
+
+def to_turtle_star(
+    annotated: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    ann_pred: str = "ann_pred",
+    ann_obj: str = "ann_obj",
+) -> DataFrame:
+    """RDF-star Turtle statement annotations (W3C RDF-star CG report
+    §4.2): one ``<< <s> <p> o >> <ap> ao .`` line per (fact, annotation)
+    row — the modern syntax for what reify_statements encodes as four
+    RDF 1.1 triples (confidence scores, provenance, extraction offsets
+    attached to a fact without a blank statement node). Embarrassingly
+    parallel codegen projection, no shuffle — the same scale shape as
+    to_ntriples. -> single ``line`` column."""
+    return annotated.select(
+        F.concat(
+            F.lit("<< <"),
+            _col(subj),
+            F.lit("> <"),
+            _col(pred),
+            F.lit("> "),
+            _obj_term(obj),
+            F.lit(" >> <"),
+            _col(ann_pred),
+            F.lit("> "),
+            _obj_term(ann_obj),
+            F.lit(" ."),
+        ).alias("line")
+    )
+
+
+_TSTAR_TERM = r'(<[^>]*>|"(?:[^"\\]|\\.)*")'
+_TSTAR_RE = (
+    r"^<< <([^>]*)> <([^>]*)> "
+    + _TSTAR_TERM
+    + r" >> <([^>]*)> "
+    + _TSTAR_TERM
+    + r" \.$"
+)
+
+
+def parse_turtle_star(lines: DataFrame, col: str = "line") -> DataFrame:
+    """Parse the Turtle-star annotation lines to_turtle_star emits back
+    to (subj, pred, obj, ann_pred, ann_obj) in the engine's term
+    convention (IRIs bare, literals unquoted + unescaped) — the ingest
+    half of the round trip, one regexp_extract pass per field, no UDF.
+    Lines that don't match the annotation grammar are dropped (they
+    belong to the plain-Turtle parser)."""
+    def grp(i: int) -> Column:
+        return F.regexp_extract(F.col(col), _TSTAR_RE, i)
+
+    def unterm(c: Column) -> Column:
+        return F.when(
+            c.startswith("<"),
+            F.substring(c, 2, F.length(c) - 2),
+        ).otherwise(nt_unescape(F.substring(c, 2, F.length(c) - 2)))
+
+    return (
+        lines.filter(F.col(col).rlike(_TSTAR_RE))
+        .select(
+            grp(1).alias("subj"),
+            grp(2).alias("pred"),
+            unterm(grp(3)).alias("obj"),
+            grp(4).alias("ann_pred"),
+            unterm(grp(5)).alias("ann_obj"),
+        )
+    )

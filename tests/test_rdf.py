@@ -219,3 +219,37 @@ def test_to_trig_named_and_default_graphs(spark):
     assert '\n  <http://ex/s2> <http://ex/p1> "x" .' in g1
     # default graph: bare statements, no wrapper
     assert rows[None] == '  <http://ex/s3> <http://ex/p1> "y" .'
+
+
+def test_turtle_star_roundtrip_with_escapes(spark):
+    from dbpedia_spotlight_spark.functions.rdf import (
+        parse_turtle_star,
+        to_turtle_star,
+    )
+
+    rows = [
+        ("http://ex/s", "http://ex/p", "http://ex/o",
+         "http://ex/conf", "0.9"),
+        ("http://ex/s", "http://ex/p", 'say "hi"\nthere\\end',
+         "http://ex/src", "http://src/x"),
+    ]
+    ann = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, "
+              "ann_pred string, ann_obj string"
+    )
+    lines = to_turtle_star(ann)
+    assert lines.filter(~lines.line.startswith("<< <")).count() == 0
+    back = parse_turtle_star(lines)
+    assert {tuple(r) for r in back.collect()} == set(rows)
+
+
+def test_parse_turtle_star_drops_plain_turtle(spark):
+    from dbpedia_spotlight_spark.functions.rdf import parse_turtle_star
+
+    lines = spark.createDataFrame(
+        [("<http://ex/s> <http://ex/p> <http://ex/o> .",),
+         ('<< <http://ex/s> <http://ex/p> "v" >> <http://ex/a> "w" .',)],
+        "line string",
+    )
+    got = parse_turtle_star(lines).collect()
+    assert len(got) == 1 and got[0].obj == "v" and got[0].ann_obj == "w"

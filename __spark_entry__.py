@@ -4843,6 +4843,57 @@ def q_rdfstar_roundtrip(spark, sf_dir):
     return parse_turtle_star(to_turtle_star(ann))
 
 
+def q_kg_condensation(spark, sf_dir):
+    """Condensation DAG of a cyclic graph
+    (operators/graph.py:condensation — SCC labeling + endpoint
+    re-mapping + distinct, self-loops dropped): the guaranteed-acyclic
+    quotient that makes downstream repeated-squaring closures converge
+    in log(depth) rounds on graphs with redirect/category cycles. On
+    the ring-and-tails fixture every customer edge lands on its ring's
+    min-id component and the rings contribute no edges. Oracle =
+    recursive-CTE SCC + the same remap."""
+    from dbpedia_spotlight_spark.operators.graph import condensation
+
+    return condensation(_ring_edges(spark, sf_dir))
+
+
+def q_kg_disjoint_violations(spark, sf_dir):
+    """owl:disjointWith consistency check
+    (operators/kgquery.py:disjointness_violations): instances typed in
+    both classes of a declared disjoint pair, including types inherited
+    through the subclass closure. Fixture: customers typed by market
+    segment, every 50th customer also (wrongly) typed FURNITURE, with
+    FURNITURE ⊑ HomeGoods and disjointness declared against BUILDING
+    directly and AUTOMOBILE at the superclass level — so one violation
+    family needs the closure and one does not. Oracle = the same
+    self-join in SQL."""
+    from dbpedia_spotlight_spark.operators.kgquery import (
+        disjointness_violations,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    c = F.concat(F.lit("c"), F.col("c_custkey"))
+    types = cust.select(
+        c.alias("subj"), F.lit("rdf:type").alias("pred"),
+        F.col("c_mktsegment").alias("obj"),
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 50 == 0).select(
+            c.alias("subj"), F.lit("rdf:type").alias("pred"),
+            F.lit("FURNITURE").alias("obj"),
+        )
+    )
+    disjoint = spark.createDataFrame(
+        [("BUILDING", "FURNITURE"), ("HomeGoods", "AUTOMOBILE")],
+        "a string, b string",
+    )
+    closure = spark.createDataFrame(
+        [("FURNITURE", "HomeGoods")], "sub string, sup string"
+    )
+    return disjointness_violations(
+        types, disjoint, subclass_closure=closure
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
@@ -4857,6 +4908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_shape_infer": q_kg_shape_infer,
         "kg_literal_outliers": q_kg_literal_outliers,
         "rdfstar_roundtrip": q_rdfstar_roundtrip,
+        "kg_condensation": q_kg_condensation,
+        "kg_disjoint_violations": q_kg_disjoint_violations,
         "kg_path_quantified": q_kg_path_quantified,
         "kg_rdf_lists": q_kg_rdf_lists,
         "kg_reify": q_kg_reify,
@@ -5315,6 +5368,53 @@ FROM base
 UNION ALL
 SELECT subj, pred, obj, 'http://ex/source', 'http://src/' || subj
 FROM base
+"""
+
+    sql["kg_condensation"] = f"""
+WITH RECURSIVE {_RING_CTE.lstrip()},
+reach (src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+mutual AS (
+  SELECT a.src AS node, a.dst AS peer
+  FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+  UNION ALL
+  SELECT node, node FROM nodes
+),
+comp AS (SELECT node, min(peer) AS component FROM mutual GROUP BY 1)
+SELECT DISTINCT cs.component AS src, cd.component AS dst
+FROM edges e
+JOIN comp cs ON cs.node = e.src
+JOIN comp cd ON cd.node = e.dst
+WHERE cs.component != cd.component
+"""
+
+    sql["kg_disjoint_violations"] = """
+WITH direct AS (
+  SELECT 'c' || c_custkey::VARCHAR AS inst, c_mktsegment AS cls
+  FROM customer
+  UNION ALL
+  SELECT 'c' || c_custkey::VARCHAR, 'FURNITURE'
+  FROM customer WHERE c_custkey % 50 = 0
+),
+types AS (
+  SELECT DISTINCT inst, cls FROM (
+    SELECT inst, cls FROM direct
+    UNION ALL
+    SELECT inst, 'HomeGoods' FROM direct WHERE cls = 'FURNITURE'
+  )
+),
+pairs AS (
+  SELECT least(a, b) AS class_a, greatest(a, b) AS class_b FROM (
+    VALUES ('BUILDING', 'FURNITURE'), ('HomeGoods', 'AUTOMOBILE')
+  ) AS v(a, b)
+)
+SELECT t1.inst, t1.cls AS class_a, t2.cls AS class_b
+FROM types t1
+JOIN types t2 ON t1.inst = t2.inst AND t1.cls < t2.cls
+JOIN pairs p ON p.class_a = t1.cls AND p.class_b = t2.cls
 """
 
     # Typed-literal term fixture twin (documents has no quotes/

@@ -1225,3 +1225,38 @@ def closeness_centrality(
         .alias("closeness"),
         F.coalesce(F.col("harmonic"), F.lit(0.0)).alias("harmonic"),
     )
+
+
+def condensation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Condensation DAG: collapse every strongly connected component to
+    one node and keep the distinct between-component edges (self-loops
+    dropped). The canonical pre-pass before closure/entailment on a
+    graph that MIGHT have cycles — redirect loops, category cycles —
+    because the condensation is guaranteed acyclic, so downstream
+    repeated-squaring closures converge in log(depth) rounds instead of
+    chasing cycles to the pair-set fixpoint. One SCC labeling + two
+    broadcast-or-shuffle joins mapping endpoints + one distinct.
+    -> (src, dst) over component ids.
+    """
+    comp = strongly_connected_components(
+        edges, src=src, dst=dst, max_iterations=max_iterations
+    )
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    return (
+        e.join(comp.withColumnRenamed("node", "_s"), "_s")
+        .withColumnRenamed("component", "src")
+        .join(
+            comp.withColumnRenamed("node", "_d").withColumnRenamed(
+                "component", "dst"
+            ),
+            "_d",
+        )
+        .select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )

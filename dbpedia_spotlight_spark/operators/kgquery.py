@@ -2047,3 +2047,62 @@ def sparql_select_quads(
             raise ValueError(f"projected variables not bound: {missing}")
         result = result.select(*proj)
     return result.distinct()
+
+
+def disjointness_violations(
+    triples: DataFrame,
+    disjoint_pairs: DataFrame,
+    type_pred: str = "rdf:type",
+    subclass_closure: DataFrame | None = None,
+) -> DataFrame:
+    """owl:disjointWith consistency check — the class-level integrity
+    constraint a KB built by statistical extraction needs most: an
+    entity typed both Person and Organization is a linking error, not a
+    fact. Finds every instance typed (directly, or through the optional
+    (sub, sup) subclass closure) in BOTH classes of a declared disjoint
+    pair.
+
+    disjoint_pairs(a, b): ontology-sized, broadcast; normalized
+    internally so (a,b) and (b,a) declarations are equivalent and each
+    violation reports once with a <= b.
+
+    -> (inst, class_a, class_b). Scale shape: the type table shuffles
+    once on the instance key for the self-join; the disjoint-pair
+    filter is a broadcast semi-join on the (tiny) class-pair key, so
+    the self-join's output is pruned to declared pairs before any
+    materialization (the join condition includes the pair equi-key).
+    """
+    from pyspark.sql.functions import broadcast
+
+    types = triples.filter(F.col("pred") == type_pred).select(
+        F.col("subj").alias("inst"), F.col("obj").alias("cls")
+    )
+    if subclass_closure is not None:
+        inherited = (
+            types.join(
+                broadcast(
+                    subclass_closure.select(
+                        F.col("sub").alias("cls"), F.col("sup").alias("_sup")
+                    )
+                ),
+                "cls",
+            )
+            .select("inst", F.col("_sup").alias("cls"))
+        )
+        types = types.unionByName(inherited).distinct()
+    else:
+        types = types.distinct()
+    pairs = broadcast(
+        disjoint_pairs.select(
+            F.least("a", "b").alias("class_a"),
+            F.greatest("a", "b").alias("class_b"),
+        ).distinct()
+    )
+    t2 = types.select(F.col("inst"), F.col("cls").alias("class_b"))
+    return (
+        types.withColumnRenamed("cls", "class_a")
+        .join(t2, "inst")
+        .filter(F.col("class_a") < F.col("class_b"))
+        .join(pairs, ["class_a", "class_b"])
+        .select("inst", "class_a", "class_b")
+    )

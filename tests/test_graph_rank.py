@@ -128,3 +128,16 @@ def test_closeness_hand_computed(spark):
     assert abs(rows["a"].harmonic - 1.5) < 1e-9
     assert rows["c"].reached == 0 and rows["c"].closeness == 0.0
     assert rows["c"].harmonic == 0.0
+
+
+def test_condensation_collapses_cycles(spark):
+    # a<->b cycle, c->d->e->c cycle, cross edge b->c, tail t->a
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "a"), ("c", "d"), ("d", "e"), ("e", "c"),
+         ("b", "c"), ("t", "a")],
+    )
+    from dbpedia_spotlight_spark.operators.graph import condensation
+
+    got = {(r.src, r.dst) for r in condensation(e).collect()}
+    assert got == {("a", "c"), ("t", "a")}

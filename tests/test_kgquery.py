@@ -1897,3 +1897,52 @@ def test_numeric_literal_outliers_typed_literals(spark):
     t = spark.createDataFrame(rows, "subj string, pred string, obj string")
     got = numeric_literal_outliers(t).collect()
     assert [r.subj for r in got] == ["bad"]
+
+
+def test_disjointness_violations_direct_and_inherited(spark):
+    from dbpedia_spotlight_spark.operators.kgquery import (
+        disjointness_violations,
+    )
+
+    t = spark.createDataFrame(
+        [
+            ("x", "rdf:type", "Person"),
+            ("x", "rdf:type", "Company"),
+            ("y", "rdf:type", "Person"),
+            ("z", "rdf:type", "Person"),
+            ("z", "rdf:type", "LLC"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    disjoint = spark.createDataFrame(
+        [("Person", "Organization")], "a string, b string"
+    )
+    closure = spark.createDataFrame(
+        [("Company", "Organization"), ("LLC", "Organization")],
+        "sub string, sup string",
+    )
+    got = {
+        (r.inst, r.class_a, r.class_b)
+        for r in disjointness_violations(
+            t, disjoint, subclass_closure=closure
+        ).collect()
+    }
+    assert got == {
+        ("x", "Organization", "Person"),
+        ("z", "Organization", "Person"),
+    }
+
+
+def test_disjointness_no_closure_no_violation(spark):
+    from dbpedia_spotlight_spark.operators.kgquery import (
+        disjointness_violations,
+    )
+
+    t = spark.createDataFrame(
+        [("x", "rdf:type", "Person"), ("x", "rdf:type", "Company")],
+        "subj string, pred string, obj string",
+    )
+    disjoint = spark.createDataFrame(
+        [("Person", "Organization")], "a string, b string"
+    )
+    assert disjointness_violations(t, disjoint).count() == 0

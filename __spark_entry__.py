@@ -4894,6 +4894,72 @@ def q_kg_disjoint_violations(spark, sf_dir):
     )
 
 
+def _pg_tables(spark, sf_dir):
+    """Property-graph fixture: customer nodes (name property for all,
+    segment property only for BUILDING — a genuinely nullable column),
+    nation nodes, and typed customer->nation edges carrying a weight
+    property."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nodes = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("id"),
+        F.lit("Customer").alias("label"),
+        F.col("c_name").alias("name"),
+        F.when(
+            F.col("c_mktsegment") == "BUILDING", F.col("c_mktsegment")
+        ).alias("segment"),
+    ).unionByName(
+        nat.select(
+            F.concat(F.lit("n"), F.col("n_nationkey")).alias("id"),
+            F.lit("Nation").alias("label"),
+            F.col("n_name").alias("name"),
+            F.lit(None).cast("string").alias("segment"),
+        )
+    )
+    edges = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("n"), F.col("c_nationkey")).alias("dst"),
+        F.lit("IN_NATION").alias("rel"),
+        (F.col("c_custkey") % 10).cast("string").alias("weight"),
+    )
+    return nodes, edges
+
+
+def q_kg_pg_to_rdf(spark, sf_dir):
+    """Property-graph -> RDF mapping
+    (operators/propertygraph.py:pg_to_rdf — the neosemantics-style
+    interchange: node labels to rdf:type, node properties to data
+    triples with nulls skipped, relationships to triples; edge
+    properties go to the RDF-star annotation table, pytest-covered).
+    Pure unions of codegen projections, zero shuffle. Oracle = the same
+    unions in SQL."""
+    from dbpedia_spotlight_spark.operators.propertygraph import pg_to_rdf
+
+    nodes, edges = _pg_tables(spark, sf_dir)
+    triples, _ = pg_to_rdf(nodes, edges)
+    return triples
+
+
+def q_kg_pg_roundtrip(spark, sf_dir):
+    """Property-graph round trip: pg_to_rdf then rdf_to_pg
+    (operators/propertygraph.py) returns the original node table —
+    label from rdf:type, properties re-pivoted via the static-list
+    groupBy — hash-checked against the source nodes built directly in
+    SQL. Proves the mapping pair is lossless under the property-graph
+    contract (single type, single-valued properties)."""
+    from dbpedia_spotlight_spark.operators.propertygraph import (
+        pg_to_rdf,
+        rdf_to_pg,
+    )
+
+    nodes, edges = _pg_tables(spark, sf_dir)
+    triples, _ = pg_to_rdf(nodes, edges)
+    back_nodes, _ = rdf_to_pg(
+        triples, node_props=["name", "segment"], rel_preds=["IN_NATION"]
+    )
+    return back_nodes
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
@@ -4910,6 +4976,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfstar_roundtrip": q_rdfstar_roundtrip,
         "kg_condensation": q_kg_condensation,
         "kg_disjoint_violations": q_kg_disjoint_violations,
+        "kg_pg_to_rdf": q_kg_pg_to_rdf,
+        "kg_pg_roundtrip": q_kg_pg_roundtrip,
         "kg_path_quantified": q_kg_path_quantified,
         "kg_rdf_lists": q_kg_rdf_lists,
         "kg_reify": q_kg_reify,
@@ -5415,6 +5483,34 @@ SELECT t1.inst, t1.cls AS class_a, t2.cls AS class_b
 FROM types t1
 JOIN types t2 ON t1.inst = t2.inst AND t1.cls < t2.cls
 JOIN pairs p ON p.class_a = t1.cls AND p.class_b = t2.cls
+"""
+
+    sql["kg_pg_to_rdf"] = """
+SELECT 'c' || c_custkey::VARCHAR AS subj, 'rdf:type' AS pred,
+       'Customer' AS obj FROM customer
+UNION ALL
+SELECT 'n' || n_nationkey::VARCHAR, 'rdf:type', 'Nation' FROM nation
+UNION ALL
+SELECT 'c' || c_custkey::VARCHAR, 'name', c_name FROM customer
+UNION ALL
+SELECT 'n' || n_nationkey::VARCHAR, 'name', n_name FROM nation
+UNION ALL
+SELECT 'c' || c_custkey::VARCHAR, 'segment', c_mktsegment
+FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT 'c' || c_custkey::VARCHAR, 'IN_NATION',
+       'n' || c_nationkey::VARCHAR FROM customer
+"""
+
+    # kg_pg_roundtrip: the round trip is the identity, so the oracle IS
+    # the original node table.
+    sql["kg_pg_roundtrip"] = """
+SELECT 'c' || c_custkey::VARCHAR AS id, 'Customer' AS label,
+       c_name AS name,
+       CASE WHEN c_mktsegment = 'BUILDING' THEN c_mktsegment END AS segment
+FROM customer
+UNION ALL
+SELECT 'n' || n_nationkey::VARCHAR, 'Nation', n_name, NULL FROM nation
 """
 
     # Typed-literal term fixture twin (documents has no quotes/

@@ -4960,6 +4960,52 @@ def q_kg_pg_roundtrip(spark, sf_dir):
     return back_nodes
 
 
+def q_kg_best_label(spark, sf_dir):
+    """Language-priority display-label selection
+    (operators/kbaugment.py:best_labels — the DBpedia one-label-per-
+    resource convention): nations carry de/en/untagged labels, every
+    5th nation missing the de label and nation 7 carrying TWO de
+    labels, priority (de, en) — exercising the range rank, the
+    fallback, and the deterministic lexicographic tie-break in one
+    fixture. Oracle = the same CASE rank + row_number in SQL."""
+    from dbpedia_spotlight_spark.operators.kbaugment import best_labels
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n = F.concat(F.lit("n"), F.col("n_nationkey"))
+    lbl = F.lit("rdfs:label")
+    labels = (
+        nat.select(
+            n.alias("subj"), lbl.alias("pred"),
+            F.concat(F.lit('"'), F.col("n_name"), F.lit('"@en')).alias("obj"),
+        )
+        .unionByName(
+            nat.filter(F.col("n_nationkey") % 5 != 0).select(
+                n.alias("subj"), lbl.alias("pred"),
+                F.concat(
+                    F.lit('"'), F.lower("n_name"), F.lit('"@de')
+                ).alias("obj"),
+            )
+        )
+        .unionByName(
+            nat.filter(F.col("n_nationkey") == 7).select(
+                n.alias("subj"), lbl.alias("pred"),
+                F.concat(
+                    F.lit('"'), F.reverse(F.lower("n_name")), F.lit('"@de')
+                ).alias("obj"),
+            )
+        )
+        .unionByName(
+            nat.select(
+                n.alias("subj"), lbl.alias("pred"),
+                F.concat(F.lit('"x-'), F.col("n_name"), F.lit('"')).alias(
+                    "obj"
+                ),
+            )
+        )
+    )
+    return best_labels(labels, lang_priority=("de", "en"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
@@ -4978,6 +5024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_disjoint_violations": q_kg_disjoint_violations,
         "kg_pg_to_rdf": q_kg_pg_to_rdf,
         "kg_pg_roundtrip": q_kg_pg_roundtrip,
+        "kg_best_label": q_kg_best_label,
         "kg_path_quantified": q_kg_path_quantified,
         "kg_rdf_lists": q_kg_rdf_lists,
         "kg_reify": q_kg_reify,
@@ -5511,6 +5558,41 @@ SELECT 'c' || c_custkey::VARCHAR AS id, 'Customer' AS label,
 FROM customer
 UNION ALL
 SELECT 'n' || n_nationkey::VARCHAR, 'Nation', n_name, NULL FROM nation
+"""
+
+    # kg_best_label: rank 0 = @de, 1 = @en, 2 = untagged; tie-break on
+    # the raw term string (same collation: both engines compare bytes
+    # of ASCII here).
+    sql["kg_best_label"] = """
+WITH labels AS (
+  SELECT 'n' || n_nationkey::VARCHAR AS subj, n_name AS label,
+         'en' AS lang, '"' || n_name || '"@en' AS term
+  FROM nation
+  UNION ALL
+  SELECT 'n' || n_nationkey::VARCHAR, lower(n_name), 'de',
+         '"' || lower(n_name) || '"@de'
+  FROM nation WHERE n_nationkey % 5 != 0
+  UNION ALL
+  SELECT 'n' || n_nationkey::VARCHAR, reverse(lower(n_name)), 'de',
+         '"' || reverse(lower(n_name)) || '"@de'
+  FROM nation WHERE n_nationkey = 7
+  UNION ALL
+  SELECT 'n' || n_nationkey::VARCHAR, 'x-' || n_name, '',
+         '"x-' || n_name || '"'
+  FROM nation
+),
+ranked AS (
+  SELECT subj, label, lang,
+         row_number() OVER (
+           PARTITION BY subj
+           ORDER BY CASE WHEN lang = 'de' OR lang LIKE 'de-%' THEN 0
+                         WHEN lang = 'en' OR lang LIKE 'en-%' THEN 1
+                         ELSE 2 END,
+                    term
+         ) AS rn
+  FROM labels
+)
+SELECT subj, label, lang FROM ranked WHERE rn = 1
 """
 
     # Typed-literal term fixture twin (documents has no quotes/

@@ -258,3 +258,42 @@ def subsumption_mining(
             F.round(F.col("_c"), 6).alias("confidence"),
         )
     )
+
+
+def best_labels(
+    triples: DataFrame,
+    label_pred: str = "rdfs:label",
+    lang_priority: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """One display label per entity by language preference — the
+    DBpedia-export convention (every resource page shows exactly one
+    rdfs:label, chosen by the requester's language chain) applied to a
+    multilingual literal table: rank = first RFC-4647 range in
+    ``lang_priority`` the label's tag matches (functions/rdfterm.
+    lang_matches), untagged/unmatched labels rank after every preferred
+    range; ties (two en labels) break on the lexicographic term so the
+    winner is deterministic across runs and engines.
+
+    One window row_number per subject — the standard top-1-per-key
+    shape, shuffle keyed on the entity, no global sort.
+    -> (subj, label, lang) with the literal content unquoted.
+    """
+    from ..functions.rdfterm import lang_matches, term_lang, term_value
+
+    labels = triples.filter(F.col("pred") == label_pred).select(
+        "subj",
+        term_value(F.col("obj")).alias("label"),
+        term_lang(F.col("obj")).alias("lang"),
+        F.col("obj").alias("_term"),
+    )
+    rank = F.lit(len(lang_priority))
+    for i, rng in reversed(list(enumerate(lang_priority))):
+        rank = F.when(lang_matches(F.col("lang"), rng), F.lit(i)).otherwise(
+            rank
+        )
+    w = Window.partitionBy("subj").orderBy(rank.asc(), F.col("_term").asc())
+    return (
+        labels.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("subj", "label", "lang")
+    )

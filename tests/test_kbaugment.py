@@ -260,3 +260,34 @@ def test_subsumption_min_support_gate(spark):
     )
     # conf 1.0 both ways but support 1 < 2
     assert subsumption_mining(tri).count() == 0
+
+
+def test_best_labels_priority_fallback_and_tiebreak(spark):
+    from dbpedia_spotlight_spark.operators.kbaugment import best_labels
+
+    rows = [
+        # e1: has de and en -> de wins
+        ("e1", "rdfs:label", '"Haus"@de'),
+        ("e1", "rdfs:label", '"House"@en'),
+        # e2: only en-US -> matches 'en' range
+        ("e2", "rdfs:label", '"Color"@en-US'),
+        ("e2", "rdfs:label", '"untagged"'),
+        # e3: only untagged -> fallback
+        ("e3", "rdfs:label", '"plain"'),
+        # e4: two de labels -> lexicographic term tie-break
+        ("e4", "rdfs:label", '"zzz"@de'),
+        ("e4", "rdfs:label", '"aaa"@de'),
+        # non-label predicate ignored
+        ("e1", "other", '"nope"@de'),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {
+        r.subj: (r.label, r.lang)
+        for r in best_labels(t, lang_priority=("de", "en")).collect()
+    }
+    assert got == {
+        "e1": ("Haus", "de"),
+        "e2": ("Color", "en-US"),
+        "e3": ("plain", ""),
+        "e4": ("aaa", "de"),
+    }

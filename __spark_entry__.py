@@ -5006,6 +5006,31 @@ def q_kg_best_label(spark, sf_dir):
     return best_labels(labels, lang_priority=("de", "en"))
 
 
+def q_kg_betweenness(spark, sf_dir):
+    """Exact betweenness centrality
+    (operators/graph.py:betweenness_centrality — Brandes 2001 through
+    the pair-dependency identity B(v) = Σ σ(s,v)·σ(v,t)/σ(s,t) over
+    distance-composing pairs, computed as three equi-joins over the
+    all-sources BFS σ table instead of the backward recursion). Fixture:
+    the circulant graph C25(1,2) over nation keys — cyclic, diameter 13,
+    with genuinely parallel shortest paths so σ > 1 everywhere. Oracle
+    = recursive-CTE walk enumeration (min-length walks ARE the shortest
+    paths), aggregated to the same σ table, same triple join."""
+    from dbpedia_spotlight_spark.operators.graph import betweenness_centrality
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    e1 = nat.select(
+        F.concat(F.lit("n"), F.col("n_nationkey")).alias("src"),
+        F.concat(F.lit("n"), (F.col("n_nationkey") + 1) % 25).alias("dst"),
+    )
+    e2 = nat.select(
+        F.concat(F.lit("n"), F.col("n_nationkey")).alias("src"),
+        F.concat(F.lit("n"), (F.col("n_nationkey") + 2) % 25).alias("dst"),
+    )
+    b = betweenness_centrality(e1.unionByName(e2))
+    return b.select("node", F.round("betweenness", 6).alias("betweenness"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
@@ -5025,6 +5050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pg_to_rdf": q_kg_pg_to_rdf,
         "kg_pg_roundtrip": q_kg_pg_roundtrip,
         "kg_best_label": q_kg_best_label,
+        "kg_betweenness": q_kg_betweenness,
         "kg_path_quantified": q_kg_path_quantified,
         "kg_rdf_lists": q_kg_rdf_lists,
         "kg_reify": q_kg_reify,
@@ -5593,6 +5619,46 @@ ranked AS (
   FROM labels
 )
 SELECT subj, label, lang FROM ranked WHERE rn = 1
+"""
+
+    # kg_betweenness: walks of length <= 14 enumerated (one CTE row per
+    # walk, branching 2 -> bounded), min length = BFS dist, walk count
+    # at min length = sigma; then the same pair-dependency triple join.
+    sql["kg_betweenness"] = """
+WITH RECURSIVE e AS (
+  SELECT 'n' || n_nationkey::VARCHAR AS u,
+         'n' || ((n_nationkey + 1) % 25)::VARCHAR AS v
+  FROM nation
+  UNION ALL
+  SELECT 'n' || n_nationkey::VARCHAR,
+         'n' || ((n_nationkey + 2) % 25)::VARCHAR
+  FROM nation
+),
+walk (s, node, k) AS (
+  SELECT DISTINCT u, u, 0 FROM e
+  UNION ALL
+  SELECT w.s, e.v, w.k + 1 FROM walk w JOIN e ON w.node = e.u
+  WHERE w.k < 14
+),
+mind AS (SELECT s, node, min(k) AS dist FROM walk GROUP BY 1, 2),
+sig AS (
+  SELECT w.s AS source, w.node, m.dist, count(*) AS sigma
+  FROM walk w JOIN mind m ON m.s = w.s AND m.node = w.node AND m.dist = w.k
+  GROUP BY 1, 2, 3
+),
+contrib AS (
+  SELECT sv.node AS v,
+         sum(sv.sigma * vt.sigma / st.sigma::DOUBLE) AS b
+  FROM sig sv
+  JOIN sig vt ON vt.source = sv.node AND vt.node != sv.node
+  JOIN sig st ON st.source = sv.source AND st.node = vt.node
+  WHERE sv.source != sv.node AND sv.source != vt.node
+    AND sv.dist + vt.dist = st.dist
+  GROUP BY 1
+)
+SELECT m.node, round(coalesce(c.b, 0.0), 6) AS betweenness
+FROM (SELECT DISTINCT node FROM sig WHERE dist = 0) m
+LEFT JOIN contrib c ON c.v = m.node
 """
 
     # Typed-literal term fixture twin (documents has no quotes/

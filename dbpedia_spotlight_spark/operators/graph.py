@@ -1260,3 +1260,121 @@ def condensation(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+
+
+def bfs_sigma(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 32,
+) -> DataFrame:
+    """All-sources level-synchronous BFS with shortest-path COUNTING:
+    -> (src, node, dist, sigma) where sigma = the number of distinct
+    shortest src->node paths (σ in Brandes' notation), including the
+    trivial (s, s, 0, 1) row. Each round is one equi-join frontier⋈edges
+    + one groupBy-sum (σ(s,v) = Σ_{u ∈ preds at d-1} σ(s,u)) + one
+    anti-join against settled — all keyed on (source, node), lineage
+    truncated per round. Rounds = graph diameter (level-exact BFS can't
+    square like the closure ops; the level structure IS the result).
+
+    Scale shape: state is the reach set (src × reachable), the same
+    class as distance_matrix — meant for schema-scale graphs or a
+    sampled source set (pre-filter ``edges``/union a source column
+    upstream). Raises if the diameter exceeds max_rounds.
+    """
+    e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v")).distinct()
+    nodes = (
+        e.select(F.col("_u").alias("node"))
+        .unionByName(e.select(F.col("_v").alias("node")))
+        .distinct()
+    )
+    settled = nodes.select(
+        F.col("node").alias("source"),
+        "node",
+        F.lit(0).alias("dist"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint()
+    frontier = settled
+    for d in range(1, max_rounds + 1):
+        arrived = (
+            frontier.join(e, frontier["node"] == e["_u"])
+            .groupBy("source", F.col("_v").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        new = (
+            arrived.join(
+                settled.select("source", "node"), ["source", "node"], "left_anti"
+            )
+            .withColumn("dist", F.lit(d))
+            .select("source", "node", "dist", "sigma")
+            .localCheckpoint()
+        )
+        if new.isEmpty():
+            return settled
+        settled = settled.unionByName(new).localCheckpoint(eager=False)
+        frontier = new
+    raise RuntimeError(f"bfs_sigma did not finish in {max_rounds} rounds")
+
+
+def betweenness_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 32,
+) -> DataFrame:
+    """Exact betweenness centrality (Brandes 2001) for a directed
+    unweighted graph, computed through the pair-dependency identity
+    instead of the backward accumulation pass:
+
+        B(v) = Σ_{s≠v≠t, σ(s,t)>0} σ(s,v)·σ(v,t) / σ(s,t)
+               subject to d(s,v) + d(v,t) = d(s,t)
+
+    — v lies on a shortest s→t path iff the distances compose, and then
+    exactly σ(s,v)·σ(v,t) of the σ(s,t) paths pass through it. This
+    trades Brandes' O(nm) dependency recursion (which needs per-level
+    synchronized backward rounds — awkward as DataFrame ops) for three
+    equi-joins over the (src, node, dist, sigma) table: join s→v with
+    v→t on the midpoint, then s→t on the endpoints with the distance
+    filter. Catalyst plans hash joins keyed on the midpoint/source —
+    no cross product.
+
+    Scale: APSP-based — the exact-centrality scale class (schema
+    graphs, entity neighborhoods; the same honesty note as
+    distance_matrix/closeness). -> (node, betweenness), nodes never
+    on any shortest path report 0.0.
+    """
+    D = bfs_sigma(edges, src=src, dst=dst, max_rounds=max_rounds)
+    sv = D.select(
+        F.col("source").alias("s"),
+        F.col("node").alias("v"),
+        F.col("dist").alias("d_sv"),
+        F.col("sigma").alias("sig_sv"),
+    ).filter(F.col("s") != F.col("v"))
+    vt = D.select(
+        F.col("source").alias("v"),
+        F.col("node").alias("t"),
+        F.col("dist").alias("d_vt"),
+        F.col("sigma").alias("sig_vt"),
+    ).filter(F.col("v") != F.col("t"))
+    st = D.select(
+        F.col("source").alias("s"),
+        F.col("node").alias("t"),
+        F.col("dist").alias("d_st"),
+        F.col("sigma").alias("sig_st"),
+    ).filter(F.col("s") != F.col("t"))
+    contrib = (
+        sv.join(vt, "v")
+        .filter(F.col("s") != F.col("t"))
+        .join(st, ["s", "t"])
+        .filter(F.col("d_sv") + F.col("d_vt") == F.col("d_st"))
+        .groupBy(F.col("v").alias("node"))
+        .agg(
+            F.sum(
+                F.col("sig_sv") * F.col("sig_vt") / F.col("sig_st")
+            ).alias("betweenness")
+        )
+    )
+    nodes = D.filter(F.col("dist") == 0).select(F.col("node"))
+    return nodes.join(contrib, "node", "left").select(
+        "node", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
+    )

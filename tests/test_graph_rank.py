@@ -141,3 +141,35 @@ def test_condensation_collapses_cycles(spark):
 
     got = {(r.src, r.dst) for r in condensation(e).collect()}
     assert got == {("a", "c"), ("t", "a")}
+
+
+def test_bfs_sigma_counts_parallel_paths(spark):
+    # diamond: a->b->d, a->c->d => sigma(a,d)=2 at dist 2
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")])
+    from dbpedia_spotlight_spark.operators.graph import bfs_sigma
+
+    got = {
+        (r.source, r.node): (r.dist, r.sigma) for r in bfs_sigma(e).collect()
+    }
+    assert got[("a", "d")] == (2, 2)
+    assert got[("a", "b")] == (1, 1)
+    assert got[("a", "a")] == (0, 1)
+
+
+def test_betweenness_path_graph(spark):
+    # a->b->c->d: B(b) = pairs (a,c),(a,d) = 2; B(c) = (a,d),(b,d) = 2
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    from dbpedia_spotlight_spark.operators.graph import betweenness_centrality
+
+    got = {r.node: r.betweenness for r in betweenness_centrality(e).collect()}
+    assert got == {"a": 0.0, "b": 2.0, "c": 2.0, "d": 0.0}
+
+
+def test_betweenness_diamond_splits_dependency(spark):
+    # a->b->d, a->c->d: b and c each carry sigma 1 of sigma(a,d)=2 -> 0.5
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")])
+    from dbpedia_spotlight_spark.operators.graph import betweenness_centrality
+
+    got = {r.node: r.betweenness for r in betweenness_centrality(e).collect()}
+    assert got["b"] == 0.5 and got["c"] == 0.5
+    assert got["a"] == 0.0 and got["d"] == 0.0

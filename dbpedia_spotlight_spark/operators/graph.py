@@ -1378,3 +1378,134 @@ def betweenness_centrality(
     return nodes.join(contrib, "node", "left").select(
         "node", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness")
     )
+
+
+def eccentricity_profile(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Per-node eccentricity over the directed distance matrix — the
+    graph-radius/diameter profile (diameter = max eccentricity, radius
+    = min over nodes with full reach): how deep the KG's longest
+    dependency chains run, the number that bounds every iterative
+    operator's round count (closure, SSSP, type propagation all
+    converge in <= diameter rounds). Directed + possibly disconnected,
+    so eccentricity is over the REACHED set and reached is reported
+    alongside (a node reaching 2 of 10^6 nodes with ecc 1 is a leaf,
+    not a center). One distance_matrix + one groupBy.
+    -> (node, reached, eccentricity); pure sinks report (0, 0).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    d = distance_matrix(e, max_iterations=max_iterations)
+    per = d.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("reached"),
+        F.max("dist").alias("eccentricity"),
+    )
+    return nodes.join(per, "node", "left").select(
+        "node",
+        F.coalesce("reached", F.lit(0)).alias("reached"),
+        F.coalesce("eccentricity", F.lit(0)).alias("eccentricity"),
+    )
+
+
+def propagate_types(
+    types: DataFrame,
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Type completion by neighbor vote — assign every UNTYPED node the
+    majority type among its typed neighbors (both edge directions),
+    ties broken by (count desc, class asc) so the result is
+    deterministic across engines. The standard KG type-completion
+    baseline (SDType's voting core, Paulheim & Bizer ISWC'13) for
+    entities the extractor linked but never typed.
+
+    types(inst, cls): the known assignments. One symmetrized edge join
+    against the typed side, one (node, cls) count, one row_number —
+    shuffle keyed on the node throughout. Already-typed nodes are
+    excluded from the output (their types are facts, not guesses).
+    -> (inst, cls, votes).
+    """
+    sym = edges.select(
+        F.col(src).alias("node"), F.col(dst).alias("peer")
+    ).unionByName(
+        edges.select(F.col(dst).alias("node"), F.col(src).alias("peer"))
+    )
+    votes = (
+        sym.join(
+            types.select(F.col("inst").alias("peer"), "cls"), "peer"
+        )
+        .join(
+            types.select(F.col("inst").alias("node")).distinct(),
+            "node",
+            "left_anti",
+        )
+        .groupBy("node", "cls")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("votes").desc(), F.col("cls").asc()
+    )
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("node").alias("inst"), "cls", "votes")
+    )
+
+
+def link_prediction_ranks(
+    scores: DataFrame,
+    test_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    score: str = "score",
+) -> DataFrame:
+    """Filtered link-prediction ranks — the KB-completion evaluation
+    protocol (Bordes et al. NIPS'13, applied to any scorer: Adamic-Adar,
+    FastRP cosine, a trained model's output): for each held-out edge
+    (u, v), rank = 1 + |{w : score(u,w) > score(u,v)}| + |{w :
+    score(u,w) = score(u,v), w < v}| among the scorer's candidates for
+    u — the deterministic competition ranking both engines replay
+    exactly. Test pairs the scorer never produced (no common neighbor,
+    say) come back with rank NULL: a miss the caller scores as 0
+    reciprocal rank, never silently dropped.
+
+    One equi-join of test edges onto the per-source candidate lists +
+    one conditional count — shuffle keyed on the source node.
+    -> (src, dst, rank, reciprocal_rank).
+    """
+    s = scores.select(
+        F.col(src).alias("_u"), F.col(dst).alias("_w"),
+        F.col(score).alias("_sc"),
+    )
+    t = test_edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+    target = t.join(
+        s.withColumnRenamed("_w", "_v").withColumnRenamed("_sc", "_target"),
+        ["_u", "_v"],
+        "left",
+    )
+    joined = target.join(s, "_u", "left")
+    beat = (
+        (F.col("_sc") > F.col("_target"))
+        | ((F.col("_sc") == F.col("_target")) & (F.col("_w") < F.col("_v")))
+    ).cast("long")
+    ranks = joined.groupBy("_u", "_v", "_target").agg(
+        F.sum(beat).alias("_n_beat")
+    )
+    rank = F.when(
+        F.col("_target").isNotNull(), F.col("_n_beat") + 1
+    ).cast("long")
+    return ranks.select(
+        F.col("_u").alias("src"),
+        F.col("_v").alias("dst"),
+        rank.alias("rank"),
+        F.when(rank.isNotNull(), F.lit(1.0) / rank).alias("reciprocal_rank"),
+    )

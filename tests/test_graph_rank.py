@@ -173,3 +173,51 @@ def test_betweenness_diamond_splits_dependency(spark):
     got = {r.node: r.betweenness for r in betweenness_centrality(e).collect()}
     assert got["b"] == 0.5 and got["c"] == 0.5
     assert got["a"] == 0.0 and got["d"] == 0.0
+
+
+def test_eccentricity_path_graph(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c")])
+    from dbpedia_spotlight_spark.operators.graph import eccentricity_profile
+
+    got = {
+        r.node: (r.reached, r.eccentricity)
+        for r in eccentricity_profile(e).collect()
+    }
+    assert got == {"a": (2, 2), "b": (1, 1), "c": (0, 0)}
+
+
+def test_propagate_types_majority_and_tiebreak(spark):
+    from dbpedia_spotlight_spark.operators.graph import propagate_types
+
+    types = spark.createDataFrame(
+        [("t1", "A"), ("t2", "A"), ("t3", "B")], "inst string, cls string"
+    )
+    # u: neighbors t1,t2,t3 -> A wins 2:1; v: t1,t3 -> tie, 'A' < 'B'
+    e = _edges(
+        spark,
+        [("u", "t1"), ("u", "t2"), ("t3", "u"), ("v", "t1"), ("v", "t3")],
+    )
+    got = {
+        r.inst: (r.cls, r.votes) for r in propagate_types(types, e).collect()
+    }
+    assert got == {"u": ("A", 2), "v": ("A", 1)}
+    # typed nodes never re-typed
+    assert "t1" not in got
+
+
+def test_link_prediction_ranks_with_miss(spark):
+    from dbpedia_spotlight_spark.operators.graph import link_prediction_ranks
+
+    scores = spark.createDataFrame(
+        [("u", "a", 3.0), ("u", "b", 2.0), ("u", "c", 2.0), ("u", "d", 1.0)],
+        "src string, dst string, score double",
+    )
+    test = spark.createDataFrame(
+        [("u", "c"), ("u", "z")], "src string, dst string"
+    )
+    got = {(r.src, r.dst): (r.rank, r.reciprocal_rank)
+           for r in link_prediction_ranks(scores, test).collect()}
+    # c: beaten by a (3.0) and by b (tie 2.0, 'b' < 'c') -> rank 3
+    assert got[("u", "c")] == (3, 1.0 / 3)
+    # z never scored -> NULL rank, NULL rr (a miss, not dropped)
+    assert got[("u", "z")] == (None, None)

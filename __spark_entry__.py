@@ -5106,6 +5106,75 @@ def q_kg_link_pred_eval(spark, sf_dir):
     )
 
 
+def q_kg_quality_report(spark, sf_dir):
+    """One-table KG quality dashboard — the composite a production
+    build gates on, wiring four QA operators over one typed instance
+    graph: total triples, dangling object references
+    (kglayout.dangling_objects), owl:disjointWith violations
+    (kgquery.disjointness_violations, FURNITURE mistype injected every
+    50th customer), and numeric unit-error outliers
+    (kglayout.numeric_literal_outliers, 100x bal injected every 97th).
+    Each signal is a scalar reduction over the same cached scan; the
+    report is their union -> (check, n). Oracle = the same counts in
+    SQL."""
+    from dbpedia_spotlight_spark.operators.kglayout import (
+        dangling_objects,
+        numeric_literal_outliers,
+    )
+    from dbpedia_spotlight_spark.operators.kgquery import (
+        disjointness_violations,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    c = F.concat(F.lit("c"), F.col("c_custkey"))
+    t = _typed_instance_triples(spark, sf_dir)
+    # replace the clean bal values with the unit-error injection and
+    # add the FURNITURE mistypes
+    t = t.filter(F.col("pred") != "bal").unionByName(
+        cust.select(
+            c.alias("subj"), F.lit("bal").alias("pred"),
+            F.concat(
+                F.lit('"'),
+                F.when(
+                    F.col("c_custkey") % 97 == 0,
+                    (F.col("c_custkey") % 100) * 100,
+                ).otherwise(F.col("c_custkey") % 100).cast("string"),
+                F.lit('"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+            ).alias("obj"),
+        )
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 50 == 0).select(
+            c.alias("subj"), F.lit("rdf:type").alias("pred"),
+            F.lit("FURNITURE").alias("obj"),
+        )
+    )
+    t = t.persist()
+    disjoint = spark.createDataFrame(
+        [("BUILDING", "FURNITURE"), ("AUTOMOBILE", "FURNITURE")],
+        "a string, b string",
+    )
+
+    def row(name, df):
+        return df.agg(F.count("*").cast("long").alias("n")).select(
+            F.lit(name).alias("check"), "n"
+        )
+
+    return (
+        row("n_triples", t)
+        .unionByName(
+            dangling_objects(t)
+            .agg(F.sum("n_dangling").cast("long").alias("n"))
+            .select(F.lit("dangling_objects").alias("check"), "n")
+        )
+        .unionByName(
+            row("disjoint_violations", disjointness_violations(t, disjoint))
+        )
+        .unionByName(
+            row("numeric_outliers", numeric_literal_outliers(t, k=3.0))
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
@@ -5129,6 +5198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_eccentricity": q_kg_eccentricity,
         "kg_type_propagation": q_kg_type_propagation,
         "kg_link_pred_eval": q_kg_link_pred_eval,
+        "kg_quality_report": q_kg_quality_report,
         "kg_path_quantified": q_kg_path_quantified,
         "kg_rdf_lists": q_kg_rdf_lists,
         "kg_reify": q_kg_reify,
@@ -5832,6 +5902,81 @@ SELECT src, dst,
        CASE WHEN target_score IS NOT NULL
             THEN round(1.0 / (n_beat + 1), 6) END AS reciprocal_rank
 FROM ranks
+"""
+
+    sql["kg_quality_report"] = """
+WITH tri AS (
+  SELECT 'c' || c_custkey::VARCHAR AS subj, 'rdf:type' AS pred,
+         'Customer' AS obj FROM customer
+  UNION ALL
+  SELECT 'c' || c_custkey::VARCHAR, 'inNation',
+         'n' || c_nationkey::VARCHAR FROM customer
+  UNION ALL
+  SELECT 'c' || c_custkey::VARCHAR, 'name', '"' || c_name || '"'
+  FROM customer
+  UNION ALL
+  SELECT 'c' || c_custkey::VARCHAR, 'segment', '"BUILDING"'
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION ALL
+  SELECT 'n' || n_nationkey::VARCHAR, 'rdf:type', 'Nation' FROM nation
+  UNION ALL
+  SELECT 'n' || n_nationkey::VARCHAR, 'within',
+         'r' || n_regionkey::VARCHAR FROM nation
+  UNION ALL
+  SELECT 'c' || c_custkey::VARCHAR, 'bal',
+         '"' || (CASE WHEN c_custkey % 97 = 0
+                      THEN (c_custkey % 100) * 100
+                      ELSE c_custkey % 100 END)::VARCHAR
+             || '"^^<http://www.w3.org/2001/XMLSchema#integer>'
+  FROM customer
+  UNION ALL
+  SELECT 'c' || c_custkey::VARCHAR, 'rdf:type', 'FURNITURE'
+  FROM customer WHERE c_custkey % 50 = 0
+),
+subjects AS (SELECT DISTINCT subj FROM tri),
+dangling AS (
+  SELECT count(*) AS n FROM tri
+  WHERE pred != 'rdf:type'
+    AND obj NOT IN (SELECT subj FROM subjects)
+),
+types AS (
+  SELECT DISTINCT subj AS inst, obj AS cls FROM tri WHERE pred = 'rdf:type'
+),
+pairs AS (
+  SELECT least(a, b) AS ca, greatest(a, b) AS cb FROM (
+    VALUES ('BUILDING', 'FURNITURE'), ('AUTOMOBILE', 'FURNITURE')
+  ) AS v(a, b)
+),
+viol AS (
+  SELECT count(*) AS n
+  FROM types t1 JOIN types t2 ON t1.inst = t2.inst AND t1.cls < t2.cls
+  JOIN pairs p ON p.ca = t1.cls AND p.cb = t2.cls
+),
+vals AS (
+  SELECT regexp_extract(obj, '^"([^"]*)"', 1)::DOUBLE AS value
+  FROM tri
+  WHERE pred = 'bal'
+),
+fences AS (
+  SELECT quantile_cont(value, 0.25)
+           - 3.0 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25))
+           AS lo,
+         quantile_cont(value, 0.75)
+           + 3.0 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25))
+           AS hi
+  FROM vals HAVING count(*) >= 10
+),
+outliers AS (
+  SELECT count(*) AS n FROM vals v, fences f
+  WHERE v.value < f.lo OR v.value > f.hi
+)
+SELECT 'n_triples' AS "check", count(*)::BIGINT AS n FROM tri
+UNION ALL
+SELECT 'dangling_objects', n::BIGINT FROM dangling
+UNION ALL
+SELECT 'disjoint_violations', n::BIGINT FROM viol
+UNION ALL
+SELECT 'numeric_outliers', n::BIGINT FROM outliers
 """
 
     # Typed-literal term fixture twin (documents has no quotes/

@@ -5175,6 +5175,27 @@ def q_kg_quality_report(spark, sf_dir):
     )
 
 
+def q_kg_datalog(spark, sf_dir):
+    """User-defined inference rules run to fixpoint
+    (operators/kgquery.py:datalog_fixpoint — the SWRL/SPIN/OWL-2-RL
+    custom-rule layer generalizing the fixed entailments, bodies
+    evaluated by the selectivity-ordered BGP matcher): within-
+    transitivity plus a composition rule deriving customer locatedIn
+    from inNation ∘ within*, saturated over the geo graph. Oracle =
+    recursive-CTE within closure + the composition join, unioned with
+    the base."""
+    from dbpedia_spotlight_spark.operators.kgquery import datalog_fixpoint
+
+    t = _kg_geo_triples(spark, sf_dir)
+    rules = [
+        ([("?x", "within", "?y"), ("?y", "within", "?z")],
+         ("?x", "within", "?z")),
+        ([("?c", "inNation", "?n"), ("?n", "within", "?r")],
+         ("?c", "locatedIn", "?r")),
+    ]
+    return datalog_fixpoint(t, rules)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
@@ -5199,6 +5220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_type_propagation": q_kg_type_propagation,
         "kg_link_pred_eval": q_kg_link_pred_eval,
         "kg_quality_report": q_kg_quality_report,
+        "kg_datalog": q_kg_datalog,
         "kg_path_quantified": q_kg_path_quantified,
         "kg_rdf_lists": q_kg_rdf_lists,
         "kg_reify": q_kg_reify,
@@ -5977,6 +5999,29 @@ UNION ALL
 SELECT 'disjoint_violations', n::BIGINT FROM viol
 UNION ALL
 SELECT 'numeric_outliers', n::BIGINT FROM outliers
+"""
+
+    sql["kg_datalog"] = f"""
+WITH RECURSIVE {_KG_GEO_CTE.lstrip()},
+w (subj, obj) AS (
+  SELECT subj, obj FROM tr WHERE pred = 'within'
+  UNION
+  SELECT w.subj, t.obj FROM w
+  JOIN (SELECT subj, obj FROM tr WHERE pred = 'within') t
+    ON w.obj = t.subj
+),
+located AS (
+  SELECT c.subj, 'locatedIn' AS pred, w.obj
+  FROM (SELECT subj, obj FROM tr WHERE pred = 'inNation') c
+  JOIN w ON w.subj = c.obj
+)
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT subj, pred, obj FROM tr
+  UNION ALL
+  SELECT subj, 'within', obj FROM w
+  UNION ALL
+  SELECT subj, pred, obj FROM located
+)
 """
 
     # Typed-literal term fixture twin (documents has no quotes/

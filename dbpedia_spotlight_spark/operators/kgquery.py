@@ -2106,3 +2106,69 @@ def disjointness_violations(
         .join(pairs, ["class_a", "class_b"])
         .select("inst", "class_a", "class_b")
     )
+
+
+def datalog_fixpoint(
+    triples: DataFrame,
+    rules: list[tuple[list[tuple[str, str, str]], tuple[str, str, str]]],
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Generic datalog-lite rule engine over a triple table — the
+    user-defined-inference layer (SWRL / SPIN / OWL 2 RL custom rules)
+    that generalizes this module's fixed entailments: each rule is
+    (body, head) where body is a BGP (list of (s, p, o) patterns,
+    "?var" or constant terms) and head is one (s, p, o) template over
+    the body's variables and constants. Rules are applied jointly to
+    FIXPOINT: round k evaluates every body against everything derived
+    so far (bgp_match — selectivity-ordered joins), projects the heads,
+    and unions new facts in; terminates when a round derives nothing.
+
+    Recursive rules (transitivity) converge in depth rounds — naive
+    evaluation, each round re-deriving the known set plus one frontier;
+    the standard semi-naive delta restriction is a planned refinement
+    and the docstring says so rather than pretending. For the log-depth
+    special case of a single transitive predicate use
+    closure.transitive_closure directly.
+
+    -> the saturated graph (base ∪ derived), distinct. Raises
+    RuntimeError when max_rounds rounds still derive new facts, and
+    ValueError for a head variable the body never binds (caught at
+    plan time, not as a mid-job AnalysisException).
+    """
+    def _term(t: str, bound: set[str]):
+        if t.startswith("?"):
+            if t[1:] not in bound:
+                raise ValueError(
+                    f"head term {t} is not bound by the rule body"
+                )
+            return F.col(t[1:])
+        return F.lit(t)
+
+    for body, head in rules:
+        bound = {
+            t[1:] for pat in body for t in pat if t.startswith("?")
+        }
+        for t in head:
+            _term(t, bound)
+
+    known = triples.select("subj", "pred", "obj").distinct().localCheckpoint()
+    n = known.count()
+    for _ in range(max_rounds):
+        derived = None
+        for body, head in rules:
+            b = bgp_match(known, body)
+            bound = set(b.columns)
+            h = b.select(
+                _term(head[0], bound).alias("subj"),
+                _term(head[1], bound).alias("pred"),
+                _term(head[2], bound).alias("obj"),
+            )
+            derived = h if derived is None else derived.unionByName(h)
+        stepped = known.unionByName(derived).distinct().localCheckpoint()
+        n_next = stepped.count()
+        if n_next == n:
+            return stepped
+        known, n = stepped, n_next
+    raise RuntimeError(
+        f"datalog_fixpoint did not converge in {max_rounds} rounds"
+    )

@@ -1946,3 +1946,47 @@ def test_disjointness_no_closure_no_violation(spark):
         [("Person", "Organization")], "a string, b string"
     )
     assert disjointness_violations(t, disjoint).count() == 0
+
+
+def test_datalog_transitivity_and_composition(spark):
+    from dbpedia_spotlight_spark.operators.kgquery import datalog_fixpoint
+
+    t = spark.createDataFrame(
+        [
+            ("a", "within", "b"),
+            ("b", "within", "c"),
+            ("c", "within", "d"),
+            ("x", "locatedIn", "a"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    rules = [
+        # transitivity of within
+        ([("?x", "within", "?y"), ("?y", "within", "?z")],
+         ("?x", "within", "?z")),
+        # locatedIn propagates through within
+        ([("?e", "locatedIn", "?a"), ("?a", "within", "?b")],
+         ("?e", "locatedIn", "?b")),
+    ]
+    got = {tuple(r) for r in datalog_fixpoint(t, rules).collect()}
+    assert ("a", "within", "d") in got            # depth-3 closure
+    assert ("x", "locatedIn", "d") in got          # composed through closure
+    assert len([r for r in got if r[1] == "within"]) == 6  # C(4,2)
+    assert len([r for r in got if r[1] == "locatedIn"]) == 4
+
+
+def test_datalog_constant_head_and_unbound_head_error(spark):
+    import pytest
+
+    from dbpedia_spotlight_spark.operators.kgquery import datalog_fixpoint
+
+    t = spark.createDataFrame(
+        [("a", "inNation", "n1")], "subj string, pred string, obj string"
+    )
+    rules = [([("?c", "inNation", "?n")], ("?c", "rdf:type", "Customer"))]
+    got = {tuple(r) for r in datalog_fixpoint(t, rules).collect()}
+    assert ("a", "rdf:type", "Customer") in got
+    with pytest.raises(ValueError, match="not bound"):
+        datalog_fixpoint(
+            t, [([("?c", "inNation", "?n")], ("?c", "p", "?zzz"))]
+        )

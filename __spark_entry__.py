@@ -5196,6 +5196,30 @@ def q_kg_datalog(spark, sf_dir):
     return datalog_fixpoint(t, rules)
 
 
+def q_kg_r2rml(spark, sf_dir):
+    """R2RML-lite customized RDB->RDF mapping
+    (operators/kglayout.py:r2rml_map — the configured half of RDB2RDF
+    that direct_mapping's zero-config rules can't express): orders
+    lifted with a template-minted subject IRI, a template OBJECT map
+    joining to the customer subject space (the R2RML referencing-
+    object-map shape), and two literal column maps, plus the class
+    triple. Pure codegen projections unioned, zero shuffle. Oracle =
+    the same concats in SQL."""
+    from dbpedia_spotlight_spark.operators.kglayout import r2rml_map
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return r2rml_map(
+        orders,
+        "http://ex/order/{o_orderkey}",
+        [
+            ("http://ex/placedBy", "http://ex/customer/{o_custkey}"),
+            ("http://ex/status", "o_orderstatus"),
+            ("http://ex/priority", "o_orderpriority"),
+        ],
+        rdf_type="http://ex/Order",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
@@ -5221,6 +5245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_pred_eval": q_kg_link_pred_eval,
         "kg_quality_report": q_kg_quality_report,
         "kg_datalog": q_kg_datalog,
+        "kg_r2rml": q_kg_r2rml,
         "kg_path_quantified": q_kg_path_quantified,
         "kg_rdf_lists": q_kg_rdf_lists,
         "kg_reify": q_kg_reify,
@@ -6022,6 +6047,24 @@ SELECT DISTINCT subj, pred, obj FROM (
   UNION ALL
   SELECT subj, pred, obj FROM located
 )
+"""
+
+    sql["kg_r2rml"] = """
+SELECT 'http://ex/order/' || o_orderkey::VARCHAR AS subj,
+       'rdf:type' AS pred, 'http://ex/Order' AS obj
+FROM orders
+UNION ALL
+SELECT 'http://ex/order/' || o_orderkey::VARCHAR, 'http://ex/placedBy',
+       'http://ex/customer/' || o_custkey::VARCHAR
+FROM orders
+UNION ALL
+SELECT 'http://ex/order/' || o_orderkey::VARCHAR, 'http://ex/status',
+       o_orderstatus
+FROM orders
+UNION ALL
+SELECT 'http://ex/order/' || o_orderkey::VARCHAR, 'http://ex/priority',
+       o_orderpriority
+FROM orders
 """
 
     # Typed-literal term fixture twin (documents has no quotes/

@@ -353,3 +353,77 @@ def numeric_literal_outliers(
     return vals.join(broadcast(fences), "pred").filter(
         (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
     )
+
+
+def _template_expr(template: str) -> "F.Column":
+    """Compile an R2RML string template — literal text with {column}
+    placeholders — to one concat expression. '{{' / '}}' escape literal
+    braces (R2RML §7.3's backslash escapes, in Python-format spelling)."""
+    import re
+
+    # escaped braces go through sentinels so the placeholder regex never
+    # sees them (otherwise '{{lit}}' parses as literal '{' + column ref)
+    masked = template.replace("{{", "\x00").replace("}}", "\x01")
+    parts = []
+    for piece in re.split(r"(\{[^{}]+\})", masked):
+        if not piece:
+            continue
+        if piece.startswith("{") and piece.endswith("}"):
+            parts.append(F.col(piece[1:-1]).cast("string"))
+        else:
+            parts.append(
+                F.lit(piece.replace("\x00", "{").replace("\x01", "}"))
+            )
+    if not parts:
+        raise ValueError("empty template")
+    return parts[0] if len(parts) == 1 else F.concat(*parts)
+
+
+def r2rml_map(
+    df: DataFrame,
+    subject_template: str,
+    predicate_object_maps: list[tuple[str, str]],
+    rdf_type: str | None = None,
+) -> DataFrame:
+    """R2RML-lite customized mapping (W3C R2RML triples maps, the
+    configured half that direct_mapping's zero-config rules can't
+    express): mint subject IRIs from a string template over row columns
+    ("http://ex/customer/{c_custkey}") and emit one triple per
+    predicate-object map, where the object spec is either another
+    {column} template (an IRI / object property — cross-table joins by
+    minting the target's subject IRI) or a bare column name (a literal
+    data property). Rows with a null in any referenced object column
+    skip that triple (R2RML §11.1: NULL yields no triple); a null in
+    the SUBJECT template's columns skips the whole row's triples.
+    Optional rdf_type adds the class triple per row.
+
+    One codegen projection per map, unioned — zero shuffle, the same
+    scale shape as direct_mapping.
+    """
+    subj = _template_expr(subject_template)
+    parts = []
+    if rdf_type is not None:
+        parts.append(
+            df.select(
+                subj.alias("subj"),
+                F.lit("rdf:type").alias("pred"),
+                F.lit(rdf_type).alias("obj"),
+            )
+        )
+    for pred, spec in predicate_object_maps:
+        obj = (
+            _template_expr(spec)
+            if "{" in spec
+            else F.col(spec).cast("string")
+        )
+        parts.append(
+            df.select(
+                subj.alias("subj"), F.lit(pred).alias("pred"), obj.alias("obj")
+            )
+        )
+    if not parts:
+        raise ValueError("r2rml_map needs rdf_type or >= 1 map")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.filter(F.col("subj").isNotNull() & F.col("obj").isNotNull())

@@ -1990,3 +1990,38 @@ def test_datalog_constant_head_and_unbound_head_error(spark):
         datalog_fixpoint(
             t, [([("?c", "inNation", "?n")], ("?c", "p", "?zzz"))]
         )
+
+
+def test_r2rml_map_templates_literals_and_nulls(spark):
+    from dbpedia_spotlight_spark.operators.kglayout import r2rml_map
+
+    df = spark.createDataFrame(
+        [(1, 10, "A"), (2, 20, None), (3, None, "C")],
+        "k int, ref int, status string",
+    )
+    got = {
+        tuple(r)
+        for r in r2rml_map(
+            df,
+            "http://ex/t/{k}",
+            [("http://ex/ref", "http://ex/u/{ref}"),
+             ("http://ex/status", "status")],
+            rdf_type="http://ex/T",
+        ).collect()
+    }
+    assert ("http://ex/t/1", "http://ex/ref", "http://ex/u/10") in got
+    assert ("http://ex/t/1", "http://ex/status", "A") in got
+    # null ref/status yield no triple, type triples always emitted
+    assert not any(r[0] == "http://ex/t/3" and "ref" in r[1] for r in got)
+    assert not any(r[0] == "http://ex/t/2" and "status" in r[1] for r in got)
+    assert ("http://ex/t/2", "rdf:type", "http://ex/T") in got
+
+
+def test_r2rml_brace_escape(spark):
+    from dbpedia_spotlight_spark.operators.kglayout import r2rml_map
+
+    df = spark.createDataFrame([(5,)], "k int")
+    got = r2rml_map(
+        df, "x:{{lit}}/{k}", [("p", "x:{k}")]
+    ).collect()
+    assert got[0].subj == "x:{lit}/5"

@@ -297,3 +297,89 @@ def best_labels(
         .filter(F.col("_rn") == 1)
         .select("subj", "label", "lang")
     )
+
+
+def nil_context_clusters(
+    annotations: DataFrame,
+    score_col: str = "prior",
+    threshold: float = 0.5,
+    min_shared_tokens: int = 2,
+    id_prefix: str = "NEW:",
+) -> DataFrame:
+    """Context-aware NIL clustering — the refinement of
+    emerging_entities' surface-form-only baseline: two NIL mentions of
+    the SAME normalized surface form are the same new entity only when
+    their document contexts share >= min_shared_tokens distinct tokens
+    (the TAC-KBP NIL-clustering task: "Paris" the person must not merge
+    with "Paris" the city just because the strings match). Pairs come
+    ONLY from the (surface, token) blocked self-join — never mention ×
+    mention — then union-find via the pointer-doubling min-label
+    components (datapipe.dedup.connected_components, O(log diameter)
+    rounds), so the shape survives a mention table of any size with
+    bounded per-(surface, token) blocks.
+
+    ``annotations``: mention rows with doc_id, pos, surface_form, a
+    toks array column (the mention's context tokens) and ``score_col``;
+    rows below ``threshold`` are the NIL mentions.
+
+    -> (mention_id, doc_id, pos, surface_form_norm, cluster_id) — one
+    row per NIL mention; cluster_id = id_prefix + surface + '#' + the
+    lexicographically least mention id of its component (singletons
+    label themselves), deterministic across runs and engines.
+    """
+    from ..datapipe.dedup import connected_components
+
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.col("surface_form"))), r"\s+", " "
+    )
+    nil = (
+        annotations.filter(F.col(score_col) < F.lit(threshold))
+        .select(
+            F.concat_ws("\x1f", F.col("doc_id"), F.col("pos")).alias(
+                "mention_id"
+            ),
+            "doc_id",
+            "pos",
+            norm.alias("surface_form_norm"),
+            F.array_distinct(F.col("toks")).alias("_toks"),
+        )
+    )
+    mt = nil.select(
+        "mention_id",
+        "surface_form_norm",
+        F.explode("_toks").alias("_tok"),
+    )
+    pairs = (
+        mt.alias("a")
+        .join(
+            mt.alias("b"),
+            (F.col("a.surface_form_norm") == F.col("b.surface_form_norm"))
+            & (F.col("a._tok") == F.col("b._tok"))
+            & (F.col("a.mention_id") < F.col("b.mention_id")),
+        )
+        .groupBy(
+            F.col("a.mention_id").alias("a"),
+            F.col("b.mention_id").alias("b"),
+        )
+        .agg(F.count("*").alias("_shared"))
+        .filter(F.col("_shared") >= min_shared_tokens)
+        .select("a", "b")
+    )
+    comp = connected_components(pairs).select(
+        F.col("doc_id").alias("mention_id"), F.col("component")
+    )
+    return (
+        nil.join(comp, "mention_id", "left")
+        .select(
+            "mention_id",
+            "doc_id",
+            "pos",
+            "surface_form_norm",
+            F.concat(
+                F.lit(id_prefix),
+                F.col("surface_form_norm"),
+                F.lit("#"),
+                F.coalesce(F.col("component"), F.col("mention_id")),
+            ).alias("cluster_id"),
+        )
+    )

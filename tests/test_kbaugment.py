@@ -291,3 +291,32 @@ def test_best_labels_priority_fallback_and_tiebreak(spark):
         "e3": ("plain", ""),
         "e4": ("aaa", "de"),
     }
+
+
+def test_nil_context_clusters_splits_and_merges(spark):
+    from dbpedia_spotlight_spark.operators.kbaugment import (
+        nil_context_clusters,
+    )
+
+    rows = [
+        # two "paris" mentions sharing 2 context tokens -> merge
+        ("d1", 0, "Paris", ["france", "seine", "x"], 0.1),
+        ("d2", 3, "paris", ["france", "seine", "y"], 0.2),
+        # a "paris" with disjoint context -> separate cluster
+        ("d3", 1, "Paris", ["hilton", "hotel"], 0.1),
+        # high-confidence mention is not NIL at all
+        ("d4", 2, "Paris", ["france", "seine"], 0.9),
+        # different surface never merges even with same context
+        ("d5", 0, "Berlin", ["france", "seine"], 0.1),
+    ]
+    ann = spark.createDataFrame(
+        rows,
+        "doc_id string, pos int, surface_form string, "
+        "toks array<string>, prior double",
+    )
+    got = {r.mention_id: r.cluster_id
+           for r in nil_context_clusters(ann).collect()}
+    assert len(got) == 4  # d4 excluded
+    assert got["d1\x1f0"] == got["d2\x1f3"]
+    assert got["d3\x1f1"] != got["d1\x1f0"]
+    assert got["d5\x1f0"].startswith("NEW:berlin#")

@@ -5237,6 +5237,37 @@ def q_kg_nil_clustering(spark, sf_dir):
     )
 
 
+def q_kg_rule_mining(spark, sf_dir):
+    """AMIE-lite horn-rule discovery
+    (operators/kgquery.py:mine_composition_rules — closed path rules
+    head(a,b) <= body1(a,c) ∧ body2(c,b) with CWA support/confidence,
+    Galárraga WWW'13): the geo graph is seeded with ground-truth
+    locatedIn facts for 90% of customers (custkey % 10 != 0), so the
+    miner must recover locatedIn <= inNation ∘ within at confidence
+    ~0.9 — the mined rule feeds datalog_fixpoint for completion. Body
+    enumeration is one wedge self-join on the shared node, never
+    all-pairs. Oracle = the same joins in SQL."""
+    from dbpedia_spotlight_spark.operators.kgquery import (
+        mine_composition_rules,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ground = cust.filter(F.col("c_custkey") % 10 != 0).join(
+        nat.select(
+            F.col("n_nationkey").alias("c_nationkey"),
+            F.concat(F.lit("r"), F.col("n_regionkey")).alias("_r"),
+        ),
+        "c_nationkey",
+    ).select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("subj"),
+        F.lit("locatedIn").alias("pred"),
+        F.col("_r").alias("obj"),
+    )
+    t = _kg_geo_triples(spark, sf_dir).unionByName(ground)
+    return mine_composition_rules(t, min_support=5, min_confidence=0.05)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
@@ -5264,6 +5295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_datalog": q_kg_datalog,
         "kg_r2rml": q_kg_r2rml,
         "kg_nil_clustering": q_kg_nil_clustering,
+        "kg_rule_mining": q_kg_rule_mining,
         "kg_path_quantified": q_kg_path_quantified,
         "kg_rdf_lists": q_kg_rdf_lists,
         "kg_reify": q_kg_reify,
@@ -6122,6 +6154,36 @@ SELECT n.mention_id, n.doc_id, n.pos::INT AS pos,
        n.sfn AS surface_form_norm,
        'NEW:' || n.sfn || '#' || coalesce(c.m, n.mention_id) AS cluster_id
 FROM nil n LEFT JOIN comp c ON c.node = n.mention_id
+"""
+
+    sql["kg_rule_mining"] = f"""
+WITH {_KG_GEO_CTE.lstrip()},
+ground AS (
+  SELECT 'c' || c.c_custkey::VARCHAR AS subj, 'locatedIn' AS pred,
+         'r' || n.n_regionkey::VARCHAR AS obj
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE c.c_custkey % 10 != 0
+),
+e AS (
+  SELECT subj, pred, obj FROM tr
+  UNION ALL SELECT subj, pred, obj FROM ground
+),
+comp AS (
+  SELECT DISTINCT x.subj AS a, y.obj AS b, x.pred AS q, y.pred AS r
+  FROM e x JOIN e y ON x.obj = y.subj
+),
+n_body AS (SELECT q, r, count(*) AS n_body FROM comp GROUP BY 1, 2),
+heads AS (SELECT DISTINCT subj AS a, obj AS b, pred AS p FROM e),
+support AS (
+  SELECT h.p, c.q, c.r, count(*) AS support
+  FROM comp c JOIN heads h ON h.a = c.a AND h.b = c.b
+  GROUP BY 1, 2, 3
+)
+SELECT s.p AS head_pred, s.q AS body_pred1, s.r AS body_pred2,
+       s.support::BIGINT AS support, nb.n_body::BIGINT AS n_body,
+       round(s.support / nb.n_body::DOUBLE, 6) AS confidence
+FROM support s JOIN n_body nb ON nb.q = s.q AND nb.r = s.r
+WHERE s.support >= 5 AND s.support / nb.n_body::DOUBLE >= 0.05
 """
 
     # Typed-literal term fixture twin (documents has no quotes/

@@ -2172,3 +2172,76 @@ def datalog_fixpoint(
     raise RuntimeError(
         f"datalog_fixpoint did not converge in {max_rounds} rounds"
     )
+
+
+def mine_composition_rules(
+    triples: DataFrame,
+    min_support: int = 2,
+    min_confidence: float = 0.1,
+    type_pred: str = "rdf:type",
+) -> DataFrame:
+    """AMIE-lite rule mining — the INVERSE of datalog_fixpoint: discover
+    which 2-atom horn rules  head(?a,?b) <= body1(?a,?c) ∧ body2(?c,?b)
+    the KG itself supports (Galárraga et al. WWW'13, restricted to the
+    closed path-rule shape that covers the bulk of AMIE's useful output:
+    locatedIn <= inNation ∘ within, and friends). The mined rules feed
+    straight back into datalog_fixpoint for KB completion.
+
+    support    = #distinct (a, b) pairs satisfying body AND head
+    confidence = support / #distinct (a, b) pairs satisfying the body
+    (standard CWA confidence; AMIE's PCA variant is a one-filter
+    refinement on the denominator, documented not implemented).
+
+    Scale shape: the body enumeration is ONE self-join on the shared
+    node — cost Σ_node in-degree × out-degree, the same wedge bound as
+    triangle counting, keyed joins throughout; per-(q, r) distinct pair
+    counting and the head probe are groupBys keyed on the (a, b) pair.
+    Type triples are excluded (class memberships would dominate every
+    wedge). head == body1 == body2 rules are KEPT — that shape is
+    transitivity (within <= within ∘ within), among the most useful
+    rules this miner can find.
+
+    -> (head_pred, body_pred1, body_pred2, support, n_body,
+    confidence desc) rounded to 6.
+    """
+    e = triples.filter(F.col("pred") != type_pred).select(
+        "subj", "pred", "obj"
+    )
+    comp = (
+        e.alias("x")
+        .join(e.alias("y"), F.col("x.obj") == F.col("y.subj"))
+        .select(
+            F.col("x.subj").alias("a"),
+            F.col("y.obj").alias("b"),
+            F.col("x.pred").alias("q"),
+            F.col("y.pred").alias("r"),
+        )
+        .distinct()
+    )
+    n_body = comp.groupBy("q", "r").agg(F.count("*").alias("n_body"))
+    heads = e.select(
+        F.col("subj").alias("a"),
+        F.col("obj").alias("b"),
+        F.col("pred").alias("p"),
+    ).distinct()
+    support = (
+        comp.join(heads, ["a", "b"])
+        .groupBy("p", "q", "r")
+        .agg(F.count("*").alias("support"))
+    )
+    return (
+        support.join(n_body, ["q", "r"])
+        .filter(F.col("support") >= min_support)
+        .withColumn(
+            "confidence", F.round(F.col("support") / F.col("n_body"), 6)
+        )
+        .filter(F.col("confidence") >= min_confidence)
+        .select(
+            F.col("p").alias("head_pred"),
+            F.col("q").alias("body_pred1"),
+            F.col("r").alias("body_pred2"),
+            "support",
+            "n_body",
+            "confidence",
+        )
+    )

@@ -2025,3 +2025,41 @@ def test_r2rml_brace_escape(spark):
         df, "x:{{lit}}/{k}", [("p", "x:{k}")]
     ).collect()
     assert got[0].subj == "x:{lit}/5"
+
+
+def test_mine_composition_rules_recovers_rule_and_transitivity(spark):
+    from dbpedia_spotlight_spark.operators.kgquery import (
+        mine_composition_rules,
+    )
+
+    rows = (
+        [("a%d" % i, "p", "b%d" % i) for i in range(4)]
+        + [("b%d" % i, "q", "c%d" % i) for i in range(4)]
+        # head holds for 3 of the 4 body pairs -> confidence 0.75
+        + [("a%d" % i, "h", "c%d" % i) for i in range(3)]
+        # a transitive chain: w edges t0->t1->t2->t3 plus shortcuts
+        + [("t%d" % i, "w", "t%d" % (i + 1)) for i in range(3)]
+        + [("t0", "w", "t2"), ("t1", "w", "t3")]
+    )
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {
+        (r.head_pred, r.body_pred1, r.body_pred2): (r.support, r.confidence)
+        for r in mine_composition_rules(t, min_support=2).collect()
+    }
+    assert got[("h", "p", "q")] == (3, 0.75)
+    # transitivity of w: distinct body pairs (t0,t2),(t0,t3),(t1,t3),
+    # of which (t0,t2) and (t1,t3) are asserted -> 2/3
+    assert got[("w", "w", "w")] == (2, 0.666667)
+
+
+def test_mine_composition_rules_excludes_types(spark):
+    from dbpedia_spotlight_spark.operators.kgquery import (
+        mine_composition_rules,
+    )
+
+    rows = [
+        ("a", "rdf:type", "T"), ("T", "rdf:type", "Meta"),
+        ("a", "p", "b"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    assert mine_composition_rules(t, min_support=1).count() == 0

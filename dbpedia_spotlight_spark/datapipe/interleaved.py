@@ -527,3 +527,66 @@ def span_diff(
             .alias("first_diff_idx"),
         )
     )
+
+
+def inject_entity_spans(
+    documents: DataFrame,
+    annotations: DataFrame,
+) -> DataFrame:
+    """Merge entity-link annotations back INTO the interleaved span
+    sequence — the output shape the north rule's annotate pipeline owes
+    its consumer: the original (kind, text, media_ref, offset) spans in
+    their original relative order, with one `entity` span per
+    annotation positioned by its text-stream char offset (an entity
+    span carries the URI in media_ref — the "reference to an external
+    object" slot — and the matched surface form in text). Ordering is
+    total and engine-independent: (offset, original-before-entity,
+    original span position / annotation URI) — so an entity annotated
+    at a span boundary lands after the span it closes, and two
+    entities at one offset order by URI.
+
+    ``documents``: the interleaved schema (doc_id, spans). 
+    ``annotations``: (doc_id, offset, surface_form, uri).
+
+    -> FLAT ordered spans (doc_id, span_idx, kind, text, media_ref,
+    offset): posexplode keeps the original index, the annotation union
+    is a per-doc sort via one row_number window — shuffle keyed on the
+    doc, never a global sort. Callers needing the nested form fold with
+    pack_interleaved-style collect_list over span_idx; tests pin that
+    the text-span subsequence survives byte-identical (the span-
+    sequence invariant).
+    """
+    from pyspark.sql import Window
+
+    orig = documents.select(
+        "doc_id", F.posexplode("spans").alias("_pos", "_s")
+    ).select(
+        "doc_id",
+        F.col("_s.kind").alias("kind"),
+        F.col("_s.text").alias("text"),
+        F.col("_s.media_ref").alias("media_ref"),
+        F.col("_s.offset").alias("offset"),
+        F.lit(0).alias("_is_ent"),
+        F.col("_pos").cast("string").alias("_tie"),
+    )
+    ents = annotations.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("entity").alias("kind"),
+        F.col("surface_form").alias("text"),
+        F.col("uri").alias("media_ref"),
+        F.col("offset").cast("int").alias("offset"),
+        F.lit(1).alias("_is_ent"),
+        F.col("uri").alias("_tie"),
+    )
+    merged = orig.unionByName(ents)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("offset"), F.col("_is_ent"), F.col("_tie")
+    )
+    return merged.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).alias("span_idx"),
+        "kind",
+        "text",
+        "media_ref",
+        "offset",
+    )

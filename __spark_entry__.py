@@ -5299,6 +5299,102 @@ def q_iv_entity_spans(spark, sf_dir):
     return inject_entity_spans(iv, ann)
 
 
+def q_kg_eigenvector(spark, sf_dir):
+    """Eigenvector centrality (operators/graph.py:eigenvector_centrality
+    — power iteration with per-round L2 normalization, Bonacich 1972),
+    completing the centrality suite: un-dampened PageRank-ancestor
+    semantics where only recursively-endorsed nodes hold mass, so the
+    customer tails (no inbound) decay to 0 and the nation rings carry
+    everything. 4 rounds over the ring-and-tails graph; oracle = the
+    same rounds and normalizers unrolled as SQL CTEs, both sides
+    rounded to 6 dp."""
+    from dbpedia_spotlight_spark.operators.graph import (
+        eigenvector_centrality,
+    )
+
+    x = eigenvector_centrality(_ring_edges(spark, sf_dir), iterations=4)
+    return x.select("node", F.round("eigenvector", 6).alias("eigenvector"))
+
+
+def q_kg_asof_bgp(spark, sf_dir):
+    """Time-travel SPARQL: a BGP evaluated against an AS-OF snapshot of
+    the interval-versioned KB (operators/temporal.py:fold_changelog +
+    kb_as_of feeding operators/kgquery.py:bgp_match) — the composition
+    a temporal triple store sells as one feature. Change log: every
+    order opens OPEN at o_orderdate and moves to its terminal status 30
+    days later; priority is asserted once. Snapshot at 1995-06-17, then
+    { ?o <status> 'F' . ?o <priority> ?p . } — finished-by-then orders
+    with their priority. Oracle = the closed-form snapshot CASE + a
+    self-join."""
+    from dbpedia_spotlight_spark.operators.kgquery import bgp_match
+    from dbpedia_spotlight_spark.operators.temporal import (
+        fold_changelog,
+        kb_as_of,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = F.concat(F.lit("o"), F.col("o_orderkey"))
+    log = (
+        orders.select(
+            o.alias("subj"), F.lit("status").alias("pred"),
+            F.lit("OPEN").alias("obj"), F.col("o_orderdate").alias("ts"),
+        )
+        .unionByName(
+            orders.select(
+                o.alias("subj"), F.lit("status").alias("pred"),
+                F.col("o_orderstatus").alias("obj"),
+                (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias(
+                    "ts"
+                ),
+            )
+        )
+        .unionByName(
+            orders.select(
+                o.alias("subj"), F.lit("priority").alias("pred"),
+                F.col("o_orderpriority").alias("obj"),
+                F.col("o_orderdate").alias("ts"),
+            )
+        )
+    )
+    snap = kb_as_of(fold_changelog(log), "1995-06-17")
+    return bgp_match(
+        snap, [("?o", "status", "F"), ("?o", "priority", "?p")]
+    )
+
+
+def q_kg_wu_palmer(spark, sf_dir):
+    """Wu-Palmer taxonomy similarity
+    (operators/kgquery.py:wup_similarity — 2·depth(lca)/(depth(a)+
+    depth(b)) over the subclass tree, ancestors via repeated-squaring
+    closure, explicit pair table so the join never goes all-pairs):
+    nation classes under region classes under world; same-region pairs
+    score 2·2/(3+3), cross-region pairs 2·1/6. Oracle = recursive-CTE
+    ancestors + the same max-depth LCA pick."""
+    from dbpedia_spotlight_spark.operators.kgquery import wup_similarity
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    sub = nat.select(
+        F.concat(F.lit("n"), F.col("n_nationkey")).alias("sub"),
+        F.concat(F.lit("r"), F.col("n_regionkey")).alias("sup"),
+    ).unionByName(
+        nat.select(
+            F.concat(F.lit("r"), F.col("n_regionkey")).alias("sub"),
+            F.lit("world").alias("sup"),
+        ).distinct()
+    )
+    a = nat.select(F.col("n_nationkey").alias("ka"))
+    b = nat.select(F.col("n_nationkey").alias("kb"))
+    pairs = (
+        a.join(b, F.col("ka") < F.col("kb"))
+        .filter((F.col("ka") < 10) & (F.col("kb") < 10))
+        .select(
+            F.concat(F.lit("n"), F.col("ka")).alias("a"),
+            F.concat(F.lit("n"), F.col("kb")).alias("b"),
+        )
+    )
+    return wup_similarity(sub, pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
@@ -5328,6 +5424,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nil_clustering": q_kg_nil_clustering,
         "kg_rule_mining": q_kg_rule_mining,
         "iv_entity_spans": q_iv_entity_spans,
+        "kg_eigenvector": q_kg_eigenvector,
+        "kg_asof_bgp": q_kg_asof_bgp,
+        "kg_wu_palmer": q_kg_wu_palmer,
         "kg_path_quantified": q_kg_path_quantified,
         "kg_rdf_lists": q_kg_rdf_lists,
         "kg_reify": q_kg_reify,
@@ -6264,6 +6363,84 @@ SELECT doc_id,
         ) - 1)::INT AS span_idx,
        kind, text, media_ref, off::INT AS offset
 FROM merged
+"""
+
+    # kg_eigenvector: 4 power-iteration rounds with L2 normalization
+    # unrolled; x0 = 1/sqrt(n) over the ring-and-tails node set.
+    _eig_round = """
+i{t} AS (
+  SELECT e.dst AS node, sum(x.x) AS raw
+  FROM x{p} x JOIN edges e ON x.node = e.src GROUP BY 1
+),
+r{t} AS (
+  SELECT nodes.node, coalesce(i.raw, 0.0) AS raw
+  FROM nodes LEFT JOIN i{t} i USING (node)
+),
+n{t} AS (SELECT sqrt(sum(raw * raw)) AS nrm FROM r{t}),
+x{t} AS (SELECT r.node, r.raw / n.nrm AS x FROM r{t} r, n{t} n)"""
+    sql["kg_eigenvector"] = f"""
+WITH {_RING_CTE.lstrip()},
+cnt AS (SELECT count(*) AS n FROM nodes),
+x0 AS (SELECT node, 1.0 / sqrt(n) AS x FROM nodes, cnt),""" + ",".join(
+        _eig_round.format(t=t, p=t - 1) for t in (1, 2, 3, 4)
+    ) + """
+SELECT node, round(x, 6) AS eigenvector FROM x4
+"""
+
+    sql["kg_asof_bgp"] = """
+WITH snap AS (
+  SELECT 'o' || o_orderkey::VARCHAR AS subj, 'status' AS pred,
+         CASE WHEN o_orderdate + INTERVAL 30 DAY <= TIMESTAMP '1995-06-17'
+              THEN o_orderstatus ELSE 'OPEN' END AS obj
+  FROM orders WHERE o_orderdate <= TIMESTAMP '1995-06-17'
+  UNION ALL
+  SELECT 'o' || o_orderkey::VARCHAR, 'priority', o_orderpriority
+  FROM orders WHERE o_orderdate <= TIMESTAMP '1995-06-17'
+)
+SELECT DISTINCT s.subj AS o, p.obj AS p
+FROM snap s JOIN snap p ON p.subj = s.subj AND p.pred = 'priority'
+WHERE s.pred = 'status' AND s.obj = 'F'
+"""
+
+    sql["kg_wu_palmer"] = """
+WITH RECURSIVE sub AS (
+  SELECT 'n' || n_nationkey::VARCHAR AS s,
+         'r' || n_regionkey::VARCHAR AS p
+  FROM nation
+  UNION ALL
+  SELECT DISTINCT 'r' || n_regionkey::VARCHAR, 'world' FROM nation
+),
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT s AS node FROM sub UNION ALL SELECT p FROM sub)),
+anc (node, anc) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT a.node, s.p FROM anc a JOIN sub s ON a.anc = s.s
+),
+depth AS (SELECT node, count(*) AS depth FROM anc GROUP BY 1),
+pairs AS (
+  SELECT 'n' || a.n_nationkey::VARCHAR AS a,
+         'n' || b.n_nationkey::VARCHAR AS b
+  FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+  WHERE a.n_nationkey < 10 AND b.n_nationkey < 10
+),
+common AS (
+  SELECT p.a, p.b, aa.anc, d."depth" AS dl,
+         row_number() OVER (
+           PARTITION BY p.a, p.b ORDER BY d."depth" DESC, aa.anc ASC
+         ) AS rn
+  FROM pairs p
+  JOIN anc aa ON aa.node = p.a
+  JOIN anc ab ON ab.node = p.b AND ab.anc = aa.anc
+  JOIN depth d ON d.node = aa.anc
+)
+SELECT c.a, c.b, c.anc AS lca,
+       da.depth::BIGINT AS depth_a, db.depth::BIGINT AS depth_b,
+       round(2.0 * c.dl / (da.depth + db.depth), 6) AS wup
+FROM common c
+JOIN depth da ON da.node = c.a
+JOIN depth db ON db.node = c.b
+WHERE c.rn = 1
 """
 
     # Typed-literal term fixture twin (documents has no quotes/

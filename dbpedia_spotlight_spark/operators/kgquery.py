@@ -2245,3 +2245,77 @@ def mine_composition_rules(
             "confidence",
         )
     )
+
+
+def wup_similarity(
+    subclass: DataFrame,
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Wu-Palmer taxonomy similarity (Wu & Palmer, ACL'94) between class
+    pairs over a subclass TREE: wup(a, b) = 2·depth(lca) / (depth(a) +
+    depth(b)), the standard ontology-aware "how related are these two
+    types" measure (entity-typing evaluation, type-constrained candidate
+    pruning) — graded where subclass-closure membership is binary.
+
+    ``subclass``: (sub, sup) tree edges (single parent; DAGs with
+    multiple inheritance make depth ambiguous — split them first).
+    ``pairs``: (a, b) class pairs to score — an explicit pair table,
+    never all-pairs, so the caller controls the join size.
+
+    Ancestor sets via the repeated-squaring transitive closure plus the
+    identity (a class is its own ancestor); depth(x) = |ancestors(x)|
+    (root depth 1); lca = the shared ancestor of maximum depth, found
+    by joining the two ancestor sets on the ancestor id — per-pair work
+    bounded by depth², i.e. ontology-constant. -> (a, b, lca, depth_a,
+    depth_b, wup rounded to 6).
+    """
+    from .closure import transitive_closure
+
+    e = subclass.select(F.col("sub").alias("src"), F.col("sup").alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    anc = (
+        transitive_closure(e, max_iterations=max_iterations)
+        .select(F.col("src").alias("node"), F.col("dst").alias("anc"))
+        .unionByName(nodes.select("node", F.col("node").alias("anc")))
+        .distinct()
+    )
+    depth = anc.groupBy("node").agg(F.count("*").alias("depth"))
+    p = pairs.select("a", "b")
+    aa = anc.select(F.col("node").alias("a"), F.col("anc"))
+    ab = anc.select(F.col("node").alias("b"), F.col("anc"))
+    common = p.join(aa, "a").join(ab, ["b", "anc"])
+    ranked = common.join(
+        depth.select(F.col("node").alias("anc"), F.col("depth").alias("_d")),
+        "anc",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a", "b").orderBy(
+        F.col("_d").desc(), F.col("anc").asc()
+    )
+    lca = (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("a", "b", F.col("anc").alias("lca"), F.col("_d").alias("_dl"))
+    )
+    da = depth.select(F.col("node").alias("a"), F.col("depth").alias("depth_a"))
+    db = depth.select(F.col("node").alias("b"), F.col("depth").alias("depth_b"))
+    return (
+        lca.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "lca",
+            "depth_a",
+            "depth_b",
+            F.round(
+                2.0 * F.col("_dl") / (F.col("depth_a") + F.col("depth_b")), 6
+            ).alias("wup"),
+        )
+    )

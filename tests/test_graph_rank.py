@@ -221,3 +221,39 @@ def test_link_prediction_ranks_with_miss(spark):
     assert got[("u", "c")] == (3, 1.0 / 3)
     # z never scored -> NULL rank, NULL rr (a miss, not dropped)
     assert got[("u", "z")] == (None, None)
+
+
+def test_eigenvector_no_inbound_decays_unit_norm(spark):
+    # a->h, b->h, c->h, h->a: b,c have no inbound -> exactly 0 after
+    # round 1; the L2 norm is 1 every round.
+    e = _edges(spark, [("a", "h"), ("b", "h"), ("c", "h"), ("h", "a")])
+    from dbpedia_spotlight_spark.operators.graph import (
+        eigenvector_centrality,
+    )
+
+    got = {
+        r.node: r.eigenvector
+        for r in eigenvector_centrality(e, iterations=6).collect()
+    }
+    assert got["b"] == 0.0 and got["c"] == 0.0  # nothing points at them
+    assert got["a"] > 0 and got["h"] > 0
+    assert abs(sum(v * v for v in got.values()) - 1.0) < 1e-9
+
+
+def test_eigenvector_symmetric_clique_is_uniform(spark):
+    # complete digraph on 3 nodes: the dominant eigenvector is uniform
+    # and power iteration holds it exactly from round 1.
+    edges = [
+        (u, v) for u in "abc" for v in "abc" if u != v
+    ]
+    e = _edges(spark, edges)
+    from dbpedia_spotlight_spark.operators.graph import (
+        eigenvector_centrality,
+    )
+
+    got = {
+        r.node: r.eigenvector
+        for r in eigenvector_centrality(e, iterations=3).collect()
+    }
+    expect = 1.0 / 3 ** 0.5
+    assert all(abs(v - expect) < 1e-9 for v in got.values())

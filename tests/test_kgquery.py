@@ -2063,3 +2063,22 @@ def test_mine_composition_rules_excludes_types(spark):
     ]
     t = spark.createDataFrame(rows, "subj string, pred string, obj string")
     assert mine_composition_rules(t, min_support=1).count() == 0
+
+
+def test_wup_similarity_tree(spark):
+    from dbpedia_spotlight_spark.operators.kgquery import wup_similarity
+
+    sub = spark.createDataFrame(
+        [("cat", "mammal"), ("dog", "mammal"), ("mammal", "animal"),
+         ("snake", "reptile"), ("reptile", "animal")],
+        "sub string, sup string",
+    )
+    pairs = spark.createDataFrame(
+        [("cat", "dog"), ("cat", "snake"), ("cat", "mammal")],
+        "a string, b string",
+    )
+    got = {(r.a, r.b): (r.lca, r.wup) for r in wup_similarity(sub, pairs).collect()}
+    # depths: animal 1, mammal/reptile 2, leaves 3
+    assert got[("cat", "dog")] == ("mammal", round(2 * 2 / 6, 6))
+    assert got[("cat", "snake")] == ("animal", round(2 * 1 / 6, 6))
+    assert got[("cat", "mammal")] == ("mammal", round(2 * 2 / 5, 6))

@@ -5395,6 +5395,26 @@ def q_kg_wu_palmer(spark, sf_dir):
     return wup_similarity(sub, pairs)
 
 
+def q_kg_sparql_strfuncs(spark, sf_dir):
+    """SPARQL §17 string/functional builtins through the parser
+    (operators/kgquery.py:_SPARQL_FNS/_TERM_TEMPLATES — CONCAT, LCASE,
+    STRAFTER/STRBEFORE with their empty/absent-separator spec
+    semantics, IF, CONTAINS, STRENDS) in BOTH positions the grammar
+    allows: a BIND computing a derived variable and a FILTER deciding
+    membership. Oracle = the same expressions in SQL."""
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    t = _kg_geo_triples(spark, sf_dir)
+    q = (
+        "SELECT ?n ?name ?tag WHERE { "
+        "?n <named> ?name . ?n <within> ?r . "
+        "BIND(CONCAT(LCASE(?name), '|', STRAFTER(?name, '_'), '|', "
+        "STRBEFORE(?name, '_')) AS ?tag) "
+        "FILTER(IF(CONTAINS(?name, '1'), true, STRENDS(?name, '2'))) }"
+    )
+    return sparql_select(t, q)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
@@ -5427,6 +5447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_eigenvector": q_kg_eigenvector,
         "kg_asof_bgp": q_kg_asof_bgp,
         "kg_wu_palmer": q_kg_wu_palmer,
+        "kg_sparql_strfuncs": q_kg_sparql_strfuncs,
         "kg_path_quantified": q_kg_path_quantified,
         "kg_rdf_lists": q_kg_rdf_lists,
         "kg_reify": q_kg_reify,
@@ -6441,6 +6462,29 @@ FROM common c
 JOIN depth da ON da.node = c.a
 JOIN depth db ON db.node = c.b
 WHERE c.rn = 1
+"""
+
+    # kg_sparql_strfuncs: STRAFTER/STRBEFORE with the SPARQL empty/
+    # absent-separator semantics replayed via instr guards.
+    sql["kg_sparql_strfuncs"] = f"""
+WITH {_KG_GEO_CTE.lstrip()},
+named AS (
+  SELECT nm.subj AS n, nm.obj AS name
+  FROM tr nm
+  JOIN tr w ON w.subj = nm.subj AND w.pred = 'within'
+  WHERE nm.pred = 'named'
+)
+SELECT DISTINCT n, name,
+  lower(name) || '|'
+    || (CASE WHEN instr(name, '_') > 0
+             THEN substring(name, instr(name, '_') + 1) ELSE '' END)
+    || '|'
+    || (CASE WHEN instr(name, '_') > 0
+             THEN substring(name, 1, instr(name, '_') - 1) ELSE '' END)
+    AS tag
+FROM named
+WHERE CASE WHEN contains(name, '1') THEN true
+           ELSE name LIKE '%2' END
 """
 
     # Typed-literal term fixture twin (documents has no quotes/

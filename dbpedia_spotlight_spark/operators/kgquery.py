@@ -550,7 +550,8 @@ _SPARQL_RE = __import__("re").compile(
 _SQL_WORDS = frozenset(
     "and or not in like is null true false between exists case when then"
     " else end cast as rlike contains startswith endswith length lower"
-    " upper isnotnull string abs ceil floor round regexp_extract".split()
+    " upper isnotnull string abs ceil floor round regexp_extract concat"
+    " substring regexp_replace if coalesce instr".split()
 )
 
 # SPARQL 1.1 §17 builtin functions -> the Spark SQL function with the
@@ -565,6 +566,19 @@ _SPARQL_FNS = {
     "LCASE": "lower",
     "UCASE": "upper",
     "BOUND": "isnotnull",
+    # 1:1 renames whose Spark SQL twin has identical semantics over the
+    # engine's plain-string/number terms (SPARQL SUBSTR and SQL
+    # substring share 1-based indexing; IF/COALESCE/CONCAT are the
+    # standard functional forms; REPLACE is regex in both, §17.4.3.15).
+    "CONCAT": "concat",
+    "SUBSTR": "substring",
+    "REPLACE": "regexp_replace",
+    "IF": "if",
+    "COALESCE": "coalesce",
+    "ABS": "abs",
+    "CEIL": "ceil",
+    "FLOOR": "floor",
+    "ROUND": "round",
 }
 
 # Term-model builtins (LANG / DATATYPE / STR / LANGMATCHES) expand to SQL
@@ -625,11 +639,33 @@ def _tpl_langmatches(args: list[str]) -> str:
     )
 
 
+def _tpl_strbefore(args: list[str]) -> str:
+    # §17.4.3.3: empty separator -> "", absent separator -> "".
+    a, b = args[0], args[1]
+    return (
+        f"CASE WHEN {b} = '' THEN '' "
+        f"WHEN instr({a}, {b}) > 0 "
+        f"THEN substring({a}, 1, instr({a}, {b}) - 1) ELSE '' END"
+    )
+
+
+def _tpl_strafter(args: list[str]) -> str:
+    # §17.4.3.4: empty separator -> the whole string, absent -> "".
+    a, b = args[0], args[1]
+    return (
+        f"CASE WHEN {b} = '' THEN {a} "
+        f"WHEN instr({a}, {b}) > 0 "
+        f"THEN substring({a}, instr({a}, {b}) + length({b})) ELSE '' END"
+    )
+
+
 _TERM_TEMPLATES = {
     "LANG": (_tpl_lang, 1),
     "DATATYPE": (_tpl_datatype, 1),
     "STR": (_tpl_str, 1),
     "LANGMATCHES": (_tpl_langmatches, 2),
+    "STRBEFORE": (_tpl_strbefore, 2),
+    "STRAFTER": (_tpl_strafter, 2),
 }
 
 

@@ -2082,3 +2082,36 @@ def test_wup_similarity_tree(spark):
     assert got[("cat", "dog")] == ("mammal", round(2 * 2 / 6, 6))
     assert got[("cat", "snake")] == ("animal", round(2 * 1 / 6, 6))
     assert got[("cat", "mammal")] == ("mammal", round(2 * 2 / 5, 6))
+
+
+def test_sparql_strbefore_strafter_spec_semantics(spark):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    t = spark.createDataFrame(
+        [("s", "p", "abc")], "subj string, pred string, obj string"
+    )
+    q = (
+        "SELECT ?o ?b1 ?b2 ?a1 ?a2 WHERE { ?s <p> ?o . "
+        "BIND(STRBEFORE(?o, 'b') AS ?b1) "
+        "BIND(STRBEFORE(?o, '') AS ?b2) "
+        "BIND(STRAFTER(?o, 'b') AS ?a1) "
+        "BIND(STRAFTER(?o, '') AS ?a2) }"
+    )
+    r = sparql_select(t, q).first()
+    # SPARQL 17.4.3.3/4: strbefore('abc','')='' but strafter('abc','')='abc'
+    assert (r.b1, r.b2, r.a1, r.a2) == ("a", "", "c", "abc")
+
+
+def test_sparql_concat_if_coalesce_round(spark):
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_select
+
+    t = spark.createDataFrame(
+        [("s", "p", "x"), ("t", "p", "yy")],
+        "subj string, pred string, obj string",
+    )
+    q = (
+        "SELECT ?s ?v WHERE { ?s <p> ?o . "
+        "BIND(IF(STRLEN(?o) > 1, CONCAT(?o, '!'), UCASE(?o)) AS ?v) }"
+    )
+    got = {r.s: r.v for r in sparql_select(t, q).collect()}
+    assert got == {"s": "X", "t": "yy!"}

@@ -5415,12 +5415,166 @@ def q_kg_sparql_strfuncs(spark, sf_dir):
     return sparql_select(t, q)
 
 
+def q_kg_path_trace(spark, sf_dir):
+    """BFS with witness paths (operators/graph.py:shortest_path_trace —
+    level-synchronous BFS recording a deterministic MIN-id parent, then
+    a top-down walk of the parent forest): reversed geo edges world →
+    region → nation → customer(<200), plus an 'r0 → every nation' hub
+    edge so nations genuinely have two dist-2 predecessors and the
+    min-parent rule decides (r0 wins lexicographically). Oracle =
+    recursive-CTE min-dist BFS + min-parent pick + recursive path
+    reconstruction over the resulting forest."""
+    from dbpedia_spotlight_spark.operators.graph import shortest_path_trace
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    edges = (
+        reg.select(
+            F.lit("world").alias("src"),
+            F.concat(F.lit("r"), F.col("r_regionkey")).alias("dst"),
+        )
+        .unionByName(
+            nat.select(
+                F.concat(F.lit("r"), F.col("n_regionkey")).alias("src"),
+                F.concat(F.lit("n"), F.col("n_nationkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            nat.select(
+                F.lit("r0").alias("src"),
+                F.concat(F.lit("n"), F.col("n_nationkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") < 200).select(
+                F.concat(F.lit("n"), F.col("c_nationkey")).alias("src"),
+                F.concat(F.lit("c"), F.col("c_custkey")).alias("dst"),
+            )
+        )
+    )
+    sources = reg.limit(1).select(F.lit("world").alias("source"))
+    return shortest_path_trace(edges, sources)
+
+
+def q_kg_ifp_sameas(spark, sf_dir):
+    """OWL prp-fp/prp-ifp sameAs mining (operators/kbmaintain.py:
+    ifp_sameas — per-rule window-min hub, star output so a dirty key
+    costs O(members), never O(members²)): functional 'homeNation' over
+    synthetic group subjects g(custkey%50) whose objects are the
+    members' nation classes; inverse-functional 'email' over
+    e(custkey%80) shared addresses. Oracle = the same window-min hubs
+    in SQL."""
+    from dbpedia_spotlight_spark.operators.kbmaintain import ifp_sameas
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    fn = cust.select(
+        F.concat(F.lit("g"), F.col("c_custkey") % 50).alias("subj"),
+        F.lit("homeNation").alias("pred"),
+        F.concat(F.lit("n"), F.col("c_nationkey")).alias("obj"),
+    )
+    ifp = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("subj"),
+        F.lit("email").alias("pred"),
+        F.concat(F.lit("e"), F.col("c_custkey") % 80).alias("obj"),
+    )
+    return ifp_sameas(
+        fn.unionByName(ifp),
+        functional=["homeNation"],
+        inverse_functional=["email"],
+    )
+
+
+def q_kg_char_sets(spark, sf_dir):
+    """Characteristic sets (operators/kglayout.py:characteristic_sets —
+    Neumann/Moerkotte ICDE'11 star-join statistics; one groupBy(subj)
+    then one groupBy over the tiny signature space) on the shared geo
+    triple table: BUILDING customers form the {inNation,segment} CS,
+    the rest {inNation}; nations {named,within}; regions {named,
+    within}. Oracle = list(DISTINCT pred) sorted + the same two-level
+    rollup."""
+    from dbpedia_spotlight_spark.operators.kglayout import characteristic_sets
+
+    return characteristic_sets(_kg_geo_triples(spark, sf_dir))
+
+
+def q_kg_ic_similarity(spark, sf_dir):
+    """Information-content similarity (operators/kgquery.py:
+    ic_similarity — Resnik/Lin over the nation→region→world taxonomy
+    with customers as typed instances; IC from subtree instance counts
+    via the ancestor closure, MICA = max-IC shared ancestor): same
+    explicit sub-10 nation pair table as kg_wu_palmer, so same-region
+    pairs get the region MICA and cross-region pairs bottom out at
+    'world' (IC 0 → resnik 0, lin 0). Oracle = recursive ancestors +
+    count-distinct subtree sizes + the same row_number MICA pick."""
+    from dbpedia_spotlight_spark.operators.kgquery import ic_similarity
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    sub = nat.select(
+        F.concat(F.lit("n"), F.col("n_nationkey")).alias("sub"),
+        F.concat(F.lit("r"), F.col("n_regionkey")).alias("sup"),
+    ).unionByName(
+        nat.select(
+            F.concat(F.lit("r"), F.col("n_regionkey")).alias("sub"),
+            F.lit("world").alias("sup"),
+        ).distinct()
+    )
+    inst = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("inst"),
+        F.concat(F.lit("n"), F.col("c_nationkey")).alias("cls"),
+    )
+    a = nat.select(F.col("n_nationkey").alias("ka"))
+    b = nat.select(F.col("n_nationkey").alias("kb"))
+    pairs = (
+        a.join(b, F.col("ka") < F.col("kb"))
+        .filter((F.col("ka") < 10) & (F.col("kb") < 10))
+        .select(
+            F.concat(F.lit("n"), F.col("ka")).alias("a"),
+            F.concat(F.lit("n"), F.col("kb")).alias("b"),
+        )
+    )
+    return ic_similarity(sub, inst, pairs)
+
+
+def q_kg_interval_coalesce(spark, sf_dir):
+    """Temporal COALESCE (operators/temporal.py:interval_coalesce —
+    gaps-and-islands over one (subj,pred,obj) window partitioning:
+    running-max end opens islands, running-sum numbers them, one
+    groupBy takes the hulls; the naive NOT EXISTS self-join shape is
+    quadratic and banned): order-derived half-open intervals
+    [orderkey%90, +3..+9) on 40 fact keys, dense enough that most
+    islands merge several raw intervals. Oracle = the identical
+    window algebra in SQL."""
+    from dbpedia_spotlight_spark.operators.temporal import interval_coalesce
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    facts = (
+        o.select(
+            F.concat(F.lit("c"), F.col("o_custkey") % 40).alias("subj"),
+            F.lit("active").alias("pred"),
+            F.col("o_orderstatus").alias("obj"),
+            (F.col("o_orderkey") % 90).cast("int").alias("valid_from"),
+            (
+                (F.col("o_orderkey") % 90) + 3 + (F.col("o_orderkey") % 7)
+            ).cast("int").alias("valid_to"),
+        )
+        .distinct()
+    )
+    return interval_coalesce(facts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "kg_path_trace": q_kg_path_trace,
+        "kg_ifp_sameas": q_kg_ifp_sameas,
+        "kg_char_sets": q_kg_char_sets,
+        "kg_ic_similarity": q_kg_ic_similarity,
+        "kg_interval_coalesce": q_kg_interval_coalesce,
         "kg_scc": q_kg_scc,
         "kg_closeness": q_kg_closeness,
         "kg_exists": q_kg_exists,
@@ -6421,6 +6575,175 @@ WITH snap AS (
 SELECT DISTINCT s.subj AS o, p.obj AS p
 FROM snap s JOIN snap p ON p.subj = s.subj AND p.pred = 'priority'
 WHERE s.pred = 'status' AND s.obj = 'F'
+"""
+
+    # kg_path_trace: min-dist BFS, min-parent pick, then a second
+    # recursive pass reconstructs each node's canonical path over the
+    # parent forest — the same min-parent rule the Spark operator uses.
+    sql["kg_path_trace"] = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT * FROM (
+    SELECT 'world' AS src, 'r' || r_regionkey::VARCHAR AS dst FROM region
+    UNION ALL
+    SELECT 'r' || n_regionkey::VARCHAR, 'n' || n_nationkey::VARCHAR
+    FROM nation
+    UNION ALL
+    SELECT 'r0', 'n' || n_nationkey::VARCHAR FROM nation
+    UNION ALL
+    SELECT 'n' || c_nationkey::VARCHAR, 'c' || c_custkey::VARCHAR
+    FROM customer WHERE c_custkey < 200
+  )
+),
+walk (node, dist) AS (
+  SELECT 'world', 0
+  UNION ALL
+  SELECT e.dst, walk.dist + 1
+  FROM walk JOIN e ON e.src = walk.node
+  WHERE walk.dist < 8
+),
+d AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node),
+par AS (
+  SELECT d.node, d.dist, min(e.src) AS parent
+  FROM d
+  JOIN e ON e.dst = d.node
+  JOIN d dp ON dp.node = e.src AND dp.dist = d.dist - 1
+  GROUP BY d.node, d.dist
+),
+pth (node, dist, path) AS (
+  SELECT 'world', 0, 'world'
+  UNION ALL
+  SELECT p.node, p.dist, pp.path || '/' || p.node
+  FROM par p JOIN pth pp ON pp.node = p.parent AND pp.dist = p.dist - 1
+)
+SELECT 'world' AS source, node, dist, path FROM pth
+"""
+
+    # kg_ifp_sameas: per-rule window-min hub, member != hub rows.
+    sql["kg_ifp_sameas"] = """
+WITH fn AS (
+  SELECT DISTINCT 'g' || (c_custkey % 50)::VARCHAR AS k,
+         'n' || c_nationkey::VARCHAR AS v
+  FROM customer
+),
+fnh AS (SELECT k, v, min(v) OVER (PARTITION BY k) AS hub FROM fn),
+ifp AS (
+  SELECT DISTINCT 'e' || (c_custkey % 80)::VARCHAR AS k,
+         'c' || c_custkey::VARCHAR AS v
+  FROM customer
+),
+ifph AS (SELECT k, v, min(v) OVER (PARTITION BY k) AS hub FROM ifp)
+SELECT DISTINCT hub AS a, v AS b, 'homeNation' AS pred,
+       'functional' AS rule
+FROM fnh WHERE v <> hub
+UNION
+SELECT DISTINCT hub, v, 'email', 'inverse_functional'
+FROM ifph WHERE v <> hub
+"""
+
+    # kg_char_sets: signature = sorted distinct predicate list.
+    sql["kg_char_sets"] = f"""
+WITH {_KG_GEO_CTE.lstrip()},
+per AS (
+  SELECT subj,
+         array_to_string(list_sort(list(DISTINCT pred)), ',') AS cs,
+         count(*) AS nt
+  FROM tr GROUP BY subj
+)
+SELECT cs, len(string_split(cs, ','))::INTEGER AS n_preds,
+       count(*)::BIGINT AS n_subjects, sum(nt)::BIGINT AS n_triples
+FROM per GROUP BY cs
+"""
+
+    # kg_ic_similarity: IC = -ln(subtree instances / all instances);
+    # MICA by max IC then anc asc; + 0.0 canonicalizes -0.0 like the
+    # Spark side.
+    sql["kg_ic_similarity"] = """
+WITH RECURSIVE sub AS (
+  SELECT 'n' || n_nationkey::VARCHAR AS s,
+         'r' || n_regionkey::VARCHAR AS p
+  FROM nation
+  UNION ALL
+  SELECT DISTINCT 'r' || n_regionkey::VARCHAR, 'world' FROM nation
+),
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT s AS node FROM sub UNION ALL SELECT p FROM sub)),
+anc (node, anc) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT a.node, s.p FROM anc a JOIN sub s ON a.anc = s.s
+),
+inst AS (
+  SELECT DISTINCT 'c' || c_custkey::VARCHAR AS i,
+         'n' || c_nationkey::VARCHAR AS node
+  FROM customer
+),
+subtree AS (
+  SELECT a.anc, count(DISTINCT i.i) AS n
+  FROM inst i JOIN anc a ON a.node = i.node
+  GROUP BY a.anc
+),
+ic AS (
+  SELECT anc,
+         -ln(n::DOUBLE / (SELECT count(DISTINCT i) FROM inst)) AS ic
+  FROM subtree
+),
+pairs AS (
+  SELECT 'n' || a.n_nationkey::VARCHAR AS a,
+         'n' || b.n_nationkey::VARCHAR AS b
+  FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+  WHERE a.n_nationkey < 10 AND b.n_nationkey < 10
+),
+common AS (
+  SELECT p.a, p.b, aa.anc, ic.ic,
+         row_number() OVER (
+           PARTITION BY p.a, p.b ORDER BY ic.ic DESC, aa.anc ASC
+         ) AS rn
+  FROM pairs p
+  JOIN anc aa ON aa.node = p.a
+  JOIN anc ab ON ab.node = p.b AND ab.anc = aa.anc
+  JOIN ic ON ic.anc = aa.anc
+)
+SELECT c.a, c.b, c.anc AS mica,
+       round(c.ic, 6) + 0.0 AS resnik,
+       round(CASE WHEN ia.ic + ib.ic > 0.0
+                  THEN 2.0 * c.ic / (ia.ic + ib.ic)
+                  ELSE 0.0 END, 6) + 0.0 AS lin
+FROM common c
+JOIN ic ia ON ia.anc = c.a
+JOIN ic ib ON ib.anc = c.b
+WHERE c.rn = 1
+"""
+
+    # kg_interval_coalesce: identical gaps-and-islands window algebra.
+    sql["kg_interval_coalesce"] = """
+WITH f AS (
+  SELECT DISTINCT 'c' || (o_custkey % 40)::VARCHAR AS subj,
+         'active' AS pred, o_orderstatus AS obj,
+         (o_orderkey % 90)::INTEGER AS valid_from,
+         ((o_orderkey % 90) + 3 + (o_orderkey % 7))::INTEGER AS valid_to
+  FROM orders
+),
+m AS (
+  SELECT *, max(valid_to) OVER (
+    PARTITION BY subj, pred, obj ORDER BY valid_from, valid_to
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  ) AS pm
+  FROM f
+),
+fl AS (
+  SELECT *, CASE WHEN pm IS NULL OR valid_from > pm THEN 1 ELSE 0 END AS ni
+  FROM m
+),
+isl AS (
+  SELECT *, sum(ni) OVER (
+    PARTITION BY subj, pred, obj ORDER BY valid_from, valid_to
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS island
+  FROM fl
+)
+SELECT subj, pred, obj,
+       min(valid_from) AS valid_from, max(valid_to) AS valid_to
+FROM isl GROUP BY subj, pred, obj, island
 """
 
     sql["kg_wu_palmer"] = """

@@ -1563,3 +1563,82 @@ def eigenvector_centrality(
             "node", (F.col("_raw") / F.lit(float(norm))).alias("x")
         ).localCheckpoint(eager=False)
     return x.select("node", F.col("x").alias("eigenvector"))
+
+
+def shortest_path_trace(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_rounds: int = 32,
+) -> DataFrame:
+    """BFS shortest paths WITH an actual witness path per node — the
+    explain-the-link operator (why is entity X 3 hops from Y), where
+    kg_bfs/bfs_sigma only return distances/counts. Deterministic: among
+    a node's shortest-path predecessors the MIN node id is chosen as
+    its parent, so the parent pointers form a forest and every node has
+    exactly one canonical path — reproducible by any engine applying
+    the same min-parent rule (the oracle does).
+
+    ``edges``: (src, dst); ``sources``: one column ``source``.
+    -> (source, node, dist, path) with path = '/'-joined node ids from
+    source to node inclusive.
+
+    Scale shape: phase 1 is level-synchronous BFS (one equi-join + one
+    min-groupBy + one anti-join per round, lineage truncated — the
+    bfs_sigma shape); phase 2 walks the parent FOREST top-down, one
+    equi-join per level, state (source × reachable) like
+    distance_matrix — schema-scale graphs or a bounded source set.
+    Raises if the diameter exceeds max_rounds.
+    """
+    e = edges.select(F.col("src").alias("_u"), F.col("dst").alias("_v")).distinct()
+    settled = sources.select(
+        F.col("source"), F.col("source").alias("node"), F.lit(0).alias("dist"),
+        F.lit(None).cast("string").alias("parent"),
+    ).distinct().localCheckpoint()
+    frontier = settled
+    for d in range(1, max_rounds + 1):
+        arrived = (
+            frontier.join(e, frontier["node"] == e["_u"])
+            .groupBy("source", F.col("_v").alias("node"))
+            .agg(F.min(frontier["node"]).alias("parent"))
+        )
+        new = (
+            arrived.join(
+                settled.select("source", "node"), ["source", "node"], "left_anti"
+            )
+            .withColumn("dist", F.lit(d))
+            .select("source", "node", "dist", "parent")
+            .localCheckpoint()
+        )
+        if new.isEmpty():
+            break
+        settled = settled.unionByName(new).localCheckpoint(eager=False)
+        frontier = new
+    else:
+        raise RuntimeError(
+            f"shortest_path_trace did not finish in {max_rounds} rounds"
+        )
+    done = settled.filter(F.col("dist") == 0).select(
+        "source", "node", "dist", F.col("node").alias("path")
+    ).localCheckpoint()
+    level = done
+    for d in range(1, max_rounds + 1):
+        nxt = settled.filter(F.col("dist") == d)
+        if nxt.isEmpty():
+            return done
+        level = (
+            nxt.join(
+                level.select(
+                    "source",
+                    F.col("node").alias("parent"),
+                    F.col("path").alias("_pp"),
+                ),
+                ["source", "parent"],
+            )
+            .select(
+                "source", "node", "dist",
+                F.concat(F.col("_pp"), F.lit("/"), F.col("node")).alias("path"),
+            )
+            .localCheckpoint()
+        )
+        done = done.unionByName(level)
+    return done

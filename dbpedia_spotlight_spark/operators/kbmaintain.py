@@ -210,3 +210,67 @@ def entity_digest(triples: DataFrame) -> DataFrame:
             F.concat_ws("\x1e", F.array_sort(F.collect_list(fact)))
         ).alias("digest"),
     )
+
+
+def ifp_sameas(
+    triples: DataFrame,
+    functional: list[str] | None = None,
+    inverse_functional: list[str] | None = None,
+) -> DataFrame:
+    """Infer owl:sameAs links from OWL property semantics — the ABox
+    half of OWL-RL entity resolution (rules prp-fp / prp-ifp) and the
+    standard LOD interlinking primitive: a FunctionalProperty admits one
+    object per subject, so (s p o1) & (s p o2) entail o1 sameAs o2; an
+    InverseFunctionalProperty (ISBN, homepage, IMDb id) admits one
+    subject per object, so (s1 p o) & (s2 p o) entail s1 sameAs s2.
+    Complements sameas_components above, which consumes ASSERTED links;
+    this operator mines the implied ones from the data.
+
+    -> (a, b, pred, rule) with a < b lexicographically, distinct;
+    rule in {'functional', 'inverse_functional'}. Feed the (a, b) pairs
+    (as (subj, obj) sameAs triples) into sameas_components /
+    sameas_canonicalize to merge.
+
+    Scale shape: per rule ONE groupBy on the key side (functional:
+    (pred, subj); inverse-functional: (pred, obj)) emitting the group
+    MIN as a hub — each extra member yields one (member, hub) pair, a
+    STAR not a clique, so a dirty key shared by 10^5 subjects costs
+    10^5 rows, never 10^10. The transitive closure downstream
+    reconstructs the full equivalence class. No self-join anywhere.
+    """
+    fn = [p for p in (functional or [])]
+    ifp = [p for p in (inverse_functional or [])]
+    if not fn and not ifp:
+        raise ValueError("ifp_sameas needs >= 1 (inverse_)functional pred")
+    spark = triples.sparkSession
+    parts = []
+    for preds, key, val, rule in (
+        (fn, "subj", "obj", "functional"),
+        (ifp, "obj", "subj", "inverse_functional"),
+    ):
+        if not preds:
+            continue
+        dim = spark.createDataFrame([(p,) for p in preds], ["pred"])
+        from pyspark.sql import Window
+
+        # window-min instead of collect_set: a dirty key shared by 10^5
+        # members stays 10^5 flat rows, never one 10^5-element array
+        w = Window.partitionBy("pred", "_k")
+        members = (
+            triples.join(F.broadcast(dim), "pred")
+            .select("pred", F.col(key).alias("_k"), F.col(val).alias("_v"))
+            .distinct()
+            .withColumn("_hub", F.min("_v").over(w))
+        )
+        parts.append(
+            members.filter(F.col("_v") != F.col("_hub")).select(
+                F.col("_hub").alias("a"),
+                F.col("_v").alias("b"),
+                "pred",
+                F.lit(rule).alias("rule"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()

@@ -427,3 +427,40 @@ def r2rml_map(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.filter(F.col("subj").isNotNull() & F.col("obj").isNotNull())
+
+
+def characteristic_sets(
+    triples: DataFrame,
+    type_pred: str = TYPE_PRED,
+    include_types: bool = True,
+) -> DataFrame:
+    """Characteristic sets (Neumann & Moerkotte, ICDE 2011): group
+    subjects by their exact set of distinct predicates — the structure
+    RDF-3X/engines use for join-cardinality estimation, because a
+    star-join's result size over a CS is exact, not estimated. This is
+    the statistics side of the layout decisions above: property_table
+    wants the high-count characteristic sets as its column templates.
+
+    -> one row per distinct predicate-set signature:
+    (cs: comma-joined sorted predicate list, n_preds, n_subjects,
+    n_triples — total triples carried by the CS's subjects). Ordered
+    output left to the caller.
+
+    Scale shape: ONE groupBy(subj) with collect_set(pred) + count(*)
+    (map-side combinable, single shuffle over subjects), then ONE
+    groupBy on the signature string (tiny: real KGs have 10^2-10^4
+    distinct CSs for 10^9+ subjects — the ICDE'11 measurement). No
+    self-join, no per-predicate pass.
+    """
+    base = triples if include_types else triples.filter(
+        F.col("pred") != type_pred
+    )
+    per_subj = base.groupBy("subj").agg(
+        F.array_join(F.sort_array(F.collect_set("pred")), ",").alias("cs"),
+        F.count("*").alias("_nt"),
+    )
+    return per_subj.groupBy("cs").agg(
+        F.size(F.split(F.first("cs"), ",")).alias("n_preds"),
+        F.count("*").alias("n_subjects"),
+        F.sum("_nt").alias("n_triples"),
+    )

@@ -2355,3 +2355,98 @@ def wup_similarity(
             ).alias("wup"),
         )
     )
+
+
+def ic_similarity(
+    subclass: DataFrame,
+    instances: DataFrame,
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Information-content class similarity (Resnik, IJCAI'95; Lin,
+    ICML'98) — the corpus-weighted complement of wup_similarity above:
+    where Wu-Palmer only sees taxonomy DEPTH, IC weights each class by
+    how selective it actually is in the instance data. IC(c) =
+    -ln(n(c)/N) with n(c) = distinct instances typed with c or any
+    descendant and N = all typed instances; resnik(a,b) = IC(mica),
+    lin(a,b) = 2·IC(mica) / (IC(a)+IC(b)) where mica is the shared
+    ancestor of MAXIMUM IC (most informative common ancestor).
+
+    ``subclass``: (sub, sup) edges; ``instances``: (inst, cls) direct
+    type assertions; ``pairs``: explicit (a, b) pair table (caller
+    controls the join size — never all-pairs). -> (a, b, mica, resnik,
+    lin), both scores rounded to 6; lin is 0.0 when IC(a)+IC(b) = 0
+    (both classes cover the whole corpus — by convention, not division).
+
+    Scale shape: subtree counts = instances ⋈ ancestor-closure on cls
+    then ONE distinct+groupBy over (anc, inst) — the closure is
+    ontology-sized (repeated squaring, log-depth), the only
+    corpus-sized pass is that single join; per-pair MICA work is
+    bounded by depth² like the LCA pick in wup_similarity.
+    """
+    from .closure import transitive_closure
+
+    e = subclass.select(F.col("sub").alias("src"), F.col("sup").alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    anc = (
+        transitive_closure(e, max_iterations=max_iterations)
+        .select(F.col("src").alias("node"), F.col("dst").alias("anc"))
+        .unionByName(nodes.select("node", F.col("node").alias("anc")))
+        .distinct()
+    )
+    inst = instances.select(
+        F.col("inst").alias("_i"), F.col("cls").alias("node")
+    ).distinct()
+    subtree = (
+        inst.join(anc, "node")
+        .select("_i", "anc")
+        .distinct()
+        .groupBy("anc")
+        .agg(F.count("*").alias("_n"))
+    )
+    total = inst.select("_i").distinct().count()
+    ic = subtree.select(
+        "anc", (-F.log(F.col("_n") / F.lit(float(total)))).alias("_ic")
+    )
+    p = pairs.select("a", "b")
+    aa = anc.select(F.col("node").alias("a"), F.col("anc"))
+    ab = anc.select(F.col("node").alias("b"), F.col("anc"))
+    common = p.join(aa, "a").join(ab, ["b", "anc"]).join(ic, "anc")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a", "b").orderBy(
+        F.col("_ic").desc(), F.col("anc").asc()
+    )
+    mica = (
+        common.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("a", "b", F.col("anc").alias("mica"), F.col("_ic").alias("_im"))
+    )
+    ia = ic.select(F.col("anc").alias("a"), F.col("_ic").alias("_ia"))
+    ib = ic.select(F.col("anc").alias("b"), F.col("_ic").alias("_ib"))
+    return (
+        mica.join(ia, "a")
+        .join(ib, "b")
+        .select(
+            "a",
+            "b",
+            "mica",
+            # + 0.0 canonicalizes IEEE -0.0 (IC of the root is -ln(1))
+            # to 0.0 so every engine serializes the zero the same way
+            (F.round("_im", 6) + F.lit(0.0)).alias("resnik"),
+            (
+                F.round(
+                    F.when(
+                        F.col("_ia") + F.col("_ib") > 0.0,
+                        2.0 * F.col("_im") / (F.col("_ia") + F.col("_ib")),
+                    ).otherwise(F.lit(0.0)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("lin"),
+        )
+    )

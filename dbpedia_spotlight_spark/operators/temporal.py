@@ -219,3 +219,56 @@ def interval_overlap_pairs(
     return cand.filter(
         (F.col("a_start") < F.col("b_end")) & (F.col("b_start") < F.col("a_end"))
     )
+
+
+def interval_coalesce(
+    facts: DataFrame,
+    keys: list[str] | None = None,
+    start: str = "valid_from",
+    end: str = "valid_to",
+) -> DataFrame:
+    """Temporal COALESCE (Böhlen/Snodgrass, the canonical temporal-DB
+    normalization): merge overlapping OR adjacent validity intervals of
+    value-equivalent facts into maximal intervals — the cleanup pass a
+    temporal KB needs after unioning snapshots or changelogs, where the
+    same (subj, pred, obj) arrives as [1,3) from one dump and [3,7)
+    from the next but IS one continuous assertion [1,7). Intervals are
+    half-open [start, end): touching endpoints merge, a gap of any
+    size splits.
+
+    -> one row per maximal interval: keys + (start, end) columns under
+    their input names.
+
+    Scale shape: gaps-and-islands — ONE window over (keys) ordered by
+    (start, end) computing the running max end over PRECEDING rows (an
+    island opens where start > that max), one running-sum window for
+    the island id, one groupBy for the hull. All three share the same
+    (keys)-partitioning: Spark plans a single shuffle, per-fact-key
+    state only, no global sort, no self-join (the naive SQL coalesce is
+    a quadratic NOT EXISTS self-join — that shape dies at 100 TB).
+    """
+    from pyspark.sql import Window
+
+    keys = list(keys) if keys is not None else ["subj", "pred", "obj"]
+    if not keys:
+        raise ValueError("interval_coalesce needs >= 1 key column")
+    w = Window.partitionBy(*keys).orderBy(F.col(start).asc(), F.col(end).asc())
+    prev_max = F.max(end).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = facts.withColumn(
+        "_new_island",
+        F.when(
+            prev_max.isNull() | (F.col(start) > prev_max), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_island",
+        F.sum("_new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        flagged.groupBy(*keys, "_island")
+        .agg(F.min(start).alias(start), F.max(end).alias(end))
+        .drop("_island")
+    )

@@ -130,3 +130,37 @@ def test_entity_digest_order_invariant_and_sensitive(spark):
     e1 = entity_digest(_tri(spark, [("e", "p", "qy")])).collect()[0]
     e2 = entity_digest(_tri(spark, [("e", "pq", "y")])).collect()[0]
     assert e1.digest != e2.digest
+
+
+def test_ifp_sameas_star_not_clique(spark):
+    from dbpedia_spotlight_spark.operators.kbmaintain import ifp_sameas
+    import pytest
+
+    rows = [
+        # functional: s1 has two homepages -> h1 sameAs h2 (hub h1)
+        ("s1", "home", "h2"),
+        ("s1", "home", "h1"),
+        # inverse-functional: three subjects share isbn X -> star on min
+        ("a3", "isbn", "X"),
+        ("a1", "isbn", "X"),
+        ("a2", "isbn", "X"),
+        # singleton groups emit nothing
+        ("s2", "home", "h9"),
+        ("a9", "isbn", "Y"),
+        # non-declared predicate ignored
+        ("s1", "knows", "s2"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {
+        (r.a, r.b, r.pred, r.rule)
+        for r in ifp_sameas(
+            t, functional=["home"], inverse_functional=["isbn"]
+        ).collect()
+    }
+    assert got == {
+        ("h1", "h2", "home", "functional"),
+        ("a1", "a2", "isbn", "inverse_functional"),
+        ("a1", "a3", "isbn", "inverse_functional"),
+    }
+    with pytest.raises(ValueError):
+        ifp_sameas(t)

@@ -2115,3 +2115,90 @@ def test_sparql_concat_if_coalesce_round(spark):
     )
     got = {r.s: r.v for r in sparql_select(t, q).collect()}
     assert got == {"s": "X", "t": "yy!"}
+
+
+def test_characteristic_sets_signatures(spark):
+    from dbpedia_spotlight_spark.operators.kglayout import characteristic_sets
+
+    rows = [
+        ("s1", "name", "a"),
+        ("s1", "age", "1"),
+        ("s2", "age", "2"),
+        ("s2", "name", "b"),
+        ("s2", "name", "c"),  # extra triple, same CS as s1
+        ("s3", "name", "d"),
+        ("s4", "rdf:type", "T"),
+        ("s4", "name", "e"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {
+        r.cs: (r.n_preds, r.n_subjects, r.n_triples)
+        for r in characteristic_sets(t, type_pred="rdf:type").collect()
+    }
+    assert got == {
+        "age,name": (2, 2, 5),
+        "name": (1, 1, 1),
+        "name,rdf:type": (2, 1, 2),
+    }
+    # excluding rdf:type folds s4 into the {name} signature
+    got2 = {
+        r.cs: r.n_subjects
+        for r in characteristic_sets(
+            t, type_pred="rdf:type", include_types=False
+        ).collect()
+    }
+    assert got2 == {"age,name": 2, "name": 2}
+
+
+def test_ic_similarity_resnik_lin(spark):
+    import math
+
+    from dbpedia_spotlight_spark.operators.kgquery import ic_similarity
+
+    sub = spark.createDataFrame(
+        [("a", "m"), ("b", "m"), ("m", "root"), ("c", "root")],
+        "sub string, sup string",
+    )
+    inst = spark.createDataFrame(
+        [("i1", "a"), ("i2", "b"), ("i3", "c"), ("i4", "c")],
+        "inst string, cls string",
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("a", "c")], "a string, b string"
+    )
+    got = {
+        (r.a, r.b): (r.mica, r.resnik, r.lin)
+        for r in ic_similarity(sub, inst, pairs).collect()
+    }
+    # IC: a,b = -ln(1/4); m = -ln(2/4); c = -ln(2/4); root = 0
+    ic1 = -math.log(1 / 4)
+    icm = -math.log(2 / 4)
+    mica_ab, resnik_ab, lin_ab = got[("a", "b")]
+    assert mica_ab == "m"
+    assert resnik_ab == round(icm, 6)
+    assert lin_ab == round(2 * icm / (2 * ic1), 6)
+    mica_ac, resnik_ac, lin_ac = got[("a", "c")]
+    assert mica_ac == "root"
+    assert resnik_ac == 0.0 and lin_ac == 0.0
+
+
+def test_shortest_path_trace_min_parent(spark):
+    from dbpedia_spotlight_spark.operators.graph import shortest_path_trace
+
+    # s -> a, s -> b, {a,b} -> t : t's parent is min("a","b") = "a"
+    edges = spark.createDataFrame(
+        [("s", "a"), ("s", "b"), ("a", "t"), ("b", "t"), ("t", "u")],
+        "src string, dst string",
+    )
+    sources = spark.createDataFrame([("s",)], ["source"])
+    got = {
+        r.node: (r.dist, r.path)
+        for r in shortest_path_trace(edges, sources).collect()
+    }
+    assert got == {
+        "s": (0, "s"),
+        "a": (1, "s/a"),
+        "b": (1, "s/b"),
+        "t": (2, "s/a/t"),
+        "u": (3, "s/a/t/u"),
+    }

@@ -144,3 +144,43 @@ def test_interval_overlap_pairs_disjoint_empty(spark):
     ]
     iv = spark.createDataFrame(rows, "id string, valid_from date, valid_to date")
     assert interval_overlap_pairs(iv).count() == 0
+
+
+def test_interval_coalesce_merges_overlap_and_adjacency():
+    from dbpedia_spotlight_spark.operators.temporal import interval_coalesce
+    import pytest
+
+    with pytest.raises(ValueError):
+        interval_coalesce(None, keys=[])
+
+
+def test_interval_coalesce_islands(spark):
+    from dbpedia_spotlight_spark.operators.temporal import interval_coalesce
+
+    rows = [
+        # overlap [1,4)+[3,6) and adjacency [6,8) -> one island [1,8)
+        ("e1", "p", "v", 1, 4),
+        ("e1", "p", "v", 3, 6),
+        ("e1", "p", "v", 6, 8),
+        # gap of 1 -> separate island
+        ("e1", "p", "v", 9, 10),
+        # contained interval swallowed
+        ("e2", "p", "v", 1, 10),
+        ("e2", "p", "v", 2, 3),
+        # different obj never merges
+        ("e2", "p", "w", 3, 4),
+    ]
+    f = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, valid_from int, valid_to int",
+    )
+    got = {
+        (r.subj, r.obj, r.valid_from, r.valid_to)
+        for r in interval_coalesce(f).collect()
+    }
+    assert got == {
+        ("e1", "v", 1, 8),
+        ("e1", "v", 9, 10),
+        ("e2", "v", 1, 10),
+        ("e2", "w", 3, 4),
+    }

@@ -5564,12 +5564,148 @@ def q_kg_interval_coalesce(spark, sf_dir):
     return interval_coalesce(facts)
 
 
+def q_kg_interval_subtract(spark, sf_dir):
+    """Temporal DIFFERENCE (operators/temporal.py:interval_subtract —
+    retractions coalesced per key, ONE keyed join to overlapping facts,
+    lag-window gap pieces + tail, R+1 rows per fact never R²): the
+    kg_interval_coalesce fact table minus a second order-derived
+    retraction layer, so facts get clipped, split, and dropped. Oracle
+    = the identical coalesce + gaps algebra in SQL."""
+    from dbpedia_spotlight_spark.operators.temporal import interval_subtract
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    facts = o.select(
+        F.concat(F.lit("c"), F.col("o_custkey") % 40).alias("subj"),
+        F.lit("active").alias("pred"),
+        F.col("o_orderstatus").alias("obj"),
+        (F.col("o_orderkey") % 90).cast("int").alias("valid_from"),
+        ((F.col("o_orderkey") % 90) + 3 + (F.col("o_orderkey") % 7))
+        .cast("int").alias("valid_to"),
+    )
+    retr = o.select(
+        F.concat(F.lit("c"), F.col("o_custkey") % 40).alias("subj"),
+        F.lit("active").alias("pred"),
+        F.col("o_orderstatus").alias("obj"),
+        ((F.col("o_orderkey") * 7) % 90).cast("int").alias("valid_from"),
+        (((F.col("o_orderkey") * 7) % 90) + 2 + (F.col("o_orderkey") % 5))
+        .cast("int").alias("valid_to"),
+    )
+    return interval_subtract(facts, retr)
+
+
+def q_kg_verbalize(spark, sf_dir):
+    """KG-to-text verbalization (datapipe/kg_samples.py:
+    verbalize_triples — KELM/TEKGEN template stage: broadcast template
+    dim, two label equi-joins, codegen replace chain, per-subject
+    array_sort rollup): the geo triple graph rendered with per-predicate
+    templates and nation/region labels into one synthetic paragraph per
+    subject. Oracle = the same substitutions + string_agg ORDER BY."""
+    from dbpedia_spotlight_spark.datapipe.kg_samples import verbalize_triples
+
+    t = _kg_geo_triples(spark, sf_dir)
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    labels = nat.select(
+        F.concat(F.lit("n"), F.col("n_nationkey")).alias("uri"),
+        F.col("n_name").alias("label"),
+    ).unionByName(
+        reg.select(
+            F.concat(F.lit("r"), F.col("r_regionkey")).alias("uri"),
+            F.col("r_name").alias("label"),
+        )
+    )
+    return verbalize_triples(
+        t.filter(F.col("pred").isin("within", "named")),
+        labels=labels,
+        templates={
+            "within": "{s} lies within {o}.",
+            "named": "{s} is named {o}.",
+        },
+    )
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Alpha-temperature mixture sampling (datapipe/packing.py:
+    temperature_quotas + temperature_sample — the mBERT/XLM-R/mT5
+    (n_d/N)^alpha rule, Hamilton apportionment on the tiny stratum dim,
+    members by the deterministic md5-rank quota mechanism): 200 docs
+    over the skewed `lang` strata at alpha 0.5, flattening the English
+    head. Oracle replays the full chain — pow/normalize/floor/largest-
+    remainder, then the identical md5 rank filter."""
+    from dbpedia_spotlight_spark.datapipe.packing import temperature_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return temperature_sample(
+        docs, 200, stratum_col="lang", id_col="doc_id", alpha=0.5
+    ).select("doc_id", "lang")
+
+
+def q_leakage_split(spark, sf_dir):
+    """Group-aware train/valid/test split (datapipe/packing.py:
+    leakage_safe_split — md5 bucket of the GROUP key, cumulative CASE
+    thresholds, zero shuffles, so near-dup families never straddle the
+    eval boundary): documents split 80/10/10 by `source` family.
+    Oracle = the identical md5-tail bucket arithmetic."""
+    from dbpedia_spotlight_spark.datapipe.packing import leakage_safe_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return leakage_safe_split(
+        docs, {"train": 0.8, "valid": 0.1, "test": 0.1}, group_col="source"
+    ).select("doc_id", "source", "split")
+
+
+def q_span_vote(spark, sf_dir):
+    """Span-level annotator fusion (operators/fusion.py:annotation_vote
+    — Snorkel-style majority vote, distinct-source counting, label-asc
+    tie-break, one exchange for groupBy + window): synthetic three-
+    annotator layers over lineitem-derived spans, collisions by
+    construction so majority, tie, and singleton paths all occur.
+    Oracle = the same count-distinct + row_number pick."""
+    from dbpedia_spotlight_spark.operators.fusion import annotation_vote
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ann = li.select(
+        (F.col("l_orderkey") % 500).cast("long").alias("doc_id"),
+        ((F.col("l_partkey") % 20) * 10).cast("int").alias("begin"),
+        ((F.col("l_partkey") % 20) * 10 + 5).cast("int").alias("end"),
+        F.col("l_returnflag").alias("label"),
+        F.concat(F.lit("s"), F.col("l_suppkey") % 3).alias("source"),
+    )
+    return annotation_vote(ann, min_sources=1)
+
+
+def q_kg_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood ER blocking (operators/kbaugment.py:
+    sorted_neighborhood_pairs — distributed prefix-sum global rank,
+    candidate pairs from two floor(rank/window) equi-joins, fan-out
+    bounded by 2·window): customers under custkey 400 keyed by name,
+    window 3. Oracle = one global row_number + a rank-band self-join
+    (small here; the Spark side never plans the single-partition
+    window)."""
+    from dbpedia_spotlight_spark.operators.kbaugment import (
+        sorted_neighborhood_pairs,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    recs = cust.filter(F.col("c_custkey") < 400).select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("uri"),
+        F.col("c_name").alias("label"),
+    )
+    return sorted_neighborhood_pairs(recs, window=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "kg_interval_subtract": q_kg_interval_subtract,
+        "kg_verbalize": q_kg_verbalize,
+        "temperature_mix": q_temperature_mix,
+        "leakage_split": q_leakage_split,
+        "span_vote": q_span_vote,
+        "kg_sorted_neighborhood": q_kg_sorted_neighborhood,
         "kg_path_trace": q_kg_path_trace,
         "kg_ifp_sameas": q_kg_ifp_sameas,
         "kg_char_sets": q_kg_char_sets,
@@ -6575,6 +6711,209 @@ WITH snap AS (
 SELECT DISTINCT s.subj AS o, p.obj AS p
 FROM snap s JOIN snap p ON p.subj = s.subj AND p.pred = 'priority'
 WHERE s.pred = 'status' AND s.obj = 'F'
+"""
+
+    # kg_interval_subtract: coalesce retractions, keyed overlap join,
+    # lag-window gap pieces + tail + untouched facts — UNION ALL keeps
+    # the duplicate pieces identical facts legitimately produce.
+    sql["kg_interval_subtract"] = """
+WITH f0 AS (
+  SELECT DISTINCT 'c' || (o_custkey % 40)::VARCHAR AS subj,
+         'active' AS pred, o_orderstatus AS obj,
+         (o_orderkey % 90)::INTEGER AS valid_from,
+         ((o_orderkey % 90) + 3 + (o_orderkey % 7))::INTEGER AS valid_to
+  FROM orders
+),
+r0 AS (
+  SELECT DISTINCT 'c' || (o_custkey % 40)::VARCHAR AS subj,
+         'active' AS pred, o_orderstatus AS obj,
+         ((o_orderkey * 7) % 90)::INTEGER AS valid_from,
+         (((o_orderkey * 7) % 90) + 2 + (o_orderkey % 5))::INTEGER
+           AS valid_to
+  FROM orders
+),
+rm AS (
+  SELECT *, max(valid_to) OVER (
+    PARTITION BY subj, pred, obj ORDER BY valid_from, valid_to
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  ) AS pm
+  FROM r0
+),
+rfl AS (
+  SELECT *, CASE WHEN pm IS NULL OR valid_from > pm THEN 1 ELSE 0 END AS ni
+  FROM rm
+),
+risl AS (
+  SELECT *, sum(ni) OVER (
+    PARTITION BY subj, pred, obj ORDER BY valid_from, valid_to
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS isl
+  FROM rfl
+),
+r AS (
+  SELECT subj, pred, obj, min(valid_from) AS rs, max(valid_to) AS re
+  FROM risl GROUP BY subj, pred, obj, isl
+),
+hits AS (
+  SELECT f.subj, f.pred, f.obj, f.valid_from AS s, f.valid_to AS e,
+         r.rs, r.re
+  FROM f0 f
+  JOIN r ON r.subj = f.subj AND r.pred = f.pred AND r.obj = f.obj
+  WHERE f.valid_from < r.re AND r.rs < f.valid_to
+),
+untouched AS (
+  SELECT f.* FROM f0 f
+  WHERE NOT EXISTS (
+    SELECT 1 FROM hits h
+    WHERE h.subj = f.subj AND h.pred = f.pred AND h.obj = f.obj
+      AND h.s = f.valid_from AND h.e = f.valid_to
+  )
+),
+pieces AS (
+  SELECT subj, pred, obj,
+         coalesce(lag(re) OVER w, s) AS ps, least(e, rs) AS pe
+  FROM hits
+  WINDOW w AS (PARTITION BY subj, pred, obj, s, e ORDER BY rs)
+),
+tl AS (
+  SELECT subj, pred, obj, re AS ps, e AS pe FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY subj, pred, obj, s, e ORDER BY rs DESC
+    ) AS rn
+    FROM hits
+  ) WHERE rn = 1 AND re < e
+)
+SELECT subj, pred, obj, valid_from, valid_to FROM untouched
+UNION ALL
+SELECT subj, pred, obj, ps, pe FROM pieces WHERE ps < pe
+UNION ALL
+SELECT subj, pred, obj, ps, pe FROM tl
+"""
+
+    # kg_verbalize: template substitution + label joins + sorted
+    # string_agg per subject.
+    sql["kg_verbalize"] = f"""
+WITH {_KG_GEO_CTE.lstrip()},
+lab AS (
+  SELECT 'n' || n_nationkey::VARCHAR AS uri, n_name AS label FROM nation
+  UNION ALL
+  SELECT 'r' || r_regionkey::VARCHAR, r_name FROM region
+),
+t AS (SELECT subj, pred, obj FROM tr WHERE pred IN ('within', 'named')),
+s AS (
+  SELECT t.subj,
+    CASE t.pred
+      WHEN 'within' THEN coalesce(ls.label, t.subj) || ' lies within '
+                         || coalesce(lo.label, t.obj) || '.'
+      WHEN 'named' THEN coalesce(ls.label, t.subj) || ' is named '
+                        || coalesce(lo.label, t.obj) || '.'
+    END AS sentence
+  FROM t
+  LEFT JOIN lab ls ON ls.uri = t.subj
+  LEFT JOIN lab lo ON lo.uri = t.obj
+)
+SELECT subj, string_agg(sentence, ' ' ORDER BY sentence) AS text,
+       count(*)::BIGINT AS n_facts
+FROM s GROUP BY subj
+"""
+
+    # temperature_mix: replay pow/normalize/floor/largest-remainder on
+    # the stratum dim, then the md5-rank member pick.
+    sql["temperature_mix"] = """
+WITH counts AS (
+  SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang
+),
+alloc AS (
+  SELECT lang, n, pow(n, 0.5) / sum(pow(n, 0.5)) OVER () * 200 AS q
+  FROM counts
+),
+alloc2 AS (
+  SELECT lang, n, floor(least(q, n)) AS fl,
+         least(q, n) - floor(least(q, n)) AS rem
+  FROM alloc
+),
+quota AS (
+  SELECT lang,
+         least(
+           fl + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang ASC)
+                     <= 200 - (SELECT sum(fl) FROM alloc2)
+                THEN 1 ELSE 0 END,
+           n
+         ) AS quota
+  FROM alloc2
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.lang
+FROM ranked r JOIN quota q ON q.lang = r.lang
+WHERE r.rk <= q.quota
+"""
+
+    # leakage_split: md5-tail bucket of the GROUP key, cumulative
+    # thresholds over sorted split names (test<0.1 | train<0.9 | valid).
+    sql["leakage_split"] = """
+SELECT doc_id, source,
+  CASE
+    WHEN ('0x' || substr(md5(source), 25, 8))::BIGINT % 10000 < 1000
+      THEN 'test'
+    WHEN ('0x' || substr(md5(source), 25, 8))::BIGINT % 10000 < 9000
+      THEN 'train'
+    ELSE 'valid'
+  END AS split
+FROM documents
+"""
+
+    # span_vote: distinct-source counting + majority pick, label asc ties.
+    sql["span_vote"] = """
+WITH ann AS (
+  SELECT (l_orderkey % 500)::BIGINT AS doc_id,
+         ((l_partkey % 20) * 10)::INTEGER AS begin,
+         ((l_partkey % 20) * 10 + 5)::INTEGER AS "end",
+         l_returnflag AS label,
+         's' || (l_suppkey % 3)::VARCHAR AS source
+  FROM lineitem
+),
+votes AS (
+  SELECT doc_id, begin, "end", label,
+         count(DISTINCT source)::BIGINT AS votes
+  FROM ann GROUP BY doc_id, begin, "end", label
+),
+tot AS (
+  SELECT *, sum(votes) OVER (PARTITION BY doc_id, begin, "end") AS _tot,
+         row_number() OVER (
+           PARTITION BY doc_id, begin, "end"
+           ORDER BY votes DESC, label ASC
+         ) AS rn
+  FROM votes
+)
+SELECT doc_id, begin, "end", label, votes, _tot::BIGINT AS n_sources,
+       round(votes::DOUBLE / _tot, 6) AS agreement
+FROM tot WHERE rn = 1
+"""
+
+    # kg_sorted_neighborhood: one global row_number + rank-band self
+    # join (the oracle may use the single-partition form the Spark side
+    # avoids).
+    sql["kg_sorted_neighborhood"] = """
+WITH recs AS (
+  SELECT 'c' || c_custkey::VARCHAR AS uri, c_name AS label
+  FROM customer WHERE c_custkey < 400
+),
+ranked AS (
+  SELECT uri, label,
+         row_number() OVER (ORDER BY label, uri) - 1 AS rk
+  FROM recs
+)
+SELECT a.uri AS a, b.uri AS b, a.label AS key_a, b.label AS key_b,
+       (b.rk - a.rk)::BIGINT AS gap
+FROM ranked a JOIN ranked b
+  ON b.rk > a.rk AND b.rk < a.rk + 3
 """
 
     # kg_path_trace: min-dist BFS, min-parent pick, then a second

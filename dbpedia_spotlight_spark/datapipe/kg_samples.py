@@ -264,3 +264,80 @@ def fastrp_embeddings(
             ).alias("value"),
         )
     )
+
+
+def verbalize_triples(
+    triples: DataFrame,
+    labels: DataFrame | None = None,
+    templates: dict[str, str] | None = None,
+    default_template: str = "{s} {p} {o}.",
+    group_by_subject: bool = True,
+) -> DataFrame:
+    """KG-to-text verbalization (the KELM/TEKGEN recipe, Agarwal et al.
+    NAACL 2021, distilled to its deterministic template stage): render
+    every triple as a sentence and optionally concatenate each subject's
+    sentences into one synthetic document — the canonical way a
+    KG-construction pipeline feeds its OWN output back into an LLM
+    pretraining mix, and the inverse of pipeline/triples.py (text ->
+    triples there, triples -> text here).
+
+    ``templates`` maps predicate -> template string with ``{s}``/``{p}``/
+    ``{o}`` placeholders (unmapped predicates use ``default_template``);
+    ``labels`` is an optional (uri, label) table substituting
+    human-readable names for subject/object URIs (misses keep the URI).
+    -> ``group_by_subject=True``: (subj, text, n_facts) with sentences
+    in lexicographic order joined by a space (deterministic, engine-
+    replayable); False: (subj, pred, obj, sentence) one row per triple.
+
+    Scale shape: the template dim is tiny and BROADCAST; labels join the
+    corpus twice (subject, object) as plain equi-joins; placeholder
+    substitution is a codegen replace chain; the per-subject rollup is
+    ONE groupBy with array_sort(collect_list) — bounded by per-entity
+    fact counts, the same skew profile as entity_digest.
+    """
+    spark = triples.sparkSession
+    tpl = spark.createDataFrame(
+        sorted((templates or {}).items()) or [("", "")],
+        "pred string, _tpl string",
+    ).filter(F.col("pred") != "")
+    t = triples.select("subj", "pred", "obj").join(
+        F.broadcast(tpl), "pred", "left"
+    ).withColumn("_tpl", F.coalesce(F.col("_tpl"), F.lit(default_template)))
+    if labels is not None:
+        lab_s = labels.select(
+            F.col("uri").alias("subj"), F.col("label").alias("_sl")
+        )
+        lab_o = labels.select(
+            F.col("uri").alias("obj"), F.col("label").alias("_ol")
+        )
+        t = (
+            t.join(lab_s, "subj", "left")
+            .join(lab_o, "obj", "left")
+            .withColumn("_sname", F.coalesce(F.col("_sl"), F.col("subj")))
+            .withColumn("_oname", F.coalesce(F.col("_ol"), F.col("obj")))
+            .drop("_sl", "_ol")
+        )
+    else:
+        t = t.withColumn("_sname", F.col("subj")).withColumn(
+            "_oname", F.col("obj")
+        )
+    sentence = F.replace(
+        F.replace(
+            F.replace(F.col("_tpl"), F.lit("{s}"), F.col("_sname")),
+            F.lit("{p}"),
+            F.col("pred"),
+        ),
+        F.lit("{o}"),
+        F.col("_oname"),
+    )
+    per_triple = t.select(
+        "subj", "pred", "obj", sentence.alias("sentence")
+    )
+    if not group_by_subject:
+        return per_triple
+    return per_triple.groupBy("subj").agg(
+        F.array_join(
+            F.array_sort(F.collect_list("sentence")), " "
+        ).alias("text"),
+        F.count("*").alias("n_facts"),
+    )

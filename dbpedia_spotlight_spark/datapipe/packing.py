@@ -264,3 +264,135 @@ def quota_sample(
         .filter(F.col("_rk") <= quota)
         .drop("_rk")
     )
+
+
+def temperature_quotas(
+    docs: DataFrame,
+    total: int,
+    stratum_col: str = "source",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-stratum quotas under temperature sampling (the multilingual
+    mixing rule of mBERT/XLM-R/mT5: sample stratum d with probability
+    proportional to (n_d/N)^alpha, alpha<1 upweighting the tail so small
+    languages/domains are not drowned by the head). Quotas are
+    apportioned to `total` by largest remainder (Hamilton method) with
+    a deterministic (remainder desc, stratum asc) tie-break, and each
+    quota is capped at the stratum's population. The quota sum equals
+    `total` exactly whenever no stratum hits its cap; capped-off mass
+    is NOT redistributed (exact water-filling is iterative — callers
+    needing the full budget at caps should raise alpha or lower total),
+    so the sum is a documented lower bound in that regime.
+
+    -> (stratum_col, n_docs, quota). Combine with temperature_sample
+    below, or feed the dict into quota_sample directly.
+
+    Scale shape: ONE groupBy over the corpus produces the stratum dim;
+    everything after (powers, normalization, largest-remainder ranks)
+    runs on that tiny dim — the windows there partition a table whose
+    row count is the number of strata, not documents.
+    """
+    if total < 0:
+        raise ValueError("total must be >= 0")
+    counts = docs.groupBy(stratum_col).agg(F.count("*").alias("n_docs"))
+    wsum = Window.partitionBy()
+    alloc = (
+        counts.withColumn("_w", F.pow(F.col("n_docs"), F.lit(float(alpha))))
+        .withColumn("_q", F.col("_w") / F.sum("_w").over(wsum) * F.lit(total))
+        .withColumn("_fl", F.floor(F.least(F.col("_q"), F.col("n_docs"))))
+        .withColumn("_rem", F.least(F.col("_q"), F.col("n_docs")) - F.col("_fl"))
+    )
+    give = F.lit(total) - F.sum("_fl").over(wsum)
+    ranked = alloc.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.orderBy(F.col("_rem").desc(), F.col(stratum_col).asc())
+        ),
+    ).withColumn(
+        "quota",
+        F.least(
+            F.col("_fl")
+            + F.when(F.col("_rk") <= give, F.lit(1)).otherwise(F.lit(0)),
+            F.col("n_docs"),
+        ).cast("long"),
+    )
+    return ranked.select(stratum_col, "n_docs", "quota")
+
+
+def temperature_sample(
+    docs: DataFrame,
+    total: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Draw ~`total` documents under alpha-temperature mixing: quotas
+    from temperature_quotas, members chosen as each stratum's lowest
+    md5-rank ids (the quota_sample mechanism — deterministic across
+    runs, retries, and cluster sizes, exactly replayable in SQL).
+    The only driver-side data is the stratum-quota dim (one collect of
+    #strata rows, broadcast back as a literal CASE chain)."""
+    q = {
+        r[0]: int(r[2])
+        for r in temperature_quotas(
+            docs, total, stratum_col=stratum_col, alpha=alpha
+        ).collect()
+    }
+    return quota_sample(
+        docs, q, stratum_col=stratum_col, id_col=id_col, default_quota=0
+    )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    group_col: str = "source",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Group-aware train/validation/test assignment: every row whose
+    `group_col` matches lands in the SAME split, so near-duplicate
+    clusters, URL domains, or paraphrase families never straddle the
+    train/eval boundary — the contamination mode that inflates benchmark
+    scores (the reason dedup.decontaminate exists) applied at split
+    time instead of after the fact.
+
+    ``fractions`` maps split name -> fraction (must sum to <= 1; any
+    remainder falls into the LAST split in sorted-name order, keeping
+    the partition total). Assignment: bucket = md5-tail-int(group) mod
+    `buckets`, split by cumulative thresholds over sorted names —
+    deterministic, RNG-free, replayable in SQL (the stratified_sample
+    hash scheme, hashed on the GROUP not the row id).
+
+    -> docs + a `split` column. Scale shape: zero joins, zero shuffles —
+    one codegen hash + CASE chain per row.
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    if any(v < 0 for v in fractions.values()):
+        raise ValueError("fractions must be >= 0")
+    if sum(fractions.values()) > 1.0 + 1e-9:
+        raise ValueError("fractions must sum to <= 1")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(group_col).cast("string")), 25, 8), 16, 10
+        ).cast("long"),
+        F.lit(buckets),
+    )
+    names = sorted(fractions)
+    # chained WHENs test in order, first match wins: ascending cumulative
+    # thresholds give each name its contiguous bucket range
+    expr = None
+    acc = 0.0
+    for name in names[:-1]:
+        acc += fractions[name]
+        hi = int(round(acc * buckets))
+        expr = (
+            F.when(bucket < hi, F.lit(name))
+            if expr is None
+            else expr.when(bucket < hi, F.lit(name))
+        )
+    expr = (
+        expr.otherwise(F.lit(names[-1])) if expr is not None
+        else F.lit(names[-1])
+    )
+    return docs.withColumn("split", expr)

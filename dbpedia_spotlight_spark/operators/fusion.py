@@ -36,10 +36,10 @@ float drift below oracle tolerance.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["fact_fusion", "resolve_conflicts"]
+__all__ = ["fact_fusion", "resolve_conflicts", "annotation_vote"]
 
 
 def fact_fusion(
@@ -133,4 +133,54 @@ def resolve_conflicts(fused: DataFrame) -> DataFrame:
         fused.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
         .drop("_rk")
+    )
+
+
+def annotation_vote(
+    annotations: DataFrame,
+    min_sources: int = 1,
+) -> DataFrame:
+    """Span-level annotator fusion — the Snorkel-style majority label
+    model reduced to its deterministic core, applied to entity
+    annotations instead of triples (fact_fusion above is the triple
+    half): multiple annotators (model spotters, dictionary spotters,
+    crowd layers) emit (doc_id, begin, end, label, source); each
+    distinct span keeps the label with the most DISTINCT supporting
+    sources, ties broken by label ascending so the result is
+    bit-stable. agreement = winner votes / all votes on the span — the
+    confidence signal a training-data pipeline thresholds on before a
+    span becomes a silver label.
+
+    -> (doc_id, begin, end, label, votes, n_sources, agreement),
+    one row per span with >= min_sources distinct annotators.
+
+    Scale shape: ONE groupBy (doc_id, begin, end, label) counting
+    distinct sources, then a window max-pick partitioned by the span —
+    both hash-partition on the span key, so Spark plans a single
+    exchange; no join, no collect, skew bounded by annotators-per-span
+    (the number of layers, a small constant).
+    """
+    votes = annotations.groupBy("doc_id", "begin", "end", "label").agg(
+        F.countDistinct("source").alias("votes")
+    )
+    w = Window.partitionBy("doc_id", "begin", "end")
+    picked = (
+        votes.withColumn("_tot", F.sum("votes").over(w))
+        .withColumn("_ns", F.col("_tot"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                w.orderBy(F.col("votes").desc(), F.col("label").asc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+    )
+    return picked.filter(F.col("votes") >= min_sources).select(
+        "doc_id",
+        "begin",
+        "end",
+        "label",
+        "votes",
+        F.col("_tot").alias("n_sources"),
+        F.round(F.col("votes") / F.col("_tot"), 6).alias("agreement"),
     )

@@ -383,3 +383,82 @@ def nil_context_clusters(
             ).alias("cluster_id"),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    records: DataFrame,
+    key_col: str = "label",
+    id_col: str = "uri",
+    window: int = 3,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood entity-resolution blocking (Hernández &
+    Stolfo, SIGMOD '95): sort all records by a blocking key (normalized
+    name, sort-key concatenation, ...) and emit every pair closer than
+    `window` positions in that global order — the classic complement to
+    the equality blocking in align_entities, catching near-misses whose
+    keys are unequal but ADJACENT ('Jon Smith' | 'John Smith').
+
+    -> (a, b, key_a, key_b, gap) with rank(a) < rank(b), gap = rank
+    difference in [1, window).
+
+    Scale shape: the global rank is a distributed prefix sum (the
+    prefix_token_offsets idiom — range repartition on (key, id),
+    per-partition row_number, plus per-partition offsets collected as P
+    scalars), NEVER a single-partition global window; candidate pairs
+    come from TWO equi-joins on floor(rank/window) (own block + next
+    block — every pair closer than `window` spans at most one boundary)
+    filtered to the rank band, so the join fan-out per record is
+    bounded by 2·window regardless of corpus size or key skew.
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    sess = records.sparkSession
+    if partitions is None:
+        partitions = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
+    parts = (
+        records.select(
+            F.col(id_col).alias("_id"), F.col(key_col).alias("_key")
+        )
+        .distinct()
+        .repartitionByRange(partitions, F.col("_key"), F.col("_id"))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    sums = dict(parts.groupBy("_pid").agg(F.count("*").alias("n")).collect())
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    offset_expr = (
+        F.coalesce(
+            F.element_at(
+                F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+                F.col("_pid"),
+            ),
+            F.lit(0),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    w = Window.partitionBy("_pid").orderBy("_key", "_id")
+    ranked = parts.withColumn(
+        "_rank",
+        (F.row_number().over(w) - 1 + offset_expr).cast("long"),
+    ).withColumn("_blk", F.floor(F.col("_rank") / F.lit(window)))
+    a = ranked.select(
+        F.col("_id").alias("a"), F.col("_key").alias("key_a"),
+        F.col("_rank").alias("_ra"), F.col("_blk").alias("_ba"),
+    )
+    b = ranked.select(
+        F.col("_id").alias("b"), F.col("_key").alias("key_b"),
+        F.col("_rank").alias("_rb"), F.col("_blk").alias("_bb"),
+    )
+    same = a.join(b, a["_ba"] == b["_bb"])
+    nxt = a.join(b, a["_ba"] + 1 == b["_bb"])
+    return (
+        same.unionByName(nxt)
+        .withColumn("gap", F.col("_rb") - F.col("_ra"))
+        .filter((F.col("gap") > 0) & (F.col("gap") < window))
+        .select("a", "b", "key_a", "key_b", "gap")
+    )

@@ -252,6 +252,12 @@ def interval_coalesce(
     keys = list(keys) if keys is not None else ["subj", "pred", "obj"]
     if not keys:
         raise ValueError("interval_coalesce needs >= 1 key column")
+    # dedupe first: duplicate (keys, interval) rows never change the
+    # hulls, but they DO make the (start, end) window order ambiguous —
+    # two engines (or two window evaluations) may interleave the copies
+    # differently and disagree on island ids. Unique rows make the sort
+    # total and the result engine-independent.
+    facts = facts.select(*keys, start, end).distinct()
     w = Window.partitionBy(*keys).orderBy(F.col(start).asc(), F.col(end).asc())
     prev_max = F.max(end).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -272,3 +278,83 @@ def interval_coalesce(
         .agg(F.min(start).alias(start), F.max(end).alias(end))
         .drop("_island")
     )
+
+
+def interval_subtract(
+    facts: DataFrame,
+    retractions: DataFrame,
+    keys: list[str] | None = None,
+    start: str = "valid_from",
+    end: str = "valid_to",
+) -> DataFrame:
+    """Temporal DIFFERENCE (the other half of Böhlen/Snodgrass interval
+    algebra next to interval_coalesce): subtract per-key retraction
+    intervals from fact validity intervals — the operator a continuously
+    maintained KB needs to apply takedowns, corrections, or embargo
+    windows ("fact F did NOT hold during [a, b)") without rewriting
+    history row by row. Intervals are half-open [start, end); a
+    retraction splits a fact interval into up to (overlaps + 1) pieces
+    and drops it entirely when covered.
+
+    ``facts`` and ``retractions`` both carry keys + (start, end); fact
+    rows are deduplicated on (keys, start, end) first (payload-free
+    contract, like interval_coalesce). -> maximal remaining validity
+    pieces under the input column names.
+
+    Scale shape: retractions are first COALESCED per key (the
+    gaps-and-islands pass above — disjoint, sorted), then ONE keyed
+    equi-join (never keyless) picks the retractions overlapping each
+    fact, and ONE window per (keys, fact-interval) ordered by retraction
+    start emits the gap before each retraction plus one tail piece —
+    lag() + greatest/least, all codegen. A fact overlapped by R
+    retractions costs R+1 rows, never R²; facts with no overlap pass
+    through the left join untouched.
+    """
+    keys = list(keys) if keys is not None else ["subj", "pred", "obj"]
+    if not keys:
+        raise ValueError("interval_subtract needs >= 1 key column")
+    f = facts.select(*keys, start, end).distinct()
+    r = interval_coalesce(
+        retractions.select(*keys, start, end), keys=keys, start=start, end=end
+    ).select(
+        *keys, F.col(start).alias("_rs"), F.col(end).alias("_re")
+    )
+    # keyed left join; a retraction that shares the key but does not
+    # overlap the fact is nulled out below so it behaves like a miss
+    j = (
+        f.join(r, on=keys, how="left")
+        .withColumn(
+            "_hit",
+            F.col("_rs").isNotNull()
+            & (F.col(start) < F.col("_re"))
+            & (F.col("_rs") < F.col(end)),
+        )
+        .withColumn("_rs", F.when(F.col("_hit"), F.col("_rs")))
+        .withColumn("_re", F.when(F.col("_hit"), F.col("_re")))
+        .dropDuplicates(keys + [start, end, "_rs", "_re"])
+    )
+    # untouched facts: no overlapping retraction at all
+    grp = keys + [start, end]
+    touched = j.filter(F.col("_hit")).select(*grp).distinct()
+    untouched = (
+        j.select(*grp).distinct().join(touched, grp, "left_anti")
+    )
+    hits = j.filter(F.col("_hit"))
+    w = Window.partitionBy(*grp).orderBy(F.col("_rs").asc())
+    pieces_before = (
+        hits.withColumn("_ps", F.coalesce(F.lag("_re").over(w), F.col(start)))
+        .withColumn("_pe", F.least(F.col(end), F.col("_rs")))
+        .filter(F.col("_ps") < F.col("_pe"))
+        .select(*keys, F.col("_ps").alias(start), F.col("_pe").alias(end))
+    )
+    tail = (
+        hits.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(*grp).orderBy(F.col("_rs").desc())
+            ),
+        )
+        .filter((F.col("_rn") == 1) & (F.col("_re") < F.col(end)))
+        .select(*keys, F.col("_re").alias(start), F.col(end).alias(end))
+    )
+    return untouched.unionByName(pieces_before).unionByName(tail)

@@ -1679,3 +1679,105 @@ def test_fastrp_embeddings_deterministic_and_structural(spark):
     for j in range(4):
         expect = (proj.get(("a", j), 0.0) + proj.get(("b", j), 0.0)) / 2
         assert abs(got_h.get(j, 0.0) - round(expect, 6)) < 1e-9
+
+
+def test_temperature_quotas_hamilton(spark):
+    from dbpedia_spotlight_spark.datapipe.packing import (
+        temperature_quotas,
+        temperature_sample,
+    )
+
+    # strata: 64 'big', 25 'mid', 11 'tiny' — sized so alpha=0.5 caps
+    # nothing (exact Hamilton apportionment regime)
+    rows = (
+        [("b%d" % i, "big") for i in range(64)]
+        + [("m%d" % i, "mid") for i in range(25)]
+        + [("t%d" % i, "tiny") for i in range(11)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id string, source string")
+    q = {
+        r.source: (r.n_docs, r.quota)
+        for r in temperature_quotas(docs, 50, alpha=0.5).collect()
+    }
+    # weights 8 : 5 : 3.3166 -> 24.51/15.32/10.16 -> 25/15/10
+    assert q == {"big": (64, 25), "mid": (25, 15), "tiny": (11, 10)}
+    assert sum(v[1] for v in q.values()) == 50
+    # alpha upweights the tail vs proportional (64/100*50 = 32)
+    assert q["big"][1] < 32
+    # alpha=1 reduces to proportional allocation (mid wins the tie on
+    # remainder .5/.5 by name asc)
+    qp = {
+        r.source: r.quota
+        for r in temperature_quotas(docs, 50, alpha=1.0).collect()
+    }
+    assert qp == {"big": 32, "mid": 13, "tiny": 5}
+    # capped stratum: quota never exceeds population, capped-off mass
+    # is not redistributed (documented)
+    q1 = {
+        r.source: r.quota
+        for r in temperature_quotas(docs, 99, alpha=0.1).collect()
+    }
+    assert q1["tiny"] <= 11 and sum(q1.values()) <= 99
+    samp = temperature_sample(docs, 50, alpha=0.5)
+    assert samp.count() == 50
+    # deterministic: same call, same rows
+    ids1 = {r.doc_id for r in samp.collect()}
+    ids2 = {r.doc_id for r in temperature_sample(docs, 50, alpha=0.5).collect()}
+    assert ids1 == ids2
+
+
+def test_leakage_safe_split_groups_stay_together(spark):
+    import pytest
+
+    from dbpedia_spotlight_spark.datapipe.packing import leakage_safe_split
+
+    rows = [("d%d" % i, "g%d" % (i % 25)) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id string, source string")
+    out = leakage_safe_split(
+        docs, {"train": 0.8, "valid": 0.1, "test": 0.1}
+    ).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.source, set()).add(r.split)
+    # every group lands in exactly one split
+    assert all(len(s) == 1 for s in by_group.values())
+    assert {r.split for r in out} <= {"train", "valid", "test"}
+    # majority in train
+    n_train = sum(1 for r in out if r.split == "train")
+    assert n_train > 100
+    with pytest.raises(ValueError):
+        leakage_safe_split(docs, {})
+    with pytest.raises(ValueError):
+        leakage_safe_split(docs, {"a": 0.9, "b": 0.2})
+
+
+def test_verbalize_triples_templates_and_grouping(spark):
+    from dbpedia_spotlight_spark.datapipe.kg_samples import verbalize_triples
+
+    t = spark.createDataFrame(
+        [("A", "born", "P"), ("A", "likes", "B"), ("B", "born", "Q")],
+        "subj string, pred string, obj string",
+    )
+    lab = spark.createDataFrame(
+        [("A", "Alice"), ("P", "Paris")], "uri string, label string"
+    )
+    per = {
+        (r.subj, r.pred): r.sentence
+        for r in verbalize_triples(
+            t,
+            labels=lab,
+            templates={"born": "{s} was born in {o}."},
+            group_by_subject=False,
+        ).collect()
+    }
+    assert per[("A", "born")] == "Alice was born in Paris."
+    assert per[("A", "likes")] == "Alice likes B."
+    assert per[("B", "born")] == "B was born in Q."
+    grouped = {
+        r.subj: (r.text, r.n_facts)
+        for r in verbalize_triples(
+            t, labels=lab, templates={"born": "{s} was born in {o}."}
+        ).collect()
+    }
+    assert grouped["A"] == ("Alice likes B. Alice was born in Paris.", 2)
+    assert grouped["B"] == ("B was born in Q.", 1)

@@ -84,3 +84,33 @@ def test_resolve_conflicts_tiebreak(spark):
 def test_fusion_rounds_validation(quads):
     with pytest.raises(ValueError, match="rounds"):
         fact_fusion(quads, rounds=0)
+
+
+def test_annotation_vote_majority_and_ties(spark):
+    from dbpedia_spotlight_spark.operators.fusion import annotation_vote
+
+    rows = [
+        (1, 0, 5, "PER", "a"),
+        (1, 0, 5, "PER", "b"),
+        (1, 0, 5, "PER", "b"),  # duplicate vote from same source ignored
+        (1, 0, 5, "ORG", "c"),
+        (1, 10, 15, "LOC", "a"),
+        (2, 0, 3, "PER", "a"),
+        (2, 0, 3, "ORG", "b"),  # tie -> ORG wins (label asc)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id int, begin int, end int, label string, source string"
+    )
+    got = {
+        (r.doc_id, r.begin): (r.label, r.votes, r.n_sources, r.agreement)
+        for r in annotation_vote(df).collect()
+    }
+    assert got[(1, 0)] == ("PER", 2, 3, 0.666667)
+    assert got[(1, 10)] == ("LOC", 1, 1, 1.0)
+    assert got[(2, 0)] == ("ORG", 1, 2, 0.5)
+    # min_sources filters singleton spans
+    got2 = {
+        (r.doc_id, r.begin)
+        for r in annotation_vote(df, min_sources=2).collect()
+    }
+    assert got2 == {(1, 0)}

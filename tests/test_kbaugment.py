@@ -320,3 +320,26 @@ def test_nil_context_clusters_splits_and_merges(spark):
     assert got["d1\x1f0"] == got["d2\x1f3"]
     assert got["d3\x1f1"] != got["d1\x1f0"]
     assert got["d5\x1f0"].startswith("NEW:berlin#")
+
+
+def test_sorted_neighborhood_window_pairs(spark):
+    import pytest
+
+    from dbpedia_spotlight_spark.operators.kbaugment import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [("u%d" % i, "k%02d" % i) for i in range(10)]
+    df = spark.createDataFrame(rows, "uri string, label string")
+    got = sorted(
+        (r.a, r.b, r.gap)
+        for r in sorted_neighborhood_pairs(df, window=4).collect()
+    )
+    expect = sorted(
+        ("u%d" % i, "u%d" % j, j - i)
+        for i in range(10)
+        for j in range(i + 1, min(i + 4, 10))
+    )
+    assert got == expect
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, window=1)

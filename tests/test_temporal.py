@@ -184,3 +184,39 @@ def test_interval_coalesce_islands(spark):
         ("e2", "v", 1, 10),
         ("e2", "w", 3, 4),
     }
+
+
+def test_interval_subtract_splits_and_drops(spark):
+    from dbpedia_spotlight_spark.operators.temporal import interval_subtract
+
+    facts = spark.createDataFrame(
+        [
+            ("e1", "p", "v", 0, 10),   # split twice
+            ("e1", "p", "v", 20, 25),  # untouched
+            ("e2", "p", "v", 0, 4),    # fully covered -> dropped
+            ("e3", "p", "v", 5, 9),    # clipped at both ends
+        ],
+        "subj string, pred string, obj string, valid_from int, valid_to int",
+    )
+    retr = spark.createDataFrame(
+        [
+            ("e1", "p", "v", 2, 4),
+            ("e1", "p", "v", 6, 7),
+            ("e2", "p", "v", 0, 6),
+            ("e3", "p", "v", 0, 6),
+            ("e3", "p", "v", 8, 12),
+            ("e9", "p", "v", 0, 99),  # key with no facts: ignored
+        ],
+        "subj string, pred string, obj string, valid_from int, valid_to int",
+    )
+    got = {
+        (r.subj, r.valid_from, r.valid_to)
+        for r in interval_subtract(facts, retr).collect()
+    }
+    assert got == {
+        ("e1", 0, 2),
+        ("e1", 4, 6),
+        ("e1", 7, 10),
+        ("e1", 20, 25),
+        ("e3", 6, 8),
+    }

@@ -5694,12 +5694,66 @@ def q_kg_sorted_neighborhood(spark, sf_dir):
     return sorted_neighborhood_pairs(recs, window=3)
 
 
+def q_kg_validity_histogram(spark, sf_dir):
+    """Concurrent-validity sweep line (operators/temporal.py:
+    validity_histogram — +1/-1 boundary deltas collapsed by ONE
+    map-side-combinable groupBy before the per-key running-sum window,
+    so simultaneous starts/ends have no order ambiguity): per-subject
+    timelines over the order-derived interval fixture. Oracle = the
+    same union + cumsum algebra."""
+    from dbpedia_spotlight_spark.operators.temporal import validity_histogram
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    facts = o.select(
+        F.concat(F.lit("c"), F.col("o_custkey") % 40).alias("subj"),
+        (F.col("o_orderkey") % 90).cast("int").alias("valid_from"),
+        ((F.col("o_orderkey") % 90) + 3 + (F.col("o_orderkey") % 7))
+        .cast("int").alias("valid_to"),
+    )
+    return validity_histogram(facts, keys=["subj"])
+
+
+def q_priority_mix(spark, sf_dir):
+    """Weighted sampling without replacement (datapipe/packing.py:
+    priority_sample — Efraimidis-Spirakis A-Res with a deterministic
+    md5-derived uniform, ranked by the monotone key ln(u)/w; global
+    top-k goes through a per-partition prefilter, never one partition):
+    25 docs per lang weighted by n_chars. Oracle replays the identical
+    hash -> uniform -> key arithmetic."""
+    from dbpedia_spotlight_spark.datapipe.packing import priority_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return priority_sample(
+        docs, 25, "n_chars", stratum_col="lang"
+    ).select("doc_id", "lang")
+
+
+def q_contrastive_mine(spark, sf_dir):
+    """Contrastive triplet mining (datapipe/kg_samples.py:
+    contrastive_triplets — positives from asserted links, hard
+    negatives = top-k cosine among NON-linked candidates via the exact
+    brute-force baseline with a max-degree overfetch so the link
+    anti-join can't starve the top-k; swap lsh/ivf at corpus scale):
+    links pair vec_id i with i+250 for i < 20. Oracle = full cosine
+    ranking with a NOT EXISTS link exclusion."""
+    from dbpedia_spotlight_spark.datapipe.kg_samples import contrastive_triplets
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    links = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("a"), (F.col("vec_id") + 250).alias("b")
+    )
+    return contrastive_triplets(emb, links, k_neg=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "kg_validity_histogram": q_kg_validity_histogram,
+        "priority_mix": q_priority_mix,
+        "contrastive_mine": q_contrastive_mine,
         "kg_interval_subtract": q_kg_interval_subtract,
         "kg_verbalize": q_kg_verbalize,
         "temperature_mix": q_temperature_mix,
@@ -6711,6 +6765,76 @@ WITH snap AS (
 SELECT DISTINCT s.subj AS o, p.obj AS p
 FROM snap s JOIN snap p ON p.subj = s.subj AND p.pred = 'priority'
 WHERE s.pred = 'status' AND s.obj = 'F'
+"""
+
+    # kg_validity_histogram: boundary deltas + per-key cumsum.
+    sql["kg_validity_histogram"] = """
+WITH f AS (
+  SELECT 'c' || (o_custkey % 40)::VARCHAR AS subj,
+         (o_orderkey % 90)::INTEGER AS s,
+         ((o_orderkey % 90) + 3 + (o_orderkey % 7))::INTEGER AS e
+  FROM orders
+),
+d AS (
+  SELECT subj, t, sum(dd)::BIGINT AS dd FROM (
+    SELECT subj, s AS t, 1 AS dd FROM f
+    UNION ALL
+    SELECT subj, e AS t, -1 AS dd FROM f
+  ) GROUP BY subj, t
+)
+SELECT subj, t, sum(dd) OVER (
+  PARTITION BY subj ORDER BY t
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+)::BIGINT AS active
+FROM d
+"""
+
+    # priority_mix: md5 tail -> uniform in (0,1) -> A-Res key ln(u)/w.
+    sql["priority_mix"] = """
+WITH keyed AS (
+  SELECT doc_id, lang,
+         ln((('0x' || substr(md5(doc_id::VARCHAR), 25, 8))::BIGINT
+             % 16777216 + 0.5) / 16777216.0) / n_chars AS pk
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang, row_number() OVER (
+    PARTITION BY lang ORDER BY pk DESC, doc_id ASC) AS rn
+  FROM keyed
+) WHERE rn <= 25
+"""
+
+    # contrastive_mine: full cosine ranking, symmetric link + self
+    # exclusion, top-3 negatives joined back to the directed positives.
+    sql["contrastive_mine"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+lk AS (
+  SELECT vec_id AS a, vec_id + 250 AS b FROM embeddings WHERE vec_id < 20
+),
+sym AS (
+  SELECT a, b FROM lk UNION SELECT b, a FROM lk
+),
+anchors AS (SELECT DISTINCT a FROM sym),
+scored AS (
+  SELECT q.a AS anchor, e.vec_id AS cand_id,
+         list_cosine_similarity(qe.v, e.v) AS cos
+  FROM anchors q
+  JOIN e qe ON qe.vec_id = q.a
+  CROSS JOIN e
+  WHERE e.vec_id <> q.a
+    AND NOT EXISTS (
+      SELECT 1 FROM sym s WHERE s.a = q.a AND s.b = e.vec_id
+    )
+),
+negs AS (
+  SELECT anchor, cand_id, cos, row_number() OVER (
+    PARTITION BY anchor ORDER BY cos DESC, cand_id ASC) AS neg_rank
+  FROM scored
+)
+SELECT lk.a AS anchor, lk.b AS pos_id, n.cand_id AS neg_id,
+       n.neg_rank::INTEGER AS neg_rank, round(n.cos, 4) AS neg_cosine
+FROM lk JOIN negs n ON n.anchor = lk.a
+WHERE n.neg_rank <= 3
 """
 
     # kg_interval_subtract: coalesce retractions, keyed overlap join,

@@ -341,3 +341,90 @@ def verbalize_triples(
         ).alias("text"),
         F.count("*").alias("n_facts"),
     )
+
+
+def contrastive_triplets(
+    embeddings: DataFrame,
+    links: DataFrame,
+    k_neg: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(anchor, positive, hard-negative) training triplets for
+    contrastive representation learning (the SimCSE/SBERT mining
+    recipe, and the standard fine-tuning diet for entity-linking
+    encoders): positives are asserted links (sameAs candidates,
+    anchor-text pairs, co-click pairs — caller-provided (a, b) rows);
+    hard negatives are each anchor's top-`k_neg` cosine neighbors that
+    are NOT linked to it (either direction) and not itself — the
+    near-misses that actually move a contrastive loss, vs easy random
+    negatives.
+
+    -> (anchor, pos_id, neg_id, neg_rank, neg_cosine[round 4]), one row
+    per (link x negative); anchors absent from `embeddings` drop out.
+
+    Scale shape: scoring delegates to similarity.brute_force_topk —
+    the labeled exact baseline (anchor dim broadcast, one Arrow cosine
+    pass, per-anchor window) — over-fetching k_neg + max-degree
+    candidates so the post-hoc link anti-join cannot starve the top-k;
+    at corpus scale swap the scorer for lsh_topk/ivf_topk (same
+    (query_id, cand_id, cosine) contract). The link exclusion is one
+    anti-join on bare id pairs; max link degree is computed as ONE
+    scalar aggregate (the only collect).
+    """
+    from .similarity import brute_force_topk
+
+    lk = links.select(
+        F.col(links.columns[0]).alias("a"), F.col(links.columns[1]).alias("b")
+    )
+    sym = lk.unionByName(
+        lk.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    anchors = sym.select(F.col("a").alias(id_col)).distinct().join(
+        embeddings.select(id_col, vec_col), id_col
+    )
+    max_deg = (
+        sym.groupBy("a").agg(F.count("*").alias("d"))
+        .agg(F.max("d"))
+        .collect()[0][0]
+        or 0
+    )
+    scored = brute_force_topk(
+        embeddings,
+        anchors,
+        k=k_neg + max_deg,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    negs = (
+        scored.join(
+            sym.select(
+                F.col("a").alias("query_id"), F.col("b").alias("cand_id")
+            ),
+            ["query_id", "cand_id"],
+            "left_anti",
+        )
+        .withColumn(
+            "neg_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cosine").desc(), F.col("cand_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("neg_rank") <= k_neg)
+    )
+    return (
+        lk.join(
+            embeddings.select(F.col(id_col).alias("a")).distinct(), "a"
+        )
+        .select(F.col("a").alias("query_id"), F.col("b").alias("pos_id"))
+        .join(negs, "query_id")
+        .select(
+            F.col("query_id").alias("anchor"),
+            "pos_id",
+            F.col("cand_id").alias("neg_id"),
+            "neg_rank",
+            F.round("cosine", 4).alias("neg_cosine"),
+        )
+    )

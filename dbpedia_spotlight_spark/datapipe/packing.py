@@ -396,3 +396,71 @@ def leakage_safe_split(
         else F.lit(names[-1])
     )
     return docs.withColumn("split", expr)
+
+
+def priority_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-Res,
+    IPL 2006): each row gets priority u^(1/w) for a uniform u, and the
+    top-k priorities are the sample — the distribution-exact way to
+    draw "10k docs, quality-score-weighted" that quota/temperature
+    sampling (count-driven) cannot express. u is DETERMINISTIC:
+    (md5-tail-24-bits + 0.5) / 2^24 — the stratified_sample hash
+    scheme — so the draw replays across runs, retries, cluster sizes,
+    and engines; we rank by the monotone-equivalent key ln(u)/w
+    (descending), avoiding pow() while preserving the A-Res order.
+    Rows with weight <= 0 or null are excluded (zero mass).
+
+    With ``stratum_col``: top-k PER stratum (one window, partitioned).
+    Without: a global top-k via per-partition prefilter — each input
+    partition keeps its local top-k first, then one tiny window ranks
+    the <= k * n_partitions survivors, so no single-partition pass over
+    the corpus ever happens.
+
+    -> the sampled input rows unchanged (plus nothing: the priority key
+    is internal).
+    """
+    if k <= 0:
+        raise ValueError("k must be >= 1")
+    u = (
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 25, 8),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(1 << 24),
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 24))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    cand = docs.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("_pk", key)
+    cols = docs.columns
+    if stratum_col is not None:
+        w = Window.partitionBy(stratum_col).orderBy(
+            F.col("_pk").desc(), F.col(id_col).asc()
+        )
+        return (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select(*cols)
+        )
+    local = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.col("_pk").desc(), F.col(id_col).asc()
+    )
+    pruned = cand.withColumn("_ln", F.row_number().over(local)).filter(
+        F.col("_ln") <= k
+    )
+    final = Window.orderBy(F.col("_pk").desc(), F.col(id_col).asc())
+    return (
+        pruned.withColumn("_rn", F.row_number().over(final))
+        .filter(F.col("_rn") <= k)
+        .select(*cols)
+    )

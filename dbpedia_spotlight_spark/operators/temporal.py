@@ -358,3 +358,51 @@ def interval_subtract(
         .select(*keys, F.col("_re").alias(start), F.col(end).alias(end))
     )
     return untouched.unionByName(pieces_before).unionByName(tail)
+
+
+def validity_histogram(
+    facts: DataFrame,
+    keys: list[str] | None = None,
+    start: str = "valid_from",
+    end: str = "valid_to",
+) -> DataFrame:
+    """Concurrent-validity timeline (the temporal-DB sweep line): for
+    each key, how many facts are simultaneously valid over time —
+    answering "how many distinct employers did this entity overlap",
+    "how many versions of this predicate were live during the conflict
+    window" without materializing per-instant rows. Each interval
+    [start, end) contributes +1 at its start boundary and -1 at its
+    end; the running sum at boundary t is the number of facts valid on
+    [t, next boundary).
+
+    -> (keys..., t, active): one row per distinct boundary instant,
+    `active` = facts whose interval covers [t, next boundary). Trailing
+    zero rows (after the last interval closes) are kept — they mark
+    where the timeline empties.
+
+    Scale shape: one union -> ONE groupBy (keys, t) summing deltas
+    (map-side combinable — simultaneous starts/ends at the same instant
+    collapse BEFORE the window, so no order ambiguity), then ONE
+    running-sum window per key. Per-key state only; keys with millions
+    of boundaries should pre-bucket t (the window is per-key
+    sequential, the usual gaps-and-islands caveat).
+    """
+    keys = list(keys) if keys is not None else ["pred"]
+    if not keys:
+        raise ValueError("validity_histogram needs >= 1 key column")
+    deltas = (
+        facts.select(*keys, F.col(start).alias("t"), F.lit(1).alias("_d"))
+        .unionByName(
+            facts.select(*keys, F.col(end).alias("t"), F.lit(-1).alias("_d"))
+        )
+        .groupBy(*keys, "t")
+        .agg(F.sum("_d").alias("_d"))
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return deltas.withColumn(
+        "active", F.sum("_d").over(w).cast("long")
+    ).drop("_d")

@@ -1781,3 +1781,59 @@ def test_verbalize_triples_templates_and_grouping(spark):
     }
     assert grouped["A"] == ("Alice likes B. Alice was born in Paris.", 2)
     assert grouped["B"] == ("B was born in Q.", 1)
+
+
+def test_priority_sample_weighted_deterministic(spark):
+    import pytest
+
+    from dbpedia_spotlight_spark.datapipe.packing import priority_sample
+
+    rows = [
+        ("d%02d" % i, "s%d" % (i % 2), float(1 + i % 5)) for i in range(40)
+    ] + [("z1", "s0", 0.0), ("z2", "s0", None)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, w double")
+    g1 = sorted(r.doc_id for r in priority_sample(df, 5, "w").collect())
+    g2 = sorted(r.doc_id for r in priority_sample(df, 5, "w").collect())
+    assert g1 == g2 and len(g1) == 5
+    # zero/null weights never sampled even at k = corpus size
+    allk = sorted(r.doc_id for r in priority_sample(df, 100, "w").collect())
+    assert "z1" not in allk and "z2" not in allk and len(allk) == 40
+    # stratified: k per stratum
+    s = priority_sample(df, 3, "w", stratum_col="source")
+    per = {}
+    for r in s.collect():
+        per.setdefault(r.source, []).append(r.doc_id)
+    assert {k: len(v) for k, v in per.items()} == {"s0": 3, "s1": 3}
+    # weights matter: upweighting one doc pulls it into the sample
+    boost = spark.createDataFrame(
+        [("d%02d" % i, "s0", 1e6 if i == 39 else 1.0) for i in range(40)],
+        "doc_id string, source string, w double",
+    )
+    assert "d39" in {r.doc_id for r in priority_sample(boost, 3, "w").collect()}
+    with pytest.raises(ValueError):
+        priority_sample(df, 0, "w")
+
+
+def test_contrastive_triplets_hard_negatives(spark):
+    from dbpedia_spotlight_spark.datapipe.kg_samples import contrastive_triplets
+
+    # anchor 0 ~ [1,0]; its positive is 1; nearest non-linked is 2
+    # (cos ~0.995), then 3 (cos ~0.9). 4 is orthogonal.
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [1.0, 0.1]),
+            (3, [0.9, 0.44]),
+            (4, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    links = spark.createDataFrame([(0, 1)], "a long, b long")
+    got = [
+        (r.anchor, r.pos_id, r.neg_id, r.neg_rank)
+        for r in contrastive_triplets(emb, links, k_neg=2).collect()
+    ]
+    assert sorted(got) == [(0, 1, 2, 1), (0, 1, 3, 2)]
+    # the positive (1) and self (0) never appear as negatives
+    assert all(g[2] not in (0, 1) for g in got)

@@ -220,3 +220,23 @@ def test_interval_subtract_splits_and_drops(spark):
         ("e1", 20, 25),
         ("e3", 6, 8),
     }
+
+
+def test_validity_histogram_sweep(spark):
+    from dbpedia_spotlight_spark.operators.temporal import validity_histogram
+
+    f = spark.createDataFrame(
+        [("p", 1, 5), ("p", 3, 7), ("p", 5, 9), ("q", 0, 2)],
+        "pred string, valid_from int, valid_to int",
+    )
+    got = {(r.pred, r.t): r.active for r in validity_histogram(f).collect()}
+    # at t=5 one interval closes and another opens: net active stays 2
+    assert got == {
+        ("p", 1): 1,
+        ("p", 3): 2,
+        ("p", 5): 2,
+        ("p", 7): 1,
+        ("p", 9): 0,
+        ("q", 0): 1,
+        ("q", 2): 0,
+    }

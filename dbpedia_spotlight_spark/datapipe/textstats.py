@@ -590,3 +590,52 @@ def ngram_doc_logprob(
         (F.sum(F.col("c") * F.col("_lp")) / F.sum("c")).alias("logprob"),
     )
     return agg.withColumn("perplexity", F.exp(-F.col("logprob")))
+
+
+def vocab_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 100,
+) -> DataFrame:
+    """One-row corpus vocabulary profile — the Zipf/Heaps diagnostics a
+    pretraining-data pipeline tracks per shard to catch boilerplate
+    floods and template corpora (a healthy natural-language crawl has
+    zipf slope ~ -1 and a fat hapax tail; machine-generated spam
+    doesn't): token count N, vocab size V, hapax & dis legomena
+    counts, coverage of the top_k types, and the least-squares slope
+    of ln(freq) ~ ln(rank).
+
+    -> (n_tokens, vocab_size, hapax, dis_legomena, topk_coverage,
+    zipf_slope), floats rounded to 6.
+
+    Scale shape: ONE explode + groupBy(token) builds the frequency
+    table (map-side combinable); ranks come from skew.dense_sorted_id
+    (range partition + parallel windows + P-row offset collect — never
+    a single-partition global window over the vocabulary); the profile
+    itself is one scalar aggregate. covar_pop/var_pop give the exact
+    regression slope in one pass — no iteration.
+    """
+    from dbpedia_spotlight_spark.operators.skew import dense_sorted_id
+
+    freqs = (
+        docs.select(F.explode(words_col(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked = dense_sorted_id(
+        freqs, [F.desc("freq"), F.asc("token")], "rank", start=1
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    return ranked.agg(
+        F.sum("freq").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab_size"),
+        F.sum((F.col("freq") == 1).cast("long")).alias("hapax"),
+        F.sum((F.col("freq") == 2).cast("long")).alias("dis_legomena"),
+        F.round(
+            F.sum(F.when(F.col("rank") <= top_k, F.col("freq")).otherwise(0))
+            / F.sum("freq"),
+            6,
+        ).alias("topk_coverage"),
+        F.round((F.covar_pop(x, y) / F.var_pop(x)), 6).alias("zipf_slope"),
+    )

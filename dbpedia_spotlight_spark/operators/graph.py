@@ -1642,3 +1642,90 @@ def shortest_path_trace(
         )
         done = done.unionByName(level)
     return done
+
+
+def luby_mis(
+    edges: DataFrame,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Maximal independent set via Luby's algorithm (Luby, STOC '85 —
+    THE parallel symmetry-breaking primitive; an MIS seeds distributed
+    coloring, scheduling, and landmark selection over the entity
+    graph): each round, every undecided node draws a priority and
+    joins the MIS iff its (priority, id) is a strict local minimum
+    among its undecided neighbors; selected nodes and their neighbors
+    leave the game. Priorities are DETERMINISTIC —
+    md5_48(node ∥ 0x1f ∥ round) — so the *sampled* run itself replays
+    bit-identically across executors and engines (the random_walks /
+    negative_samples hash scheme), and the per-round re-draw keeps
+    Luby's O(log n) expected round bound.
+
+    ``edges``: (src, dst), symmetrized internally, self-loops dropped.
+    -> (node, round): the MIS members and the round that selected
+    them. Isolated nodes never appear in `edges`; callers wanting them
+    append all-degree-0 nodes (trivially independent) themselves.
+
+    Scale shape per round: ONE equi-join (undecided edges x priorities)
+    + ONE groupBy-min for the neighborhood minimum + two anti-joins for
+    the removal — all hash-partitioned on node; lineage truncated per
+    round (localCheckpoint), the iterative-op contract shared with
+    label_propagation/k_core above. Raises after max_rounds without
+    convergence (expected rounds ~ log n; 16 covers any plausible KG).
+    """
+    e = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    e = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().localCheckpoint()
+    und = (
+        e.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    )
+    out = None
+    for r in range(1, max_rounds + 1):
+        pr = und.withColumn(
+            "_h",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("\x1f", "node", F.lit(str(r)))), 1, 12
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+        live = (
+            e.join(pr.select(F.col("node").alias("u")), "u")
+            .join(pr.select(F.col("node").alias("v")), "v")
+            .select("u", "v")
+        )
+        nbr_min = (
+            live.join(
+                pr.select(
+                    F.col("node").alias("v"),
+                    F.col("_h").alias("_nh"),
+                ),
+                "v",
+            )
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min(F.struct(F.col("_nh"), F.col("v"))).alias("_m"))
+        )
+        sel = (
+            pr.join(nbr_min, "node", "left")
+            .filter(
+                F.col("_m").isNull()
+                | (F.struct(F.col("_h"), F.col("node")) < F.col("_m"))
+            )
+            .select("node")
+            .localCheckpoint()
+        )
+        picked = sel.withColumn("round", F.lit(r))
+        out = picked if out is None else out.unionByName(picked)
+        removed = sel.unionByName(
+            live.join(sel.select(F.col("node").alias("u")), "u")
+            .select(F.col("v").alias("node"))
+        ).distinct()
+        und = und.join(removed, "node", "left_anti").localCheckpoint()
+        if und.isEmpty():
+            return out
+    raise RuntimeError(f"luby_mis did not converge in {max_rounds} rounds")

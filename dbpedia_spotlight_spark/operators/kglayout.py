@@ -22,7 +22,7 @@ type table on both endpoints plus one groupBy.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 TYPE_PRED = "rdf:type"
@@ -463,4 +463,114 @@ def characteristic_sets(
         F.size(F.split(F.first("cs"), ",")).alias("n_preds"),
         F.count("*").alias("n_subjects"),
         F.sum("_nt").alias("n_triples"),
+    )
+
+
+def equi_depth_histogram(
+    triples: DataFrame,
+    value_col: str = "obj",
+    key_col: str = "pred",
+    num_buckets: int = 8,
+) -> DataFrame:
+    """Per-predicate equi-depth histograms over numeric literal values —
+    the selectivity-estimation statistic every optimizer keeps next to
+    the characteristic sets above (equi-depth beats equi-width under
+    the skew real KG literals always have): ntile(num_buckets) over the
+    values of each key, then one rollup per bucket.
+
+    -> (key_col, bucket 1..num_buckets, lo, hi, n). Non-numeric values
+    are dropped (cast null). Bucket boundaries are tie-order
+    INDEPENDENT even though ntile splits ties positionally: equal
+    values straddling a boundary change which COPY lands where, never
+    the (lo, hi, n) triple.
+
+    Scale shape: one per-key window (hash-partitioned on the predicate
+    — per-key sequential, the documented histogram-build cost every
+    engine pays) + one groupBy. Predicates with billions of values
+    should sample first; the shape stays one shuffle.
+    """
+    if num_buckets < 1:
+        raise ValueError("num_buckets must be >= 1")
+    vals = triples.select(
+        F.col(key_col).alias("key"),
+        F.col(value_col).try_cast("double").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    w = Window.partitionBy("key").orderBy("v")
+    return (
+        vals.withColumn("bucket", F.ntile(num_buckets).over(w))
+        .groupBy("key", "bucket")
+        .agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def completeness_score(
+    triples: DataFrame,
+    type_pred: str = TYPE_PRED,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Per-entity KB completeness against its class's TYPICAL property
+    set (the recoin/Galárraga completeness heuristic: a property is
+    EXPECTED of a class when >= threshold of the class's instances
+    carry it; an instance's completeness is the fraction of expected
+    properties it has). The QA counterpart to infer_shapes: shapes
+    mine structure, this scores each entity against it — the triage
+    list a KB-completion pipeline (kbaugment) feeds from.
+
+    -> (inst, cls, n_expected, n_present, completeness round 6), one
+    row per (typed instance, class); classes with NO expected property
+    score 1.0 by convention (nothing expected, nothing missing).
+
+    Scale shape: prevalence = instances-x-properties equi-join on subj
+    then ONE (cls, pred) groupBy — map-side combinable; the expected
+    set is class-schema-sized and BROADCAST back; per-entity scoring is
+    one semi-join + groupBy. No self-join, no window over instances.
+    """
+    types = triples.filter(F.col("pred") == type_pred).select(
+        F.col("subj").alias("inst"), F.col("obj").alias("cls")
+    ).distinct()
+    props = triples.filter(F.col("pred") != type_pred).select(
+        F.col("subj").alias("inst"), "pred"
+    ).distinct()
+    sizes = types.groupBy("cls").agg(F.count("*").alias("_n_inst"))
+    prevalence = (
+        types.join(props, "inst")
+        .groupBy("cls", "pred")
+        .agg(F.countDistinct("inst").alias("_n_with"))
+        .join(sizes, "cls")
+        .filter(F.col("_n_with") >= F.lit(threshold) * F.col("_n_inst"))
+        .select("cls", "pred")
+    )
+    n_exp = prevalence.groupBy("cls").agg(F.count("*").alias("n_expected"))
+    present = (
+        types.join(props, "inst")
+        .join(F.broadcast(prevalence), ["cls", "pred"], "left_semi")
+        .groupBy("inst", "cls")
+        .agg(F.count("*").alias("_n_present"))
+    )
+    return (
+        types.join(F.broadcast(n_exp), "cls", "left")
+        .join(present, ["inst", "cls"], "left")
+        .select(
+            "inst",
+            "cls",
+            F.coalesce(F.col("n_expected"), F.lit(0)).cast("long")
+            .alias("n_expected"),
+            F.coalesce(F.col("_n_present"), F.lit(0)).cast("long")
+            .alias("n_present"),
+            F.when(
+                F.coalesce(F.col("n_expected"), F.lit(0)) == 0, F.lit(1.0)
+            )
+            .otherwise(
+                F.round(
+                    F.coalesce(F.col("_n_present"), F.lit(0))
+                    / F.col("n_expected"),
+                    6,
+                )
+            )
+            .alias("completeness"),
+        )
     )

@@ -1837,3 +1837,27 @@ def test_contrastive_triplets_hard_negatives(spark):
     assert sorted(got) == [(0, 1, 2, 1), (0, 1, 3, 2)]
     # the positive (1) and self (0) never appear as negatives
     assert all(g[2] not in (0, 1) for g in got)
+
+
+def test_vocab_profile_zipf(spark):
+    import math
+
+    from dbpedia_spotlight_spark.datapipe.textstats import vocab_profile
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a d e")], "doc_id int, text string"
+    )
+    row = vocab_profile(docs, top_k=2).collect()[0]
+    assert row.n_tokens == 9 and row.vocab_size == 5
+    assert row.hapax == 3 and row.dis_legomena == 1
+    # top-2 types (a:4, b:2) cover 6/9
+    assert row.topk_coverage == round(6 / 9, 6)
+    # slope of ln(freq) over ln(rank) for freqs [4,2,1,1,1]
+    xs = [math.log(r) for r in range(1, 6)]
+    ys = [math.log(f) for f in [4, 2, 1, 1, 1]]
+    mx = sum(xs) / 5
+    my = sum(ys) / 5
+    slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    assert abs(row.zipf_slope - slope) < 1e-6

@@ -257,3 +257,24 @@ def test_eigenvector_symmetric_clique_is_uniform(spark):
     }
     expect = 1.0 / 3 ** 0.5
     assert all(abs(v - expect) < 1e-9 for v in got.values())
+
+
+def test_luby_mis_independent_and_maximal(spark):
+    from dbpedia_spotlight_spark.operators.graph import luby_mis
+
+    edges = [(str(i), str(i + 1)) for i in range(9)] + [
+        ("t0", "t1"), ("t1", "t2"), ("t0", "t2"),
+        ("hub", "x1"), ("hub", "x2"), ("hub", "x3"), ("hub", "x4"),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    sel = {r.node for r in luby_mis(e).collect()}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # independent: no two selected nodes adjacent
+    assert all(not (adj[n] & sel) for n in sel)
+    # maximal: every unselected node has a selected neighbor
+    assert all(n in sel or (adj[n] & sel) for n in adj)
+    # deterministic across runs
+    assert sel == {r.node for r in luby_mis(e).collect()}

@@ -2202,3 +2202,42 @@ def test_shortest_path_trace_min_parent(spark):
         "t": (2, "s/a/t"),
         "u": (3, "s/a/t/u"),
     }
+
+
+def test_equi_depth_histogram_buckets(spark):
+    from dbpedia_spotlight_spark.operators.kglayout import equi_depth_histogram
+
+    t = spark.createDataFrame(
+        [("e%d" % i, "age", str(i % 10)) for i in range(40)]
+        + [("e1", "age", "junk"), ("e1", "name", "bob")],
+        "subj string, pred string, obj string",
+    )
+    got = sorted(map(tuple, equi_depth_histogram(t, num_buckets=4).collect()))
+    # 40 numeric values 0..9 x4 -> 4 buckets of 10; junk and non-numeric
+    # preds dropped
+    assert got == [
+        ("age", 1, 0.0, 2.0, 10),
+        ("age", 2, 2.0, 4.0, 10),
+        ("age", 3, 5.0, 7.0, 10),
+        ("age", 4, 7.0, 9.0, 10),
+    ]
+
+
+def test_completeness_score_expected_props(spark):
+    from dbpedia_spotlight_spark.operators.kglayout import completeness_score
+
+    rows = (
+        [("e%d" % i, "rdf:type", "T") for i in range(4)]
+        + [("e%d" % i, "name", "n") for i in range(4)]      # 100% -> expected
+        + [("e%d" % i, "age", "1") for i in range(2)]        # 50% -> expected
+        + [("e0", "rare", "r")]                              # 25% -> not
+        + [("u", "rdf:type", "Empty")]                       # class w/o props
+    )
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {
+        (r.inst, r.cls): (r.n_expected, r.n_present, r.completeness)
+        for r in completeness_score(t, type_pred="rdf:type").collect()
+    }
+    assert got[("e0", "T")] == (2, 2, 1.0)
+    assert got[("e2", "T")] == (2, 1, 0.5)
+    assert got[("u", "Empty")] == (0, 0, 1.0)

@@ -91,6 +91,12 @@ HEADLINE = [
     "kg_adamic_adar",
     "kg_graph_summary",
     "rdfxml_blocks",
+    # round-4 session-7 additions
+    "kg_luby_mis",
+    "kg_interval_subtract",
+    "temperature_mix",
+    "contrastive_mine",
+    "vocab_zipf",
 ]
 
 

@@ -590,3 +590,173 @@ def inject_entity_spans(
         "media_ref",
         "offset",
     )
+
+
+def mask_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mask_token: str = "[MASK]",
+) -> DataFrame:
+    """Salient-span masking (the REALM pretraining objective, Guu et al.
+    ICML 2020: mask ENTITY spans, not random tokens, so the model must
+    recall world knowledge to fill them — the canonical KG-guided
+    corpus transform, fed directly by this engine's annotate offsets):
+    replace each doc's [begin, end) char spans with `mask_token`.
+    Overlapping/adjacent spans are merged per doc first
+    (operators/temporal.interval_coalesce keyed on the doc), spans are
+    clipped to the text bounds, and out-of-range spans drop out.
+
+    -> (doc_id, masked_text, n_masked); docs with no spans pass
+    through with n_masked 0.
+
+    Scale shape: pure segment algebra, no UDF — ONE per-doc window
+    (lag of the previous span end) turns each span into (kept-prefix
+    segment + mask token), one groupBy assembles the pieces with
+    array_sort(collect_list(struct(begin, piece))) plus the tail
+    substring — every substring/concat is codegen; shuffle keyed on
+    the doc only.
+    """
+    from dbpedia_spotlight_spark.operators.temporal import interval_coalesce
+
+    base = docs.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")
+    ).withColumn("_len", F.length("_txt"))
+    sp = (
+        spans.select(
+            F.col(id_col).alias("_id"),
+            F.col("begin").cast("long").alias("begin"),
+            F.col("end").cast("long").alias("end"),
+        )
+        .join(base.select("_id", "_len"), "_id")
+        .select(
+            "_id",
+            F.greatest("begin", F.lit(0)).alias("begin"),
+            F.least("end", F.col("_len")).alias("end"),
+        )
+        .filter(F.col("begin") < F.col("end"))
+    )
+    merged = interval_coalesce(sp, keys=["_id"], start="begin", end="end")
+    w = Window.partitionBy("_id").orderBy("begin")
+    pieces = (
+        merged.join(base, "_id")
+        .withColumn("_prev", F.coalesce(F.lag("end").over(w), F.lit(0)))
+        .withColumn(
+            "_piece",
+            F.concat(
+                F.substring(
+                    F.col("_txt"),
+                    F.col("_prev").cast("int") + 1,
+                    (F.col("begin") - F.col("_prev")).cast("int"),
+                ),
+                F.lit(mask_token),
+            ),
+        )
+    )
+    assembled = pieces.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("begin"), F.col("_piece")))
+                ),
+                lambda s: s["_piece"],
+            ),
+            "",
+        ).alias("_head"),
+        F.max("end").alias("_last"),
+        F.count("*").alias("n_masked"),
+    )
+    return (
+        base.join(assembled, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.when(
+                F.col("_head").isNull(), F.col("_txt")
+            )
+            .otherwise(
+                F.concat(
+                    F.col("_head"),
+                    F.substring(
+                        F.col("_txt"),
+                        F.col("_last").cast("int") + 1,
+                        (F.col("_len") - F.col("_last")).cast("int"),
+                    ),
+                )
+            )
+            .alias("masked_text"),
+            F.coalesce(F.col("n_masked"), F.lit(0)).cast("long")
+            .alias("n_masked"),
+        )
+    )
+
+
+def span_align(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlap join between two annotation LAYERS of the same corpus
+    (model spots vs gold, NER layer vs link layer, v1 vs v2 of a
+    tagger) — the alignment every span-level evaluator and layer-merge
+    needs before it can count matches: all (left, right) span pairs in
+    the same doc whose [begin, end) char ranges intersect, classified
+    exact / left_within / right_within / overlap, with the char-range
+    Jaccard as the soft-match weight.
+
+    ``left``/``right``: (doc_id, begin, end, label). -> (doc_id,
+    l_begin, l_end, l_label, r_begin, r_end, r_label, relation,
+    jaccard round 6).
+
+    Scale shape: ONE equi-join on the doc id (annotation layers are
+    per-doc bounded — tens of spans — so the per-key pair count is
+    tiny); the overlap predicate and the CASE classification evaluate
+    post-join inside codegen. Never a keyless range join.
+    """
+    l = left.select(
+        F.col(id_col).alias(id_col),
+        F.col("begin").cast("long").alias("l_begin"),
+        F.col("end").cast("long").alias("l_end"),
+        F.col("label").alias("l_label"),
+    )
+    r = right.select(
+        F.col(id_col).alias(id_col),
+        F.col("begin").cast("long").alias("r_begin"),
+        F.col("end").cast("long").alias("r_end"),
+        F.col("label").alias("r_label"),
+    )
+    j = l.join(r, id_col).filter(
+        (F.col("l_begin") < F.col("r_end"))
+        & (F.col("r_begin") < F.col("l_end"))
+    )
+    inter = F.least("l_end", "r_end") - F.greatest("l_begin", "r_begin")
+    union = F.greatest("l_end", "r_end") - F.least("l_begin", "r_begin")
+    relation = (
+        F.when(
+            (F.col("l_begin") == F.col("r_begin"))
+            & (F.col("l_end") == F.col("r_end")),
+            "exact",
+        )
+        .when(
+            (F.col("l_begin") >= F.col("r_begin"))
+            & (F.col("l_end") <= F.col("r_end")),
+            "left_within",
+        )
+        .when(
+            (F.col("r_begin") >= F.col("l_begin"))
+            & (F.col("r_end") <= F.col("l_end")),
+            "right_within",
+        )
+        .otherwise("overlap")
+    )
+    return j.select(
+        id_col,
+        "l_begin",
+        "l_end",
+        "l_label",
+        "r_begin",
+        "r_end",
+        "r_label",
+        relation.alias("relation"),
+        F.round(inter / union, 6).alias("jaccard"),
+    )

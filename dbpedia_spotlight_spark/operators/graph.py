@@ -1729,3 +1729,90 @@ def luby_mis(
         if und.isEmpty():
             return out
     raise RuntimeError(f"luby_mis did not converge in {max_rounds} rounds")
+
+
+def neighborhood_aggregate(
+    edges: DataFrame,
+    features: DataFrame,
+    hops: int = 2,
+    scale: int | None = None,
+) -> DataFrame:
+    """GraphSAGE-mean style k-hop feature smoothing (Hamilton et al.
+    NeurIPS 2017, the aggregation step precomputed as a table): h_0 =
+    the input feature; h_k(v) = mean of h_{k-1} over v ∪ N(v)
+    (undirected). The standard "propagate entity salience / quality
+    scores over the link graph" primitive, and the feature half of a
+    decoupled GNN (SGC / SIGN) where the network itself is just
+    logistic regression on these columns.
+
+    ``edges``: (src, dst); ``features``: (node, value double). Nodes
+    absent from `features` but present in `edges` contribute nothing
+    and receive means over their scored neighbors only (inner joins —
+    the caller decides imputation policy upstream).
+
+    -> (node, value, value_k) with value_k the hop-`hops` smoothed
+    feature.
+
+    ``scale=None``: double arithmetic, each hop rounded to 6 (the
+    fact_fusion convention) — fine for modeling, but the LAST mean is
+    still a raw double whose rounding can land 1 ulp apart between
+    summation orders (engines, partitionings). ``scale=d``: EXACT
+    fixed-point mode — values quantized to 10^-d units as BIGINTs, the
+    per-hop mean computed as the half-up integer division
+    (2·sum + n) div (2·n) after an offset shift keeps everything
+    positive (so truncating and flooring division agree across
+    engines) — bit-identical on any engine and any partitioning, the
+    mode the oracle checks. Overflow bound: max |value|·10^d and node
+    degree must satisfy degree · (2^40 + value·10^d) < 2^62.
+
+    Scale shape per hop: ONE equi-join (symmetrized edges x current
+    feature) + ONE groupBy mean over (self ∪ neighbors) — both
+    hash-partitioned on node, map-side combinable; `hops` is a small
+    constant.
+    """
+    if hops < 1:
+        raise ValueError("hops must be >= 1")
+    e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().localCheckpoint(eager=False)
+    if scale is None:
+        h = features.select("node", F.col("value").cast("double").alias("_h"))
+    else:
+        off = 1 << 40
+        h = features.select(
+            "node",
+            (
+                F.round(F.col("value").cast("double") * (10 ** scale), 0)
+                .cast("long")
+                + F.lit(off)
+            ).alias("_h"),
+        )
+    for _ in range(hops):
+        contrib = (
+            sym.join(h.select(F.col("node").alias("v"), "_h"), "v")
+            .select(F.col("u").alias("node"), "_h")
+            .unionByName(h)
+        )
+        if scale is None:
+            agg = F.round(F.avg("_h"), 6)
+        else:
+            # half-up integer mean over positive longs: exact
+            agg = F.expr("(2 * sum(_h) + count(_h)) div (2 * count(_h))")
+        h = (
+            contrib.groupBy("node")
+            .agg(agg.alias("_h"))
+            .localCheckpoint(eager=False)
+        )
+    out_h = (
+        F.col("_h")
+        if scale is None
+        else (F.col("_h") - F.lit(1 << 40)).cast("double") / (10 ** scale)
+    )
+    return (
+        features.select("node", F.col("value").cast("double").alias("value"))
+        .join(h, "node")
+        .select("node", "value", out_h.alias(f"value_{hops}"))
+    )

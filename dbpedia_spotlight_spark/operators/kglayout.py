@@ -574,3 +574,77 @@ def completeness_score(
             .alias("completeness"),
         )
     )
+
+
+def taxonomy_profile(
+    subclass: DataFrame,
+    max_iterations: int = 32,
+) -> DataFrame:
+    """One-row class-hierarchy profile — the ontology-QA numbers a KB
+    maintainer watches across releases (a depth or tangledness jump
+    usually means a bad import): class/root/leaf counts, longest-chain
+    depth stats, and the multi-inheritance ratio.
+
+    ``subclass``: (sub, sup) direct edges, DAG (cycles raise via
+    non-convergence). depth(c) = longest edge-chain from any root
+    (class with no superclass); roots have depth 0.
+
+    -> (n_classes, n_roots, n_leaves, max_depth, avg_depth round 6,
+    multi_parent_ratio round 6).
+
+    Scale shape: longest-path depths via iterative relaxation — rounds
+    of ONE equi-join (depth frontier x edges) + ONE groupBy-max, the
+    bfs_sigma shape with per-round lineage truncation; rounds bounded
+    by the hierarchy depth (tens, not corpus-sized). Everything else
+    is two degree aggregations over ontology-sized tables.
+    """
+    e = subclass.select(
+        F.col("sub").alias("sub"), F.col("sup").alias("sup")
+    ).distinct()
+    nodes = (
+        e.select(F.col("sub").alias("node"))
+        .unionByName(e.select(F.col("sup").alias("node")))
+        .distinct()
+    )
+    roots = nodes.join(
+        e.select(F.col("sub").alias("node")).distinct(), "node", "left_anti"
+    )
+    depth = roots.withColumn("depth", F.lit(0)).localCheckpoint()
+    for _ in range(max_iterations):
+        relaxed = (
+            depth.join(e, depth["node"] == e["sup"])
+            .select(F.col("sub").alias("node"), (F.col("depth") + 1).alias("depth"))
+            .unionByName(depth)
+            .groupBy("node")
+            .agg(F.max("depth").alias("depth"))
+            .localCheckpoint()
+        )
+        same = (
+            relaxed.join(depth, ["node", "depth"], "left_anti").isEmpty()
+            and depth.join(relaxed, ["node", "depth"], "left_anti").isEmpty()
+        )
+        depth = relaxed
+        if same:
+            break
+    else:
+        raise RuntimeError(
+            f"taxonomy_profile did not converge in {max_iterations} rounds "
+            "(cycle in the subclass graph?)"
+        )
+    leaves = nodes.join(
+        e.select(F.col("sup").alias("node")).distinct(), "node", "left_anti"
+    )
+    parents = e.groupBy("sub").agg(F.count("*").alias("_np"))
+    multi = parents.filter(F.col("_np") > 1).count()
+    n_classes = nodes.count()
+    n_sub = parents.count()
+    return depth.agg(
+        F.lit(n_classes).cast("long").alias("n_classes"),
+        F.lit(roots.count()).cast("long").alias("n_roots"),
+        F.lit(leaves.count()).cast("long").alias("n_leaves"),
+        F.max("depth").cast("long").alias("max_depth"),
+        F.round(F.avg("depth"), 6).alias("avg_depth"),
+        F.round(
+            F.lit(multi / n_sub if n_sub else 0.0).cast("double"), 6
+        ).alias("multi_parent_ratio"),
+    )

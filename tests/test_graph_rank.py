@@ -278,3 +278,40 @@ def test_luby_mis_independent_and_maximal(spark):
     assert all(n in sel or (adj[n] & sel) for n in adj)
     # deterministic across runs
     assert sel == {r.node for r in luby_mis(e).collect()}
+
+
+def test_neighborhood_aggregate_mean_smoothing(spark):
+    import pytest
+
+    from dbpedia_spotlight_spark.operators.graph import neighborhood_aggregate
+
+    e = spark.createDataFrame([("x", "y"), ("y", "z")], "src string, dst string")
+    f = spark.createDataFrame(
+        [("x", 1.0), ("y", 4.0), ("z", 7.0)], "node string, value double"
+    )
+    h1 = {r.node: r.value_1 for r in neighborhood_aggregate(e, f, hops=1).collect()}
+    # x: mean(1,4)=2.5; y: mean(1,4,7)=4; z: mean(4,7)=5.5
+    assert h1 == {"x": 2.5, "y": 4.0, "z": 5.5}
+    h2 = {r.node: r.value_2 for r in neighborhood_aggregate(e, f, hops=2).collect()}
+    assert h2 == {"x": 3.25, "y": 4.0, "z": 4.75}
+    with pytest.raises(ValueError):
+        neighborhood_aggregate(e, f, hops=0)
+
+
+def test_neighborhood_aggregate_fixed_point(spark):
+    from dbpedia_spotlight_spark.operators.graph import neighborhood_aggregate
+
+    e = spark.createDataFrame([("x", "y")], "src string, dst string")
+    f = spark.createDataFrame(
+        [("x", 1.25), ("y", 1.30)], "node string, value double"
+    )
+    # scale=2: centi-units; mean(125,130) = 127.5 -> half-up 128 -> 1.28
+    h = {r.node: r.value_1 for r in neighborhood_aggregate(e, f, hops=1, scale=2).collect()}
+    assert h == {"x": 1.28, "y": 1.28}
+    # negative values survive the offset shift
+    fneg = spark.createDataFrame(
+        [("x", -1.25), ("y", -1.30)], "node string, value double"
+    )
+    hn = {r.node: r.value_1 for r in neighborhood_aggregate(e, fneg, hops=1, scale=2).collect()}
+    # mean(-125,-130) = -127.5 -> offset half-up rounds toward +inf -> -127
+    assert hn == {"x": -1.27, "y": -1.27}

@@ -246,3 +246,46 @@ def test_span_diff_order_sensitivity(spark):
     rows = span_diff(a, b).collect()
     assert len(rows) == 1
     assert rows[0]["status"] == "span" and rows[0]["first_diff_idx"] == 0
+
+
+def test_mask_spans_merges_clips_and_passthrough(spark):
+    from dbpedia_spotlight_spark.datapipe.interleaved import mask_spans
+
+    docs = spark.createDataFrame(
+        [(1, "hello brave new world"), (2, "untouched")],
+        "doc_id int, text string",
+    )
+    spans = spark.createDataFrame(
+        [
+            (1, 6, 11),     # overlaps the next -> merged [6,14)
+            (1, 9, 14),
+            (1, 16, 21),    # trailing span, clipped exactly at len
+            (1, 30, 40),    # fully out of range -> dropped
+            (1, -3, 2),     # clipped to [0,2)
+        ],
+        "doc_id int, begin int, end int",
+    )
+    got = {r.doc_id: (r.masked_text, r.n_masked) for r in mask_spans(docs, spans).collect()}
+    assert got[1] == ("[MASK]llo [MASK]w [MASK]", 3)
+    assert got[2] == ("untouched", 0)
+
+
+def test_span_align_relations(spark):
+    from dbpedia_spotlight_spark.datapipe.interleaved import span_align
+
+    l = spark.createDataFrame(
+        [(1, 0, 5, "PER"), (1, 10, 20, "ORG"), (2, 0, 4, "X")],
+        "doc_id int, begin int, end int, label string",
+    )
+    r = spark.createDataFrame(
+        [(1, 0, 5, "per"), (1, 12, 18, "org"), (1, 15, 25, "ov"), (3, 0, 4, "y")],
+        "doc_id int, begin int, end int, label string",
+    )
+    got = {
+        (x.l_label, x.r_label): (x.relation, x.jaccard)
+        for x in span_align(l, r).collect()
+    }
+    assert got[("PER", "per")] == ("exact", 1.0)
+    assert got[("ORG", "org")] == ("right_within", 0.6)
+    assert got[("ORG", "ov")] == ("overlap", round(5 / 15, 6))
+    assert len(got) == 3  # cross-doc pairs never form

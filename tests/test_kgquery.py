@@ -2241,3 +2241,17 @@ def test_completeness_score_expected_props(spark):
     assert got[("e0", "T")] == (2, 2, 1.0)
     assert got[("e2", "T")] == (2, 1, 0.5)
     assert got[("u", "Empty")] == (0, 0, 1.0)
+
+
+def test_taxonomy_profile_depths(spark):
+    from dbpedia_spotlight_spark.operators.kglayout import taxonomy_profile
+
+    sub = spark.createDataFrame(
+        [("a", "m"), ("b", "m"), ("m", "root"), ("c", "root"), ("b", "c")],
+        "sub string, sup string",
+    )
+    row = taxonomy_profile(sub).collect()[0]
+    # depths: root 0, m 1, c 1, a 2, b 2 (longest chain)
+    assert (row.n_classes, row.n_roots, row.n_leaves) == (5, 1, 2)
+    assert row.max_depth == 2 and row.avg_depth == 1.2
+    assert row.multi_parent_ratio == 0.25  # b of {a,b,m,c}

@@ -462,3 +462,87 @@ def sorted_neighborhood_pairs(
         .filter((F.col("gap") > 0) & (F.col("gap") < window))
         .select("a", "b", "key_a", "key_b", "gap")
     )
+
+
+def edit_distance_join(
+    records: DataFrame,
+    name_col: str = "label",
+    id_col: str = "uri",
+    max_edits: int = 1,
+    q: int = 2,
+) -> DataFrame:
+    """LOSSLESS edit-distance self-join via q-gram prefix filtering
+    (Ed-Join, Xiao/Wang/Lin VLDB '08 + the Vernica/Chaudhuri prefix
+    principle): all (a, b) pairs with levenshtein(name_a, name_b)
+    <= max_edits — the exact upgrade over align_entities' first-char
+    blocking, which silently loses any match whose FIRST character was
+    the edit.
+
+    Why it is lossless: pad each name with q-1 sentinels, take its
+    DISTINCT q-gram set; one edit destroys at most q gram types, so
+    tau edits leave |G(a) \\ G(b)| <= tau*q — each string's signature =
+    its (tau*q + 1) globally RAREST grams (one global frequency
+    ordering), and any within-distance pair must share a signature
+    gram. Candidates therefore form only on rare grams (the skew
+    resistance of prefix_filter_jaccard_join, same design), then
+    levenshtein verifies exactly; a length filter prunes first.
+
+    -> (a, b, name_a, name_b, dist) with a < b by id.
+
+    Scale shape: grams explode (len+q-1 per name), ONE frequency
+    groupBy, a per-name window keeps tau*q+1 rarest (constant!), the
+    candidate equi-join keys on signature grams, pairs dedupe on bare
+    ids, and the verify is codegen levenshtein on the joined-back
+    names. No all-pairs stage anywhere; common grams never create
+    buckets by construction.
+    """
+    if max_edits < 1:
+        raise ValueError("max_edits must be >= 1")
+    if q < 2:
+        raise ValueError("q must be >= 2")
+    sig_len = max_edits * q + 1
+    pad = "\x01" * (q - 1)
+    base = records.select(
+        F.col(id_col).alias("_id"), F.col(name_col).alias("_name")
+    ).distinct()
+    padded = base.withColumn(
+        "_p", F.concat(F.lit(pad), F.col("_name"), F.lit(pad))
+    )
+    grams = padded.select(
+        "_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, length(_p) - {q - 1}), "
+                    f"i -> substr(_p, i, {q}))"
+                )
+            )
+        ).alias("gram"),
+    )
+    freq = grams.groupBy("gram").agg(F.count("*").alias("_gf"))
+    w = Window.partitionBy("_id").orderBy(F.asc("_gf"), F.asc("gram"))
+    sig = (
+        grams.join(freq, "gram")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= sig_len)
+        .select("_id", "gram")
+    )
+    cand = (
+        sig.select(F.col("_id").alias("a"), "gram")
+        .join(sig.select(F.col("_id").alias("b"), "gram"), "gram")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    na = base.select(F.col("_id").alias("a"), F.col("_name").alias("name_a"))
+    nb = base.select(F.col("_id").alias("b"), F.col("_name").alias("name_b"))
+    return (
+        cand.join(na, "a")
+        .join(nb, "b")
+        .filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= max_edits
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_edits)
+        .select("a", "b", "name_a", "name_b", "dist")
+    )

@@ -406,3 +406,56 @@ def validity_histogram(
     return deltas.withColumn(
         "active", F.sum("_d").over(w).cast("long")
     ).drop("_d")
+
+
+def temporal_constraints(
+    facts: DataFrame,
+    rules: list[tuple[str, str]],
+    t_col: str = "valid_from",
+) -> DataFrame:
+    """Temporal-consistency checking over extracted facts (the ordering
+    constraints of Talukdar/Wijaya/Mitchell, WSDM 2012: born before
+    died, founded before acquired, joined before left): for each rule
+    (pred_before, pred_after) and each subject, EVERY pred_after
+    instant must be >= every pred_before instant; violating pairs come
+    back as evidence rows — the triage feed for kbmaintain (retract or
+    re-extract).
+
+    ``facts``: (subj, pred, t_col). -> (subj, pred_before, t_before,
+    pred_after, t_after, rule) with t_after < t_before, rule =
+    'pred_before<pred_after'.
+
+    Scale shape: the rules dim is tiny and BROADCAST onto the fact
+    table twice (before-side, after-side); the violation join is keyed
+    on (subj, rule) — per-entity state, never cross-entity; output
+    bounded by actual violations. Multi-valued predicates pair up per
+    subject (|A|x|B| within one entity), the same per-key bound as
+    interval_align.
+    """
+    if not rules:
+        raise ValueError("temporal_constraints needs >= 1 rule")
+    spark = facts.sparkSession
+    rdim = spark.createDataFrame(
+        [(a, b, f"{a}<{b}") for a, b in rules], "pa string, pb string, rule string"
+    )
+    f = facts.select("subj", "pred", F.col(t_col).alias("_t"))
+    before = f.join(
+        F.broadcast(rdim), f["pred"] == rdim["pa"]
+    ).select(
+        "subj", "rule", F.col("pred").alias("pred_before"),
+        F.col("_t").alias("t_before"),
+    )
+    after = f.join(
+        F.broadcast(rdim), f["pred"] == rdim["pb"]
+    ).select(
+        "subj", "rule", F.col("pred").alias("pred_after"),
+        F.col("_t").alias("t_after"),
+    )
+    return (
+        before.join(after, ["subj", "rule"])
+        .filter(F.col("t_after") < F.col("t_before"))
+        .select(
+            "subj", "pred_before", "t_before", "pred_after", "t_after",
+            "rule",
+        )
+    )

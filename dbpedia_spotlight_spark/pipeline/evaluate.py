@@ -122,3 +122,48 @@ def disambiguation_metrics(
         "mrr": agg["rr_sum"] / n,
         "n": agg["n"],
     }
+
+
+def calibration_table(
+    scored: DataFrame,
+    gold: DataFrame,
+    num_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram data for annotation confidences (Guo et al.
+    ICML 2017 binned calibration, with equal-COUNT bins so sparse score
+    regions don't produce empty rows): does a 0.9-confidence link
+    actually hold 90% of the time? The post-eval step that turns
+    linking_metrics' single P/R into a usable confidence threshold.
+
+    ``scored``: (doc_id, offset, uri, score); ``gold``: (doc_id,
+    offset, uri). A prediction is correct when the gold table has the
+    same uri at the same (doc_id, offset).
+
+    -> (bin 1..num_bins, n, mean_score round 6, precision round 6,
+    gap round 6 = mean_score - precision, the per-bin ECE
+    contribution before weighting).
+
+    Scale shape: ONE left join onto gold (equi-keyed on the
+    annotation position), one ntile window ordered by (score, doc_id,
+    offset, uri) — total order, so bin assignment is deterministic —
+    then one groupBy. The windows' single global partition is real but
+    operates on ANNOTATIONS of the eval corpus (bounded), not the
+    training corpus; shard by eval slice upstream if that ever grows.
+    """
+    from pyspark.sql import Window
+
+    g = gold.select("doc_id", "offset", F.col("uri").alias("_gold_uri"))
+    j = scored.join(g, ["doc_id", "offset"], "left").withColumn(
+        "_ok", (F.col("uri") == F.col("_gold_uri")).cast("int")
+    ).withColumn("_ok", F.coalesce(F.col("_ok"), F.lit(0)))
+    w = Window.orderBy("score", "doc_id", "offset", "uri")
+    return (
+        j.withColumn("bin", F.ntile(num_bins).over(w))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("score"), 6).alias("mean_score"),
+            F.round(F.avg("_ok"), 6).alias("precision"),
+            F.round(F.avg("score") - F.avg("_ok"), 6).alias("gap"),
+        )
+    )

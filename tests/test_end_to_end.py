@@ -119,3 +119,20 @@ def test_annotate_plan_reuses_spot_exchange(world):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert plan.count("ReusedExchange") > 0, plan[:2000]
+
+
+def test_calibration_table_bins(spark):
+    from dbpedia_spotlight_spark.pipeline.evaluate import calibration_table
+
+    scored = spark.createDataFrame(
+        [(d, 0, "u%d" % (d % 2), d / 10.0) for d in range(10)],
+        "doc_id int, offset int, uri string, score double",
+    )
+    gold = spark.createDataFrame(
+        [(d, 0, "u0") for d in range(10)],  # even docs correct
+        "doc_id int, offset int, uri string",
+    )
+    rows = {r.bin: (r.n, r.precision) for r in calibration_table(scored, gold, num_bins=5).collect()}
+    assert {b: n for b, (n, _) in rows.items()} == {1: 2, 2: 2, 3: 2, 4: 2, 5: 2}
+    # each bin holds one even (correct) and one odd (wrong) doc
+    assert all(p == 0.5 for _, p in rows.values())

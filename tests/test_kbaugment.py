@@ -343,3 +343,52 @@ def test_sorted_neighborhood_window_pairs(spark):
     assert got == expect
     with pytest.raises(ValueError):
         sorted_neighborhood_pairs(df, window=1)
+
+
+def test_edit_distance_join_lossless_vs_brute_force(spark):
+    import itertools
+
+    import pytest
+
+    from dbpedia_spotlight_spark.operators.kbaugment import edit_distance_join
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[:], i
+            for j, cb in enumerate(b, 1):
+                d[j] = min(prev[j] + 1, d[j - 1] + 1, prev[j - 1] + (ca != cb))
+        return d[-1]
+
+    rows = [
+        ("u1", "john smith"),
+        ("u2", "jon smith"),     # deletion
+        ("u3", "john smyth"),    # substitution
+        ("u4", "mary jones"),
+        ("u5", "aohn smith"),    # FIRST-char edit (first-char blocking loses this)
+        ("u6", "johnn smith"),   # insertion
+        ("u7", "x"),             # shorter than q
+    ]
+    df = spark.createDataFrame(rows, "uri string, label string")
+    got = sorted(
+        (r.a, r.b, r.dist)
+        for r in edit_distance_join(df, max_edits=1).collect()
+    )
+    exp = sorted(
+        (a, b, lev(x, y))
+        for (a, x), (b, y) in itertools.combinations(rows, 2)
+        if lev(x, y) <= 1
+    )
+    assert got == exp and ("u1", "u5", 1) in got
+    got2 = {
+        (r.a, r.b)
+        for r in edit_distance_join(df, max_edits=2).collect()
+    }
+    exp2 = {
+        (a, b)
+        for (a, x), (b, y) in itertools.combinations(rows, 2)
+        if lev(x, y) <= 2
+    }
+    assert got2 == exp2
+    with pytest.raises(ValueError):
+        edit_distance_join(df, max_edits=0)

@@ -240,3 +240,30 @@ def test_validity_histogram_sweep(spark):
         ("q", 0): 1,
         ("q", 2): 0,
     }
+
+
+def test_temporal_constraints_violations(spark):
+    from dbpedia_spotlight_spark.operators.temporal import temporal_constraints
+
+    f = spark.createDataFrame(
+        [
+            ("e1", "born", 1950),
+            ("e1", "died", 2000),   # fine
+            ("e2", "born", 1990),
+            ("e2", "died", 1980),   # violation
+            ("e3", "founded", 5),
+            ("e3", "acquired", 3),  # violation (second rule)
+            ("e3", "born", 9),      # no died -> nothing
+        ],
+        "subj string, pred string, valid_from int",
+    )
+    got = {
+        (r.subj, r.rule, r.t_before, r.t_after)
+        for r in temporal_constraints(
+            f, [("born", "died"), ("founded", "acquired")]
+        ).collect()
+    }
+    assert got == {
+        ("e2", "born<died", 1990, 1980),
+        ("e3", "founded<acquired", 5, 3),
+    }

@@ -509,3 +509,76 @@ def parse_turtle_star(lines: DataFrame, col: str = "line") -> DataFrame:
             unterm(grp(5)).alias("ann_obj"),
         )
     )
+
+
+def skolemize(
+    triples: DataFrame,
+    base: str = "https://example.org/.well-known/genid/",
+    iterations: int = 2,
+) -> DataFrame:
+    """RDF 1.1 §3.5 skolemization: replace every blank node with a
+    well-known genid IRI so graphs can be merged, diffed, and joined
+    across systems without blank-node scoping headaches (bnodes are
+    document-scoped; skolem IRIs are global — the spec's own answer).
+    The genid is derived from canonical_bnode_labels, so ISOMORPHIC
+    inputs (bnodes renumbered by a different serializer) skolemize to
+    the SAME IRIs on any engine; automorphic twins (bnodes the 1-WL
+    refinement provably cannot distinguish) get a deterministic
+    ``~k`` suffix by (label, bnode-name) rank — stable per dataset,
+    and the only part that depends on input bnode names at all.
+
+    -> the triple table with ``_:`` terms replaced by
+    ``<base><label>[~k]``; ground terms untouched. Invertible by
+    unskolemize (modulo the original bnode names, which RDF semantics
+    say carry no meaning anyway).
+
+    Scale shape: the label table is bnode-sized; the suffix rank is a
+    per-label window (automorphism classes are tiny); application is
+    two keyed left joins (subj, obj) — no UDF, no collect.
+    """
+    from pyspark.sql import Window
+
+    labels = canonical_bnode_labels(triples, iterations=iterations)
+    w = Window.partitionBy("label").orderBy("bnode")
+    m = labels.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "iri",
+        F.concat(
+            F.lit(base),
+            F.col("label"),
+            F.when(
+                F.col("_rn") > 1, F.concat(F.lit("~"), F.col("_rn") - 1)
+            ).otherwise(F.lit("")),
+        ),
+    ).select("bnode", "iri")
+    ms = m.select(F.col("bnode").alias("subj"), F.col("iri").alias("_si"))
+    mo = m.select(F.col("bnode").alias("obj"), F.col("iri").alias("_oi"))
+    return (
+        triples.join(ms, "subj", "left")
+        .join(mo, "obj", "left")
+        .select(
+            F.coalesce(F.col("_si"), F.col("subj")).alias("subj"),
+            "pred",
+            F.coalesce(F.col("_oi"), F.col("obj")).alias("obj"),
+        )
+    )
+
+
+def unskolemize(
+    triples: DataFrame,
+    base: str = "https://example.org/.well-known/genid/",
+) -> DataFrame:
+    """Inverse of skolemize: rewrite ``<base>...`` IRIs back to blank
+    nodes ``_:<tail>`` (RDF 1.1 §3.5 explicitly allows systems to
+    recognize their own genid IRIs and treat them as bnodes again).
+    Pure per-row codegen — one startswith + substring per position."""
+    n = len(base)
+
+    def back(c):
+        return F.when(
+            F.col(c).startswith(base),
+            F.concat(F.lit("_:"), F.substring(F.col(c), n + 1, 1 << 20)),
+        ).otherwise(F.col(c))
+
+    return triples.select(
+        back("subj").alias("subj"), "pred", back("obj").alias("obj")
+    )

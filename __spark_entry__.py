@@ -6120,12 +6120,40 @@ def q_kg_skolemize(spark, sf_dir):
     return skolemize(tri, base="https://kg.example/genid/")
 
 
+def q_distant_supervision(spark, sf_dir):
+    """Distant supervision (pipeline/triples.py:distant_supervision —
+    Mintz et al.: KB-FIRST join order so only KB-related mention pairs
+    ever materialize — subject mentions x KB on the uri, then one
+    equi-join on (doc_id, object uri); distance filter post-join in
+    codegen): lineitem-derived mentions against a deterministic
+    partkey KB. Oracle = the same two keyed joins."""
+    from dbpedia_spotlight_spark.pipeline.triples import distant_supervision
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    mentions = li.select(
+        (F.col("l_orderkey") % 300).cast("long").alias("doc_id"),
+        (F.col("l_linenumber") + (F.col("l_partkey") % 5) * 7)
+        .cast("int").alias("pos"),
+        F.concat(F.lit("part"), F.col("l_partkey") % 100).alias("uri"),
+    )
+    kb = part.select(
+        F.concat(F.lit("part"), F.col("p_partkey") % 100).alias("subj"),
+        F.lit("brandmate").alias("pred"),
+        F.concat(
+            F.lit("part"), (F.col("p_partkey") % 100 + 13) % 100
+        ).alias("obj"),
+    )
+    return distant_supervision(mentions, kb, max_distance=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "distant_supervision": q_distant_supervision,
         "kg_skolemize": q_kg_skolemize,
         "kg_edit_join": q_kg_edit_join,
         "kg_temporal_constraints": q_kg_temporal_constraints,
@@ -7152,6 +7180,28 @@ WITH snap AS (
 SELECT DISTINCT s.subj AS o, p.obj AS p
 FROM snap s JOIN snap p ON p.subj = s.subj AND p.pred = 'priority'
 WHERE s.pred = 'status' AND s.obj = 'F'
+"""
+
+    # distant_supervision: KB-first keyed joins + distance filter.
+    sql["distant_supervision"] = """
+WITH m AS (
+  SELECT DISTINCT (l_orderkey % 300)::BIGINT AS doc_id,
+         (l_linenumber + (l_partkey % 5) * 7)::INTEGER AS pos,
+         'part' || (l_partkey % 100)::VARCHAR AS uri
+  FROM lineitem
+),
+kb AS (
+  SELECT DISTINCT 'part' || (p_partkey % 100)::VARCHAR AS subj,
+         'brandmate' AS pred,
+         'part' || ((p_partkey % 100 + 13) % 100)::VARCHAR AS obj
+  FROM part
+)
+SELECT DISTINCT ms.doc_id, ms.pos AS subj_pos, mo.pos AS obj_pos,
+       kb.subj AS subj_uri, kb.pred, kb.obj AS obj_uri
+FROM m ms
+JOIN kb ON kb.subj = ms.uri
+JOIN m mo ON mo.doc_id = ms.doc_id AND mo.uri = kb.obj
+WHERE ms.pos <> mo.pos AND abs(mo.pos - ms.pos) <= 20
 """
 
     # kg_skolemize: canon labels (2 rounds, as kg_bnode_canon) + rank

@@ -145,3 +145,56 @@ def relation_triples(
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= min_support)
     )
+
+
+def distant_supervision(
+    mentions: DataFrame,
+    kb: DataFrame,
+    max_distance: int = 30,
+) -> DataFrame:
+    """Distant supervision for relation extraction (Mintz et al., ACL
+    2009): every document window containing linked mentions of e1 and
+    e2 where the KB asserts (e1, p, e2) becomes a silver training
+    example for p — the loop that closes KG construction: the KB this
+    engine built labels the corpus that trains the next extractor.
+
+    ``mentions``: (doc_id, pos, uri) token-position mention rows (the
+    relation_triples input shape); ``kb``: (subj, pred, obj) over the
+    same URI space. -> distinct (doc_id, subj_pos, obj_pos, subj_uri,
+    pred, obj_uri) with |obj_pos - subj_pos| <= max_distance and
+    subj_pos != obj_pos.
+
+    Scale shape: KB-FIRST join order — subject mentions join the KB on
+    the uri (fan-out = facts per entity, the KB degree), then ONE
+    equi-join on (doc_id, object uri) manufactures ONLY the pairs the
+    KB actually relates; unrelated mention pairs never exist, so the
+    classic all-pairs-then-filter blowup (mentions² per doc) is
+    avoided entirely. The distance test is a post-join codegen filter.
+    Hub entities (10^4+ facts AND frequent mentions) dominate cost —
+    cap kb per subject upstream (fact_ranking) if that bites.
+    """
+    m = mentions.select("doc_id", "pos", "uri").distinct()
+    ms = m.select(
+        "doc_id", F.col("pos").alias("subj_pos"), F.col("uri").alias("subj_uri")
+    )
+    mo = m.select(
+        "doc_id", F.col("pos").alias("obj_pos"), F.col("uri").alias("obj_uri")
+    )
+    k = kb.select(
+        F.col("subj").alias("subj_uri"),
+        "pred",
+        F.col("obj").alias("obj_uri"),
+    ).distinct()
+    return (
+        ms.join(k, "subj_uri")
+        .join(mo, ["doc_id", "obj_uri"])
+        .filter(
+            (F.col("subj_pos") != F.col("obj_pos"))
+            & (
+                F.abs(F.col("obj_pos") - F.col("subj_pos"))
+                <= F.lit(max_distance)
+            )
+        )
+        .select("doc_id", "subj_pos", "obj_pos", "subj_uri", "pred", "obj_uri")
+        .distinct()
+    )

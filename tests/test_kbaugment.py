@@ -392,3 +392,26 @@ def test_edit_distance_join_lossless_vs_brute_force(spark):
     assert got2 == exp2
     with pytest.raises(ValueError):
         edit_distance_join(df, max_edits=0)
+
+
+def test_distant_supervision_kb_first(spark):
+    from dbpedia_spotlight_spark.pipeline.triples import distant_supervision
+
+    m = spark.createDataFrame(
+        [(1, 0, "A"), (1, 5, "B"), (1, 90, "C"), (2, 3, "A"), (2, 4, "C"),
+         (3, 7, "B")],
+        "doc_id int, pos int, uri string",
+    )
+    kb = spark.createDataFrame(
+        [("A", "knows", "B"), ("A", "rival", "C")],
+        "subj string, pred string, obj string",
+    )
+    got = sorted(
+        map(tuple, distant_supervision(m, kb, max_distance=30).collect())
+    )
+    # doc 1: A-B within 30 -> silver 'knows'; A-C at distance 90 -> dropped
+    # doc 2: A-C adjacent -> silver 'rival'; doc 3: B alone -> nothing
+    assert got == [
+        (1, 0, 5, "A", "knows", "B"),
+        (2, 3, 4, "A", "rival", "C"),
+    ]

@@ -2450,3 +2450,100 @@ def ic_similarity(
             ).alias("lin"),
         )
     )
+
+
+def _delta_pat_df(t: DataFrame, pat: tuple) -> DataFrame:
+    """Instantiate one triple pattern against one source table:
+    constants filter, variables project (repeated vars equi-filter)."""
+    df = t
+    bind, seen = [], {}
+    for term, col in zip(pat, ("subj", "pred", "obj")):
+        if isinstance(term, str) and term.startswith("?"):
+            v = term[1:]
+            if v in seen:
+                df = df.filter(F.col(col) == F.col(seen[v]))
+            else:
+                seen[v] = col
+                bind.append(F.col(col).alias(v))
+        else:
+            df = df.filter(F.col(col) == term)
+    return df.select(*bind).distinct()
+
+
+def bgp_view_delta(
+    base: DataFrame,
+    adds: DataFrame,
+    dels: DataFrame,
+    patterns: list,
+) -> DataFrame:
+    """Incremental maintenance of a conjunctive-BGP view (the delta
+    rule of incremental Datalog — DRed/DBToaster reduced to positive
+    set-semantics conjunctive queries): given the base triple table
+    and a changeset, compute the VIEW's change rows without
+    recomputing bgp(new) from scratch — the operator a continuously
+    maintained KB needs to keep materialized query results (entity
+    cards, dashboards, downstream caches) fresh per ingest batch.
+
+    Candidates come from the telescoping delta expansion — for
+    patterns p1..pn, ∪_i join(new for j<i, Δ at i, old for j>i) — so
+    every term is DELTA-DRIVEN (pattern i only reads changed
+    triples); set-semantics verification then keeps a candidate as
+    'add' iff it holds in new but not old (reverse for 'del'), via
+    per-pattern semi-joins over the candidate set.
+
+    -> binding columns (the patterns' variables, sorted) + op in
+    {'add', 'del'}; empty when the changeset doesn't touch the view.
+
+    Scale shape: the base/new tables are only ever probed by keyed
+    joins whose build side is delta-sized; no full bgp(new) is
+    materialized. Verification is 2n semi-joins over candidates.
+    Patterns sharing no variable cross-join (same caveat as
+    bgp_match — keep BGPs connected).
+    """
+    if not patterns:
+        raise ValueError("bgp_view_delta needs >= 1 pattern")
+    cols3 = ["subj", "pred", "obj"]
+    old = base.select(*cols3).distinct()
+    a = adds.select(*cols3).distinct()
+    d = dels.select(*cols3).distinct()
+    new = old.join(d, cols3, "left_anti").unionByName(a).distinct()
+    delta = a.unionByName(d).distinct()
+
+    def conj(tables):
+        out = None
+        for t, pat in zip(tables, patterns):
+            pd = _delta_pat_df(t, pat)
+            if out is None:
+                out = pd
+            else:
+                common = [c for c in out.columns if c in pd.columns]
+                out = out.join(pd, common) if common else out.crossJoin(pd)
+        return out
+
+    n = len(patterns)
+    cand = None
+    for i in range(n):
+        term = conj(
+            [new if j < i else (delta if j == i else old) for j in range(n)]
+        )
+        term = term.select(*sorted(term.columns))
+        cand = term if cand is None else cand.unionByName(term)
+    cand = cand.distinct()
+
+    def holds(table):
+        out = cand
+        for pat in patterns:
+            pd = _delta_pat_df(table, pat)
+            out = out.join(pd, [c for c in pd.columns], "left_semi")
+        return out
+
+    in_new = holds(new)
+    in_old = holds(old)
+    keys = cand.columns
+    added = in_new.join(in_old, keys, "left_anti").withColumn(
+        "op", F.lit("add")
+    )
+    removed = in_old.join(in_new, keys, "left_anti").withColumn(
+        "op", F.lit("del")
+    )
+    return added.unionByName(removed)

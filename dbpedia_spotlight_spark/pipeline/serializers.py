@@ -330,3 +330,70 @@ def annotations_to_rdfa(
     return _web_representation(
         annotations, documents_text, link, _RDFA_MAIN_PRE, _HTML_MAIN_POST
     )
+
+
+def triples_to_jsonld(
+    triples: DataFrame,
+    iri_markers: tuple = ("://", "_:"),
+) -> DataFrame:
+    """Flattened JSON-LD (W3C JSON-LD 1.1 flattened document form,
+    one node object per subject) — the serializer modern KG consumers
+    ask for first, completing this engine's W3C format family
+    (N-Triples / Turtle / TriG / RDF-XML / RDF-star are in
+    functions/rdf.py): each subject becomes
+    ``{"@id": s, "<pred>": [v1, v2, ...], ...}`` with predicates and
+    values SORTED, so the serialization is canonical and
+    engine-replayable. Values that look like IRIs/bnodes (contain
+    "://" or start with "_:") serialize as ``{"@id": ...}`` node
+    references, everything else as JSON string literals — the
+    object-vs-literal rule JSON-LD needs and a triple table doesn't
+    carry (callers with typed-literal terms should expand with
+    functions/rdfterm first).
+
+    -> (subj, jsonld): one row per subject. All escaping delegates to
+    to_json (Jackson-correct quoting on every engine).
+
+    Scale shape: one groupBy (subj, pred) with a sorted collect for
+    the value arrays, one groupBy (subj) assembling sorted predicate
+    fragments — both keyed on the subject, map-side combinable sizes,
+    bounded by per-entity fact counts (the entity_digest skew
+    profile). No UDF, no driver-side JSON building.
+    """
+    is_iri = F.col("obj").contains(iri_markers[0]) | F.col("obj").startswith(
+        iri_markers[1]
+    )
+    # to_json(struct(obj)) -> {"obj":"..."} ; strip the wrapper to get
+    # just the escaped string scalar
+    scalar = F.regexp_extract(F.to_json(F.struct(F.col("obj"))), r'^\{"obj":(.*)\}$', 1)
+    val = F.when(
+        is_iri, F.concat(F.lit('{"@id":'), scalar, F.lit("}"))
+    ).otherwise(scalar)
+    key = F.regexp_extract(
+        F.to_json(F.struct(F.col("pred").alias("p"))), r'^\{"p":(.*)\}$', 1
+    )
+    per_pred = (
+        triples.select("subj", "pred", "obj")
+        .distinct()
+        .withColumn("_v", val)
+        .groupBy("subj", "pred")
+        .agg(
+            F.concat(
+                key,
+                F.lit(":["),
+                F.array_join(F.array_sort(F.collect_list("_v")), ","),
+                F.lit("]"),
+            ).alias("_frag")
+        )
+    )
+    subj_key = F.regexp_extract(
+        F.to_json(F.struct(F.col("subj").alias("s"))), r'^\{"s":(.*)\}$', 1
+    )
+    return per_pred.groupBy("subj").agg(
+        F.concat(
+            F.lit('{"@id":'),
+            subj_key,
+            F.lit(","),
+            F.array_join(F.array_sort(F.collect_list("_frag")), ","),
+            F.lit("}"),
+        ).alias("jsonld")
+    )

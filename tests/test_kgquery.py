@@ -2255,3 +2255,37 @@ def test_taxonomy_profile_depths(spark):
     assert (row.n_classes, row.n_roots, row.n_leaves) == (5, 1, 2)
     assert row.max_depth == 2 and row.avg_depth == 1.2
     assert row.multi_parent_ratio == 0.25  # b of {a,b,m,c}
+
+
+def test_bgp_view_delta_incremental(spark):
+    import pytest
+
+    from dbpedia_spotlight_spark.operators.kgquery import bgp_view_delta
+
+    base = spark.createDataFrame(
+        [("a", "in", "n1"), ("n1", "within", "r1"),
+         ("b", "in", "n2"), ("n2", "within", "r2")],
+        "subj string, pred string, obj string",
+    )
+    adds = spark.createDataFrame(
+        [("c", "in", "n1"), ("n2", "within", "r9")],
+        "subj string, pred string, obj string",
+    )
+    dels = spark.createDataFrame(
+        [("n2", "within", "r2")], "subj string, pred string, obj string"
+    )
+    pats = [("?x", "in", "?n"), ("?n", "within", "?r")]
+    got = sorted(map(tuple, bgp_view_delta(base, adds, dels, pats).collect()))
+    assert got == [
+        ("n1", "r1", "c", "add"),
+        ("n2", "r2", "b", "del"),
+        ("n2", "r9", "b", "add"),
+    ]
+    # irrelevant changeset -> empty delta
+    noise_a = spark.createDataFrame(
+        [("z", "other", "w")], "subj string, pred string, obj string"
+    )
+    empty = bgp_view_delta(base, noise_a, noise_a.limit(0), pats)
+    assert empty.count() == 0
+    with pytest.raises(ValueError):
+        bgp_view_delta(base, adds, dels, [])

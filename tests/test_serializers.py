@@ -158,3 +158,28 @@ def test_empty_annotation_set_echoes_text(spark, docs):
     )
     got = {r.doc_id: r.html for r in annotations_to_html(empty, docs).collect()}
     assert "no mentions here" in got["d2"]
+
+
+def test_triples_to_jsonld_canonical(spark):
+    import json
+
+    from dbpedia_spotlight_spark.pipeline.serializers import triples_to_jsonld
+
+    tri = spark.createDataFrame(
+        [
+            ("http://e/a", "name", 'Al "Quote" \\ B'),
+            ("http://e/a", "knows", "http://e/b"),
+            ("http://e/a", "name", "Zed"),
+            ("_:x", "p", "lit"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    rows = {r.subj: r.jsonld for r in triples_to_jsonld(tri).collect()}
+    a = json.loads(rows["http://e/a"])  # valid JSON incl. escapes
+    assert a["@id"] == "http://e/a"
+    assert a["name"] == ['Al "Quote" \\ B', "Zed"]  # sorted values
+    assert a["knows"] == [{"@id": "http://e/b"}]    # node reference
+    x = json.loads(rows["_:x"])
+    assert x == {"@id": "_:x", "p": ["lit"]}
+    # keys after @id are sorted
+    assert list(a.keys()) == ["@id", "knows", "name"]

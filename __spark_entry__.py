@@ -6211,12 +6211,47 @@ def q_kg_view_delta(spark, sf_dir):
     )
 
 
+def q_nquads_roundtrip(spark, sf_dir):
+    """N-Quads dataset round trip (functions/rdf.py:to_nquads /
+    parse_nquads — the RDF 1.1 dataset exchange format: named-graph
+    lines plus default-graph N-Triples lines with escaped literals):
+    customer facts across two named graphs plus an unescaped-hostile
+    default-graph literal, serialized and parsed back. Returning the
+    PARSED rows hash-checked against the original quads proves the
+    pair are mutual inverses. Oracle = the original quad set."""
+    from dbpedia_spotlight_spark.functions.rdf import parse_nquads, to_nquads
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    quads = (
+        cust.select(
+            F.concat(F.lit("http://ex/c"), F.col("c_custkey")).alias("subj"),
+            F.lit("http://ex/inNation").alias("pred"),
+            F.concat(F.lit("http://ex/n"), F.col("c_nationkey")).alias("obj"),
+            F.concat(
+                F.lit("http://g/"), F.col("c_custkey") % 2
+            ).alias("graph"),
+        )
+        .unionByName(
+            cust.select(
+                F.concat(F.lit("http://ex/c"), F.col("c_custkey")).alias(
+                    "subj"
+                ),
+                F.lit("http://ex/name").alias("pred"),
+                F.col("c_name").alias("obj"),
+                F.lit(None).cast("string").alias("graph"),
+            )
+        )
+    )
+    return parse_nquads(to_nquads(quads))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "nquads_roundtrip": q_nquads_roundtrip,
         "kg_jsonld": q_kg_jsonld,
         "kg_view_delta": q_kg_view_delta,
         "distant_supervision": q_distant_supervision,
@@ -7246,6 +7281,19 @@ WITH snap AS (
 SELECT DISTINCT s.subj AS o, p.obj AS p
 FROM snap s JOIN snap p ON p.subj = s.subj AND p.pred = 'priority'
 WHERE s.pred = 'status' AND s.obj = 'F'
+"""
+
+    # nquads_roundtrip: identity oracle — the original quad set.
+    sql["nquads_roundtrip"] = """
+SELECT 'http://ex/c' || c_custkey::VARCHAR AS subj,
+       'http://ex/inNation' AS pred,
+       'http://ex/n' || c_nationkey::VARCHAR AS obj,
+       'http://g/' || (c_custkey % 2)::VARCHAR AS graph
+FROM customer
+UNION ALL
+SELECT 'http://ex/c' || c_custkey::VARCHAR, 'http://ex/name',
+       c_name, NULL
+FROM customer
 """
 
     # kg_jsonld: same canonical assembly with DuckDB to_json.

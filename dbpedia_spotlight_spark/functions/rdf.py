@@ -582,3 +582,39 @@ def unskolemize(
     return triples.select(
         back("subj").alias("subj"), "pred", back("obj").alias("obj")
     )
+
+
+def parse_nquads(lines: DataFrame, col: str = "line") -> DataFrame:
+    """Inverse of to_nquads: N-Quads lines back to (subj, pred, obj,
+    graph) — graph NULL for default-graph (plain N-Triples) lines,
+    quoted literal objects unescaped with nt_unescape, IRI objects
+    stripped of <>. Together with to_nquads this closes the dataset
+    round trip the way parse_turtle_star does for RDF-star (and the
+    driver's roundtrip queries pin). Comment / non-matching lines drop.
+
+    One regexp per line, zero shuffle — the mirror image of the
+    serializer's projection shape.
+    """
+    l = lines.select(F.col(col).alias("_l")).filter(
+        ~F.col("_l").startswith("#")
+    )
+    pat = r'^<([^>]+)>\s+<([^>]+)>\s+(<[^>]+>|"(?:[^"\\]|\\.)*")(?:\s+<([^>]+)>)?\s*\.\s*$'
+    parsed = l.select(
+        F.regexp_extract("_l", pat, 1).alias("subj"),
+        F.regexp_extract("_l", pat, 2).alias("pred"),
+        F.regexp_extract("_l", pat, 3).alias("_t"),
+        F.regexp_extract("_l", pat, 4).alias("_g"),
+    ).filter(F.col("subj") != "")
+    obj = F.when(
+        F.col("_t").startswith("<"),
+        F.regexp_replace(F.col("_t"), r"^<|>$", ""),
+    ).otherwise(
+        nt_unescape(F.regexp_replace(F.col("_t"), r'^"|"$', ""))
+    )
+    return parsed.select(
+        "subj",
+        "pred",
+        obj.alias("obj"),
+        F.when(F.col("_g") == "", F.lit(None)).otherwise(F.col("_g"))
+        .alias("graph"),
+    )

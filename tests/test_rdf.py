@@ -289,3 +289,23 @@ def test_skolemize_isomorphism_stable_roundtrip(spark):
     )
     iris = {r.subj for r in skolemize(tw).collect()}
     assert len(iris) == 2  # ~1 suffix separates the indistinguishable pair
+
+
+def test_nquads_roundtrip_escapes_and_graphs(spark):
+    from dbpedia_spotlight_spark.functions.rdf import parse_nquads, to_nquads
+
+    q = spark.createDataFrame(
+        [
+            ("http://e/s", "http://e/p", "http://e/o", "http://g/1"),
+            ("http://e/s", "http://e/p", 'lit "q"\\ \n\t end', None),
+            ("http://e/s2", "http://e/p", "plain", "http://g/2"),
+        ],
+        "subj string, pred string, obj string, graph string",
+    )
+    back = parse_nquads(to_nquads(q))
+    assert sorted(map(tuple, q.collect())) == sorted(map(tuple, back.collect()))
+    # comment lines drop
+    lines = to_nquads(q).unionByName(
+        spark.createDataFrame([("# comment",)], "line string")
+    )
+    assert parse_nquads(lines).count() == 3

@@ -6245,12 +6245,90 @@ def q_nquads_roundtrip(spark, sf_dir):
     return parse_nquads(to_nquads(quads))
 
 
+def q_kg_community_metrics(spark, sf_dir):
+    """Community-quality metrics (operators/graph.py:community_metrics
+    — per-community Newman modularity contribution + conductance via
+    two endpoint-stamping joins and metric groupBys, never pair
+    lists): the geo graph partitioned by region membership. Oracle =
+    the same stamp-and-aggregate algebra."""
+    from dbpedia_spotlight_spark.operators.graph import community_metrics
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    edges = (
+        cust.filter(F.col("c_custkey") < 300)
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey")).alias("src"),
+            F.concat(F.lit("n"), F.col("c_nationkey")).alias("dst"),
+        )
+        .unionByName(
+            nat.select(
+                F.concat(F.lit("n"), F.col("n_nationkey")).alias("src"),
+                F.concat(F.lit("r"), F.col("n_regionkey")).alias("dst"),
+            )
+        )
+        .unionByName(
+            reg.select(
+                F.concat(F.lit("r"), F.col("r_regionkey")).alias("src"),
+                F.lit("world").alias("dst"),
+            )
+        )
+    )
+    membership = (
+        cust.filter(F.col("c_custkey") < 300)
+        .join(
+            nat.select("n_nationkey", "n_regionkey"),
+            cust["c_nationkey"] == nat["n_nationkey"],
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey")).alias("node"),
+            F.concat(F.lit("r"), F.col("n_regionkey")).alias("community"),
+        )
+        .unionByName(
+            nat.select(
+                F.concat(F.lit("n"), F.col("n_nationkey")).alias("node"),
+                F.concat(F.lit("r"), F.col("n_regionkey")).alias("community"),
+            )
+        )
+        .unionByName(
+            reg.select(
+                F.concat(F.lit("r"), F.col("r_regionkey")).alias("node"),
+                F.concat(F.lit("r"), F.col("r_regionkey")).alias("community"),
+            )
+        )
+        .unionByName(
+            reg.limit(1).select(
+                F.lit("world").alias("node"), F.lit("world").alias("community")
+            )
+        )
+    )
+    return community_metrics(edges, membership)
+
+
+def q_event_bursts(spark, sf_dir):
+    """Burst detection (streaming/sessions.py:burst_windows — rolling
+    z-score against each key's own trailing-24-bucket baseline, one
+    stream-collapsing groupBy then one per-key window): hourly
+    event-type bursts at z >= 1.5. Oracle = the identical window
+    frame in SQL."""
+    from dbpedia_spotlight_spark.streaming.sessions import burst_windows
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = burst_windows(ev, z=1.5)
+    # string bucket: pandas would otherwise carry ns-vs-us timestamp
+    # units into the value hash
+    return out.withColumn("bucket_ts", F.col("bucket_ts").cast("string"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "kg_community_metrics": q_kg_community_metrics,
+        "event_bursts": q_event_bursts,
         "nquads_roundtrip": q_nquads_roundtrip,
         "kg_jsonld": q_kg_jsonld,
         "kg_view_delta": q_kg_view_delta,
@@ -7281,6 +7359,102 @@ WITH snap AS (
 SELECT DISTINCT s.subj AS o, p.obj AS p
 FROM snap s JOIN snap p ON p.subj = s.subj AND p.pred = 'priority'
 WHERE s.pred = 'status' AND s.obj = 'F'
+"""
+
+    # kg_community_metrics: stamp both endpoints, aggregate metrics.
+    sql["kg_community_metrics"] = """
+WITH raw AS (
+  SELECT 'c' || c_custkey::VARCHAR AS u, 'n' || c_nationkey::VARCHAR AS v
+  FROM customer WHERE c_custkey < 300
+  UNION ALL
+  SELECT 'n' || n_nationkey::VARCHAR, 'r' || n_regionkey::VARCHAR
+  FROM nation
+  UNION ALL
+  SELECT 'r' || r_regionkey::VARCHAR, 'world' FROM region
+),
+und AS (
+  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+  FROM raw WHERE u <> v
+),
+mem AS (
+  SELECT 'c' || c.c_custkey::VARCHAR AS node,
+         'r' || n.n_regionkey::VARCHAR AS community
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE c.c_custkey < 300
+  UNION ALL
+  SELECT 'n' || n_nationkey::VARCHAR, 'r' || n_regionkey::VARCHAR
+  FROM nation
+  UNION ALL
+  SELECT 'r' || r_regionkey::VARCHAR, 'r' || r_regionkey::VARCHAR
+  FROM region
+  UNION ALL
+  SELECT 'world', 'world'
+),
+m AS (SELECT count(*)::DOUBLE AS m FROM und),
+stamped AS (
+  SELECT e.u, e.v, mu.community AS cu, mv.community AS cv
+  FROM und e JOIN mem mu ON mu.node = e.u JOIN mem mv ON mv.node = e.v
+),
+internal AS (
+  SELECT cu AS community, count(*) AS internal_edges
+  FROM stamped WHERE cu = cv GROUP BY cu
+),
+cut AS (
+  SELECT community, count(*) AS cut_edges FROM (
+    SELECT cu AS community FROM stamped WHERE cu <> cv
+    UNION ALL
+    SELECT cv FROM stamped WHERE cu <> cv
+  ) GROUP BY community
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und
+  ) GROUP BY node
+),
+cd AS (
+  SELECT mem.community, count(*) AS n_nodes,
+         sum(coalesce(deg.d, 0)) AS degree_sum
+  FROM mem LEFT JOIN deg ON deg.node = mem.node
+  GROUP BY mem.community
+)
+SELECT cd.community, cd.n_nodes::BIGINT AS n_nodes,
+       coalesce(i.internal_edges, 0)::BIGINT AS internal_edges,
+       coalesce(c.cut_edges, 0)::BIGINT AS cut_edges,
+       cd.degree_sum::BIGINT AS degree_sum,
+       round(coalesce(i.internal_edges, 0) / (SELECT m FROM m)
+             - pow(cd.degree_sum / (2 * (SELECT m FROM m)), 2), 6)
+         AS modularity,
+       round(CASE WHEN least(cd.degree_sum,
+                             2 * (SELECT m FROM m) - cd.degree_sum) > 0
+                  THEN coalesce(c.cut_edges, 0)
+                       / least(cd.degree_sum,
+                               2 * (SELECT m FROM m) - cd.degree_sum)
+                  ELSE 0.0 END, 6) AS conductance
+FROM cd
+LEFT JOIN internal i ON i.community = cd.community
+LEFT JOIN cut c ON c.community = cd.community
+"""
+
+    # event_bursts: identical rolling window frame.
+    sql["event_bursts"] = """
+WITH counts AS (
+  SELECT event_type AS key, date_trunc('hour', ts) AS b,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT *, avg(n) OVER w AS mu,
+         stddev_pop(n) OVER w AS sd,
+         count(n) OVER w AS nb
+  FROM counts
+  WINDOW w AS (PARTITION BY key ORDER BY b
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT key AS event_type, b::VARCHAR AS bucket_ts, n,
+       round(mu, 6) AS base_mean, round(sd, 6) AS base_std,
+       round((n - mu) / sd, 4) AS zscore
+FROM s
+WHERE nb >= 2 AND sd > 0 AND (n - mu) / sd >= 1.5
 """
 
     # nquads_roundtrip: identity oracle — the original quad set.

@@ -69,3 +69,67 @@ def sessionize(
             "total_value",
         )
     )
+
+
+def burst_windows(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    bucket: str = "hour",
+    z: float = 2.0,
+    baseline: int = 24,
+) -> DataFrame:
+    """Burst detection over an event stream (the rolling-z-score
+    reduction of Kleinberg's burst model, KDD '02 — the form monitoring
+    pipelines actually deploy): bucket event counts per key, compare
+    each bucket against the mean/std of its own PREVIOUS `baseline`
+    buckets, and flag buckets whose z-score clears `z` — "error events
+    are arriving 4 sigma above their trailing day".
+
+    -> flagged buckets only: (key_col, bucket_ts, n, base_mean round 6,
+    base_std round 6, zscore round 4). Buckets with fewer than 2
+    trailing buckets or zero variance never flag (no division).
+
+    Scale shape: ONE groupBy (key, time bucket) collapses the stream
+    (map-side combinable — the only pass over the raw events), then
+    rolling mean/std are ONE window per key over the bucket series —
+    state per key is `baseline` counters, the same per-key bound as
+    sessionize. Works identically as a foreachBatch stage: the bucket
+    table is tiny relative to the stream.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        events.select(
+            F.col(key_col).alias("key"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+        )
+        .groupBy("key", "bucket_ts")
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket_ts")
+        .rowsBetween(-baseline, -1)
+    )
+    scored = (
+        counts.withColumn("_mu", F.avg("n").over(w))
+        .withColumn("_sd", F.stddev_pop(F.col("n").cast("double")).over(w))
+        .withColumn("_nb", F.count("n").over(w))
+    )
+    return (
+        scored.filter(
+            (F.col("_nb") >= 2)
+            & (F.col("_sd") > 0)
+            & ((F.col("n") - F.col("_mu")) / F.col("_sd") >= F.lit(z))
+        )
+        .select(
+            F.col("key").alias(key_col),
+            "bucket_ts",
+            F.col("n").cast("long").alias("n"),
+            F.round("_mu", 6).alias("base_mean"),
+            F.round("_sd", 6).alias("base_std"),
+            F.round((F.col("n") - F.col("_mu")) / F.col("_sd"), 4)
+            .alias("zscore"),
+        )
+    )

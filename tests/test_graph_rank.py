@@ -315,3 +315,22 @@ def test_neighborhood_aggregate_fixed_point(spark):
     hn = {r.node: r.value_1 for r in neighborhood_aggregate(e, fneg, hops=1, scale=2).collect()}
     # mean(-125,-130) = -127.5 -> offset half-up rounds toward +inf -> -127
     assert hn == {"x": -1.27, "y": -1.27}
+
+
+def test_community_metrics_two_triangles(spark):
+    from dbpedia_spotlight_spark.operators.graph import community_metrics
+
+    edges = [("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+             ("b1", "b2"), ("b2", "b3"), ("b1", "b3"), ("a1", "b1")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    mem = spark.createDataFrame(
+        [(n, n[0]) for n in ["a1", "a2", "a3", "b1", "b2", "b3"]],
+        "node string, community string",
+    )
+    got = {r.community: r for r in community_metrics(e, mem).collect()}
+    # m=7; each triangle: 3 internal, 1 cut, degree sum 7
+    for c in ("a", "b"):
+        r = got[c]
+        assert (r.n_nodes, r.internal_edges, r.cut_edges, r.degree_sum) == (3, 3, 1, 7)
+        assert r.modularity == round(3 / 7 - (7 / 14) ** 2, 6)
+        assert r.conductance == round(1 / 7, 6)

@@ -170,3 +170,28 @@ def test_stream_stream_join_within(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert got == {(100, 101), (100, 102)}
+
+
+def test_burst_windows_flags_spike(spark):
+    import datetime
+
+    from dbpedia_spotlight_spark.streaming.sessions import burst_windows
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # alternating 1/2 events per hour (baseline with variance), then a
+    # 10-event spike at hour 10
+    for h in range(10):
+        rows.append(("e", base + datetime.timedelta(hours=h)))
+        if h % 2 == 1:
+            rows.append(("e", base + datetime.timedelta(hours=h, minutes=30)))
+    for i in range(10):
+        rows.append(("e", base + datetime.timedelta(hours=10, minutes=i)))
+    # second key: flat (zero variance) -> the sd > 0 guard keeps it silent
+    for h in range(12):
+        rows.append(("quiet", base + datetime.timedelta(hours=h)))
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = burst_windows(ev, z=2.0, baseline=24).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.event_type == "e" and r.n == 10 and r.zscore > 2.0

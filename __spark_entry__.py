@@ -6321,12 +6321,84 @@ def q_event_bursts(spark, sf_dir):
     return out.withColumn("bucket_ts", F.col("bucket_ts").cast("string"))
 
 
+def q_kg_fellegi_sunter(spark, sf_dir):
+    """Fellegi-Sunter match weights (operators/kbaugment.py:
+    fellegi_sunter_score — sum of per-field log-likelihood ratios as a
+    constant-folded CASE chain, zero shuffle; the decision layer over
+    the edit-distance/sorted-neighborhood blockers): synthetic
+    agreement vectors over customer pairs, thresholded. Oracle embeds
+    the IDENTICAL Python-computed ln constants so the sums are
+    bit-equal."""
+    from dbpedia_spotlight_spark.operators.kbaugment import (
+        fellegi_sunter_score,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    pairs = cust.filter(k < 500).select(
+        F.concat(F.lit("c"), k).alias("a"),
+        F.concat(F.lit("c"), k + 7).alias("b"),
+        (k % 3 == 0).alias("name_agree"),
+        (k % 5 < 2).alias("seg_agree"),
+    )
+    return fellegi_sunter_score(
+        pairs,
+        ["name", "seg"],
+        m={"name": 0.9, "seg": 0.75},
+        u={"name": 0.05, "seg": 0.3},
+        threshold=0.0,
+    )
+
+
+def q_kg_graph_sample(spark, sf_dir):
+    """Deterministic node-induced subgraph sampling (operators/
+    graph.py:induced_subgraph_sample — md5-bucket keep test on each
+    endpoint, zero joins, rate² edge survival, degree-honest unlike
+    edge sampling): the geo edge list at rate 0.5. Oracle = the same
+    md5-tail arithmetic on both endpoints."""
+    from dbpedia_spotlight_spark.operators.graph import induced_subgraph_sample
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    edges = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("n"), F.col("c_nationkey")).alias("dst"),
+    ).unionByName(
+        nat.select(
+            F.concat(F.lit("n"), F.col("n_nationkey")).alias("src"),
+            F.concat(F.lit("r"), F.col("n_regionkey")).alias("dst"),
+        )
+    )
+    return induced_subgraph_sample(edges, rate=0.5)
+
+
+def q_score_blend(spark, sf_dir):
+    """Percentile score blending (datapipe/packing.py:blend_scores —
+    per-signal percent_rank over a (signal, id) total order, weighted
+    sum, negative weights invert; the mixing-desk step before
+    priority/quota sampling): document length blended against a
+    synthetic noise signal. Oracle = the same percent_rank windows."""
+    from dbpedia_spotlight_spark.datapipe.packing import blend_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("len_signal"),
+        ((F.col("doc_id") * 37) % 101).cast("double").alias("noise_signal"),
+    )
+    return blend_scores(
+        docs, {"len_signal": 1.0, "noise_signal": -0.5}
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "kg_fellegi_sunter": q_kg_fellegi_sunter,
+        "kg_graph_sample": q_kg_graph_sample,
+        "score_blend": q_score_blend,
         "kg_community_metrics": q_kg_community_metrics,
         "event_bursts": q_event_bursts,
         "nquads_roundtrip": q_nquads_roundtrip,
@@ -7359,6 +7431,59 @@ WITH snap AS (
 SELECT DISTINCT s.subj AS o, p.obj AS p
 FROM snap s JOIN snap p ON p.subj = s.subj AND p.pred = 'priority'
 WHERE s.pred = 'status' AND s.obj = 'F'
+"""
+
+    # kg_fellegi_sunter: ln constants precomputed in Python on BOTH
+    # sides, so the CASE sums are bit-identical.
+    sql["kg_fellegi_sunter"] = """
+WITH pairs AS (
+  SELECT 'c' || c_custkey::VARCHAR AS a,
+         'c' || (c_custkey + 7)::VARCHAR AS b,
+         (c_custkey % 3 = 0) AS name_agree,
+         (c_custkey % 5 < 2) AS seg_agree
+  FROM customer WHERE c_custkey < 500
+)
+SELECT a, b, name_agree, seg_agree,
+       round(
+         (CASE WHEN name_agree THEN 2.8903717578961645 ELSE -2.2512917986064953 END)
+         + (CASE WHEN seg_agree THEN 0.9162907318741551 ELSE -1.0296194171811581 END), 6) AS weight
+FROM pairs
+WHERE (CASE WHEN name_agree THEN 2.8903717578961645 ELSE -2.2512917986064953 END)
+      + (CASE WHEN seg_agree THEN 0.9162907318741551 ELSE -1.0296194171811581 END) >= 0.0
+"""
+
+    # kg_graph_sample: md5-tail keep test on both endpoints.
+    sql["kg_graph_sample"] = """
+WITH e AS (
+  SELECT 'c' || c_custkey::VARCHAR AS src,
+         'n' || c_nationkey::VARCHAR AS dst
+  FROM customer
+  UNION ALL
+  SELECT 'n' || n_nationkey::VARCHAR, 'r' || n_regionkey::VARCHAR
+  FROM nation
+)
+SELECT src, dst FROM e
+WHERE ('0x' || substr(md5(src), 25, 8))::BIGINT % 10000 < 5000
+  AND ('0x' || substr(md5(dst), 25, 8))::BIGINT % 10000 < 5000
+"""
+
+    # score_blend: identical percent_rank windows.
+    sql["score_blend"] = """
+WITH d AS (
+  SELECT doc_id, n_chars::DOUBLE AS len_signal,
+         ((doc_id * 37) % 101)::DOUBLE AS noise_signal
+  FROM documents
+),
+r AS (
+  SELECT doc_id, len_signal, noise_signal,
+         percent_rank() OVER (ORDER BY len_signal, doc_id) AS len_signal_pct,
+         percent_rank() OVER (ORDER BY noise_signal, doc_id)
+           AS noise_signal_pct
+  FROM d
+)
+SELECT doc_id, len_signal, noise_signal, len_signal_pct, noise_signal_pct,
+       round(1.0 * len_signal_pct + -0.5 * noise_signal_pct, 6) AS blended
+FROM r
 """
 
     # kg_community_metrics: stamp both endpoints, aggregate metrics.

@@ -464,3 +464,37 @@ def priority_sample(
         .filter(F.col("_rn") <= k)
         .select(*cols)
     )
+
+
+def blend_scores(
+    docs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Percentile-normalized score blending — the mixing-desk step
+    before priority_sample/quota_sample when quality signals live on
+    incomparable scales (a perplexity, a length ratio, a classifier
+    logit): each signal is mapped to its percent_rank (uniform on
+    [0, 1] by construction), then combined as a weighted sum.
+    Negative weights invert a signal ("low perplexity is good").
+
+    ``weights``: column -> weight. -> docs + (<col>_pct ... , blended
+    round 6). NULL signal values rank at the bottom of their column
+    (they sort first), a deliberate "missing = worst" policy.
+
+    Scale shape: one percent_rank window PER SIGNAL, each a global
+    order — over the DOC table, which a mixing step necessarily ranks;
+    the windows run on (signal, id) total orders so ranks are
+    deterministic. Shard by source upstream (and blend per shard) when
+    a single global rank per signal is too hot; the algebra is
+    shard-stable because percent_rank is scale-free.
+    """
+    if not weights:
+        raise ValueError("blend_scores needs >= 1 weighted column")
+    out = docs
+    blended = F.lit(0.0)
+    for col, wt in sorted(weights.items()):
+        w = Window.orderBy(F.col(col).asc_nulls_first(), F.col(id_col).asc())
+        out = out.withColumn(f"{col}_pct", F.percent_rank().over(w))
+        blended = blended + F.lit(float(wt)) * F.col(f"{col}_pct")
+    return out.withColumn("blended", F.round(blended, 6))

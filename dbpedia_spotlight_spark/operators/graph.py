@@ -1929,3 +1929,43 @@ def community_metrics(
             6,
         ).alias("conductance"),
     )
+
+
+def induced_subgraph_sample(
+    edges: DataFrame,
+    rate: float,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic node-induced subgraph sample: keep each NODE with
+    probability `rate` by md5-bucket hash (the stratified_sample
+    scheme), keep an edge iff BOTH endpoints survive — the standard
+    way to get a debuggable mini-graph whose degree correlations are
+    honest (edge sampling biases against high-degree nodes; node
+    induction does not), reproducible across runs, engines, and
+    cluster sizes.
+
+    -> the surviving (src, dst) edges. Expected edge survival is
+    rate², the price of unbiased induction — size `rate` accordingly.
+
+    Scale shape: zero joins — the keep test is a per-row codegen hash
+    on each endpoint column independently; no node table is even
+    materialized.
+    """
+    if not (0.0 < rate <= 1.0):
+        raise ValueError("rate must be in (0, 1]")
+    hi = int(rate * buckets)
+
+    def keep(col):
+        return (
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col(col).cast("string")), 25, 8),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(buckets),
+            )
+            < hi
+        )
+
+    return edges.filter(keep("src") & keep("dst"))

@@ -546,3 +546,52 @@ def edit_distance_join(
         .filter(F.col("dist") <= max_edits)
         .select("a", "b", "name_a", "name_b", "dist")
     )
+
+
+def fellegi_sunter_score(
+    pairs: DataFrame,
+    fields: list[str],
+    m: dict[str, float],
+    u: dict[str, float],
+    threshold: float | None = None,
+) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (JASA 1969 — the
+    decision layer every serious ER system still runs on top of its
+    blockers): each candidate pair carries per-field agreement flags;
+    its match weight is the sum of log-likelihood ratios, ln(m_i/u_i)
+    for agreeing fields and ln((1-m_i)/(1-u_i)) for disagreeing ones
+    (m_i = P(agree | match), u_i = P(agree | non-match) — estimate u
+    from random pairs, m from labeled pairs or EM upstream).
+
+    ``pairs``: (a, b, <field>_agree boolean ...) — the output shape of
+    the blockers above (edit_distance_join / sorted_neighborhood_pairs
+    feed it after per-field comparison); ``fields``: comparison names;
+    ``m``/``u``: per-field probabilities in (0,1), validated.
+    ``threshold``: if set, keep only pairs with weight >= threshold.
+
+    -> (a, b, <field>_agree ..., weight round 6).
+
+    Scale shape: PURE per-row codegen — a constant-folded CASE sum, no
+    join, no shuffle, no collect; the expensive part of ER stays in
+    the blockers, exactly where the literature puts it.
+    """
+    import math
+
+    if not fields:
+        raise ValueError("fellegi_sunter_score needs >= 1 field")
+    for f in fields:
+        for d, nm in ((m, "m"), (u, "u")):
+            v = d.get(f)
+            if v is None or not (0.0 < v < 1.0):
+                raise ValueError(f"{nm}[{f!r}] must be in (0, 1)")
+    w = F.lit(0.0)
+    for f in fields:
+        agree = math.log(m[f] / u[f])
+        disagree = math.log((1.0 - m[f]) / (1.0 - u[f]))
+        w = w + F.when(F.col(f"{f}_agree"), F.lit(agree)).otherwise(
+            F.lit(disagree)
+        )
+    out = pairs.withColumn("weight", F.round(w, 6))
+    if threshold is not None:
+        out = out.filter(F.col("weight") >= threshold)
+    return out

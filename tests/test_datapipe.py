@@ -1861,3 +1861,21 @@ def test_vocab_profile_zipf(spark):
         (x - mx) ** 2 for x in xs
     )
     assert abs(row.zipf_slope - slope) < 1e-6
+
+
+def test_blend_scores_percentiles(spark):
+    import pytest
+
+    from dbpedia_spotlight_spark.datapipe.packing import blend_scores
+
+    d = spark.createDataFrame(
+        [("d1", 10.0, 1.0), ("d2", 20.0, 2.0), ("d3", 30.0, None)],
+        "doc_id string, q double, p double",
+    )
+    got = {r.doc_id: (r.q_pct, r.p_pct, r.blended) for r in blend_scores(d, {"q": 1.0, "p": -1.0}).collect()}
+    # q ranks 0, .5, 1; p: NULL first -> d3 pct 0, then d1 .5, d2 1
+    assert got["d1"] == (0.0, 0.5, -0.5)
+    assert got["d2"] == (0.5, 1.0, -0.5)
+    assert got["d3"] == (1.0, 0.0, 1.0)
+    with pytest.raises(ValueError):
+        blend_scores(d, {})

@@ -334,3 +334,20 @@ def test_community_metrics_two_triangles(spark):
         assert (r.n_nodes, r.internal_edges, r.cut_edges, r.degree_sum) == (3, 3, 1, 7)
         assert r.modularity == round(3 / 7 - (7 / 14) ** 2, 6)
         assert r.conductance == round(1 / 7, 6)
+
+
+def test_induced_subgraph_sample_deterministic(spark):
+    import pytest
+
+    from dbpedia_spotlight_spark.operators.graph import induced_subgraph_sample
+
+    e = spark.createDataFrame(
+        [(str(i), str(i + 1)) for i in range(300)], "src string, dst string"
+    )
+    s1 = {tuple(r) for r in induced_subgraph_sample(e, 0.5).collect()}
+    s2 = {tuple(r) for r in induced_subgraph_sample(e, 0.5).collect()}
+    assert s1 == s2 and 0 < len(s1) < 300
+    # rate 1.0 keeps everything; induction: both endpoints survive
+    assert induced_subgraph_sample(e, 1.0).count() == 300
+    with pytest.raises(ValueError):
+        induced_subgraph_sample(e, 0.0)

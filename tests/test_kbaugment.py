@@ -415,3 +415,31 @@ def test_distant_supervision_kb_first(spark):
         (1, 0, 5, "A", "knows", "B"),
         (2, 3, 4, "A", "rival", "C"),
     ]
+
+
+def test_fellegi_sunter_weights(spark):
+    import math
+
+    import pytest
+
+    from dbpedia_spotlight_spark.operators.kbaugment import (
+        fellegi_sunter_score,
+    )
+
+    p = spark.createDataFrame(
+        [("a", "b", True, False), ("a", "c", True, True),
+         ("a", "d", False, False)],
+        "a string, b string, name_agree boolean, dob_agree boolean",
+    )
+    m, u = {"name": 0.9, "dob": 0.8}, {"name": 0.1, "dob": 0.05}
+    got = {
+        (r.a, r.b): r.weight
+        for r in fellegi_sunter_score(p, ["name", "dob"], m, u).collect()
+    }
+    assert got[("a", "b")] == round(math.log(9) + math.log(0.2 / 0.95), 6)
+    assert got[("a", "c")] == round(math.log(9) + math.log(16), 6)
+    # threshold filters
+    kept = fellegi_sunter_score(p, ["name", "dob"], m, u, threshold=3.0)
+    assert {(r.a, r.b) for r in kept.collect()} == {("a", "c")}
+    with pytest.raises(ValueError):
+        fellegi_sunter_score(p, ["name"], {"name": 1.5}, {"name": 0.1})

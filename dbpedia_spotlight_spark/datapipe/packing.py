@@ -498,3 +498,51 @@ def blend_scores(
         out = out.withColumn(f"{col}_pct", F.percent_rank().over(w))
         blended = blended + F.lit(float(wt)) * F.col(f"{col}_pct")
     return out.withColumn("blended", F.round(blended, 6))
+
+
+def mixture_drift(
+    docs: DataFrame,
+    targets: dict[str, float],
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Mixture-drift check (Pearson chi-square decomposition): did the
+    corpus you actually assembled match the mixture you specified?
+    Per stratum: observed count, expected count (target fraction x
+    total), and the chi-square contribution (obs-exp)²/exp — the
+    monitoring twin of temperature_sample/quota_sample that catches a
+    mis-sized shard before training does. Strata absent from
+    ``targets`` get expected 0 and are reported with a NULL
+    contribution (an UNPLANNED stratum — the worst drift of all —
+    flagged rather than divided by zero).
+
+    -> (stratum_col, observed, expected round 6, chi2 round 6).
+
+    Scale shape: ONE groupBy over the corpus; everything else runs on
+    the stratum dim.
+    """
+    if not targets:
+        raise ValueError("mixture_drift needs >= 1 target")
+    counts = docs.groupBy(stratum_col).agg(F.count("*").alias("observed"))
+    total = F.sum("observed").over(Window.partitionBy())
+    frac = F.lit(None).cast("double")
+    for name, f in sorted(targets.items()):
+        frac = F.when(F.col(stratum_col) == name, F.lit(float(f))).otherwise(
+            frac
+        )
+    return (
+        counts.withColumn("_exp", frac * total)
+        .select(
+            stratum_col,
+            F.col("observed").cast("long").alias("observed"),
+            F.round(F.coalesce(F.col("_exp"), F.lit(0.0)), 6)
+            .alias("expected"),
+            F.round(
+                F.when(
+                    F.col("_exp") > 0,
+                    F.pow(F.col("observed") - F.col("_exp"), 2)
+                    / F.col("_exp"),
+                ),
+                6,
+            ).alias("chi2"),
+        )
+    )

@@ -639,3 +639,51 @@ def vocab_profile(
         ).alias("topk_coverage"),
         F.round((F.covar_pop(x, y) / F.var_pop(x)), 6).alias("zipf_slope"),
     )
+
+
+def shard_divergence(
+    docs: DataFrame,
+    shard_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-shard unigram KL divergence from the corpus distribution —
+    the distribution-shift monitor for sharded ingestion: a shard
+    whose token distribution diverges hard from the corpus is usually
+    boilerplate, another language, or template spam (the vocab_profile
+    diagnosis localized to its source). KL(shard ∥ corpus) =
+    Σ_w p_shard(w) · ln(p_shard(w) / p_corpus(w)); finite by
+    construction because every shard token is also a corpus token.
+
+    -> (shard_col, n_tokens, vocab_size, kl round 6).
+
+    Scale shape: one explode + ONE groupBy (shard, token) — map-side
+    combinable, the only corpus-sized pass; corpus totals reuse the
+    same table with a second groupBy over tokens; the KL sum is one
+    aggregation keyed by shard. No windows, no driver data.
+    """
+    tok = docs.select(
+        F.col(shard_col).alias("shard"),
+        F.explode(words_col(F.col(text_col))).alias("token"),
+    )
+    st = tok.groupBy("shard", "token").agg(F.count("*").alias("n_st"))
+    corpus = st.groupBy("token").agg(F.sum("n_st").alias("n_t"))
+    shard_tot = st.groupBy("shard").agg(F.sum("n_st").alias("n_s"))
+    corpus_tot = corpus.agg(F.sum("n_t").alias("n")).collect()[0][0]
+    return (
+        st.join(corpus, "token")
+        .join(shard_tot, "shard")
+        .withColumn(
+            "_term",
+            (F.col("n_st") / F.col("n_s"))
+            * F.log(
+                (F.col("n_st") / F.col("n_s"))
+                / (F.col("n_t") / F.lit(float(corpus_tot)))
+            ),
+        )
+        .groupBy(F.col("shard").alias(shard_col))
+        .agg(
+            F.max("n_s").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("vocab_size"),
+            F.round(F.sum("_term"), 6).alias("kl"),
+        )
+    )

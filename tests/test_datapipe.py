@@ -1879,3 +1879,45 @@ def test_blend_scores_percentiles(spark):
     assert got["d3"] == (1.0, 0.0, 1.0)
     with pytest.raises(ValueError):
         blend_scores(d, {})
+
+
+def test_mixture_drift_chi2(spark):
+    import pytest
+
+    from dbpedia_spotlight_spark.datapipe.packing import mixture_drift
+
+    d = spark.createDataFrame(
+        [("d%d" % i, "s%d" % (i % 3)) for i in range(90)] + [("x", "rogue")],
+        "doc_id string, source string",
+    )
+    got = {
+        r.source: (r.observed, r.expected, r.chi2)
+        for r in mixture_drift(d, {"s0": 0.5, "s1": 0.3, "s2": 0.2}).collect()
+    }
+    # total 91; s0 expected 45.5 -> (30-45.5)^2/45.5
+    assert got["s0"] == (30, 45.5, round((30 - 45.5) ** 2 / 45.5, 6))
+    # unplanned stratum: expected 0, chi2 NULL (flagged, not divided)
+    assert got["rogue"] == (1, 0.0, None)
+    with pytest.raises(ValueError):
+        mixture_drift(d, {})
+
+
+def test_shard_divergence_kl(spark):
+    import math
+
+    from dbpedia_spotlight_spark.datapipe.textstats import shard_divergence
+
+    docs = spark.createDataFrame(
+        [(1, "a", "x x y"), (2, "b", "y z")],
+        "doc_id int, source string, text string",
+    )
+    got = {r.source: (r.n_tokens, r.vocab_size, r.kl) for r in shard_divergence(docs).collect()}
+    # corpus: x:2 y:2 z:1 (n=5); shard a: x:2 y:1 (n=3)
+    kl_a = (2 / 3) * math.log((2 / 3) / (2 / 5)) + (1 / 3) * math.log(
+        (1 / 3) / (2 / 5)
+    )
+    assert got["a"] == (3, 2, round(kl_a, 6))
+    kl_b = (1 / 2) * math.log((1 / 2) / (2 / 5)) + (1 / 2) * math.log(
+        (1 / 2) / (1 / 5)
+    )
+    assert got["b"] == (2, 2, round(kl_b, 6))

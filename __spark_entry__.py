@@ -6417,12 +6417,32 @@ def q_shard_kl(spark, sf_dir):
     return shard_divergence(docs, shard_col="lang")
 
 
+def q_label_noise(spark, sf_dir):
+    """Confident-learning noise matrix (pipeline/evaluate.py:
+    label_noise_estimate — per-class mean-confidence thresholds in
+    EXACT fixed point (half-up integer division), off-diagonal
+    suspect counts; the cleaner for annotation_vote /
+    distant_supervision silver labels): synthetic disagreeing labels
+    over documents. Oracle = the same integer threshold algebra."""
+    from dbpedia_spotlight_spark.pipeline.evaluate import label_noise_estimate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        F.col("doc_id").alias("id"),
+        F.concat(F.lit("u"), F.col("doc_id") % 2).alias("given_label"),
+        F.concat(F.lit("u"), F.col("doc_id") % 3).alias("pred_label"),
+        F.round((F.col("doc_id") % 97) / 97.0, 6).alias("score"),
+    )
+    return label_noise_estimate(scored)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "label_noise": q_label_noise,
         "mixture_check": q_mixture_check,
         "shard_kl": q_shard_kl,
         "kg_fellegi_sunter": q_kg_fellegi_sunter,
@@ -7460,6 +7480,30 @@ WITH snap AS (
 SELECT DISTINCT s.subj AS o, p.obj AS p
 FROM snap s JOIN snap p ON p.subj = s.subj AND p.pred = 'priority'
 WHERE s.pred = 'status' AND s.obj = 'F'
+"""
+
+    # label_noise: exact integer thresholds, same half-up division.
+    sql["label_noise"] = """
+WITH scored AS (
+  SELECT doc_id AS id,
+         'u' || (doc_id % 2)::VARCHAR AS given_label,
+         'u' || (doc_id % 3)::VARCHAR AS pred_label,
+         round((doc_id % 97) / 97.0, 6) AS score
+  FROM documents
+),
+q AS (SELECT *, round(score * 1000000)::BIGINT AS si FROM scored),
+th AS (
+  SELECT pred_label,
+         (2 * sum(si) + count(si)) // (2 * count(si)) AS ti
+  FROM q GROUP BY pred_label
+)
+SELECT q.given_label, q.pred_label,
+       count(*)::BIGINT AS n_pairs,
+       sum(CASE WHEN q.si >= th.ti THEN 1 ELSE 0 END)::BIGINT AS n_suspect,
+       round(max(th.ti)::DOUBLE / 1000000, 6) AS threshold
+FROM q JOIN th ON th.pred_label = q.pred_label
+WHERE q.given_label <> q.pred_label
+GROUP BY q.given_label, q.pred_label
 """
 
     # mixture_check: chi-square decomposition on the stratum dim.

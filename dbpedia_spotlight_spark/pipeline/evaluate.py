@@ -167,3 +167,60 @@ def calibration_table(
             F.round(F.avg("score") - F.avg("_ok"), 6).alias("gap"),
         )
     )
+
+
+def label_noise_estimate(
+    scored: DataFrame,
+    scale: int = 6,
+) -> DataFrame:
+    """Confident-learning label-noise counts (Northcutt et al., JAIR
+    2021, reduced to the top-1 form silver-label pipelines actually
+    have): per predicted class j, the confidence threshold t_j is the
+    mean score of examples PREDICTED j; an example with given label i,
+    predicted label j != i, and score >= t_j is a SUSPECTED label
+    error, counted into the (i, j) off-diagonal — the triage matrix
+    for cleaning annotation_vote / distant_supervision silver data.
+
+    ``scored``: (id, given_label, pred_label, score). -> one row per
+    observed (given_label, pred_label) pair with pred != given:
+    (given_label, pred_label, n_pairs, n_suspect, threshold).
+
+    Thresholds are computed in EXACT fixed-point (scores quantized to
+    10^-scale units as BIGINTs, mean = half-up integer division) so
+    the >= comparison is bit-deterministic across engines and
+    partitionings — a float mean would put borderline rows on
+    different sides of the threshold per summation order (the
+    neighborhood_aggregate scale= rationale).
+
+    Scale shape: one groupBy for the per-class thresholds (a tiny
+    class dim, broadcast back), one filter + one groupBy for the
+    counts — all map-side combinable; no windows, no collect.
+    """
+    mult = 10 ** scale
+    q = scored.withColumn(
+        "_si", F.round(F.col("score") * mult, 0).cast("long")
+    )
+    th = (
+        q.groupBy("pred_label")
+        .agg(
+            F.expr("(2 * sum(_si) + count(_si)) div (2 * count(_si))")
+            .alias("_ti")
+        )
+    )
+    joined = q.join(F.broadcast(th), "pred_label")
+    pairs = (
+        joined.filter(F.col("given_label") != F.col("pred_label"))
+        .groupBy("given_label", "pred_label")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum((F.col("_si") >= F.col("_ti")).cast("long"))
+            .alias("n_suspect"),
+            (F.max("_ti").cast("double") / mult).alias("threshold"),
+        )
+    )
+    return pairs.select(
+        "given_label", "pred_label",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_suspect").cast("long").alias("n_suspect"),
+        F.round("threshold", scale).alias("threshold"),
+    )

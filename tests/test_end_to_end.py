@@ -136,3 +136,24 @@ def test_calibration_table_bins(spark):
     assert {b: n for b, (n, _) in rows.items()} == {1: 2, 2: 2, 3: 2, 4: 2, 5: 2}
     # each bin holds one even (correct) and one odd (wrong) doc
     assert all(p == 0.5 for _, p in rows.values())
+
+
+def test_label_noise_estimate_thresholds(spark):
+    from dbpedia_spotlight_spark.pipeline.evaluate import label_noise_estimate
+
+    rows = [
+        (1, "cat", "cat", 0.9), (2, "cat", "dog", 0.95),
+        (3, "cat", "dog", 0.2),
+        (4, "dog", "dog", 0.8), (5, "dog", "cat", 0.99),
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, given_label string, pred_label string, score double"
+    )
+    got = {
+        (r.given_label, r.pred_label): (r.n_pairs, r.n_suspect, r.threshold)
+        for r in label_noise_estimate(df).collect()
+    }
+    # dog threshold = mean(.95, .2, .8) = .65 -> only the .95 is suspect
+    assert got[("cat", "dog")] == (2, 1, 0.65)
+    # cat threshold = mean(.9, .99) = .945
+    assert got[("dog", "cat")] == (1, 1, 0.945)

@@ -6436,12 +6436,87 @@ def q_label_noise(spark, sf_dir):
     return label_noise_estimate(scored)
 
 
+def q_kg_cbd(spark, sf_dir):
+    """Concise Bounded Description (operators/kgquery.py:
+    concise_bounded_description — W3C CBD: outbound triples plus
+    recursion through blank-node objects, one frontier semi-join per
+    round; the spec-named upgrade over sparql_describe's
+    outbound-only form): order resources whose structured values live
+    behind a two-level bnode chain. Oracle = the two levels unrolled
+    (the fixture's exact bnode depth)."""
+    from dbpedia_spotlight_spark.operators.kgquery import (
+        concise_bounded_description,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ok = F.col("o_orderkey")
+    tri = (
+        o.select(
+            F.concat(F.lit("o"), ok).alias("subj"),
+            F.lit("items").alias("pred"),
+            F.concat(F.lit("_:bag"), ok).alias("obj"),
+        )
+        .unionByName(
+            o.select(
+                F.concat(F.lit("_:bag"), ok).alias("subj"),
+                F.lit("status").alias("pred"),
+                F.col("o_orderstatus").alias("obj"),
+            )
+        )
+        .unionByName(
+            o.select(
+                F.concat(F.lit("_:bag"), ok).alias("subj"),
+                F.lit("head").alias("pred"),
+                F.concat(F.lit("_:item"), ok).alias("obj"),
+            )
+        )
+        .unionByName(
+            o.select(
+                F.concat(F.lit("_:item"), ok).alias("subj"),
+                F.lit("cust").alias("pred"),
+                F.concat(F.lit("c"), F.col("o_custkey")).alias("obj"),
+            )
+        )
+        .unionByName(
+            o.select(
+                F.concat(F.lit("c"), F.col("o_custkey")).alias("subj"),
+                F.lit("class").alias("pred"),
+                F.lit("Customer").alias("obj"),
+            )
+        )
+    )
+    res = o.filter(ok < 500).select(F.concat(F.lit("o"), ok).alias("r"))
+    return concise_bounded_description(tri, res)
+
+
+def q_kg_join_card(spark, sf_dir):
+    """Histogram join-cardinality estimation vs truth
+    (operators/kglayout.py:join_cardinality_check — per-bucket
+    n·n/max(ndv) in exact integer arithmetic over shared equi-width
+    buckets, plus the true join count and the q-error): two lineitem
+    quantity populations. Oracle = the same integer algebra."""
+    from dbpedia_spotlight_spark.operators.kglayout import (
+        join_cardinality_check,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    t = li.select(
+        F.col("l_orderkey").cast("string").alias("subj"),
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit("qty"))
+        .otherwise(F.lit("qty2")).alias("pred"),
+        F.col("l_quantity").cast("double").cast("string").alias("obj"),
+    )
+    return join_cardinality_check(t, "qty", "qty2", bucket_width=5.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "kg_cbd": q_kg_cbd,
+        "kg_join_card": q_kg_join_card,
         "label_noise": q_label_noise,
         "mixture_check": q_mixture_check,
         "shard_kl": q_shard_kl,
@@ -7480,6 +7555,64 @@ WITH snap AS (
 SELECT DISTINCT s.subj AS o, p.obj AS p
 FROM snap s JOIN snap p ON p.subj = s.subj AND p.pred = 'priority'
 WHERE s.pred = 'status' AND s.obj = 'F'
+"""
+
+    # kg_cbd: the fixture's bnode depth is exactly 2 — unroll it.
+    sql["kg_cbd"] = """
+WITH tri AS (
+  SELECT 'o' || o_orderkey::VARCHAR AS subj, 'items' AS pred,
+         '_:bag' || o_orderkey::VARCHAR AS obj FROM orders
+  UNION ALL
+  SELECT '_:bag' || o_orderkey::VARCHAR, 'status', o_orderstatus
+  FROM orders
+  UNION ALL
+  SELECT '_:bag' || o_orderkey::VARCHAR, 'head',
+         '_:item' || o_orderkey::VARCHAR FROM orders
+  UNION ALL
+  SELECT '_:item' || o_orderkey::VARCHAR, 'cust',
+         'c' || o_custkey::VARCHAR FROM orders
+  UNION ALL
+  SELECT 'c' || o_custkey::VARCHAR, 'class', 'Customer' FROM orders
+),
+r0 AS (
+  SELECT 'o' || o_orderkey::VARCHAR AS r FROM orders WHERE o_orderkey < 500
+),
+l0 AS (SELECT t.* FROM tri t JOIN r0 ON r0.r = t.subj),
+r1 AS (SELECT DISTINCT obj AS r FROM l0 WHERE starts_with(obj, '_:')),
+l1 AS (SELECT t.* FROM tri t JOIN r1 ON r1.r = t.subj),
+r2 AS (SELECT DISTINCT obj AS r FROM l1 WHERE starts_with(obj, '_:')),
+l2 AS (SELECT t.* FROM tri t JOIN r2 ON r2.r = t.subj)
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT * FROM l0 UNION ALL SELECT * FROM l1 UNION ALL SELECT * FROM l2
+)
+"""
+
+    # kg_join_card: same integer per-bucket estimate + true join count.
+    sql["kg_join_card"] = """
+WITH t AS (
+  SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'qty' ELSE 'qty2' END AS pred,
+         l_quantity::DOUBLE AS v
+  FROM lineitem
+),
+a AS (SELECT v, floor(v / 5.0)::BIGINT AS b FROM t WHERE pred = 'qty'),
+bb AS (SELECT v, floor(v / 5.0)::BIGINT AS b FROM t WHERE pred = 'qty2'),
+ha AS (SELECT b, count(*)::BIGINT AS na, count(DISTINCT v)::BIGINT AS va
+       FROM a GROUP BY b),
+hb AS (SELECT b, count(*)::BIGINT AS nb, count(DISTINCT v)::BIGINT AS vb
+       FROM bb GROUP BY b),
+e AS (
+  SELECT coalesce(sum((na * nb) // greatest(va, vb)), 0)::BIGINT AS est
+  FROM ha JOIN hb ON hb.b = ha.b
+),
+tr AS (
+  SELECT count(*)::BIGINT AS true_n
+  FROM a JOIN bb ON bb.v = a.v
+)
+SELECT est, true_n,
+       round(CASE WHEN est > 0 AND true_n > 0
+                  THEN greatest(est::DOUBLE / true_n, true_n::DOUBLE / est)
+             END, 4) AS q_error
+FROM e, tr
 """
 
     # label_noise: exact integer thresholds, same half-up division.

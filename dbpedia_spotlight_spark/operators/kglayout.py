@@ -648,3 +648,68 @@ def taxonomy_profile(
             F.lit(multi / n_sub if n_sub else 0.0).cast("double"), 6
         ).alias("multi_parent_ratio"),
     )
+
+
+def join_cardinality_check(
+    triples: DataFrame,
+    pred_a: str,
+    pred_b: str,
+    bucket_width: float = 5.0,
+) -> DataFrame:
+    """Histogram join-cardinality estimation vs ground truth — the
+    validation loop for the statistics layer (characteristic_sets /
+    equi_depth_histogram): estimate |σ_{pred=a} ⋈_obj σ_{pred=b}|
+    with the textbook per-bucket formula n_a·n_b / max(ndv_a, ndv_b)
+    over SHARED equi-width buckets, compute the true join size, and
+    report the q-error (max(est/true, true/est) — the metric the
+    cardinality-estimation literature scores on).
+
+    -> one row: (est, true_n, q_error round 4). Estimation arithmetic
+    is INTEGER (counts and exact per-bucket distinct counts, floor
+    division), so the estimate is bit-identical on any engine; only
+    the final q-error ratio is floating point, computed from exact
+    longs.
+
+    Scale shape: two filtered scans -> ONE groupBy per side on the
+    bucket id (count + exact count-distinct); the bucket-pair join is
+    histogram-sized; the ground truth is one value equi-join counted
+    — the thing the estimator exists to avoid, computed here exactly
+    because this operator IS the accuracy check.
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be > 0")
+
+    def side(p):
+        return (
+            triples.filter(F.col("pred") == p)
+            .select(F.col("obj").try_cast("double").alias("v"))
+            .filter(F.col("v").isNotNull())
+            .withColumn("b", F.floor(F.col("v") / bucket_width))
+        )
+    a, b = side(pred_a), side(pred_b)
+    ha = a.groupBy("b").agg(
+        F.count("*").alias("na"), F.countDistinct("v").alias("va")
+    )
+    hb = b.groupBy("b").agg(
+        F.count("*").alias("nb"), F.countDistinct("v").alias("vb")
+    )
+    est = (
+        ha.join(hb, "b")
+        .select(
+            F.expr("(na * nb) div greatest(va, vb)").alias("_e")
+        )
+        .agg(F.coalesce(F.sum("_e"), F.lit(0)).cast("long").alias("est"))
+    )
+    true_n = (
+        a.select("v")
+        .join(b.select("v"), "v")
+        .agg(F.count("*").cast("long").alias("true_n"))
+    )
+    out = est.crossJoin(true_n)
+    q = F.when(
+        (F.col("est") > 0) & (F.col("true_n") > 0),
+        F.greatest(
+            F.col("est") / F.col("true_n"), F.col("true_n") / F.col("est")
+        ),
+    )
+    return out.select("est", "true_n", F.round(q, 4).alias("q_error"))

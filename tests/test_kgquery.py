@@ -2289,3 +2289,43 @@ def test_bgp_view_delta_incremental(spark):
     assert empty.count() == 0
     with pytest.raises(ValueError):
         bgp_view_delta(base, adds, dels, [])
+
+
+def test_concise_bounded_description(spark):
+    from dbpedia_spotlight_spark.operators.kgquery import (
+        concise_bounded_description,
+    )
+
+    tri = spark.createDataFrame(
+        [("e1", "addr", "_:a"), ("_:a", "city", "Paris"),
+         ("_:a", "geo", "_:g"), ("_:g", "lat", "48"),
+         ("e1", "name", "E"), ("e2", "name", "X"),
+         ("Paris", "country", "FR")],
+        "subj string, pred string, obj string",
+    )
+    res = spark.createDataFrame([("e1",)], ["r"])
+    got = sorted(map(tuple, concise_bounded_description(tri, res).collect()))
+    assert got == [
+        ("_:a", "city", "Paris"), ("_:a", "geo", "_:g"),
+        ("_:g", "lat", "48"), ("e1", "addr", "_:a"), ("e1", "name", "E"),
+    ]
+    # bnode cycle converges (dedupe) rather than looping forever
+    cyc = spark.createDataFrame(
+        [("e1", "p", "_:x"), ("_:x", "q", "_:y"), ("_:y", "q", "_:x")],
+        "subj string, pred string, obj string",
+    )
+    assert concise_bounded_description(cyc, res).count() == 3
+
+
+def test_join_cardinality_check_uniform_exact(spark):
+    from dbpedia_spotlight_spark.operators.kglayout import (
+        join_cardinality_check,
+    )
+
+    rows = [("e%d" % i, "qa", str(float(i % 10))) for i in range(50)] + [
+        ("f%d" % i, "qb", str(float(i % 7))) for i in range(35)
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    r = join_cardinality_check(t, "qa", "qb").collect()[0]
+    # uniform values: the histogram estimate is exact, q-error 1.0
+    assert r.est == r.true_n == 175 and r.q_error == 1.0

@@ -146,3 +146,88 @@ def test_dense_sorted_id_matches_global_window(spark):
     for line in plan.splitlines():
         if "Window " in line or line.strip().startswith("Window"):
             assert "_pid" in line, line
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_session7_operators_plan_shapes(spark):
+    """Scale-claim pins for the session-7 operators: the joins they
+    plan must be keyed (hash/sort-merge/broadcast), never a cartesian
+    or broadcast-nested-loop — the shapes their docstrings promise."""
+    import pyspark.sql.functions as F
+
+    from dbpedia_spotlight_spark.operators.kbaugment import (
+        edit_distance_join,
+        fellegi_sunter_score,
+    )
+    from dbpedia_spotlight_spark.operators.temporal import (
+        interval_coalesce,
+        interval_subtract,
+    )
+    from dbpedia_spotlight_spark.pipeline.triples import distant_supervision
+
+    recs = spark.createDataFrame(
+        [("u%d" % i, "name%03d" % i) for i in range(60)],
+        "uri string, label string",
+    )
+    p = _plan(edit_distance_join(recs, max_edits=1))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    m = spark.createDataFrame(
+        [(i % 9, i, "u%d" % (i % 11)) for i in range(80)],
+        "doc_id int, pos int, uri string",
+    )
+    kb = spark.createDataFrame(
+        [("u%d" % i, "p", "u%d" % ((i + 3) % 11)) for i in range(11)],
+        "subj string, pred string, obj string",
+    )
+    p = _plan(distant_supervision(m, kb))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    facts = spark.createDataFrame(
+        [("e%d" % (i % 7), "p", "v", i % 20, i % 20 + 3) for i in range(60)],
+        "subj string, pred string, obj string, valid_from int, valid_to int",
+    )
+    retr = facts.withColumn("valid_from", F.col("valid_from") + 1)
+    p = _plan(interval_subtract(facts, retr))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # coalesce: single hash-partition exchange feeding the windows
+    p = _plan(interval_coalesce(facts))
+    assert "CartesianProduct" not in p
+
+    # Fellegi-Sunter is pure projection: NO join/exchange at all
+    pairs = spark.createDataFrame(
+        [("a", "b", True, False)],
+        "a string, b string, x_agree boolean, y_agree boolean",
+    )
+    p = _plan(
+        fellegi_sunter_score(
+            pairs, ["x", "y"], {"x": 0.9, "y": 0.8}, {"x": 0.1, "y": 0.2}
+        )
+    )
+    assert "Join" not in p and "Exchange" not in p
+
+
+def test_session7_mask_and_blend_plan_shapes(spark):
+    """mask_spans stays doc-keyed (no keyless join); blend_scores'
+    windows are the documented total-order ranks, nothing else."""
+    from dbpedia_spotlight_spark.datapipe.interleaved import mask_spans
+    from dbpedia_spotlight_spark.datapipe.packing import blend_scores
+
+    docs = spark.createDataFrame(
+        [(i, "text %d body" % i) for i in range(30)], "doc_id int, text string"
+    )
+    spans = spark.createDataFrame(
+        [(i, 0, 4) for i in range(30)], "doc_id int, begin int, end int"
+    )
+    p = _plan(mask_spans(docs, spans))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    d = spark.createDataFrame(
+        [("d%d" % i, float(i), float(i % 5)) for i in range(30)],
+        "doc_id string, q double, w double",
+    )
+    p = _plan(blend_scores(d, {"q": 1.0, "w": -1.0}))
+    assert "Join" not in p  # per-signal windows only, no self-join

@@ -6509,12 +6509,44 @@ def q_kg_join_card(spark, sf_dir):
     return join_cardinality_check(t, "qty", "qty2", bucket_width=5.0)
 
 
+def q_kg_kb_timeline(spark, sf_dir):
+    """KB composition over time (operators/temporal.py:kb_timeline —
+    broadcast instant dim, one containment join with |instants|
+    fan-out, one groupBy; no per-instant snapshot materialization):
+    status-fact counts at three probe dates over the order-status
+    changelog. Oracle = the closed-form per-instant counts."""
+    from dbpedia_spotlight_spark.operators.temporal import (
+        fold_changelog,
+        kb_timeline,
+    )
+
+    v = fold_changelog(_order_status_changelog(spark, sf_dir))
+    out = kb_timeline(
+        v, ["1994-06-17", "1995-06-17", "1996-06-17"], key_col="obj"
+    )
+    return out.withColumn("at", F.col("at").cast("string"))
+
+
+def q_event_quantiles(spark, sf_dir):
+    """Exact per-key discrete quantiles (streaming/sessions.py:
+    event_quantiles — value at row ceil(q·n) of the per-key order by
+    explicit rank arithmetic, pinned across engines instead of
+    trusting percentile_disc implementations): p25/p50/p90/p99 of
+    event values per type. Oracle = the identical rank arithmetic."""
+    from dbpedia_spotlight_spark.streaming.sessions import event_quantiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return event_quantiles(ev, [0.25, 0.5, 0.9, 0.99])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "kg_kb_timeline": q_kg_kb_timeline,
+        "event_quantiles": q_event_quantiles,
         "kg_cbd": q_kg_cbd,
         "kg_join_card": q_kg_join_card,
         "label_noise": q_label_noise,
@@ -7555,6 +7587,36 @@ WITH snap AS (
 SELECT DISTINCT s.subj AS o, p.obj AS p
 FROM snap s JOIN snap p ON p.subj = s.subj AND p.pred = 'priority'
 WHERE s.pred = 'status' AND s.obj = 'F'
+"""
+
+    # kg_kb_timeline: closed-form per-instant status counts.
+    sql["kg_kb_timeline"] = """
+WITH probes AS (
+  SELECT TIMESTAMP '1994-06-17' AS at UNION ALL
+  SELECT TIMESTAMP '1995-06-17' UNION ALL
+  SELECT TIMESTAMP '1996-06-17'
+)
+SELECT CASE WHEN o_orderdate + INTERVAL 30 DAY <= p.at
+            THEN o_orderstatus ELSE 'OPEN' END AS obj,
+       p.at::VARCHAR AS at,
+       count(*)::BIGINT AS n_facts
+FROM orders o JOIN probes p ON o.o_orderdate <= p.at
+GROUP BY 1, 2
+"""
+
+    # event_quantiles: identical explicit rank arithmetic.
+    sql["event_quantiles"] = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY value ASC) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, q, value
+FROM ranked
+JOIN (SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS q) ON true
+WHERE rn = ceil(q * n)
 """
 
     # kg_cbd: the fixture's bnode depth is exactly 2 — unroll it.

@@ -459,3 +459,40 @@ def temporal_constraints(
             "rule",
         )
     )
+
+
+def kb_timeline(
+    versioned: DataFrame,
+    instants: list,
+    key_col: str = "pred",
+) -> DataFrame:
+    """KB composition over time: for each probe instant, how many facts
+    (per key) were valid — the release-over-release health series a
+    continuously built KB is judged by ("how many population facts did
+    we hold each month"), computed WITHOUT materializing a snapshot
+    per instant.
+
+    ``versioned``: fold_changelog output (valid_from, valid_to —
+    NULL = still current). ``instants``: explicit probe timestamps
+    (a small list — months, releases). -> (key_col, at, n_facts).
+
+    Scale shape: the instant dim is tiny and BROADCAST; one join with
+    the interval-containment predicate (per fact x instant — bounded
+    fan-out |instants|) and one groupBy. Zero rows per instant where
+    the key held nothing (dense output left to the caller's pivot).
+    """
+    if not instants:
+        raise ValueError("kb_timeline needs >= 1 instant")
+    spark = versioned.sparkSession
+    dim = spark.createDataFrame([(t,) for t in instants], ["at"]).withColumn(
+        "at", F.col("at").cast("timestamp")
+    )
+    return (
+        versioned.join(
+            F.broadcast(dim),
+            (F.col("valid_from") <= F.col("at"))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("at"))),
+        )
+        .groupBy(F.col(key_col), "at")
+        .agg(F.count("*").cast("long").alias("n_facts"))
+    )

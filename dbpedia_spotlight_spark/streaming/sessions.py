@@ -133,3 +133,46 @@ def burst_windows(
             .alias("zscore"),
         )
     )
+
+
+def event_quantiles(
+    events: DataFrame,
+    quantiles: list[float],
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exact per-key discrete quantiles (the p50/p95/p99 ops
+    dashboard), computed by EXPLICIT rank arithmetic — value at row
+    ceil(q*n) of the (value, tiebreak) total order — instead of an
+    engine's percentile function, so the answer is identical on any
+    engine (percentile_disc/approx implementations differ in
+    interpolation and tie policy; this one is pinned).
+
+    -> (key_col, q, value): one row per key x quantile.
+
+    Scale shape: ONE window per key (rank over the per-key total
+    order) + one broadcast-joined quantile dim + one filter — per-key
+    sequential like every exact-quantile build; pre-aggregate or
+    sample upstream for keys with billions of rows.
+    """
+    from pyspark.sql import Window
+
+    if not quantiles or not all(0.0 < q <= 1.0 for q in quantiles):
+        raise ValueError("quantiles must be in (0, 1]")
+    spark = events.sparkSession
+    qdim = spark.createDataFrame(
+        [(float(q),) for q in sorted(set(quantiles))], "q double"
+    )
+    w = Window.partitionBy(key_col).orderBy(F.col(value_col).asc())
+    ranked = (
+        events.select(key_col, value_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_n", F.count("*").over(Window.partitionBy(key_col))
+        )
+    )
+    return (
+        ranked.join(F.broadcast(qdim))
+        .filter(F.col("_rn") == F.ceil(F.col("q") * F.col("_n")))
+        .select(key_col, "q", F.col(value_col).alias("value"))
+    )

@@ -195,3 +195,25 @@ def test_burst_windows_flags_spike(spark):
     assert len(got) == 1
     r = got[0]
     assert r.event_type == "e" and r.n == 10 and r.zscore > 2.0
+
+
+def test_event_quantiles_exact_positions(spark):
+    import pytest
+
+    from dbpedia_spotlight_spark.streaming.sessions import event_quantiles
+
+    ev = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 101)]
+        + [("b", 5.0), ("b", 5.0), ("b", 9.0)],
+        "event_type string, value double",
+    )
+    got = {
+        (r.event_type, r.q): r.value
+        for r in event_quantiles(ev, [0.5, 0.95, 1.0]).collect()
+    }
+    assert got[("a", 0.5)] == 50.0 and got[("a", 0.95)] == 95.0
+    assert got[("a", 1.0)] == 100.0
+    # ties: value at position is tie-order independent
+    assert got[("b", 0.5)] == 5.0 and got[("b", 1.0)] == 9.0
+    with pytest.raises(ValueError):
+        event_quantiles(ev, [0.0])

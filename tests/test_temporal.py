@@ -267,3 +267,30 @@ def test_temporal_constraints_violations(spark):
         ("e2", "born<died", 1990, 1980),
         ("e3", "founded<acquired", 5, 3),
     }
+
+
+def test_kb_timeline_counts(spark):
+    import datetime
+
+    from dbpedia_spotlight_spark.operators.temporal import kb_timeline
+
+    v = spark.createDataFrame(
+        [("e1", "p", "a", datetime.datetime(2024, 1, 1),
+          datetime.datetime(2024, 3, 1)),
+         ("e1", "p", "b", datetime.datetime(2024, 3, 1), None),
+         ("e2", "p", "c", datetime.datetime(2024, 2, 1), None)],
+        "subj string, pred string, obj string, "
+        "valid_from timestamp, valid_to timestamp",
+    )
+    got = {
+        (r.pred, str(r.at)): r.n_facts
+        for r in kb_timeline(
+            v,
+            [datetime.datetime(2024, 2, 15), datetime.datetime(2024, 4, 1)],
+        ).collect()
+    }
+    # both instants see exactly 2 live facts (a-or-b for e1, c for e2)
+    assert got == {
+        ("p", "2024-02-15 00:00:00"): 2,
+        ("p", "2024-04-01 00:00:00"): 2,
+    }

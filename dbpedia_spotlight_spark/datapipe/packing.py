@@ -546,3 +546,87 @@ def mixture_drift(
             ).alias("chi2"),
         )
     )
+
+
+def sft_pack(
+    pairs: DataFrame,
+    budget: int,
+    id_col: str = "example_id",
+    prompt_col: str = "prompt",
+    completion_col: str = "completion",
+) -> DataFrame:
+    """SFT concat-and-chunk with LOSS MASKS: pack (prompt, completion)
+    examples into fixed-`budget` token chunks exactly like
+    sequence_pack, and emit each slice's completion-token intersection
+    in CHUNK-LOCAL coordinates — the [loss_start, loss_end) span the
+    trainer unmasks, so prompt tokens never take gradient and nothing
+    is re-tokenized downstream (the packed-SFT recipe of every
+    instruction-tuning stack).
+
+    Example text = prompt ⊕ ' ' ⊕ completion (whitespace tokens); the
+    completion occupies the example's token tail [n_prompt, n_tok).
+
+    -> (chunk_id, example_id, chunk_pos, n_tok_slice, loss_start,
+    loss_end): slice occupies chunk-local positions [chunk_pos,
+    chunk_pos + n_tok_slice); loss_start == loss_end for prompt-only
+    slices. Grouping by chunk_id reassembles `budget` tokens with
+    per-token loss flags.
+
+    Scale shape: identical to sequence_pack (distributed prefix sum,
+    one sequence-explode, all integer codegen — cited there); the loss
+    span adds four greatest/least expressions, no extra join or
+    shuffle beyond the prompt-length column carried along.
+    """
+    docs = pairs.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.col(prompt_col), F.col(completion_col)).alias(
+            "text"
+        ),
+        token_count(F.col(prompt_col)).cast("long").alias("_np"),
+    )
+    with_off = prefix_token_offsets(docs, id_col=id_col, text_col="text")
+    b = F.lit(budget)
+    first = (F.col("tok_offset") / b).cast("long")
+    last = ((F.col("tok_offset") + F.col("n_tok") - 1) / b).cast("long")
+    spans = (
+        with_off.filter(F.col("n_tok") > 0)
+        .withColumn("chunk_id", F.explode(F.sequence(first, last)))
+        .withColumn(
+            "tok_start",
+            F.greatest(
+                F.col("chunk_id") * b - F.col("tok_offset"), F.lit(0)
+            ).cast("long"),
+        )
+        .withColumn(
+            "_tok_end",
+            F.least(
+                (F.col("chunk_id") + 1) * b - F.col("tok_offset"),
+                F.col("n_tok"),
+            ).cast("long"),
+        )
+        .withColumn(
+            "chunk_pos",
+            (
+                F.col("tok_offset") + F.col("tok_start")
+                - F.col("chunk_id") * b
+            ).cast("long"),
+        )
+    )
+    # the completion is the example's token TAIL [np, n_tok), so a
+    # slice's loss region is its own tail from the clamped intersection
+    # start; a prompt-only slice clamps to its end (empty span).
+    inter_lo = F.least(
+        F.greatest(F.col("tok_start"), F.col("_np")), F.col("_tok_end")
+    )
+    return spans.select(
+        "chunk_id",
+        id_col,
+        "chunk_pos",
+        (F.col("_tok_end") - F.col("tok_start")).alias("n_tok_slice"),
+        (F.col("chunk_pos") + inter_lo - F.col("tok_start")).alias(
+            "loss_start"
+        ),
+        (
+            F.col("chunk_pos") + F.col("_tok_end") - F.col("tok_start")
+        ).alias("loss_end"),
+    )

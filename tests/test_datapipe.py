@@ -1921,3 +1921,29 @@ def test_shard_divergence_kl(spark):
         (1 / 2) / (1 / 5)
     )
     assert got["b"] == (2, 2, round(kl_b, 6))
+
+
+def test_sft_pack_loss_masks(spark):
+    from dbpedia_spotlight_spark.datapipe.packing import sft_pack
+
+    pairs = spark.createDataFrame(
+        [("e1", "q one two", "a b c"),        # 3 + 3 tokens
+         ("e2", "p", "x y z w v u t s"),      # 1 + 8
+         ("e3", "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10", "c1")],  # 10 + 1
+        "example_id string, prompt string, completion string",
+    )
+    got = sorted(map(tuple, sft_pack(pairs, 8).collect()))
+    # e1: chunk 0 pos [0,6), loss = completion tail [3,6)
+    assert (0, "e1", 0, 6, 3, 6) in got
+    # e2 global tokens [6,15): chunk-0 slice pos [6,8) loss [7,8);
+    # chunk-1 slice pos [0,7) all completion
+    assert (0, "e2", 6, 2, 7, 8) in got
+    assert (1, "e2", 0, 7, 0, 7) in got
+    # e3 global [15,26): chunk-1 slice toks [0,1) pos [7,8) is PROMPT
+    # ONLY -> empty loss span (start == end == slice end)
+    e3 = [g for g in got if g[1] == "e3"]
+    first = [g for g in e3 if g[0] == 1][0]
+    assert first[2:] == (7, 1, 8, 8)
+    # every loss span sits inside its slice
+    for _, _, pos, n, lo, hi in got:
+        assert pos <= lo <= hi <= pos + n

@@ -6560,12 +6560,35 @@ def q_sft_pack(spark, sf_dir):
     return sft_pack(pairs, 64, id_col="doc_id")
 
 
+def q_ann_recall(spark, sf_dir):
+    """ANN quality audit (datapipe/similarity.py:ann_recall — recall@k
+    of the bucketed LSH path against the exact brute-force top-k, one
+    keyed join + groupBy, silent-miss queries surfaced at recall 0):
+    the standing lsh_topk configuration scored against knn_cosine's
+    ground truth. Oracle composes the two existing oracle queries and
+    joins them the same way."""
+    from dbpedia_spotlight_spark.datapipe.similarity import (
+        ann_recall,
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    approx = lsh_topk(emb, q, dim=64, k=10, num_planes=6, num_tables=4)
+    exact = brute_force_topk(emb, q, k=10)
+    return ann_recall(approx, exact, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "ann_recall": q_ann_recall,
         "sft_pack": q_sft_pack,
         "kg_kb_timeline": q_kg_kb_timeline,
         "event_quantiles": q_event_quantiles,
@@ -13312,6 +13335,20 @@ SELECT t AS token, sum(freq)::BIGINT AS n
 FROM (SELECT freq, unnest(string_split(trim(s, '·'), '··')) AS t
       FROM w{_BPE_MERGES + 1})
 GROUP BY t
+"""
+
+    # ann_recall: compose the lsh_topk and knn_cosine oracles.
+    sql["ann_recall"] = f"""
+WITH ap AS ({sql['lsh_topk']}),
+ex AS ({sql['knn_cosine']})
+SELECT ex.query_id, count(*)::BIGINT AS n_exact,
+       sum(CASE WHEN ap.cand_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_hit,
+       round(sum(CASE WHEN ap.cand_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS recall
+FROM ex
+LEFT JOIN ap ON ap.query_id = ex.query_id AND ap.cand_id = ex.cand_id
+GROUP BY ex.query_id
 """
 
     return sql

@@ -299,3 +299,51 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Recall@k of an approximate top-k against the exact top-k — the
+    number that justifies (or indicts) every bucketed ANN config: "the
+    LSH path keeps 97% of true neighbors at a tenth of the cost".
+    Both inputs use the engine's top-k contract (query_id, cand_id,
+    rank) from brute_force_topk / lsh_topk / ivf_topk.
+
+    -> one row per query: (query_id, n_exact, n_hit, recall round 6),
+    n_exact = min(k, exact candidates), n_hit = |approx ∩ exact| at
+    rank <= k. Queries the approximate index returned NOTHING for
+    still appear (recall 0) — silent-miss queries are the failure mode
+    this exists to expose.
+
+    Scale shape: two rank filters + ONE equi-join on (query_id,
+    cand_id) + one groupBy — all keyed on the query; no windows, no
+    collect.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    ex = exact.filter(F.col("rank") <= k).select("query_id", "cand_id")
+    ap = approx.filter(F.col("rank") <= k).select(
+        "query_id", F.col("cand_id").alias("_ac")
+    )
+    hits = (
+        ex.join(
+            ap,
+            (ex["query_id"] == ap["query_id"]) & (ex["cand_id"] == ap["_ac"]),
+            "left",
+        )
+        .select(ex["query_id"], F.col("_ac").isNotNull().cast("long").alias("_h"))
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.sum("_h").cast("long").alias("n_hit"),
+        )
+    )
+    return hits.select(
+        "query_id",
+        "n_exact",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
+    )

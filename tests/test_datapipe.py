@@ -1947,3 +1947,27 @@ def test_sft_pack_loss_masks(spark):
     # every loss span sits inside its slice
     for _, _, pos, n, lo, hi in got:
         assert pos <= lo <= hi <= pos + n
+
+
+def test_ann_recall_counts_and_silent_miss(spark):
+    import pytest
+
+    from dbpedia_spotlight_spark.datapipe.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, c, r) for r, c in enumerate([10, 11, 12], 1)] + [(2, 20, 1)],
+        "query_id long, cand_id long, rank int",
+    )
+    approx = spark.createDataFrame(
+        [(1, 11, 1), (1, 99, 2), (1, 12, 3)],
+        "query_id long, cand_id long, rank int",
+    )
+    got = {
+        r.query_id: (r.n_exact, r.n_hit, r.recall)
+        for r in ann_recall(approx, exact, 3).collect()
+    }
+    assert got[1] == (3, 2, 0.666667)
+    # query 2 absent from the approx index -> surfaced at recall 0
+    assert got[2] == (1, 0, 0.0)
+    with pytest.raises(ValueError):
+        ann_recall(approx, exact, 0)

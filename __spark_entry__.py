@@ -6582,12 +6582,26 @@ def q_ann_recall(spark, sf_dir):
     return ann_recall(approx, exact, k=10)
 
 
+def q_harmonic_pack(spark, sf_dir):
+    """No-split harmonic bin packing (datapipe/packing.py:
+    harmonic_pack — class k = floor(budget/len), class-k bins hold
+    exactly k docs so bin totals <= budget BY CONSTRUCTION; one
+    per-class rank window + one per-bin cumsum, pure integer):
+    documents packed whole at budget 64. Oracle = the identical rank
+    arithmetic."""
+    from dbpedia_spotlight_spark.datapipe.packing import harmonic_pack
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return harmonic_pack(docs, 64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "harmonic_pack": q_harmonic_pack,
         "ann_recall": q_ann_recall,
         "sft_pack": q_sft_pack,
         "kg_kb_timeline": q_kg_kb_timeline,
@@ -7632,6 +7646,34 @@ WITH snap AS (
 SELECT DISTINCT s.subj AS o, p.obj AS p
 FROM snap s JOIN snap p ON p.subj = s.subj AND p.pred = 'priority'
 WHERE s.pred = 'status' AND s.obj = 'F'
+"""
+
+    # harmonic_pack: identical class/rank/cumsum integer arithmetic.
+    sql["harmonic_pack"] = r"""
+WITH n AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(lower(text)), '\s+'))::BIGINT
+           AS n_tok
+  FROM documents
+),
+base AS (
+  SELECT doc_id, n_tok, (64 // n_tok)::BIGINT AS k
+  FROM n WHERE n_tok > 0 AND n_tok <= 64
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY k ORDER BY doc_id) - 1 AS r
+  FROM base
+),
+placed AS (
+  SELECT k::VARCHAR || '/' || (r // k)::VARCHAR AS bin_id,
+         doc_id, (r % k)::BIGINT AS slot, n_tok
+  FROM ranked
+)
+SELECT bin_id, doc_id, slot, n_tok,
+       coalesce(SUM(n_tok) OVER (PARTITION BY bin_id ORDER BY slot
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         AS bin_offset
+FROM placed
 """
 
     # sft_pack: the seq_pack prefix-sum SQL + clamped loss spans.

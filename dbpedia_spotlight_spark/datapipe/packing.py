@@ -630,3 +630,61 @@ def sft_pack(
             F.col("chunk_pos") + F.col("_tok_end") - F.col("tok_start")
         ).alias("loss_end"),
     )
+
+
+def harmonic_pack(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """NO-SPLIT bin packing by harmonic classes (Lee & Lee, JACM '85 —
+    the classic online bin-packing family): examples that must not
+    cross chunk boundaries (contrastive pairs, strict instruction
+    examples) are grouped into size classes k = floor(budget / len),
+    and class-k bins hold EXACTLY k documents — so every bin total is
+    <= k * (budget/k) = budget BY CONSTRUCTION, no overflow check, no
+    sequential packer. The price vs sequence_pack's concat-and-split
+    is bounded waste (the harmonic ~1.69x-OPT guarantee) instead of
+    zero waste; the win is that no example is ever cut.
+
+    Documents longer than `budget` are DROPPED (route them through
+    chunk_documents first); empty documents are dropped.
+
+    -> (bin_id, doc_id, slot, n_tok, bin_offset): slot = position in
+    the bin (0..k-1), bin_offset = sum of earlier slots' tokens.
+    bin_id = '<k>/<index>' — unique across classes.
+
+    Scale shape: one token-count pass, ONE per-class rank window
+    (keyed by the class — at most `budget` classes, each window
+    partition-parallel), one per-bin cumsum window for offsets; pure
+    integer arithmetic, no join, no collect, no driver state.
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    base = (
+        docs.select(
+            F.col(id_col),
+            token_count(F.col(text_col)).cast("long").alias("n_tok"),
+        )
+        .filter((F.col("n_tok") > 0) & (F.col("n_tok") <= budget))
+        .withColumn("_k", F.floor(F.lit(budget) / F.col("n_tok")).cast("long"))
+    )
+    w = Window.partitionBy("_k").orderBy(F.col(id_col))
+    ranked = base.withColumn("_r", F.row_number().over(w) - 1)
+    placed = ranked.select(
+        F.concat(
+            F.col("_k"), F.lit("/"), (F.col("_r") / F.col("_k")).cast("long")
+        ).alias("bin_id"),
+        id_col,
+        F.pmod(F.col("_r"), F.col("_k")).cast("long").alias("slot"),
+        "n_tok",
+    )
+    wb = (
+        Window.partitionBy("bin_id")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return placed.withColumn(
+        "bin_offset", F.coalesce(F.sum("n_tok").over(wb), F.lit(0)).cast("long")
+    )

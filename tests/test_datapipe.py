@@ -1971,3 +1971,35 @@ def test_ann_recall_counts_and_silent_miss(spark):
     assert got[2] == (1, 0, 0.0)
     with pytest.raises(ValueError):
         ann_recall(approx, exact, 0)
+
+
+def test_harmonic_pack_no_split_invariants(spark):
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from dbpedia_spotlight_spark.datapipe.packing import harmonic_pack
+
+    docs = spark.createDataFrame(
+        [("d%02d" % i, " ".join(["w"] * (3 + i % 30))) for i in range(40)]
+        + [("huge", " ".join(["w"] * 100)), ("empty", "")],
+        "doc_id string, text string",
+    )
+    out = harmonic_pack(docs, 32)
+    rows = out.collect()
+    # no document split: one row per placed doc
+    assert len(rows) == len({r.doc_id for r in rows}) == 40
+    # oversize and empty docs dropped
+    placed = {r.doc_id for r in rows}
+    assert "huge" not in placed and "empty" not in placed
+    # every bin total <= budget (the harmonic construction guarantee)
+    over = (
+        out.groupBy("bin_id").agg(F.sum("n_tok").alias("t"))
+        .filter(F.col("t") > 32).count()
+    )
+    assert over == 0
+    # offsets are the within-bin prefix sums
+    for r in rows:
+        assert r.bin_offset >= 0 and r.bin_offset + r.n_tok <= 32
+    with pytest.raises(ValueError):
+        harmonic_pack(docs, 0)

@@ -663,7 +663,8 @@ def harmonic_pack(
     if budget < 1:
         raise ValueError("budget must be >= 1")
     base = (
-        docs.select(
+        docs.filter(F.trim(F.col(text_col)) != "")
+        .select(
             F.col(id_col),
             token_count(F.col(text_col)).cast("long").alias("n_tok"),
         )

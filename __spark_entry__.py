@@ -6595,12 +6595,25 @@ def q_harmonic_pack(spark, sf_dir):
     return harmonic_pack(docs, 64)
 
 
+def q_word_dropout(spark, sf_dir):
+    """Deterministic word-dropout augmentation (datapipe/textstats.py:
+    word_dropout — per-token md5(doc, pos) bucket decides the drop, so
+    the corrupted corpus replays identically on any engine; one
+    posexplode + one doc-keyed groupBy): documents at rate 0.2.
+    Oracle = the same per-token hash + ordered reassembly."""
+    from dbpedia_spotlight_spark.datapipe.textstats import word_dropout
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return word_dropout(docs, 0.2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "word_dropout": q_word_dropout,
         "harmonic_pack": q_harmonic_pack,
         "ann_recall": q_ann_recall,
         "sft_pack": q_sft_pack,
@@ -7646,6 +7659,32 @@ WITH snap AS (
 SELECT DISTINCT s.subj AS o, p.obj AS p
 FROM snap s JOIN snap p ON p.subj = s.subj AND p.pred = 'priority'
 WHERE s.pred = 'status' AND s.obj = 'F'
+"""
+
+    # word_dropout: per-token md5 bucket + ordered reassembly.
+    sql["word_dropout"] = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, i - 1 AS pos, words[i] AS token
+  FROM (SELECT doc_id, words,
+               unnest(generate_series(1, len(words))) AS i
+        FROM w)
+),
+flagged AS (
+  SELECT doc_id, pos, token,
+         ('0x' || substr(md5(doc_id::VARCHAR || chr(31) || pos::VARCHAR),
+                         25, 8))::BIGINT % 10000 < 2000 AS dropped
+  FROM toks
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN NOT dropped THEN token END,
+                           ' ' ORDER BY pos) FILTER (WHERE NOT dropped),
+                '') AS text,
+       sum(CASE WHEN dropped THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+FROM flagged GROUP BY doc_id
 """
 
     # harmonic_pack: identical class/rank/cumsum integer arithmetic.

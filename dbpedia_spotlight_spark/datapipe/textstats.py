@@ -687,3 +687,70 @@ def shard_divergence(
             F.round(F.sum("_term"), 6).alias("kl"),
         )
     )
+
+
+def word_dropout(
+    docs: DataFrame,
+    rate: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic word-dropout augmentation (the denoising /
+    robustness transform of word-dropout regularization and DAE-style
+    pretraining — corrupt the input, keep the target): drop each token
+    with probability `rate`, decided by the md5 bucket of
+    (doc_id, position) — NOT an RNG — so the augmented corpus is
+    reproducible across runs, retries, engines, and cluster sizes
+    (the stratified_sample hash discipline applied per token).
+
+    -> (doc_id, text, n_dropped): text = surviving tokens joined by a
+    space in original order; a doc whose every token drops keeps an
+    empty string (the caller's quality_filter handles those).
+
+    Scale shape: one posexplode + one filter + ONE groupBy(doc)
+    reassembling via array_sort(collect_list(struct(pos, token))) —
+    shuffle keyed on the doc only, no windows, no Python.
+    """
+    if not (0.0 <= rate < 1.0):
+        raise ValueError("rate must be in [0, 1)")
+    hi = int(rate * buckets)
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(words_col(F.col(text_col))).alias("pos", "token"),
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "\x1f", F.col(id_col).cast("string"),
+                        F.col("pos").cast("string"),
+                    )
+                ),
+                25,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(buckets),
+    )
+    flagged = toks.withColumn("_drop", bucket < hi)
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("_drop"),
+                            F.struct(F.col("pos"), F.col("token")),
+                        )
+                    )
+                ),
+                lambda s: s["token"],
+            ),
+            " ",
+        ).alias("text"),
+        F.sum(F.col("_drop").cast("long")).alias("n_dropped"),
+    )

@@ -217,3 +217,26 @@ def test_ngram_doc_logprob_hand_checked(spark):
     got = ngram_doc_logprob(foreign, order=3, k=0.5, model_corpus=corpus).collect()
     assert len(got) == 1
     assert abs(got[0].logprob - math.log(0.5 / (0.5 * 2))) < 1e-9
+
+
+def test_word_dropout_deterministic_ordered(spark):
+    import pytest
+
+    from dbpedia_spotlight_spark.datapipe.textstats import word_dropout
+
+    d = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id int, text string",
+    )
+    r1 = word_dropout(d, 0.3).collect()[0]
+    r2 = word_dropout(d, 0.3).collect()[0]
+    assert r1.text == r2.text and r1.n_dropped > 0
+    # surviving tokens keep original order (subsequence of the input)
+    orig = "the quick brown fox jumps over the lazy dog".split()
+    kept = r1.text.split()
+    it = iter(orig)
+    assert all(any(tok == o for o in it) for tok in kept)
+    r0 = word_dropout(d, 0.0).collect()[0]
+    assert r0.n_dropped == 0 and r0.text == " ".join(orig)
+    with pytest.raises(ValueError):
+        word_dropout(d, 1.0)

@@ -6607,12 +6607,52 @@ def q_word_dropout(spark, sf_dir):
     return word_dropout(docs, 0.2)
 
 
+def q_kg_star_card(spark, sf_dir):
+    """Characteristic-set star cardinality vs truth
+    (operators/kglayout.py:star_cardinality_check — Neumann/Moerkotte:
+    subject counts exact from CS coverage, result size from per-CS
+    multiplicity products, q-error against the true star-join size;
+    the ICDE'11 claim made measurable): an orders-derived star with
+    CORRELATED multiplicities so the estimate genuinely deviates.
+    Oracle = the same CS algebra."""
+    from dbpedia_spotlight_spark.operators.kglayout import (
+        star_cardinality_check,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    c = F.concat(F.lit("c"), F.col("o_custkey"))
+    t = (
+        o.select(
+            c.alias("subj"),
+            F.lit("ordered").alias("pred"),
+            F.concat(F.lit("o"), F.col("o_orderkey")).alias("obj"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 3 == 0).select(
+                c.alias("subj"),
+                F.lit("urgent").alias("pred"),
+                F.concat(F.lit("o"), F.col("o_orderkey")).alias("obj"),
+            )
+        )
+        .unionByName(
+            cust.select(
+                F.concat(F.lit("c"), F.col("c_custkey")).alias("subj"),
+                F.lit("seg").alias("pred"),
+                F.col("c_mktsegment").alias("obj"),
+            )
+        )
+    )
+    return star_cardinality_check(t, ["ordered", "urgent"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "kg_star_card": q_kg_star_card,
         "word_dropout": q_word_dropout,
         "harmonic_pack": q_harmonic_pack,
         "ann_recall": q_ann_recall,
@@ -7659,6 +7699,46 @@ WITH snap AS (
 SELECT DISTINCT s.subj AS o, p.obj AS p
 FROM snap s JOIN snap p ON p.subj = s.subj AND p.pred = 'priority'
 WHERE s.pred = 'status' AND s.obj = 'F'
+"""
+
+    # kg_star_card: identical CS coverage + multiplicity algebra.
+    sql["kg_star_card"] = """
+WITH tri AS (
+  SELECT 'c' || o_custkey::VARCHAR AS subj, 'ordered' AS pred,
+         'o' || o_orderkey::VARCHAR AS obj FROM orders
+  UNION ALL
+  SELECT 'c' || o_custkey::VARCHAR, 'urgent', 'o' || o_orderkey::VARCHAR
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT 'c' || c_custkey::VARCHAR, 'seg', c_mktsegment FROM customer
+),
+per AS (
+  SELECT subj,
+         array_to_string(list_sort(list(DISTINCT pred)), ',') AS cs,
+         sum(CASE WHEN pred = 'ordered' THEN 1 ELSE 0 END)::BIGINT AS c0,
+         sum(CASE WHEN pred = 'urgent' THEN 1 ELSE 0 END)::BIGINT AS c1
+  FROM tri GROUP BY subj
+),
+cov AS (SELECT * FROM per WHERE c0 > 0 AND c1 > 0),
+exact AS (
+  SELECT count(*)::BIGINT AS n_subjects_exact,
+         coalesce(sum(c0 * c1), 0)::BIGINT AS true_n
+  FROM cov
+),
+per_cs AS (
+  SELECT cs, count(*) AS ns, sum(c0) AS s0, sum(c1) AS s1
+  FROM cov GROUP BY cs
+),
+e AS (
+  SELECT round(coalesce(sum(ns::DOUBLE * (s0::DOUBLE / ns)
+                             * (s1::DOUBLE / ns)), 0.0), 4) AS est
+  FROM per_cs
+)
+SELECT n_subjects_exact, est, true_n,
+       CASE WHEN est > 0 AND true_n > 0
+            THEN round(greatest(est / true_n, true_n / est), 4) END
+         AS q_error
+FROM exact, e
 """
 
     # word_dropout: per-token md5 bucket + ordered reassembly.

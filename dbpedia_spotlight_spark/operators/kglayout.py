@@ -713,3 +713,75 @@ def join_cardinality_check(
         ),
     )
     return out.select("est", "true_n", F.round(q, 4).alias("q_error"))
+
+
+def star_cardinality_check(
+    triples: DataFrame,
+    preds: list[str],
+) -> DataFrame:
+    """Characteristic-set star-join cardinality (Neumann & Moerkotte,
+    ICDE 2011 — the reason engines keep CS statistics at all): for a
+    star query ?s p1 ?o1 . ?s p2 ?o2 . ..., the CS table answers the
+    SUBJECT count exactly (subjects whose predicate set covers the
+    query), and the RESULT size as sum over covering CSs of
+    n_subjects · prod_p(avg multiplicity of p in that CS) — exact when
+    multiplicities are uniform within a CS (the paper's observation),
+    an estimate otherwise. This operator computes the CS estimate AND
+    the true star-join size so the gap is measurable (the q-error
+    methodology of kg_join_card, applied to the CS layer).
+
+    -> one row: (n_subjects_exact, est round 4, true_n, q_error
+    round 4).
+
+    Scale shape: one groupBy(subj) building the signature + the query
+    predicates' per-subject counts (conditional sums — map-side
+    combinable), one groupBy over the tiny CS space, one exact
+    product-sum per subject for the ground truth (the quantity the
+    estimator exists to avoid; computed here because this operator IS
+    the accuracy check). No joins over the triple table at all.
+    """
+    if len(preds) < 1:
+        raise ValueError("star_cardinality_check needs >= 1 predicate")
+    aggs = [
+        F.array_join(F.sort_array(F.collect_set("pred")), ",").alias("cs")
+    ] + [
+        F.sum((F.col("pred") == p).cast("long")).alias(f"_c{i}")
+        for i, p in enumerate(preds)
+    ]
+    per_subj = triples.groupBy("subj").agg(*aggs)
+    covered = per_subj
+    for i in range(len(preds)):
+        covered = covered.filter(F.col(f"_c{i}") > 0)
+    # exact: sum over covering subjects of the count product
+    prod = F.lit(1).cast("long")
+    for i in range(len(preds)):
+        prod = prod * F.col(f"_c{i}")
+    exact = covered.agg(
+        F.count("*").cast("long").alias("n_subjects_exact"),
+        F.coalesce(F.sum(prod), F.lit(0)).cast("long").alias("true_n"),
+    )
+    # CS estimate: per covering CS, n_subjects * prod(avg multiplicity)
+    per_cs = covered.groupBy("cs").agg(
+        F.count("*").alias("_ns"),
+        *[F.sum(f"_c{i}").alias(f"_s{i}") for i in range(len(preds))],
+    )
+    est_term = F.col("_ns").cast("double")
+    for i in range(len(preds)):
+        est_term = est_term * (F.col(f"_s{i}") / F.col("_ns"))
+    est = per_cs.agg(
+        F.round(F.coalesce(F.sum(est_term), F.lit(0.0)), 4).alias("est")
+    )
+    out = exact.crossJoin(est)
+    q = F.when(
+        (F.col("est") > 0) & (F.col("true_n") > 0),
+        F.round(
+            F.greatest(
+                F.col("est") / F.col("true_n"),
+                F.col("true_n") / F.col("est"),
+            ),
+            4,
+        ),
+    )
+    return out.select(
+        "n_subjects_exact", "est", "true_n", q.alias("q_error")
+    )

@@ -2329,3 +2329,27 @@ def test_join_cardinality_check_uniform_exact(spark):
     r = join_cardinality_check(t, "qa", "qb").collect()[0]
     # uniform values: the histogram estimate is exact, q-error 1.0
     assert r.est == r.true_n == 175 and r.q_error == 1.0
+
+
+def test_star_cardinality_check_exact_when_uniform(spark):
+    from dbpedia_spotlight_spark.operators.kglayout import (
+        star_cardinality_check,
+    )
+
+    rows = []
+    for i in range(30):
+        rows.append(("e%d" % i, "name", "n%d" % i))
+        for j in range(i % 3 + 1):
+            rows.append(("e%d" % i, "tag", "t%d" % j))
+        if i % 2 == 0:
+            rows.append(("e%d" % i, "age", str(i)))
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    r = star_cardinality_check(t, ["name", "tag"]).collect()[0]
+    # subject count from CS coverage is always exact
+    assert r.n_subjects_exact == 30
+    # true star size = sum of per-subject count products
+    assert r.true_n == sum(1 * (i % 3 + 1) for i in range(30))
+    assert r.q_error >= 1.0
+    # subjects missing a query predicate never count
+    r2 = star_cardinality_check(t, ["name", "age"]).collect()[0]
+    assert r2.n_subjects_exact == 15 and r2.true_n == 15 and r2.q_error == 1.0

@@ -6646,12 +6646,38 @@ def q_kg_star_card(spark, sf_dir):
     return star_cardinality_check(t, ["ordered", "urgent"])
 
 
+def q_hearst_isa(spark, sf_dir):
+    """Hearst-pattern taxonomy induction (pipeline/triples.py:
+    hearst_patterns — 'such as' / 'and other' / 'including' frames as
+    pure regexp codegen, comma-lists exploded, one support groupBy;
+    the is-a feed for the subclass operators): documents with
+    deterministic injected frames so every pattern path fires with
+    known support. Oracle = the same regexes in DuckDB."""
+    from dbpedia_spotlight_spark.pipeline.triples import hearst_patterns
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" brand"), F.col("doc_id") % 7,
+            F.lit(" such as item"), F.col("doc_id") % 5,
+            F.lit(", gadget"), F.col("doc_id") % 3,
+            F.lit(". widget"), F.col("doc_id") % 4,
+            F.lit(" and other tools. metals including iron"),
+            F.col("doc_id") % 6, F.lit("."),
+        ).alias("text"),
+    )
+    return hearst_patterns(injected, min_support=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "hearst_isa": q_hearst_isa,
         "kg_star_card": q_kg_star_card,
         "word_dropout": q_word_dropout,
         "harmonic_pack": q_harmonic_pack,
@@ -7699,6 +7725,54 @@ WITH snap AS (
 SELECT DISTINCT s.subj AS o, p.obj AS p
 FROM snap s JOIN snap p ON p.subj = s.subj AND p.pred = 'priority'
 WHERE s.pred = 'status' AND s.obj = 'F'
+"""
+
+    # hearst_isa: the same three frames in DuckDB regex.
+    sql["hearst_isa"] = r"""
+WITH t AS (
+  SELECT lower(text || ' brand' || (doc_id % 7)::VARCHAR
+         || ' such as item' || (doc_id % 5)::VARCHAR
+         || ', gadget' || (doc_id % 3)::VARCHAR
+         || '. widget' || (doc_id % 4)::VARCHAR
+         || ' and other tools. metals including iron'
+         || (doc_id % 6)::VARCHAR || '.') AS txt
+  FROM documents
+),
+sa AS (
+  SELECT unnest(string_split(m[1], ', ')) AS hyponym, m[2] AS hypernym,
+         'such_as' AS pattern
+  FROM (
+    SELECT unnest(list_zip(
+      regexp_extract_all(txt,
+        '([a-z0-9]+) such as ((?:[a-z0-9]+, )*[a-z0-9]+)', 2),
+      regexp_extract_all(txt,
+        '([a-z0-9]+) such as ((?:[a-z0-9]+, )*[a-z0-9]+)', 1))) AS m
+    FROM t
+  )
+),
+ao AS (
+  SELECT m[1] AS hyponym, m[2] AS hypernym, 'and_other' AS pattern
+  FROM (
+    SELECT unnest(list_zip(
+      regexp_extract_all(txt, '([a-z0-9]+) and other ([a-z0-9]+)', 1),
+      regexp_extract_all(txt, '([a-z0-9]+) and other ([a-z0-9]+)', 2))) AS m
+    FROM t
+  )
+),
+inc AS (
+  SELECT m[1] AS hyponym, m[2] AS hypernym, 'including' AS pattern
+  FROM (
+    SELECT unnest(list_zip(
+      regexp_extract_all(txt, '([a-z0-9]+) including ([a-z0-9]+)', 2),
+      regexp_extract_all(txt, '([a-z0-9]+) including ([a-z0-9]+)', 1))) AS m
+    FROM t
+  )
+)
+SELECT hyponym, hypernym, pattern, count(*)::BIGINT AS support
+FROM (SELECT * FROM sa UNION ALL SELECT * FROM ao
+      UNION ALL SELECT * FROM inc)
+GROUP BY hyponym, hypernym, pattern
+HAVING count(*) >= 2
 """
 
     # kg_star_card: identical CS coverage + multiplicity algebra.

@@ -198,3 +198,74 @@ def distant_supervision(
         .select("doc_id", "subj_pos", "obj_pos", "subj_uri", "pred", "obj_uri")
         .distinct()
     )
+
+
+def hearst_patterns(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_support: int = 1,
+) -> DataFrame:
+    """Taxonomy induction from raw text via Hearst patterns (Hearst,
+    COLING 1992 — still the backbone of automatic is-a harvesting,
+    cf. WebIsA/Hearst-over-CommonCrawl): three lexical frames over
+    lowercased text
+
+        HYPER such as HYPO[, HYPO]*
+        HYPO and other HYPER
+        HYPER including HYPO
+
+    yield candidate (hyponym, hypernym) edges with corpus support —
+    the subclass-edge feed for the subclass/closure operators, mined
+    WITHOUT a parser (single alphanumeric-token terms by design; NP chunking
+    upstream generalizes it).
+
+    -> (hyponym, hypernym, pattern, support >= min_support),
+    support = matching occurrences corpus-wide.
+
+    Scale shape: pure codegen — regexp_extract_all per frame (two
+    group extractions zipped), comma-lists split + exploded, ONE
+    map-side-combinable groupBy for support. No joins, no Python.
+    """
+    t = F.lower(F.col(text_col))
+    word = r"[a-z0-9]+"
+
+    def frame(pat, g_hypo, g_hyper, name, split_hypo=False):
+        a = F.regexp_extract_all(t, F.lit(pat), g_hypo)
+        b = F.regexp_extract_all(t, F.lit(pat), g_hyper)
+        z = F.arrays_zip(a.alias("x"), b.alias("y"))
+        df = docs.select(F.explode(z).alias("m")).select(
+            F.col("m.x").alias("_hypo_raw"),
+            F.col("m.y").alias("hypernym"),
+            F.lit(name).alias("pattern"),
+        )
+        if split_hypo:
+            df = df.select(
+                F.explode(F.split(F.col("_hypo_raw"), ", ")).alias(
+                    "hyponym"
+                ),
+                "hypernym",
+                "pattern",
+            )
+        else:
+            df = df.select(
+                F.col("_hypo_raw").alias("hyponym"), "hypernym", "pattern"
+            )
+        return df
+
+    such_as = frame(
+        rf"({word}) such as ((?:{word}, )*{word})", 2, 1,
+        "such_as", split_hypo=True,
+    )
+    and_other = frame(
+        rf"({word}) and other ({word})", 1, 2, "and_other"
+    )
+    including = frame(
+        rf"({word}) including ({word})", 2, 1, "including"
+    )
+    return (
+        such_as.unionByName(and_other)
+        .unionByName(including)
+        .groupBy("hyponym", "hypernym", "pattern")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )

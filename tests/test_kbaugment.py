@@ -443,3 +443,28 @@ def test_fellegi_sunter_weights(spark):
     assert {(r.a, r.b) for r in kept.collect()} == {("a", "c")}
     with pytest.raises(ValueError):
         fellegi_sunter_score(p, ["name"], {"name": 1.5}, {"name": 0.1})
+
+
+def test_hearst_patterns_three_frames(spark):
+    from dbpedia_spotlight_spark.pipeline.triples import hearst_patterns
+
+    d = spark.createDataFrame(
+        [(1, "Animals such as dogs, cats roam. Hammers and other tools. "
+             "Metals including iron."),
+         (2, "animals such as dogs bark")],
+        "doc_id int, text string",
+    )
+    got = {
+        (r.hyponym, r.hypernym, r.pattern): r.support
+        for r in hearst_patterns(d).collect()
+    }
+    assert got[("dogs", "animals", "such_as")] == 2
+    assert got[("cats", "animals", "such_as")] == 1
+    assert got[("hammers", "tools", "and_other")] == 1
+    assert got[("iron", "metals", "including")] == 1
+    # min_support prunes singletons
+    kept = {
+        (r.hyponym, r.hypernym)
+        for r in hearst_patterns(d, min_support=2).collect()
+    }
+    assert kept == {("dogs", "animals")}

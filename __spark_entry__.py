@@ -6671,12 +6671,41 @@ def q_hearst_isa(spark, sf_dir):
     return hearst_patterns(injected, min_support=2)
 
 
+def q_acronym_mine(spark, sf_dir):
+    """Acronym/long-form mining (pipeline/triples.py:acronym_pairs —
+    Schwartz-Hearst right-anchored initials check as codegen
+    transforms; the surface-form enrichment feed for lexicalization
+    tables): deterministic injected '(ABC)' sentences, one of four
+    per doc, plus an initials-mismatch decoy that must never
+    survive. Oracle = the same regex + initials algebra."""
+    from dbpedia_spotlight_spark.pipeline.triples import acronym_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    forms = F.array(
+        F.lit("The Alpha Beta Unit (ABU)"),
+        F.lit("Crooked Example (ZZZ)"),
+        F.lit("Global Data Office (GDO)"),
+        F.lit("Nice Pair (NP)"),
+    )
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            F.element_at(forms, (F.col("doc_id") % 4 + 1).cast("int")),
+            F.lit(" closed."),
+        ).alias("text"),
+    )
+    return acronym_pairs(injected)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "acronym_mine": q_acronym_mine,
         "hearst_isa": q_hearst_isa,
         "kg_star_card": q_kg_star_card,
         "word_dropout": q_word_dropout,
@@ -7725,6 +7754,42 @@ WITH snap AS (
 SELECT DISTINCT s.subj AS o, p.obj AS p
 FROM snap s JOIN snap p ON p.subj = s.subj AND p.pred = 'priority'
 WHERE s.pred = 'status' AND s.obj = 'F'
+"""
+
+    # acronym_mine: same regex + right-anchored initials in SQL.
+    sql["acronym_mine"] = r"""
+WITH t AS (
+  SELECT text || ' ' ||
+         (CASE doc_id % 4
+            WHEN 0 THEN 'The Alpha Beta Unit (ABU)'
+            WHEN 1 THEN 'Crooked Example (ZZZ)'
+            WHEN 2 THEN 'Global Data Office (GDO)'
+            ELSE 'Nice Pair (NP)' END) || ' closed.' AS txt
+  FROM documents
+),
+m AS (
+  SELECT unnest(list_zip(
+    regexp_extract_all(txt, '((?:[A-Z][a-z]+ )+)\(([A-Z]{2,})\)', 1),
+    regexp_extract_all(txt, '((?:[A-Z][a-z]+ )+)\(([A-Z]{2,})\)', 2)
+  )) AS z
+  FROM t
+),
+pairs AS (
+  SELECT string_split(trim(z[1]), ' ') AS w, z[2] AS acronym FROM m
+),
+anchored AS (
+  SELECT array_to_string(
+           list_slice(w, len(w) - length(acronym) + 1, len(w)), ' ')
+           AS long_form,
+         acronym
+  FROM pairs WHERE len(w) >= length(acronym)
+)
+SELECT long_form, acronym, count(*)::BIGINT AS support
+FROM anchored
+WHERE array_to_string(
+        list_transform(string_split(long_form, ' '), x -> x[1]), '')
+      = acronym
+GROUP BY long_form, acronym
 """
 
     # hearst_isa: the same three frames in DuckDB regex.

@@ -269,3 +269,54 @@ def hearst_patterns(
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= min_support)
     )
+
+
+def acronym_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_support: int = 1,
+) -> DataFrame:
+    """Acronym/long-form mining (the Schwartz-Hearst 2003 algorithm's
+    high-precision core): harvest 'Long Form Words (LFW)' patterns and
+    keep only pairs whose acronym letters EXACTLY match the long
+    form's initials — the surface-form enrichment feed for the model's
+    lexicalization tables (an entity known as 'World Health
+    Organization' should also spot as 'WHO').
+
+    -> (long_form, acronym, support). Matching is case-sensitive on
+    the capitalized long-form words and the parenthesized uppercase
+    acronym; per Schwartz-Hearst the candidate is RIGHT-ANCHORED — the
+    last len(acronym) captured words — so a greedily captured leading
+    word ('The World Health Organization') still yields the correct
+    pair. The initials check runs as a codegen transform, no UDF.
+
+    Scale shape: one regexp_extract_all pass + explode + one
+    map-side-combinable support groupBy. No joins.
+    """
+    pat = r"((?:[A-Z][a-z]+ )+)\(([A-Z]{2,})\)"
+    longs = F.regexp_extract_all(F.col(text_col), F.lit(pat), 1)
+    acros = F.regexp_extract_all(F.col(text_col), F.lit(pat), 2)
+    pairs = docs.select(
+        F.explode(F.arrays_zip(longs.alias("l"), acros.alias("a"))).alias("m")
+    ).select(
+        F.split(F.trim(F.col("m.l")), " ").alias("_w"),
+        F.col("m.a").alias("acronym"),
+    )
+    k = F.length("acronym")
+    kept = F.slice(pairs["_w"], F.size("_w") - k + 1, k)
+    anchored = pairs.filter(F.size("_w") >= k).select(
+        F.array_join(kept, " ").alias("long_form"), "acronym"
+    )
+    initials = F.array_join(
+        F.transform(
+            F.split(F.col("long_form"), " "),
+            lambda w: F.substring(w, 1, 1),
+        ),
+        "",
+    )
+    return (
+        anchored.filter(initials == F.col("acronym"))
+        .groupBy("long_form", "acronym")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )

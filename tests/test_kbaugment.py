@@ -468,3 +468,20 @@ def test_hearst_patterns_three_frames(spark):
         for r in hearst_patterns(d, min_support=2).collect()
     }
     assert kept == {("dogs", "animals")}
+
+
+def test_acronym_pairs_right_anchored(spark):
+    from dbpedia_spotlight_spark.pipeline.triples import acronym_pairs
+
+    d = spark.createDataFrame(
+        [(1, "The World Health Organization (WHO) said. "
+             "Bad Match Example (XYZ) no."),
+         (2, "the World Health Organization (WHO) again")],
+        "doc_id int, text string",
+    )
+    got = {
+        (r.long_form, r.acronym): r.support
+        for r in acronym_pairs(d).collect()
+    }
+    # right-anchored: the greedy leading 'The' is trimmed, both docs agree
+    assert got == {("World Health Organization", "WHO"): 2}

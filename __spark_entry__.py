@@ -6699,12 +6699,32 @@ def q_acronym_mine(spark, sf_dir):
     return acronym_pairs(injected)
 
 
+def q_conformal_nil(spark, sf_dir):
+    """Split-conformal NIL thresholds (pipeline/evaluate.py:
+    conformal_thresholds — per-class max(1, floor(alpha*(n+1)))-th
+    smallest calibration score, exact rank arithmetic; the
+    distribution-free replacement for hand-tuned confidence cutoffs):
+    calibration set = the correctly-linked rows of the label_noise
+    fixture. Oracle = the identical rank pick."""
+    from dbpedia_spotlight_spark.pipeline.evaluate import conformal_thresholds
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    calib = docs.filter(
+        F.col("doc_id") % 2 == F.col("doc_id") % 3
+    ).select(
+        F.concat(F.lit("u"), F.col("doc_id") % 2).alias("label"),
+        F.round((F.col("doc_id") % 97) / 97.0, 6).alias("score"),
+    )
+    return conformal_thresholds(calib, alpha=0.1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "conformal_nil": q_conformal_nil,
         "acronym_mine": q_acronym_mine,
         "hearst_isa": q_hearst_isa,
         "kg_star_card": q_kg_star_card,
@@ -7754,6 +7774,24 @@ WITH snap AS (
 SELECT DISTINCT s.subj AS o, p.obj AS p
 FROM snap s JOIN snap p ON p.subj = s.subj AND p.pred = 'priority'
 WHERE s.pred = 'status' AND s.obj = 'F'
+"""
+
+    # conformal_nil: identical rank-pick arithmetic.
+    sql["conformal_nil"] = """
+WITH calib AS (
+  SELECT 'u' || (doc_id % 2)::VARCHAR AS label,
+         round((doc_id % 97) / 97.0, 6) AS score
+  FROM documents WHERE doc_id % 2 = doc_id % 3
+),
+ranked AS (
+  SELECT label, score,
+         row_number() OVER (PARTITION BY label ORDER BY score ASC) AS rn,
+         count(*) OVER (PARTITION BY label) AS n
+  FROM calib
+)
+SELECT label, n::BIGINT AS n, score AS threshold
+FROM ranked
+WHERE rn = greatest(1, floor(0.1 * (n + 1))::BIGINT)
 """
 
     # acronym_mine: same regex + right-anchored initials in SQL.

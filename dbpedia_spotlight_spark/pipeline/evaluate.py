@@ -224,3 +224,47 @@ def label_noise_estimate(
         F.col("n_suspect").cast("long").alias("n_suspect"),
         F.round("threshold", scale).alias("threshold"),
     )
+
+
+def conformal_thresholds(
+    calibration: DataFrame,
+    alpha: float = 0.1,
+    label_col: str = "label",
+    score_col: str = "score",
+) -> DataFrame:
+    """Split-conformal NIL thresholds (Vovk et al.; the
+    distribution-free guarantee modern selective-prediction stacks
+    use): given a CALIBRATION set of correctly-linked examples'
+    confidence scores, the per-class threshold is the
+    max(1, floor(alpha * (n + 1)))-th smallest score — rejecting
+    (NIL-ing) future examples below it mis-rejects true links with
+    probability <= alpha, assuming exchangeability, with NO
+    distributional assumption. The principled replacement for the
+    reference's hand-tuned confidence cutoffs (D10's filter chain).
+
+    -> (label, n, threshold): one row per class; classes whose
+    calibration set is too small for the alpha (floor = 0) return the
+    minimum score (never reject — the conservative degenerate case).
+
+    Scale shape: one per-class rank window over the calibration set
+    (eval-sized, not corpus-sized) + one filter; exact rank
+    arithmetic, engine-deterministic like event_quantiles.
+    """
+    from pyspark.sql import Window
+
+    if not (0.0 < alpha < 1.0):
+        raise ValueError("alpha must be in (0, 1)")
+    w = Window.partitionBy(label_col).orderBy(F.col(score_col).asc())
+    ranked = (
+        calibration.select(label_col, score_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(Window.partitionBy(label_col)))
+    )
+    pick = F.greatest(
+        F.lit(1), F.floor(F.lit(alpha) * (F.col("_n") + 1)).cast("long")
+    )
+    return ranked.filter(F.col("_rn") == pick).select(
+        label_col,
+        F.col("_n").cast("long").alias("n"),
+        F.col(score_col).alias("threshold"),
+    )

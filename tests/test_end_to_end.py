@@ -157,3 +157,21 @@ def test_label_noise_estimate_thresholds(spark):
     assert got[("cat", "dog")] == (2, 1, 0.65)
     # cat threshold = mean(.9, .99) = .945
     assert got[("dog", "cat")] == (1, 1, 0.945)
+
+
+def test_conformal_thresholds_rank_pick(spark):
+    import pytest
+
+    from dbpedia_spotlight_spark.pipeline.evaluate import conformal_thresholds
+
+    rows = [("PER", i / 100.0) for i in range(1, 100)] + [
+        ("ORG", 0.5), ("ORG", 0.9),
+    ]
+    d = spark.createDataFrame(rows, "label string, score double")
+    got = {r.label: (r.n, r.threshold) for r in conformal_thresholds(d, alpha=0.1).collect()}
+    # PER: floor(0.1 * 100) = 10 -> 10th smallest = 0.10
+    assert got["PER"] == (99, 0.1)
+    # tiny class: degenerate pick = min score (never reject)
+    assert got["ORG"] == (2, 0.5)
+    with pytest.raises(ValueError):
+        conformal_thresholds(d, alpha=0.0)

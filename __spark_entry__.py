@@ -6718,12 +6718,40 @@ def q_conformal_nil(spark, sf_dir):
     return conformal_thresholds(calib, alpha=0.1)
 
 
+def q_textrank_summary(spark, sf_dir):
+    """TextRank extractive summaries (datapipe/textstats.py:
+    textrank_summaries — sentence graph with Jaccard weights, damped
+    weighted PageRank run ENTIRELY in integer fixed point so ranks are
+    bit-identical on any engine; all joins doc-keyed): corpus texts
+    re-chunked into 7-token sentences, top-2 per doc after 3
+    iterations. Oracle = the identical integer algebra, 3 rounds
+    unrolled."""
+    from dbpedia_spotlight_spark.datapipe.textstats import (
+        textrank_summaries,
+        words_col,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = words_col(F.col("text"))
+    n_sent = (F.ceil(F.size(w) / 7.0)).cast("int")
+    text2 = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_sent - 1),
+            lambda j: F.array_join(F.slice(w, j * 7 + 1, 7), " "),
+        ),
+        ". ",
+    )
+    sentenced = docs.select("doc_id", text2.alias("text"))
+    return textrank_summaries(sentenced, top_k=2, iterations=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "textrank_summary": q_textrank_summary,
         "conformal_nil": q_conformal_nil,
         "acronym_mine": q_acronym_mine,
         "hearst_isa": q_hearst_isa,
@@ -7774,6 +7802,102 @@ WITH snap AS (
 SELECT DISTINCT s.subj AS o, p.obj AS p
 FROM snap s JOIN snap p ON p.subj = s.subj AND p.pred = 'priority'
 WHERE s.pred = 'status' AND s.obj = 'F'
+"""
+
+    # textrank_summary: identical integer fixed-point PageRank, the
+    # three rounds unrolled.
+    sql["textrank_summary"] = r"""
+WITH w0 AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS words
+  FROM documents
+),
+t2 AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(
+             generate_series(0, cast(ceil(len(words) / 7.0) AS INT) - 1),
+             j -> array_to_string(
+                    list_slice(words, j * 7 + 1, j * 7 + 7), ' ')),
+           '. ') AS text
+  FROM w0
+),
+sarr AS (
+  SELECT doc_id AS doc, regexp_split_to_array(text, '\. ') AS arr FROM t2
+),
+sents AS (
+  SELECT doc, i - 1 AS sid, arr[i] AS sentence,
+         list_distinct(regexp_split_to_array(trim(lower(arr[i])), '\s+'))
+           AS toks
+  FROM (SELECT doc, arr, unnest(generate_series(1, len(arr))) AS i
+        FROM sarr)
+  WHERE trim(arr[i]) <> ''
+),
+e AS (
+  SELECT a.doc, a.sid AS u, b.sid AS v,
+         (1000000::BIGINT * len(list_intersect(a.toks, b.toks)))
+           // len(list_distinct(list_concat(a.toks, b.toks))) AS w
+  FROM sents a JOIN sents b ON b.doc = a.doc AND a.sid <> b.sid
+  WHERE (1000000::BIGINT * len(list_intersect(a.toks, b.toks)))
+          // len(list_distinct(list_concat(a.toks, b.toks))) > 0
+),
+ow AS (SELECT doc, u, sum(w) AS wsum FROM e GROUP BY doc, u),
+nd AS (SELECT doc, count(*) AS n FROM sents GROUP BY doc),
+p0 AS (
+  SELECT s.doc, s.sid, 1000000000::BIGINT // nd.n AS p, nd.n
+  FROM sents s JOIN nd ON nd.doc = s.doc
+),
+c1 AS (
+  SELECT e.doc, e.v AS sid, sum((e.w * p.p) // ow.wsum) AS inm
+  FROM e
+  JOIN p0 p ON p.doc = e.doc AND p.sid = e.u
+  JOIN ow ON ow.doc = e.doc AND ow.u = e.u
+  GROUP BY e.doc, e.v
+),
+p1 AS (
+  SELECT p.doc, p.sid,
+         (1000000000::BIGINT * 15) // (100 * p.n)
+           + (85 * coalesce(c.inm, 0)) // 100 AS p,
+         p.n
+  FROM p0 p LEFT JOIN c1 c ON c.doc = p.doc AND c.sid = p.sid
+),
+c2 AS (
+  SELECT e.doc, e.v AS sid, sum((e.w * p.p) // ow.wsum) AS inm
+  FROM e
+  JOIN p1 p ON p.doc = e.doc AND p.sid = e.u
+  JOIN ow ON ow.doc = e.doc AND ow.u = e.u
+  GROUP BY e.doc, e.v
+),
+p2 AS (
+  SELECT p.doc, p.sid,
+         (1000000000::BIGINT * 15) // (100 * p.n)
+           + (85 * coalesce(c.inm, 0)) // 100 AS p,
+         p.n
+  FROM p1 p LEFT JOIN c2 c ON c.doc = p.doc AND c.sid = p.sid
+),
+c3 AS (
+  SELECT e.doc, e.v AS sid, sum((e.w * p.p) // ow.wsum) AS inm
+  FROM e
+  JOIN p2 p ON p.doc = e.doc AND p.sid = e.u
+  JOIN ow ON ow.doc = e.doc AND ow.u = e.u
+  GROUP BY e.doc, e.v
+),
+p3 AS (
+  SELECT p.doc, p.sid,
+         (1000000000::BIGINT * 15) // (100 * p.n)
+           + (85 * coalesce(c.inm, 0)) // 100 AS p,
+         p.n
+  FROM p2 p LEFT JOIN c3 c ON c.doc = p.doc AND c.sid = p.sid
+)
+SELECT p.doc AS doc_id, p.sid, s.sentence,
+       p.p::DOUBLE / 1000000000 AS score, rnk AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc ORDER BY p DESC, sid ASC) AS rnk
+  FROM p3
+) p
+JOIN sents s ON s.doc = p.doc AND s.sid = p.sid
+WHERE rnk <= 2
 """
 
     # conformal_nil: identical rank-pick arithmetic.

@@ -754,3 +754,126 @@ def word_dropout(
         ).alias("text"),
         F.sum(F.col("_drop").cast("long")).alias("n_dropped"),
     )
+
+
+def textrank_summaries(
+    docs: DataFrame,
+    top_k: int = 2,
+    iterations: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Extractive summarization via TextRank (Mihalcea & Tarau, EMNLP
+    2004): sentences are nodes, token-overlap Jaccard the edge
+    weights, and a damped weighted PageRank picks each document's
+    `top_k` central sentences — the unsupervised summary/centrality
+    signal a pretraining pipeline uses for document previews and
+    salience-weighted sampling, with no model in the loop.
+
+    Sentences split on '. ' (the terminator stays off all but the last
+    sentence — ranking is unaffected; an upstream segmenter
+    generalizes it). Single-sentence documents return that sentence
+    carrying only the (1-d) base mass (0.15 — no neighbors to vote).
+
+    The ENTIRE iteration runs in integer fixed point (Jaccard weights
+    in 1e6 units, rank mass in 1e9 units, every division an explicit
+    integer div) — bit-identical on any engine and partitioning, the
+    neighborhood_aggregate scale= discipline applied to PageRank:
+    p_v <- (S*15) div (100*n_d) + (85 * Σ_u (w_uv * p_u div W_u))
+    div 100, with W_u = u's total outgoing weight (column wsum).
+
+    -> (doc_id, sid, sentence, score, rank): rank 1..top_k by
+    (fixed-point score desc, sid asc); score = the integer mass / 1e9.
+
+    Scale shape: ALL joins and windows key on the doc id (sentence
+    counts per doc are small constants); the pair join is per-doc
+    |s|², the price every sentence-graph method pays, bounded by
+    max-sentences-per-doc — never cross-document. `iterations` is a
+    small constant; each round is one join + one groupBy.
+    """
+    S = 1_000_000_000
+    WS = 1_000_000
+    sents = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(F.split(F.col(text_col), r"\. ")).alias(
+                "sid", "sentence"
+            ),
+        )
+        .filter(F.trim(F.col("sentence")) != "")
+        .withColumn(
+            "toks",
+            F.array_distinct(words_col(F.col("sentence"))),
+        )
+    )
+    a = sents.select(
+        "doc", F.col("sid").alias("u"), F.col("toks").alias("_tu")
+    )
+    b = sents.select(
+        "doc", F.col("sid").alias("v"), F.col("toks").alias("_tv")
+    )
+    edges = (
+        a.join(b, "doc")
+        .filter(F.col("u") != F.col("v"))
+        .withColumn(
+            "w",
+            (
+                F.lit(WS)
+                * F.size(F.array_intersect("_tu", "_tv"))
+                / F.size(F.array_union("_tu", "_tv"))
+            ).cast("long"),
+        )
+        .filter(F.col("w") > 0)
+        .select("doc", "u", "v", "w")
+        .localCheckpoint(eager=False)
+    )
+    out_w = edges.groupBy("doc", "u").agg(F.sum("w").alias("wsum"))
+    n_d = sents.groupBy("doc").agg(F.count("*").alias("n"))
+    p = sents.select("doc", "sid").join(n_d, "doc").select(
+        "doc", "sid", F.expr(f"{S} div n").alias("p"), "n"
+    )
+    for _ in range(iterations):
+        contrib = (
+            edges.join(
+                p.select("doc", F.col("sid").alias("u"), F.col("p")),
+                ["doc", "u"],
+            )
+            .join(out_w, ["doc", "u"])
+            .select(
+                "doc",
+                F.col("v").alias("sid"),
+                F.expr("(w * p) div wsum").alias("_c"),
+            )
+            .groupBy("doc", "sid")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        p = (
+            p.join(contrib, ["doc", "sid"], "left")
+            .select(
+                "doc",
+                "sid",
+                F.expr(
+                    f"({S}::long * 15) div (100 * n) "
+                    "+ (85 * coalesce(_in, 0)) div 100"
+                ).alias("p"),
+                "n",
+            )
+            .localCheckpoint(eager=False)
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc").orderBy(
+        F.col("p").desc(), F.col("sid").asc()
+    )
+    return (
+        p.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .join(sents.select("doc", "sid", "sentence"), ["doc", "sid"])
+        .select(
+            F.col("doc").alias(id_col),
+            "sid",
+            "sentence",
+            (F.col("p").cast("double") / S).alias("score"),
+            "rank",
+        )
+    )

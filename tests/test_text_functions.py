@@ -240,3 +240,28 @@ def test_word_dropout_deterministic_ordered(spark):
     assert r0.n_dropped == 0 and r0.text == " ".join(orig)
     with pytest.raises(ValueError):
         word_dropout(d, 1.0)
+
+
+def test_textrank_summaries_central_sentences(spark):
+    from dbpedia_spotlight_spark.datapipe.textstats import textrank_summaries
+
+    d = spark.createDataFrame(
+        [(1, "the cat sat on the mat. the cat ate food. dogs bark loudly. "
+             "the mat was red. unrelated words entirely here"),
+         (2, "single sentence only")],
+        "doc_id int, text string",
+    )
+    out = textrank_summaries(d, top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: the overlapping cat/mat sentences outrank the isolated one
+    top = sorted(by_doc[1], key=lambda r: r.rank)
+    assert top[0].sentence == "the cat sat on the mat"
+    assert all("unrelated" not in r.sentence for r in top)
+    # single-sentence doc: that sentence, base (1-d) mass only
+    assert by_doc[2][0].sentence == "single sentence only"
+    assert by_doc[2][0].score == 0.15
+    # deterministic across runs (integer fixed point)
+    again = {(r.doc_id, r.sid, r.score) for r in textrank_summaries(d, top_k=2).collect()}
+    assert again == {(r.doc_id, r.sid, r.score) for r in out}

@@ -97,6 +97,10 @@ HEADLINE = [
     "temperature_mix",
     "contrastive_mine",
     "vocab_zipf",
+    "kg_edit_join",
+    "distant_supervision",
+    "mask_entities",
+    "textrank_summary",
 ]
 
 

@@ -6745,12 +6745,58 @@ def q_textrank_summary(spark, sf_dir):
     return textrank_summaries(sentenced, top_k=2, iterations=3)
 
 
+def q_blocklist_screen(spark, sf_dir):
+    """Blocklist screening (datapipe/textstats.py:blocklist_filter —
+    literal broadcast term array, one codegen intersection per row,
+    matched terms reported for the audit trail): documents with a
+    deterministic injected policy term on every 5th doc. Oracle = the
+    same list algebra; the matched array is emitted comma-joined so
+    the value hash is representation-stable."""
+    from dbpedia_spotlight_spark.datapipe.textstats import blocklist_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" forbidden topic verboten")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = blocklist_filter(injected, ["forbidden", "verboten", "absent"])
+    return out.select(
+        "doc_id", "blocked", F.array_join("matched", ",").alias("matched")
+    )
+
+
+def q_dedup_audit(spark, sf_dir):
+    """Dedup-path audit (datapipe/dedup.py:dedup_audit — pair-level
+    recall/precision of the banded MinHash path against the LOSSLESS
+    prefix-filter join at identical shingle/threshold settings; at
+    test scale verification makes both exact, which this query PINS):
+    k=5 shingles at Jaccard 0.8. Oracle = the brute-force pair set on
+    both sides of the same audit algebra."""
+    from dbpedia_spotlight_spark.datapipe.dedup import (
+        dedup_audit,
+        minhash_near_duplicates,
+        prefix_filter_jaccard_join,
+    )
+
+    docs = _docs(spark, sf_dir)
+    approx = minhash_near_duplicates(docs, threshold=0.8)
+    exact = prefix_filter_jaccard_join(docs, shingle_k=5, threshold=0.8)
+    return dedup_audit(approx, exact)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "blocklist_screen": q_blocklist_screen,
+        "dedup_audit": q_dedup_audit,
         "textrank_summary": q_textrank_summary,
         "conformal_nil": q_conformal_nil,
         "acronym_mine": q_acronym_mine,
@@ -7802,6 +7848,24 @@ WITH snap AS (
 SELECT DISTINCT s.subj AS o, p.obj AS p
 FROM snap s JOIN snap p ON p.subj = s.subj AND p.pred = 'priority'
 WHERE s.pred = 'status' AND s.obj = 'F'
+"""
+
+    # blocklist_screen: identical list algebra, comma-joined matches.
+    sql["blocklist_screen"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' forbidden topic verboten' ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(list_sort(list_intersect(
+         list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')),
+         ['absent', 'forbidden', 'verboten']))) > 0 AS blocked,
+       coalesce(array_to_string(list_sort(list_intersect(
+         list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')),
+         ['absent', 'forbidden', 'verboten'])), ','), '') AS matched
+FROM t
 """
 
     # textrank_summary: identical integer fixed-point PageRank, the
@@ -13812,5 +13876,27 @@ FROM ex
 LEFT JOIN ap ON ap.query_id = ex.query_id AND ap.cand_id = ex.cand_id
 GROUP BY ex.query_id
 """
+
+    # dedup_audit: at test scale both dedup paths equal the exact
+    # brute-force pair set (vp), so the audit row is its self-join.
+    sql["dedup_audit"] = (
+        "WITH "
+        + _SH_SETS.lstrip()
+        + """,
+ex AS (SELECT least(a, b) AS a, greatest(a, b) AS b FROM vp),
+stats AS (
+  SELECT (SELECT count(*) FROM ex) AS n_exact,
+         (SELECT count(*) FROM ex) AS n_approx,
+         (SELECT count(*) FROM ex) AS n_hit
+)
+SELECT n_exact::BIGINT AS n_exact, n_approx::BIGINT AS n_approx,
+       n_hit::BIGINT AS n_hit,
+       round(CASE WHEN n_exact > 0 THEN n_hit::DOUBLE / n_exact END, 6)
+         AS recall,
+       round(CASE WHEN n_approx > 0 THEN n_hit::DOUBLE / n_approx END, 6)
+         AS precision
+FROM stats
+"""
+    )
 
     return sql

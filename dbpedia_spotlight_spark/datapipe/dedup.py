@@ -1080,3 +1080,52 @@ def incremental_exact_dedup(
     return joined.select(
         "doc_id", reason.isNull().alias("keep"), reason.alias("reason")
     )
+
+
+def dedup_audit(
+    approx_pairs: DataFrame,
+    exact_pairs: DataFrame,
+) -> DataFrame:
+    """Pair-level audit of an approximate dedup path against exact
+    ground truth (the ann_recall methodology applied to near-dup
+    detection): how many true duplicate pairs did the banded/capped
+    path find (recall), and how many of its reported pairs are real
+    (precision)? At test scale LSH-with-verification should hit
+    1.0/1.0; at 100 TB the bucket caps trade recall for boundedness —
+    this is the operator that MEASURES that trade instead of assuming
+    it.
+
+    Both inputs are (a, b, ...) pair tables; orientation is
+    canonicalized internally. -> one row: (n_exact, n_approx, n_hit,
+    recall round 6, precision round 6); empty sides yield NULL rates
+    rather than dividing by zero.
+
+    Scale shape: two distinct canonicalizations + ONE equi-join on
+    the pair key + scalar aggregates. Nothing quadratic.
+    """
+
+    def canon(df):
+        return df.select(
+            F.least(F.col("a"), F.col("b")).alias("a"),
+            F.greatest(F.col("a"), F.col("b")).alias("b"),
+        ).distinct()
+
+    ap, ex = canon(approx_pairs), canon(exact_pairs)
+    hit = ex.join(ap, ["a", "b"], "left_semi")
+    n_ex = ex.agg(F.count("*").alias("n_exact"))
+    n_ap = ap.agg(F.count("*").alias("n_approx"))
+    n_hit = hit.agg(F.count("*").alias("n_hit"))
+    row = n_ex.crossJoin(n_ap).crossJoin(n_hit)
+    return row.select(
+        "n_exact",
+        "n_approx",
+        "n_hit",
+        F.round(
+            F.when(F.col("n_exact") > 0, F.col("n_hit") / F.col("n_exact")),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.when(F.col("n_approx") > 0, F.col("n_hit") / F.col("n_approx")),
+            6,
+        ).alias("precision"),
+    )

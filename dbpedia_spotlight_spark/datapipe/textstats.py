@@ -877,3 +877,33 @@ def textrank_summaries(
             "rank",
         )
     )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Blocklist screening — the unglamorous filter every production
+    corpus pipeline runs first (policy terms, PII keywords, site
+    boilerplate markers): flag documents whose token set intersects a
+    term list, and report WHICH terms hit (the audit trail content
+    moderation requires, not just a boolean).
+
+    -> docs + (blocked boolean, matched array<string> sorted). Matching
+    is exact on lowercased whitespace tokens — substring/fuzzy policy
+    belongs upstream in normalization, not hidden in the filter.
+
+    Scale shape: the term list broadcasts as a LITERAL array (policy
+    lists are thousands of terms, not millions); the intersection is
+    one codegen array op per row — no join, no shuffle, no UDF.
+    """
+    if not terms:
+        raise ValueError("blocklist_filter needs >= 1 term")
+    dim = F.array(*[F.lit(t.lower()) for t in sorted(set(terms))])
+    matched = F.array_sort(
+        F.array_intersect(F.array_distinct(words_col(F.col(text_col))), dim)
+    )
+    return docs.withColumn("matched", matched).withColumn(
+        "blocked", F.size("matched") > 0
+    )

@@ -2003,3 +2003,40 @@ def test_harmonic_pack_no_split_invariants(spark):
         assert r.bin_offset >= 0 and r.bin_offset + r.n_tok <= 32
     with pytest.raises(ValueError):
         harmonic_pack(docs, 0)
+
+
+def test_blocklist_filter_matches(spark):
+    import pytest
+
+    from dbpedia_spotlight_spark.datapipe.textstats import blocklist_filter
+
+    d = spark.createDataFrame(
+        [(1, "a clean doc"), (2, "contains BADWORD and worse here")],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: (r.blocked, list(r.matched))
+        for r in blocklist_filter(d, ["badword", "worse", "absent"]).collect()
+    }
+    assert got[1] == (False, [])
+    assert got[2] == (True, ["badword", "worse"])
+    with pytest.raises(ValueError):
+        blocklist_filter(d, [])
+
+
+def test_dedup_audit_recall_precision(spark):
+    from dbpedia_spotlight_spark.datapipe.dedup import dedup_audit
+
+    ap = spark.createDataFrame(
+        [("x", "y"), ("q", "p"), ("z", "w")], "a string, b string"
+    )
+    ex = spark.createDataFrame(
+        [("y", "x"), ("p", "q"), ("m", "n")], "a string, b string"
+    )
+    r = dedup_audit(ap, ex).collect()[0]
+    # orientation canonicalized: (x,y)/(y,x) and (q,p)/(p,q) match
+    assert (r.n_exact, r.n_approx, r.n_hit) == (3, 3, 2)
+    assert r.recall == r.precision == 0.666667
+    # empty exact side -> NULL rate, not a division error
+    r2 = dedup_audit(ap, ex.limit(0)).collect()[0]
+    assert r2.n_exact == 0 and r2.recall is None

@@ -6789,12 +6789,35 @@ def q_dedup_audit(spark, sf_dir):
     return dedup_audit(approx, exact)
 
 
+def q_feature_hash(spark, sf_dir):
+    """Hashing-trick featurization (datapipe/textstats.py:
+    feature_hash — token -> ±1 at md5 mod dim, no vocabulary build,
+    one groupBy + one per-doc sorted collect): sparse vectors over
+    documents at dim 1024; arrays serialized comma-joined so the value
+    hash is representation-stable across engines. Oracle = the same
+    hash arithmetic + ordered string assembly."""
+    from dbpedia_spotlight_spark.datapipe.textstats import feature_hash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = feature_hash(docs, dim=1024)
+    return out.select(
+        "doc_id",
+        F.array_join(F.transform("indices", lambda x: x.cast("string")), ",")
+        .alias("indices"),
+        F.array_join(
+            F.transform("values", lambda x: x.cast("long").cast("string")),
+            ",",
+        ).alias("values"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "feature_hash": q_feature_hash,
         "blocklist_screen": q_blocklist_screen,
         "dedup_audit": q_dedup_audit,
         "textrank_summary": q_textrank_summary,
@@ -7848,6 +7871,32 @@ WITH snap AS (
 SELECT DISTINCT s.subj AS o, p.obj AS p
 FROM snap s JOIN snap p ON p.subj = s.subj AND p.pred = 'priority'
 WHERE s.pred = 'status' AND s.obj = 'F'
+"""
+
+    # feature_hash: identical md5 index/sign arithmetic.
+    sql["feature_hash"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(token), 1, 12))::BIGINT % 1024 AS i,
+         CASE WHEN (('0x' || substr(md5(token), 1, 12))::BIGINT // 1024)
+                   % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM toks
+),
+summed AS (
+  SELECT doc_id, i, sum(s)::BIGINT AS v
+  FROM hashed GROUP BY doc_id, i
+  HAVING sum(s) <> 0
+)
+SELECT doc_id,
+       string_agg(i::VARCHAR, ',' ORDER BY i) AS indices,
+       string_agg(v::VARCHAR, ',' ORDER BY i) AS "values"
+FROM summed GROUP BY doc_id
 """
 
     # blocklist_screen: identical list algebra, comma-joined matches.

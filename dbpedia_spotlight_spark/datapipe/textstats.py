@@ -907,3 +907,57 @@ def blocklist_filter(
     return docs.withColumn("matched", matched).withColumn(
         "blocked", F.size("matched") > 0
     )
+
+
+def feature_hash(
+    docs: DataFrame,
+    dim: int = 1 << 18,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The hashing trick (Weinberger et al., ICML 2009 — the
+    vocabulary-free featurizer of Vowpal Wabbit and every
+    fasttext-style linear classifier): token t contributes ±1 to
+    index md5(t) mod dim, the sign from an independent hash bit, so
+    features need NO vocabulary table, NO fitting pass, and collide
+    unbiasedly. Deterministic and engine-replayable (the md5
+    discipline of the sampling operators applied to featurization).
+
+    -> (doc_id, indices array<long> sorted ascending, values
+    array<double>) — the sparse vector a downstream trainer consumes;
+    zero-sum collided features are dropped (true sparse form).
+
+    Scale shape: one explode + ONE (doc, index) groupBy (map-side
+    combinable) + one per-doc sorted collect; no vocabulary build, no
+    join, no driver state — the entire point of the trick at corpus
+    scale.
+    """
+    if dim < 2:
+        raise ValueError("dim must be >= 2")
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(words_col(F.col(text_col))).alias("token"),
+    )
+    h = F.conv(F.substring(F.md5("token"), 1, 12), 16, 10).cast("long")
+    idx = F.pmod(h, F.lit(dim))
+    sign = F.when(F.pmod(F.floor(h / dim).cast("long"), 2) == 0, 1.0).otherwise(-1.0)
+    summed = (
+        toks.withColumn("_i", idx)
+        .withColumn("_s", sign)
+        .groupBy(id_col, "_i")
+        .agg(F.sum("_s").alias("_v"))
+        .filter(F.col("_v") != 0.0)
+    )
+    return (
+        summed.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_i"), F.col("_v")))
+            ).alias("_z")
+        )
+        .select(
+            id_col,
+            F.transform(F.col("_z"), lambda s: s["_i"]).alias("indices"),
+            F.transform(F.col("_z"), lambda s: s["_v"]).alias("values"),
+        )
+    )

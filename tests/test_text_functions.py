@@ -265,3 +265,27 @@ def test_textrank_summaries_central_sentences(spark):
     # deterministic across runs (integer fixed point)
     again = {(r.doc_id, r.sid, r.score) for r in textrank_summaries(d, top_k=2).collect()}
     assert again == {(r.doc_id, r.sid, r.score) for r in out}
+
+
+def test_feature_hash_signed_collisions(spark):
+    import pytest
+
+    from dbpedia_spotlight_spark.datapipe.textstats import feature_hash
+
+    d = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a")], "doc_id int, text string"
+    )
+    got = {r.doc_id: (list(r.indices), list(r.values)) for r in feature_hash(d, dim=16).collect()}
+    # doc 1: 'a' twice -> |value| 2 at a's index; indices sorted
+    idx1, val1 = got[1]
+    assert idx1 == sorted(idx1) and len(idx1) == len(set(idx1))
+    assert 2.0 in [abs(v) for v in val1]
+    # same token, same index/sign across docs
+    idx2, val2 = got[2]
+    a_idx = idx2[0]
+    a_val = val2[0]
+    assert a_idx in idx1 and val1[idx1.index(a_idx)] == 2 * a_val
+    # deterministic
+    assert got == {r.doc_id: (list(r.indices), list(r.values)) for r in feature_hash(d, dim=16).collect()}
+    with pytest.raises(ValueError):
+        feature_hash(d, dim=1)

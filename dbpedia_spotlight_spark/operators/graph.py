@@ -1969,3 +1969,51 @@ def induced_subgraph_sample(
         )
 
     return edges.filter(keep("src") & keep("dst"))
+
+
+def directed_profile(edges: DataFrame) -> DataFrame:
+    """One-row DIRECTED-graph profile — the orientation-aware numbers
+    graph_summary (deliberately undirected) does not report, and the
+    first sanity read on an extracted relation graph: reciprocity
+    (asserted both ways — in a citation-style predicate high
+    reciprocity usually means extraction noise), self-loop count, and
+    pure source/sink counts.
+
+    -> (n_edges, n_self_loops, n_reciprocal, reciprocity round 6,
+    n_sources, n_sinks): n_reciprocal counts ordered edges whose
+    reverse exists (a<->b contributes 2); sources have out-edges but
+    no in-edges, sinks the converse; self-loops are excluded from all
+    reciprocity/source/sink math and reported separately.
+
+    Scale shape: one distinct, ONE self-equi-join on the reversed key
+    for reciprocity (hash join on (src, dst) — never nested-loop),
+    two anti-joins for sources/sinks, scalar aggregates only.
+    """
+    e = edges.select("src", "dst").distinct()
+    loops = e.filter(F.col("src") == F.col("dst"))
+    clean = e.filter(F.col("src") != F.col("dst"))
+    rev = clean.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    recip = clean.join(rev, ["src", "dst"], "left_semi")
+    srcs = clean.select("src").distinct()
+    dsts = clean.select(F.col("dst").alias("src")).distinct()
+    sources = srcs.join(dsts, "src", "left_anti")
+    sinks = dsts.join(srcs, "src", "left_anti")
+    n_e = clean.count()
+    n_r = recip.count()
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n_e,
+                loops.count(),
+                n_r,
+                round(n_r / n_e, 6) if n_e else 0.0,
+                sources.count(),
+                sinks.count(),
+            )
+        ],
+        "n_edges long, n_self_loops long, n_reciprocal long, "
+        "reciprocity double, n_sources long, n_sinks long",
+    )

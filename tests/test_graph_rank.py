@@ -351,3 +351,17 @@ def test_induced_subgraph_sample_deterministic(spark):
     assert induced_subgraph_sample(e, 1.0).count() == 300
     with pytest.raises(ValueError):
         induced_subgraph_sample(e, 0.0)
+
+
+def test_directed_profile_metrics(spark):
+    from dbpedia_spotlight_spark.operators.graph import directed_profile
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("c", "d"), ("x", "x")],
+        "src string, dst string",
+    )
+    r = directed_profile(e).collect()[0]
+    assert (r.n_edges, r.n_self_loops, r.n_reciprocal) == (4, 1, 2)
+    assert r.reciprocity == 0.5
+    # a has an in-edge from b, so the only pure sink is d; no pure source
+    assert (r.n_sources, r.n_sinks) == (0, 1)

@@ -6828,12 +6828,35 @@ def q_kg_directed_profile(spark, sf_dir):
     return directed_profile(edges)
 
 
+def q_kg_winsorize(spark, sf_dir):
+    """Numeric-literal winsorization (operators/kglayout.py:
+    winsorize_literals — exact rank-arithmetic quantile bands per
+    predicate, broadcast band dim, codegen clamp; the repair half of
+    kg_literal_outliers): lineitem quantities with injected 100x unit
+    errors clamped back into the [p5, p95] band. Oracle = the same
+    rank band + clamp."""
+    from dbpedia_spotlight_spark.operators.kglayout import winsorize_literals
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    t = li.select(
+        F.concat(F.lit("l"), F.col("l_orderkey"), F.lit("_"),
+                 F.col("l_linenumber")).alias("subj"),
+        F.lit("qty").alias("pred"),
+        (
+            F.col("l_quantity").cast("double")
+            * F.when(F.col("l_orderkey") % 97 == 0, 100.0).otherwise(1.0)
+        ).cast("string").alias("obj"),
+    )
+    return winsorize_literals(t)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "kg_winsorize": q_kg_winsorize,
         "kg_directed_profile": q_kg_directed_profile,
         "feature_hash": q_feature_hash,
         "blocklist_screen": q_blocklist_screen,
@@ -7889,6 +7912,34 @@ WITH snap AS (
 SELECT DISTINCT s.subj AS o, p.obj AS p
 FROM snap s JOIN snap p ON p.subj = s.subj AND p.pred = 'priority'
 WHERE s.pred = 'status' AND s.obj = 'F'
+"""
+
+    # kg_winsorize: same rank band + clamp.
+    sql["kg_winsorize"] = """
+WITH vals AS (
+  SELECT 'l' || l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR
+           AS subj,
+         'qty' AS pred,
+         l_quantity::DOUBLE
+           * (CASE WHEN l_orderkey % 97 = 0 THEN 100.0 ELSE 1.0 END)
+           AS value
+  FROM lineitem
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY pred ORDER BY value ASC) AS rn,
+         count(*) OVER (PARTITION BY pred) AS n
+  FROM vals
+),
+band AS (
+  SELECT pred,
+         max(CASE WHEN rn = ceil(0.05 * n) THEN value END) AS lo,
+         max(CASE WHEN rn = ceil(0.95 * n) THEN value END) AS hi
+  FROM ranked GROUP BY pred
+)
+SELECT v.subj, v.pred, v.value,
+       least(greatest(v.value, b.lo), b.hi) AS clamped_value,
+       (v.value < b.lo OR v.value > b.hi) AS clamped
+FROM vals v JOIN band b ON b.pred = v.pred
 """
 
     # kg_directed_profile: same reciprocity/source/sink set algebra.

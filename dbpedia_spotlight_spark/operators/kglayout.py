@@ -785,3 +785,69 @@ def star_cardinality_check(
     return out.select(
         "n_subjects_exact", "est", "true_n", q.alias("q_error")
     )
+
+
+def winsorize_literals(
+    triples: DataFrame,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> DataFrame:
+    """Winsorize numeric literals per predicate — the REPAIR half of
+    numeric_literal_outliers (which only detects): clamp each
+    predicate's values to its [lo_q, hi_q] quantile band, the standard
+    robust-statistics cleanup before aggregating extracted numbers
+    (one '10000x unit error' otherwise owns the predicate's mean).
+    Quantiles are EXACT values at rank ceil(q·n) of the per-predicate
+    order (the event_quantiles rank arithmetic — engine-deterministic,
+    no interpolation).
+
+    -> (subj, pred, value, clamped_value, clamped boolean): numeric
+    rows only (non-numeric objects are not value errors, they're a
+    different predicate — filtered out).
+
+    Scale shape: one per-pred rank window over numeric rows (the
+    exact-quantile cost), the two band values kept as per-pred columns
+    via a conditional max — no collect; clamping is per-row codegen.
+    """
+    from pyspark.sql import Window
+
+    if not (0.0 < lo_q < hi_q <= 1.0):
+        raise ValueError("need 0 < lo_q < hi_q <= 1")
+    vals = triples.select(
+        "subj", "pred", F.col("obj").try_cast("double").alias("value")
+    ).filter(F.col("value").isNotNull())
+    w = Window.partitionBy("pred").orderBy(F.col("value").asc())
+    ranked = vals.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count("*").over(Window.partitionBy("pred"))
+    )
+    band = (
+        ranked.groupBy("pred")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("_rn") == F.ceil(F.lit(lo_q) * F.col("_n")),
+                    F.col("value"),
+                )
+            ).alias("_lo"),
+            F.max(
+                F.when(
+                    F.col("_rn") == F.ceil(F.lit(hi_q) * F.col("_n")),
+                    F.col("value"),
+                )
+            ).alias("_hi"),
+        )
+    )
+    return (
+        vals.join(F.broadcast(band), "pred")
+        .select(
+            "subj",
+            "pred",
+            "value",
+            F.least(F.greatest(F.col("value"), F.col("_lo")), F.col("_hi"))
+            .alias("clamped_value"),
+            (
+                (F.col("value") < F.col("_lo"))
+                | (F.col("value") > F.col("_hi"))
+            ).alias("clamped"),
+        )
+    )

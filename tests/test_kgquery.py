@@ -2353,3 +2353,24 @@ def test_star_cardinality_check_exact_when_uniform(spark):
     # subjects missing a query predicate never count
     r2 = star_cardinality_check(t, ["name", "age"]).collect()[0]
     assert r2.n_subjects_exact == 15 and r2.true_n == 15 and r2.q_error == 1.0
+
+
+def test_winsorize_literals_clamps_unit_errors(spark):
+    import pytest
+
+    from dbpedia_spotlight_spark.operators.kglayout import winsorize_literals
+
+    rows = [("e%d" % i, "height", str(float(150 + i))) for i in range(100)] + [
+        ("bad", "height", "99999.0"), ("nn", "height", "junk"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = winsorize_literals(t)
+    r = {x.subj: x for x in out.collect()}
+    # the unit error clamps to the p95 band edge and is flagged
+    assert r["bad"].clamped and r["bad"].clamped_value < 1000
+    # non-numeric rows are excluded, mid-band values untouched
+    assert "nn" not in r
+    mid = r["e50"]
+    assert not mid.clamped and mid.clamped_value == mid.value
+    with pytest.raises(ValueError):
+        winsorize_literals(t, lo_q=0.9, hi_q=0.1)

@@ -2017,3 +2017,63 @@ def directed_profile(edges: DataFrame) -> DataFrame:
         "n_edges long, n_self_loops long, n_reciprocal long, "
         "reciprocity double, n_sources long, n_sinks long",
     )
+
+
+def topological_layers(
+    edges: DataFrame,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Longest-path topological layering of a DAG (the Kahn/Coffman-
+    Graham schedule view): layer(v) = 0 for nodes with no incoming
+    edge, else 1 + max over predecessors — the stage number at which a
+    task/derivation/ontology import can run once its prerequisites
+    are done. Raises on cycles (no node ever becomes layerable), the
+    correct behavior for a scheduler input rather than silently
+    looping.
+
+    ``edges``: (src, dst) meaning src BEFORE dst. -> (node, layer).
+
+    Scale shape per round: ONE join (current layers x edges) + ONE
+    groupBy-max + one anti-join, lineage truncated — the
+    taxonomy_profile relaxation restated for arbitrary DAGs; rounds
+    bounded by the longest path.
+    """
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    roots = nodes.join(
+        e.select(F.col("dst").alias("node")).distinct(), "node", "left_anti"
+    )
+    if roots.isEmpty():
+        raise ValueError("topological_layers: graph has no source (cycle)")
+    layer = roots.withColumn("layer", F.lit(0)).localCheckpoint()
+    for _ in range(max_rounds):
+        relaxed = (
+            layer.join(e, layer["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"), (F.col("layer") + 1).alias("layer")
+            )
+            .unionByName(layer)
+            .groupBy("node")
+            .agg(F.max("layer").alias("layer"))
+            .localCheckpoint()
+        )
+        same = (
+            relaxed.join(layer, ["node", "layer"], "left_anti").isEmpty()
+            and layer.join(relaxed, ["node", "layer"], "left_anti").isEmpty()
+        )
+        layer = relaxed
+        if same:
+            if layer.count() < nodes.count():
+                raise ValueError(
+                    "topological_layers: unreachable nodes (cycle "
+                    "component with no source)"
+                )
+            return layer
+    raise RuntimeError(
+        f"topological_layers did not converge in {max_rounds} rounds "
+        "(cycle or pathological depth)"
+    )

@@ -365,3 +365,30 @@ def test_directed_profile_metrics(spark):
     assert r.reciprocity == 0.5
     # a has an in-edge from b, so the only pure sink is d; no pure source
     assert (r.n_sources, r.n_sinks) == (0, 1)
+
+
+def test_topological_layers_and_cycles(spark):
+    import pytest
+
+    from dbpedia_spotlight_spark.operators.graph import topological_layers
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    got = {r.node: r.layer for r in topological_layers(e).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3}
+    with pytest.raises(ValueError):
+        topological_layers(
+            spark.createDataFrame(
+                [("x", "y"), ("y", "x")], "src string, dst string"
+            )
+        )
+    # cycle hanging off a DAG: sources exist but the cycle never layers
+    with pytest.raises(ValueError):
+        topological_layers(
+            spark.createDataFrame(
+                [("a", "b"), ("p", "q"), ("q", "p")],
+                "src string, dst string",
+            )
+        )

@@ -961,3 +961,67 @@ def feature_hash(
             F.transform(F.col("_z"), lambda s: s["_v"]).alias("values"),
         )
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty against everything EARLIER in
+    `id_col` order — "how much genuinely new content does each crawl
+    batch add" (the marginal-value curve behind dedup ROI and
+    crawl-scheduling decisions): a doc's novelty is the fraction of
+    its distinct n-grams whose FIRST corpus occurrence is this doc.
+    The first doc scores 1.0 by construction; a doc made entirely of
+    boilerplate seen before scores 0.0.
+
+    -> (doc_id, n_ngrams, n_new, novelty round 6); docs with fewer
+    than n tokens carry their whole text as one gram.
+
+    Scale shape: one explode to distinct (doc, gram) rows, ONE
+    groupBy(gram) for the min-doc owner, one join back + one
+    groupBy(doc) — all map-side-combinable hash aggregations keyed on
+    gram/doc; no windows, no driver state.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = F.col("_w")
+    grams = (
+        docs.select(
+            F.col(id_col),
+            words_col(F.col(text_col)).alias("_w"),
+        )
+        .select(
+            id_col,
+            F.explode(
+                F.when(
+                    F.size(toks) < n,
+                    F.array(F.array_join(toks, " ")),
+                ).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - n + 1),
+                        lambda i: F.array_join(F.slice(toks, i, n), " "),
+                    )
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    first = grams.groupBy("gram").agg(F.min(id_col).alias("_first"))
+    return (
+        grams.join(first, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_ngrams"),
+            F.sum((F.col("_first") == F.col(id_col)).cast("long"))
+            .alias("n_new"),
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            "n_new",
+            F.round(F.col("n_new") / F.col("n_ngrams"), 6).alias("novelty"),
+        )
+    )

@@ -289,3 +289,33 @@ def test_feature_hash_signed_collisions(spark):
     assert got == {r.doc_id: (list(r.indices), list(r.values)) for r in feature_hash(d, dim=16).collect()}
     with pytest.raises(ValueError):
         feature_hash(d, dim=1)
+
+
+def test_surface_ambiguity_entropy(spark):
+    import math
+
+    from dbpedia_spotlight_spark.operators.modelbuild import surface_ambiguity
+
+    p = spark.createDataFrame(
+        [("paris", "P_city", 90), ("paris", "P_person", 10), ("berlin", "B", 50)],
+        "surface_form string, uri string, pair_count long",
+    )
+    got = {r.surface_form: r for r in surface_ambiguity(p).collect()}
+    assert got["berlin"].entropy == 0.0 and got["berlin"].top_prior == 1.0
+    h = -(0.9 * math.log(0.9) + 0.1 * math.log(0.1))
+    assert got["paris"].entropy == round(h, 6)
+    assert got["paris"].n_senses == 2 and got["paris"].top_prior == 0.9
+
+
+def test_ngram_novelty_first_owner(spark):
+    from dbpedia_spotlight_spark.datapipe.textstats import ngram_novelty
+
+    d = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c x"), (3, "a b c d"), (4, "z")],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: (r.n_ngrams, r.n_new, r.novelty) for r in ngram_novelty(d, n=3).collect()}
+    assert got[1] == (2, 2, 1.0)       # everything new
+    assert got[2] == (2, 1, 0.5)       # 'a b c' seen, 'b c x' new
+    assert got[3] == (2, 0, 0.0)       # pure re-crawl
+    assert got[4] == (1, 1, 1.0)       # short doc: whole text one gram

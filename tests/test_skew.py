@@ -231,3 +231,35 @@ def test_session7_mask_and_blend_plan_shapes(spark):
     )
     p = _plan(blend_scores(d, {"q": 1.0, "w": -1.0}))
     assert "Join" not in p  # per-signal windows only, no self-join
+
+
+def test_session7_late_operators_plan_shapes(spark):
+    """Plan pins for the late session-7 operators: doc-keyed joins
+    only; the regex harvesters and the hashing featurizer plan no join
+    at all before their aggregations."""
+    import pyspark.sql.functions as F
+
+    from dbpedia_spotlight_spark.datapipe.textstats import (
+        feature_hash,
+        ngram_novelty,
+        textrank_summaries,
+    )
+    from dbpedia_spotlight_spark.pipeline.triples import hearst_patterns
+
+    docs = spark.createDataFrame(
+        [(i, "w%d x y. z a b. c d e" % i) for i in range(20)],
+        "doc_id int, text string",
+    )
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p = plan(textrank_summaries(docs, top_k=1, iterations=1))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    p = plan(ngram_novelty(docs))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    # pure scan -> aggregate pipelines: no join operator anywhere
+    assert "Join" not in plan(hearst_patterns(docs))
+    assert "Join" not in plan(feature_hash(docs, dim=64))

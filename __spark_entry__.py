@@ -6890,10 +6890,8 @@ def q_sf_ambiguity(spark, sf_dir):
     spotter tuning and prior-only linking decisions key on): the
     standing occurrence fixture's pair counts. Oracle = the same
     identity in SQL."""
-    from dbpedia_spotlight_spark.operators.modelbuild import (
-        pair_counts,
-        surface_ambiguity,
-    )
+    from dbpedia_spotlight_spark.operators.auxstats import surface_ambiguity
+    from dbpedia_spotlight_spark.operators.modelbuild import pair_counts
 
     return surface_ambiguity(pair_counts(_occs(spark, sf_dir)))
 

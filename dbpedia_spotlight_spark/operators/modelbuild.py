@@ -270,40 +270,3 @@ def build_model_from_occurrences(
         redirects=redirects,
         disambiguations=disambiguations,
     )
-
-
-def surface_ambiguity(pairs: DataFrame) -> DataFrame:
-    """Per-surface-form ambiguity profile over the candidate map (M3's
-    pair counts): sense count, Shannon entropy of the sense
-    distribution, and the dominant-sense prior — the numbers that
-    drive spotter tuning (the reference's SpotterTuner trades recall
-    against exactly this ambiguity) and that decide when a surface
-    form is safe to link by prior alone (entropy ~ 0) versus needing
-    context (entropy high).
-
-    ``pairs``: (surface_form, uri, pair_count). -> (surface_form,
-    n_senses, total, entropy round 6, top_prior round 6), entropy in
-    nats, 0.0 for unambiguous forms by the 0·ln0 = 0 convention.
-
-    Scale shape: ONE groupBy over the candidate map (map-side
-    combinable sums; entropy via sum(p ln p) needs the total first,
-    so the per-form total is computed in the same aggregation using
-    sum/sum identities: H = ln(T) - Σ c·ln(c) / T). No window, no
-    join, no second pass.
-    """
-    return pairs.groupBy("surface_form").agg(
-        F.count("*").cast("long").alias("n_senses"),
-        F.sum("pair_count").cast("long").alias("total"),
-        F.round(
-            F.log(F.sum("pair_count").cast("double"))
-            - F.sum(
-                F.col("pair_count")
-                * F.log(F.col("pair_count").cast("double"))
-            )
-            / F.sum("pair_count"),
-            6,
-        ).alias("entropy"),
-        F.round(
-            F.max("pair_count") / F.sum("pair_count"), 6
-        ).alias("top_prior"),
-    )

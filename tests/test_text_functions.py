@@ -294,7 +294,7 @@ def test_feature_hash_signed_collisions(spark):
 def test_surface_ambiguity_entropy(spark):
     import math
 
-    from dbpedia_spotlight_spark.operators.modelbuild import surface_ambiguity
+    from dbpedia_spotlight_spark.operators.auxstats import surface_ambiguity
 
     p = spark.createDataFrame(
         [("paris", "P_city", 90), ("paris", "P_person", 10), ("berlin", "B", 50)],

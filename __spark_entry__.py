@@ -6908,12 +6908,29 @@ def q_ngram_novelty(spark, sf_dir):
     return ngram_novelty(docs, n=3)
 
 
+def q_kg_fd_profile(spark, sf_dir):
+    """Functional-dependency discovery (operators/kglayout.py:
+    functional_dependencies — one countDistinct groupBy per ordered
+    column pair, column-pruned scans, no joins; the key-choice
+    profiler for direct_mapping/r2rml_map): customer key, nation, and
+    segment columns. Oracle = the same per-pair aggregation."""
+    from dbpedia_spotlight_spark.operators.kglayout import (
+        functional_dependencies,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return functional_dependencies(
+        cust, ["c_custkey", "c_nationkey", "c_mktsegment"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "kg_fd_profile": q_kg_fd_profile,
         "sf_ambiguity": q_sf_ambiguity,
         "ngram_novelty": q_ngram_novelty,
         "kg_topo_layers": q_kg_topo_layers,
@@ -7973,6 +7990,57 @@ WITH snap AS (
 SELECT DISTINCT s.subj AS o, p.obj AS p
 FROM snap s JOIN snap p ON p.subj = s.subj AND p.pred = 'priority'
 WHERE s.pred = 'status' AND s.obj = 'F'
+"""
+
+    # kg_fd_profile: same per-pair countDistinct aggregation.
+    sql["kg_fd_profile"] = """
+SELECT 'c_custkey' AS determinant, 'c_nationkey' AS dependent,
+       count(*)::BIGINT AS n_keys,
+       sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END)::BIGINT
+         AS n_violating_keys,
+       sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM (SELECT c_custkey AS a, count(DISTINCT c_nationkey) AS nb
+      FROM customer GROUP BY c_custkey)
+UNION ALL
+SELECT 'c_custkey' AS determinant, 'c_mktsegment' AS dependent,
+       count(*)::BIGINT AS n_keys,
+       sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END)::BIGINT
+         AS n_violating_keys,
+       sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM (SELECT c_custkey AS a, count(DISTINCT c_mktsegment) AS nb
+      FROM customer GROUP BY c_custkey)
+UNION ALL
+SELECT 'c_nationkey' AS determinant, 'c_custkey' AS dependent,
+       count(*)::BIGINT AS n_keys,
+       sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END)::BIGINT
+         AS n_violating_keys,
+       sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM (SELECT c_nationkey AS a, count(DISTINCT c_custkey) AS nb
+      FROM customer GROUP BY c_nationkey)
+UNION ALL
+SELECT 'c_nationkey' AS determinant, 'c_mktsegment' AS dependent,
+       count(*)::BIGINT AS n_keys,
+       sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END)::BIGINT
+         AS n_violating_keys,
+       sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM (SELECT c_nationkey AS a, count(DISTINCT c_mktsegment) AS nb
+      FROM customer GROUP BY c_nationkey)
+UNION ALL
+SELECT 'c_mktsegment' AS determinant, 'c_custkey' AS dependent,
+       count(*)::BIGINT AS n_keys,
+       sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END)::BIGINT
+         AS n_violating_keys,
+       sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM (SELECT c_mktsegment AS a, count(DISTINCT c_custkey) AS nb
+      FROM customer GROUP BY c_mktsegment)
+UNION ALL
+SELECT 'c_mktsegment' AS determinant, 'c_nationkey' AS dependent,
+       count(*)::BIGINT AS n_keys,
+       sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END)::BIGINT
+         AS n_violating_keys,
+       sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM (SELECT c_mktsegment AS a, count(DISTINCT c_nationkey) AS nb
+      FROM customer GROUP BY c_mktsegment)
 """
 
     # sf_ambiguity: H = ln T - sum(c ln c)/T over the candidate map.

@@ -851,3 +851,49 @@ def winsorize_literals(
             ).alias("clamped"),
         )
     )
+
+
+def functional_dependencies(
+    df: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """Pairwise functional-dependency discovery (the TANE/FDEP family
+    restricted to single-column FDs — the profiling pass that decides
+    direct_mapping/r2rml_map KEY choices: a column that functionally
+    determines the others is a subject-key candidate; a violated
+    "almost-FD" is a data-quality finding): for every ordered pair
+    (A, B), does A -> B hold, and how badly is it violated?
+
+    -> one row per ordered pair: (determinant, dependent, n_keys,
+    n_violating_keys, holds): n_keys = distinct A values,
+    n_violating_keys = A values mapped to >1 distinct B.
+
+    Scale shape: per pair ONE (A) groupBy with countDistinct(B) —
+    map-side combinable — unioned into a single plan; |cols|² pairs
+    of aggregations over column-pruned scans (Parquet reads only the
+    two columns per branch). No joins, no windows, no collect.
+    """
+    if len(cols) < 2:
+        raise ValueError("functional_dependencies needs >= 2 columns")
+    parts = []
+    for a in cols:
+        for b in cols:
+            if a == b:
+                continue
+            parts.append(
+                df.select(F.col(a).alias("_a"), F.col(b).alias("_b"))
+                .groupBy("_a")
+                .agg(F.countDistinct("_b").alias("_nb"))
+                .agg(
+                    F.lit(a).alias("determinant"),
+                    F.lit(b).alias("dependent"),
+                    F.count("*").cast("long").alias("n_keys"),
+                    F.sum((F.col("_nb") > 1).cast("long")).alias(
+                        "n_violating_keys"
+                    ),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn("holds", F.col("n_violating_keys") == 0)

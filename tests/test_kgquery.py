@@ -2374,3 +2374,26 @@ def test_winsorize_literals_clamps_unit_errors(spark):
     assert not mid.clamped and mid.clamped_value == mid.value
     with pytest.raises(ValueError):
         winsorize_literals(t, lo_q=0.9, hi_q=0.1)
+
+
+def test_functional_dependencies_pairs(spark):
+    import pytest
+
+    from dbpedia_spotlight_spark.operators.kglayout import (
+        functional_dependencies,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "n1", "r1"), (2, "n1", "r1"), (3, "n2", "r1"), (4, "n2", "r2")],
+        "id int, nation string, region string",
+    )
+    got = {
+        (r.determinant, r.dependent): (r.n_keys, r.n_violating_keys, r.holds)
+        for r in functional_dependencies(d, ["id", "nation", "region"]).collect()
+    }
+    assert got[("id", "nation")] == (4, 0, True)
+    assert got[("nation", "region")] == (2, 1, False)  # n2 -> {r1, r2}
+    assert got[("region", "nation")] == (2, 1, False)
+    assert len(got) == 6
+    with pytest.raises(ValueError):
+        functional_dependencies(d, ["id"])

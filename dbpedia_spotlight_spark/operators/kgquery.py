@@ -1506,12 +1506,17 @@ def sparql_construct(triples: DataFrame, query: str) -> DataFrame:
     return out.na.drop().distinct()
 
 
-def sparql_describe(triples: DataFrame, query: str) -> DataFrame:
+def sparql_describe(
+    triples: DataFrame, query: str, form: str = "outbound"
+) -> DataFrame:
     """SPARQL DESCRIBE (§16.4): return the triples describing a set of
     resources. The description form is implementation-defined by the
     spec; this engine returns the OUTBOUND concise description — every
     (subj, pred, obj) triple whose SUBJECT is a described resource
-    (the common triple-store default), DISTINCT.
+    (the common triple-store default), DISTINCT — or, with
+    ``form="cbd"``, the full Concise Bounded Description (recursing
+    through blank-node objects via concise_bounded_description below,
+    the other spec-named form).
 
     Two query shapes::
 
@@ -1556,6 +1561,10 @@ def sparql_describe(triples: DataFrame, query: str) -> DataFrame:
     for f in frames[1:]:
         resources = resources.unionByName(f)
     res = resources.distinct()
+    if form == "cbd":
+        return concise_bounded_description(triples, res)
+    if form != "outbound":
+        raise ValueError(f"unknown DESCRIBE form: {form!r}")
     return triples.join(
         res, on=triples["subj"] == res["r"], how="left_semi"
     ).distinct()

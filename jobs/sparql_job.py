@@ -24,7 +24,9 @@ STRLEN/LCASE/UCASE/BOUND) and the typed-literal term builtins
 LANG/DATATYPE/STR/LANGMATCHES over `"v"@en` / `"v"^^<dt>` object terms
 (functions/rdfterm.py). Queries starting with ASK, CONSTRUCT or
 DESCRIBE dispatch to sparql_ask / sparql_construct / sparql_describe
-(boolean row / constructed triple graph / outbound description). Writes
+(boolean row / constructed triple graph / outbound description;
+sparql_describe also offers form='cbd' for the blank-node-closed
+Concise Bounded Description). Writes
 the result as parquet and prints one JSON metrics line.
 """
 

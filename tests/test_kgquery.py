@@ -2397,3 +2397,23 @@ def test_functional_dependencies_pairs(spark):
     assert len(got) == 6
     with pytest.raises(ValueError):
         functional_dependencies(d, ["id"])
+
+
+def test_sparql_describe_cbd_form(spark):
+    import pytest
+
+    from dbpedia_spotlight_spark.operators.kgquery import sparql_describe
+
+    tri = spark.createDataFrame(
+        [("e1", "addr", "_:a"), ("_:a", "city", "Paris"),
+         ("e1", "name", "E"), ("e2", "name", "X")],
+        "subj string, pred string, obj string",
+    )
+    out = sorted(map(tuple, sparql_describe(tri, "DESCRIBE <e1>").collect()))
+    assert out == [("e1", "addr", "_:a"), ("e1", "name", "E")]
+    cbd = sorted(
+        map(tuple, sparql_describe(tri, "DESCRIBE <e1>", form="cbd").collect())
+    )
+    assert ("_:a", "city", "Paris") in cbd and len(cbd) == 3
+    with pytest.raises(ValueError):
+        sparql_describe(tri, "DESCRIBE <e1>", form="bogus")

@@ -6924,12 +6924,38 @@ def q_kg_fd_profile(spark, sf_dir):
     )
 
 
+def q_source_report(spark, sf_dir):
+    """Per-source quality league table — a COMPOSITE over the text
+    family (datapipe/textstats.py quality_score + token_count), the
+    same demonstrate-the-composition role kg_quality_report plays for
+    the KG QA family: one groupBy(source) over per-doc codegen
+    signals. Oracle = the same formulas rolled up in SQL."""
+    from dbpedia_spotlight_spark.datapipe.textstats import (
+        quality_score,
+        token_count,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_doc = docs.select(
+        "source",
+        token_count(F.col("text")).alias("_n"),
+        quality_score(F.col("text")).alias("_q"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_n").cast("long").alias("n_tokens"),
+        F.round(F.avg("_q"), 4).alias("avg_quality"),
+        F.round(F.min("_q"), 4).alias("min_quality"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "source_report": q_source_report,
         "kg_fd_profile": q_kg_fd_profile,
         "sf_ambiguity": q_sf_ambiguity,
         "ngram_novelty": q_ngram_novelty,
@@ -7990,6 +8016,34 @@ WITH snap AS (
 SELECT DISTINCT s.subj AS o, p.obj AS p
 FROM snap s JOIN snap p ON p.subj = s.subj AND p.pred = 'priority'
 WHERE s.pred = 'status' AND s.obj = 'F'
+"""
+
+    # source_report: same quality formula rolled up per source.
+    sql["source_report"] = rf"""
+WITH w AS (
+  SELECT source, text,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS words
+  FROM documents
+),
+m AS (
+  SELECT source,
+    len(words) AS n,
+    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+      / greatest(length(text), 1) AS praw,
+    len(list_intersect(words, ['the', 'and', 'of', 'to', 'is', 'in', 'that', 'it', 'was', 'for']))
+      / greatest(len(list_distinct(words)), 1) AS sraw
+  FROM w
+),
+q AS (
+  SELECT source, n,
+    (least(n / 100.0, 1.0) + (1.0 - least(praw * 5.0, 1.0))
+     + least(sraw * 5.0, 1.0)) / 3.0 AS quality
+  FROM m
+)
+SELECT source, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_tokens,
+       round(avg(quality), 4) AS avg_quality,
+       round(min(quality), 4) AS min_quality
+FROM q GROUP BY source
 """
 
     # kg_fd_profile: same per-pair countDistinct aggregation.

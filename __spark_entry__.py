@@ -6949,12 +6949,180 @@ def q_source_report(spark, sf_dir):
     )
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic explicit-register HyperLogLog
+    (datapipe/sketches.py:hll_registers/hll_estimate, Flajolet et al.
+    2007): per-bucket distinct-token estimates over the documents corpus
+    — the register-based counterpart of `kmv_distinct`. Because the hash,
+    bucket split, and rank are all defined (48-bit md5 prefix, low-8-bit
+    bucket, length(bin(w)) rank — no float log anywhere in the sketch),
+    the DuckDB twin replays the registers bit-for-bit and the harmonic
+    estimator (sums of powers of two, exact in float64) to the last
+    digit."""
+    from dbpedia_spotlight_spark.datapipe.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select(
+            (F.col("doc_id") % 4).cast("long").alias("bucket_key"),
+            F.explode(F.split(F.lower("text"), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    regs = hll_registers(toks, ["bucket_key"], "token", p=8)
+    return hll_estimate(regs, ["bucket_key"], p=8)
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point queries (datapipe/sketches.py:cms_sketch /
+    cms_point_estimates, Cormode & Muthukrishnan 2005): build a 3x64
+    counter table over the token stream in one scan (the shuffle carries
+    the 192-cell table, never the vocabulary), then estimate the exact
+    top-20 tokens' counts from the sketch. Deterministic keyed hashes
+    (md5_48(i·US·token) mod width), so every cell and every min-over-rows
+    estimate is integer-exact in the DuckDB twin; the output pairs each
+    true count with its CMS upper bound."""
+    from dbpedia_spotlight_spark.datapipe.sketches import (
+        cms_point_estimates,
+        cms_sketch,
+    )
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    sk = cms_sketch(toks, "token", depth=3, width=64)
+    truth = toks.groupBy("token").agg(
+        F.count("*").cast("long").alias("true_cnt")
+    )
+    top = truth.orderBy(F.desc("true_cnt"), F.asc("token")).limit(20)
+    est = cms_point_estimates(
+        sk, top.select("token"), "token", depth=3, width=64
+    )
+    return top.join(est, "token").select("token", "true_cnt", "cms_estimate")
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (datapipe/pii.py:
+    k_anonymity_report, Sweeney 2002; Machanavajjhala et al. 2007) of the
+    customer table under quasi-identifiers (nation, account-balance
+    band): per equivalence class, its size, the k=5 anonymity verdict,
+    and the distinct-l-diversity of the market segment treated as the
+    sensitive attribute. One groupBy — the release-gate audit a
+    user-derived training table passes before export."""
+    from dbpedia_spotlight_spark.datapipe.pii import k_anonymity_report
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_nationkey").cast("long").alias("nation_key"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        "c_mktsegment",
+    )
+    return k_anonymity_report(
+        cust, ["nation_key", "bal_band"], "c_mktsegment", k=5
+    )
+
+
+def q_greedy_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy submodular max-coverage selection
+    (datapipe/selection.py:greedy_max_coverage, Nemhauser et al. 1978):
+    pick 5 documents maximizing distinct token-BIGRAM coverage of the
+    corpus (bigrams, because the synthetic corpus's unigram vocabulary is
+    tiny enough for one document to cover it) — the exact greedy with its
+    (1-1/e) guarantee, k driver-loop rounds of one bounded aggregate each
+    (anti-join remaining features, argmax by (gain desc, doc_id)).
+    Deterministic tie-breaks make the pick sequence unique; the DuckDB
+    twin unrolls the same 5 rounds."""
+    from dbpedia_spotlight_spark.datapipe.selection import greedy_max_coverage
+
+    feats = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.filter(
+                F.split(F.lower("text"), " "), lambda x: x != ""
+            ).alias("toks"),
+        )
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> concat(toks[i], ' ', toks[i + 1]))"
+                )
+            ).alias("token"),
+        )
+    )
+    return greedy_max_coverage(feats, "doc_id", "token", k=5)
+
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over the events stream (the all-subtotals
+    companion of the existing ROLLUP query `docs_rollup`): counts and
+    exact cent-sums by (event_type, value decile band), every marginal
+    and the grand total in ONE pass — Spark expands the cube into a
+    single Expand+Aggregate, 4 grouping sets sharing one shuffle instead
+    of 4 scans. gid = 2*grouping(event_type)+grouping(val_band)
+    disambiguates subtotal rows from genuine NULL groups."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(F.col("value") / 10).cast("long").alias("val_band"),
+        F.round(F.col("value") * 100).cast("long").alias("_cents"),
+    )
+    return (
+        ev.cube("event_type", "val_band")
+        .agg(
+            (
+                F.grouping("event_type") * 2 + F.grouping("val_band")
+            ).cast("int").alias("gid"),
+            F.count("*").cast("long").alias("n"),
+            F.sum("_cents").cast("long").alias("value_cents"),
+        )
+        .select("event_type", "val_band", "gid", "n", "value_cents")
+    )
+
+
+def q_kg_transitive_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive reduction of a taxonomy DAG
+    (operators/closure.py:transitive_reduction, Aho/Garey/Ullman 1972):
+    the class hierarchy from `kg_subclass_closure` (k -> k div 2) is
+    polluted with deterministic grandparent shortcuts (k -> k div 4, the
+    redundancy harvested edge sets actually contain), and the reduction
+    must drop exactly the implied edges while keeping every irreducible
+    one. closure (repeated squaring) + midpoint join + anti-join; oracle
+    = DuckDB recursive CTE with the same NOT EXISTS."""
+    from dbpedia_spotlight_spark.operators.closure import transitive_reduction
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    tree = part.filter(F.col("p_partkey") >= 2).select(
+        F.col("p_partkey").cast("long").alias("class_id"),
+        F.expr("p_partkey div 2").cast("long").alias("ancestor_id"),
+    )
+    shortcuts = part.filter(F.col("p_partkey") >= 4).select(
+        F.col("p_partkey").cast("long").alias("class_id"),
+        F.expr("p_partkey div 4").cast("long").alias("ancestor_id"),
+    )
+    return transitive_reduction(
+        tree.unionByName(shortcuts), "class_id", "ancestor_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "hll_distinct": q_hll_distinct,
+        "cms_counts": q_cms_counts,
+        "k_anonymity": q_k_anonymity,
+        "greedy_cover": q_greedy_cover,
+        "events_cube": q_events_cube,
+        "kg_transitive_reduction": q_kg_transitive_reduction,
         "source_report": q_source_report,
         "kg_fd_profile": q_kg_fd_profile,
         "sf_ambiguity": q_sf_ambiguity,
@@ -14296,5 +14464,175 @@ SELECT n_exact::BIGINT AS n_exact, n_approx::BIGINT AS n_approx,
 FROM stats
 """
     )
+
+    # Deterministic HLL twin: identical hash / bucket / rank arithmetic
+    # (length(bin(w)) for floor(log2)+1 — both engines' bin() emit minimal
+    # binary strings), registers via max, exact power-of-two harmonic sum.
+    # The alpha constant is written as the same literal arithmetic Spark's
+    # Python side evaluates, so it folds to the identical double.
+    _HLL_RAW = (
+        "(0.7213/(1.0+1.079/256)) * 256 * 256"
+        " / (zu + (256 - n_buckets_used))"
+    )
+    sql["hll_distinct"] = f"""
+WITH tok AS (
+  SELECT (doc_id % 4)::BIGINT AS bucket_key,
+         unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+),
+h AS (
+  SELECT DISTINCT bucket_key,
+         ('0x' || substr(md5(token), 1, 12))::BIGINT AS _h
+  FROM tok WHERE token <> ''
+),
+r AS (
+  SELECT bucket_key, (_h % 256)::INT AS bucket,
+         (CASE WHEN (_h >> 8) = 0 THEN 41
+               ELSE 41 - length(bin(_h >> 8)) END)::INT AS rho
+  FROM h
+),
+reg AS (
+  SELECT bucket_key, bucket, max(rho) AS register FROM r GROUP BY 1, 2
+),
+agg AS (
+  SELECT bucket_key, count(*)::BIGINT AS n_buckets_used,
+         sum(power(2.0, -register)) AS zu
+  FROM reg GROUP BY 1
+)
+SELECT bucket_key, n_buckets_used,
+       round({_HLL_RAW}, 4) AS raw_estimate,
+       round(CASE WHEN {_HLL_RAW} <= 640.0 AND (256 - n_buckets_used) > 0
+                  THEN 256.0 * ln(256.0 / (256 - n_buckets_used))
+                  ELSE {_HLL_RAW} END, 4) AS estimate
+FROM agg
+"""
+
+    # Count-Min twin: the same keyed hash md5_48(i · chr(31) · token) mod
+    # 64 builds the 3x64 cell table; point estimates re-probe the cells
+    # and take the per-token min — integers end to end.
+    sql["cms_counts"] = """
+WITH tok AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+t2 AS (SELECT token FROM tok WHERE token <> ''),
+depths AS (SELECT unnest([0, 1, 2]) AS i),
+cells AS MATERIALIZED (
+  SELECT d.i AS row_idx,
+         (('0x' || substr(md5(d.i::VARCHAR || chr(31) || t.token), 1, 12))::BIGINT
+          % 64)::INT AS col_idx,
+         count(*)::BIGINT AS cell
+  FROM t2 t CROSS JOIN depths d
+  GROUP BY 1, 2
+),
+truth AS MATERIALIZED (
+  SELECT token, count(*)::BIGINT AS true_cnt
+  FROM t2 GROUP BY 1 ORDER BY true_cnt DESC, token LIMIT 20
+),
+probes AS (
+  SELECT t.token, t.true_cnt, d.i AS row_idx,
+         (('0x' || substr(md5(d.i::VARCHAR || chr(31) || t.token), 1, 12))::BIGINT
+          % 64)::INT AS col_idx
+  FROM truth t CROSS JOIN depths d
+)
+SELECT p.token, p.true_cnt, min(c.cell)::BIGINT AS cms_estimate
+FROM probes p JOIN cells c
+  ON c.row_idx = p.row_idx AND c.col_idx = p.col_idx
+GROUP BY 1, 2
+"""
+
+    sql["k_anonymity"] = """
+SELECT c_nationkey::BIGINT AS nation_key,
+       floor(c_acctbal / 1000)::BIGINT AS bal_band,
+       count(*)::BIGINT AS class_size,
+       count(*) >= 5 AS k_anonymous,
+       count(DISTINCT c_mktsegment)::BIGINT AS l_diversity,
+       count(DISTINCT c_mktsegment) >= 2 AS l_diverse
+FROM customer
+GROUP BY 1, 2
+"""
+
+    # Greedy max-coverage: the 5 rounds unrolled — each stage picks the
+    # (gain desc, doc_id asc) argmax over the not-yet-covered feature
+    # relation, then extends the covered set. MATERIALIZED stops DuckDB
+    # re-expanding the whole prefix chain at every stage (same pattern as
+    # the bpe_merges oracle).
+    _gc_stages = []
+    _gc_prev_f, _gc_prev_c = "feats", None
+    for _k in range(5):
+        _flt = (
+            f"WHERE token NOT IN (SELECT token FROM {_gc_prev_c})"
+            if _gc_prev_c
+            else ""
+        )
+        _gc_stages.append(f""",
+f{_k} AS MATERIALIZED (SELECT * FROM {_gc_prev_f} {_flt}),
+s{_k} AS MATERIALIZED (
+  SELECT doc_id, count(*)::BIGINT AS gain
+  FROM f{_k} GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1
+),
+c{_k} AS MATERIALIZED (
+  {"SELECT token FROM " + _gc_prev_c + " UNION " if _gc_prev_c else ""}
+  SELECT DISTINCT f.token FROM f{_k} f JOIN s{_k} s ON f.doc_id = s.doc_id
+)""")
+        _gc_prev_f, _gc_prev_c = f"f{_k}", f"c{_k}"
+    _gc_rows = "\nUNION ALL\n".join(
+        f"SELECT {_k} AS round_idx, doc_id, gain,"
+        f" (SELECT count(*) FROM c{_k})::BIGINT AS covered_total"
+        f" FROM s{_k} WHERE gain > 0"
+        for _k in range(5)
+    )
+    sql["greedy_cover"] = (
+        """
+WITH cleaned AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+zipped AS (
+  SELECT doc_id, unnest(list_zip(toks, toks[2:])) AS z
+  FROM cleaned WHERE len(toks) >= 2
+),
+feats AS MATERIALIZED (
+  SELECT DISTINCT doc_id, z[1] || ' ' || z[2] AS token
+  FROM zipped WHERE z[2] IS NOT NULL
+)"""
+        + "".join(_gc_stages)
+        + "\n"
+        + _gc_rows
+    )
+
+    sql["events_cube"] = """
+WITH b AS (
+  SELECT event_type, floor(value / 10)::BIGINT AS val_band,
+         round(value * 100)::BIGINT AS cents
+  FROM events
+)
+SELECT event_type, val_band,
+       (2 * GROUPING(event_type) + GROUPING(val_band))::INT AS gid,
+       count(*)::BIGINT AS n, sum(cents)::BIGINT AS value_cents
+FROM b GROUP BY CUBE(event_type, val_band)
+"""
+
+    sql["kg_transitive_reduction"] = """
+WITH RECURSIVE e AS (
+  SELECT p_partkey::BIGINT AS src, (p_partkey // 2)::BIGINT AS dst
+  FROM part WHERE p_partkey >= 2
+  UNION
+  SELECT p_partkey::BIGINT, (p_partkey // 4)::BIGINT
+  FROM part WHERE p_partkey >= 4
+),
+tc AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT t.src, e2.dst FROM tc t JOIN e e2 ON t.dst = e2.src
+),
+two AS (
+  SELECT DISTINCT a.src, t.dst FROM e a JOIN tc t ON a.dst = t.src
+)
+SELECT e.src AS class_id, e.dst AS ancestor_id FROM e
+WHERE NOT EXISTS (
+  SELECT 1 FROM two WHERE two.src = e.src AND two.dst = e.dst
+)
+"""
 
     return sql

@@ -62,3 +62,82 @@ def pii_stats(
         *[counts[name].alias(f"n_{name}") for name, _, _ in PII_PATTERNS],
         scrub_pii(t).alias("scrubbed"),
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Privacy audit of a release candidate (Sweeney 2002; Machanavajjhala
+    et al. 2007) -> one row per quasi-identifier equivalence class:
+    (quasi_cols..., class_size, k_anonymous, l_diversity, l_diverse).
+
+    An equivalence class is the set of rows sharing all quasi-identifier
+    values; the table is k-anonymous iff every class has >= k rows, and a
+    class is l-diverse (distinct-l-diversity) iff its sensitive column
+    takes >= l distinct values (reported l = the class's distinct count,
+    `l_diverse` against l = 2 — the homogeneity-attack floor). The two
+    checks a training-data pipeline runs before releasing any
+    user-derived table.
+
+    One groupBy on the quasi-identifier tuple, count + count_distinct —
+    map-side-combinable, one shuffle, no UDF. At 100 TB the class count
+    is bounded by the QI-domain product, not the row count.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count("*").cast("long").alias("class_size"),
+            F.countDistinct(sensitive_col).cast("long").alias("l_diversity"),
+        )
+        .select(
+            *quasi_cols,
+            "class_size",
+            (F.col("class_size") >= k).alias("k_anonymous"),
+            "l_diversity",
+            (F.col("l_diversity") >= 2).alias("l_diverse"),
+        )
+    )
+
+
+def k_suppress(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+    placeholder: str = "*",
+) -> DataFrame:
+    """Enforce k-anonymity by SUPPRESSION: rows whose quasi-identifier
+    class has fewer than k members get every (string-cast) quasi column
+    replaced by `placeholder`, merging them into one opaque class; rows
+    in large-enough classes pass through unchanged. The simplest of the
+    standard mechanisms (suppression vs. generalization hierarchies) and
+    the one that needs no per-column taxonomy.
+
+    Plan: the under-k class list is an aggregate bounded by the class
+    count, broadcast back as a left-semi-style membership flag via a
+    left join on the QI tuple — the input is scanned once and never
+    shuffled (the small side moves). Column order is preserved; quasi
+    columns come back as strings (the shared suppressed domain).
+    """
+    classes = (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") < k)
+        .select(*quasi_cols, F.lit(True).alias("_suppress"))
+    )
+    joined = df.join(F.broadcast(classes), list(quasi_cols), "left")
+    out_cols = []
+    for c in df.columns:
+        if c in quasi_cols:
+            out_cols.append(
+                F.when(F.col("_suppress"), F.lit(placeholder))
+                .otherwise(F.col(c).cast("string"))
+                .alias(c)
+            )
+        else:
+            out_cols.append(F.col(c))
+    return joined.select(*out_cols)

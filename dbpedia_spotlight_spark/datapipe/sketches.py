@@ -187,6 +187,177 @@ def kmv_intersection(
     )
 
 
+def hll_registers(
+    df: DataFrame,
+    key_cols: list[str],
+    item_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """Per-key HyperLogLog register table -> (key_cols..., bucket, register).
+
+    Deterministic explicit-register HLL (Flajolet et al. 2007): unlike
+    Spark's built-in `approx_count_distinct` (HLL++, register layout
+    implementation-defined), the registers here are a plain DataFrame with
+    a defined hash, so the SKETCH ITSELF is reproducible by any engine —
+    the same argument that motivates `kmv_sketch` above, extended to the
+    register-based family. Layout: 48-bit md5-prefix hash; low p bits pick
+    the bucket (m = 2^p), the remaining 48-p bits w give the rank
+    rho = (48-p) - floor(log2(w)) + 1 (= position of the leftmost 1-bit,
+    (48-p)+1 when w == 0). floor(log2(w)) is computed EXACTLY as
+    length(bin(w)) - 1 — both engines' `bin` emit minimal binary strings —
+    so no float log is involved anywhere in the sketch.
+
+    Registers are MERGEABLE: the registers of a union of groups are the
+    element-wise max of the groups' registers (groupBy max is the merge),
+    which is what makes HLL the standard 100-TB cardinality design — a
+    2^p-row summary per key regardless of input size, one shuffle on
+    (key, bucket) after map-side partial max.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    wbits = 48 - p
+    h = _int_hash(F.col(item_col))
+    w = F.shiftright(h, p)  # top 48-p bits (h is non-negative)
+    rho = (
+        F.when(w == 0, F.lit(wbits + 1))
+        .otherwise(F.lit(wbits + 1) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    return (
+        df.select(
+            *key_cols,
+            (h % F.lit(m)).cast("int").alias("bucket"),
+            rho.alias("_rho"),
+        )
+        .groupBy(*key_cols, "bucket")
+        .agg(F.max("_rho").alias("register"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, key_cols: list[str], p: int = 8
+) -> DataFrame:
+    """Registers -> per-key cardinality estimate
+    (key_cols..., n_buckets_used, raw_estimate, estimate).
+
+    raw_estimate = alpha_m * m^2 / Z with Z = sum(2^-register) over all m
+    buckets (absent buckets contribute 2^0 = 1): every 2^-register term
+    and their sum are exact in float64 (register <= 41, m terms), so the
+    raw estimator is bit-reproducible. `estimate` applies the standard
+    small-range linear-counting correction (E <= 2.5m and empty buckets
+    exist -> m * ln(m / V0)); ln is the one transcendental, rounded to 4
+    decimals like every float in the oracle-checked surface.
+    """
+    m = 1 << p
+    # Flajolet's alpha_m for m >= 128; the same literal arithmetic runs in
+    # the DuckDB twin, so the constant folds identically on both sides.
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.groupBy(*key_cols).agg(
+        F.count("*").cast("long").alias("n_buckets_used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("register"))).alias("_z_used"),
+    )
+    z = F.col("_z_used") + (F.lit(m) - F.col("n_buckets_used"))
+    raw = F.lit(alpha * m * m) / z
+    v0 = F.lit(m) - F.col("n_buckets_used")  # empty buckets
+    lin = F.lit(float(m)) * F.log(F.lit(float(m)) / v0)
+    return agg.select(
+        *key_cols,
+        "n_buckets_used",
+        F.round(raw, 4).alias("raw_estimate"),
+        F.round(
+            F.when((raw <= 2.5 * m) & (v0 > 0), lin).otherwise(raw), 4
+        ).alias("estimate"),
+    )
+
+
+def cms_sketch(
+    df: DataFrame, item_col: str, depth: int = 3, width: int = 64
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) ->
+    (row_idx, col_idx, cell) — the depth x width counter table as rows.
+
+    hash_i(x) = md5_48(i · US · x) mod width (US = \\x1f unit separator,
+    the same keyed-hash convention as datapipe/kg_samples.py), so the
+    sketch is deterministic and any engine replays it cell-for-cell.
+    Built in ONE scan: each input row explodes into `depth` (row_idx,
+    col_idx) pairs — a constant-factor map — then one groupBy over at
+    most depth*width cells (map-side partial sums; the shuffle carries
+    the CELL table, never the vocabulary, which is the whole point of
+    CMS at 100 TB). Cells are MERGEABLE by addition across corpus shards.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError("need depth >= 1 and width >= 2")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_idx"),
+                (
+                    _int_hash(
+                        F.concat_ws("\x1f", F.lit(str(i)), F.col(item_col))
+                    )
+                    % width
+                )
+                .cast("int")
+                .alias("col_idx"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("rc"))
+        .select("rc.row_idx", "rc.col_idx")
+        .groupBy("row_idx", "col_idx")
+        .agg(F.count("*").cast("long").alias("cell"))
+    )
+
+
+def cms_point_estimates(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 3,
+    width: int = 64,
+) -> DataFrame:
+    """Point queries against a cms_sketch -> (item_col, cms_estimate).
+
+    est(x) = min over rows i of cell[i, hash_i(x)] — an upper bound on the
+    true count (CMS never undercounts), exact integers throughout. The
+    candidate set is exploded to its depth probe cells and equi-joined to
+    the (tiny, broadcast) cell table; missing cells count 0.
+    """
+    probes = items.select(
+        F.col(item_col).alias("item"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_idx"),
+                        (
+                            _int_hash(
+                                F.concat_ws(
+                                    "\x1f", F.lit(str(i)), F.col(item_col)
+                                )
+                            )
+                            % width
+                        )
+                        .cast("int")
+                        .alias("col_idx"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select("item", "rc.row_idx", "rc.col_idx")
+    return (
+        probes.join(F.broadcast(sketch), ["row_idx", "col_idx"], "left")
+        .withColumn("cell", F.coalesce(F.col("cell"), F.lit(0)))
+        .groupBy("item")
+        .agg(F.min("cell").cast("long").alias("cms_estimate"))
+        .withColumnRenamed("item", item_col)
+    )
+
+
 def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
     """EXACT heavy hitters — every item occurring > n/k times — via the
     two-phase Misra-Gries design (Misra & Gries 1982; the distributed

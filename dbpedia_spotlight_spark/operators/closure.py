@@ -145,3 +145,53 @@ def transitive_closure(
     raise RuntimeError(
         f"transitive_closure did not converge in {max_iterations} rounds"
     )
+
+
+def transitive_reduction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Transitive REDUCTION of a DAG edge relation — the unique minimal
+    edge set with the same reachability (Aho, Garey & Ullman 1972): drop
+    every edge (u, v) that is implied by a longer path u -> ... -> v.
+    The taxonomy-cleaning inverse of `transitive_closure`: harvested
+    subClassOf / broader-than edge sets (Hearst patterns, category
+    scrapes) arrive full of redundant "grandparent shortcuts", and
+    downstream per-edge costs (storage, entailment, visualization) pay
+    for each one.
+
+    Algebra: for a DAG, (u, v) is redundant iff there exists w with
+    edge(u, w) and closure(w, v) — i.e. a path of length >= 2. So:
+    reduced = edges ANTI-JOIN (edges ∘ closure(edges)). One closure
+    (log-depth repeated squaring), one equi-join on the midpoint, one
+    anti-join — all keyed shuffles, no iteration beyond the closure's.
+
+    Uniqueness of the result requires acyclicity, so a cycle is an input
+    error: the closure of a cycle member contains (x, x), which is
+    detected with one aggregate and raised as ValueError rather than
+    silently returning one of many valid reductions.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct()
+    tc = transitive_closure(e, "src", "dst", max_iterations=max_iterations)
+    n_cyclic = (
+        tc.filter(F.col("src") == F.col("dst")).limit(1).count()
+    )
+    if n_cyclic:
+        raise ValueError(
+            "transitive_reduction requires a DAG; the closure contains a "
+            "self-pair (cycle detected)"
+        )
+    two_step = (
+        e.alias("e")
+        .join(tc.alias("t"), F.col("e.dst") == F.col("t.src"))
+        .select(F.col("e.src").alias("src"), F.col("t.dst").alias("dst"))
+        .distinct()
+    )
+    return (
+        e.join(two_step, ["src", "dst"], "left_anti")
+        .select(F.col("src").alias(src), F.col("dst").alias(dst))
+    )

@@ -129,3 +129,33 @@ def test_transitive_closure_multiparent_dag_and_cycle(spark):
     }
     assert got == expected
     assert (7, 7) in got and (1, 4) in got and (6, 5) in got
+
+
+def test_transitive_reduction_removes_shortcuts_keeps_tree(spark):
+    """A diamond-with-shortcut DAG: 1->2, 2->4, 1->4 (redundant shortcut),
+    1->3, 3->4 — reduction drops exactly (1,4); the remaining edges are
+    all irreducible. A pure tree passes through unchanged, and a cycle
+    raises ValueError instead of returning an arbitrary reduction."""
+    from dbpedia_spotlight_spark.operators.closure import transitive_reduction
+
+    dag = spark.createDataFrame(
+        [(1, 2), (2, 4), (1, 4), (1, 3), (3, 4)], "src int, dst int"
+    )
+    got = sorted(
+        (r["src"], r["dst"]) for r in transitive_reduction(dag).collect()
+    )
+    assert got == [(1, 2), (1, 3), (2, 4), (3, 4)]
+
+    tree = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4)], "src int, dst int"
+    )
+    got_tree = sorted(
+        (r["src"], r["dst"]) for r in transitive_reduction(tree).collect()
+    )
+    assert got_tree == [(1, 2), (1, 3), (2, 4)]
+
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "src int, dst int")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cycle"):
+        transitive_reduction(cyc)

@@ -2040,3 +2040,137 @@ def test_dedup_audit_recall_precision(spark):
     # empty exact side -> NULL rate, not a division error
     r2 = dedup_audit(ap, ex.limit(0)).collect()[0]
     assert r2.n_exact == 0 and r2.recall is None
+
+
+def test_hll_registers_merge_and_estimate(spark):
+    """HLL invariants: (1) registers of the UNION equal the element-wise
+    max of the halves' registers (mergeability — the distributed-merge
+    correctness condition); (2) a 5000-distinct stream estimates within
+    the ~1.04/sqrt(m) standard error (3 sigma); (3) a small group takes
+    the linear-counting branch and lands near truth."""
+    from dbpedia_spotlight_spark.datapipe.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    rows = [("a" if i % 2 else "b", f"tok-{i}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "grp string, item string")
+    whole = df.select(F.lit("all").alias("grp"), "item")
+
+    half_regs = hll_registers(df, ["grp"], "item", p=8)
+    merged = (
+        half_regs.groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+        .select(F.lit("all").alias("grp"), "bucket", "register")
+    )
+    whole_regs = hll_registers(whole, ["grp"], "item", p=8)
+    sym_diff = merged.select("bucket", "register").exceptAll(
+        whole_regs.select("bucket", "register")
+    )
+    assert sym_diff.count() == 0
+
+    est = hll_estimate(whole_regs, ["grp"], p=8).collect()[0]
+    assert abs(est["estimate"] - 5000) / 5000 < 3 * 1.04 / (256**0.5)
+
+    tiny = spark.createDataFrame(
+        [("t", f"x{i}") for i in range(30)], "grp string, item string"
+    )
+    trow = hll_estimate(hll_registers(tiny, ["grp"], "item", p=8), ["grp"], p=8).collect()[0]
+    # linear-counting regime: estimate within ~15% at 30 items, m=256
+    assert abs(trow["estimate"] - 30) <= 5
+
+
+def test_cms_never_undercounts_and_is_tight_for_heavy_items(spark):
+    """CMS guarantees: estimate >= true count always; for items far above
+    the noise floor (n/width per row) the min-over-depth estimate is
+    close. Also: the sketch has at most depth*width cells and total mass
+    per row equals the stream length."""
+    from dbpedia_spotlight_spark.datapipe.sketches import (
+        cms_point_estimates,
+        cms_sketch,
+    )
+
+    rows = (
+        [("heavy",)] * 400
+        + [("warm",)] * 100
+        + [(f"tail-{i}",) for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "item string")
+    sk = cms_sketch(df, "item", depth=3, width=64)
+    per_row = {
+        r["row_idx"]: r["s"]
+        for r in sk.groupBy("row_idx").agg(F.sum("cell").alias("s")).collect()
+    }
+    assert per_row == {0: 1000, 1: 1000, 2: 1000}
+    assert sk.count() <= 3 * 64
+
+    truth = df.groupBy("item").agg(F.count("*").alias("cnt"))
+    est = cms_point_estimates(sk, truth.select("item"), "item", depth=3, width=64)
+    j = {
+        r["item"]: (r["cnt"], r["cms_estimate"])
+        for r in truth.join(est, "item").collect()
+    }
+    for item, (cnt, e) in j.items():
+        assert e >= cnt, (item, cnt, e)
+    # heavy item: noise floor is ~1000/64 ≈ 16 per row; min over 3 rows
+    # stays within a few floors of truth
+    assert j["heavy"][1] - j["heavy"][0] <= 3 * (1000 // 64 + 1)
+
+
+def test_k_anonymity_report_and_suppression(spark):
+    """k-anonymity: classes below k flagged, suppression masks exactly
+    those rows' quasi columns (and only those), non-QI columns pass
+    through untouched, and the suppressed table is k-anonymous for the
+    suppressed class too."""
+    from dbpedia_spotlight_spark.datapipe.pii import (
+        k_anonymity_report,
+        k_suppress,
+    )
+
+    rows = (
+        [("DE", "M", i, "flu") for i in range(4)]
+        + [("DE", "F", 10, "flu"), ("DE", "F", 11, "cold")]
+        + [("FR", "M", 20, "flu")]
+    )
+    df = spark.createDataFrame(rows, "country string, sex string, uid int, dx string")
+    rep = {
+        (r["country"], r["sex"]): r
+        for r in k_anonymity_report(df, ["country", "sex"], "dx", k=3).collect()
+    }
+    assert rep[("DE", "M")]["k_anonymous"] is True
+    assert rep[("DE", "M")]["l_diversity"] == 1  # homogeneity attack
+    assert rep[("DE", "M")]["l_diverse"] is False
+    assert rep[("DE", "F")]["k_anonymous"] is False
+    assert rep[("DE", "F")]["l_diversity"] == 2
+    assert rep[("FR", "M")]["k_anonymous"] is False
+
+    sup = k_suppress(df, ["country", "sex"], k=3).collect()
+    by_uid = {r["uid"]: r for r in sup}
+    assert by_uid[0]["country"] == "DE" and by_uid[0]["sex"] == "M"
+    for uid in (10, 11, 20):
+        assert by_uid[uid]["country"] == "*" and by_uid[uid]["sex"] == "*"
+    assert {r["dx"] for r in sup} == {"flu", "cold"}
+    assert len(sup) == 7
+
+
+def test_greedy_max_coverage_exact_greedy_order(spark):
+    """Greedy coverage on a hand-built instance: doc A covers {1..4},
+    B {3..7}, C {1,2}, D {8}. Greedy picks B (5), then A (gain 2: {1,2}
+    — tie with C broken by... A adds {1,2} gain 2, C adds {1,2} gain 2,
+    tie -> ascending id picks A), then D (1), then C gains 0 -> stops.
+    covered_total is cumulative and the early-stop drops round 3."""
+    from dbpedia_spotlight_spark.datapipe.selection import greedy_max_coverage
+
+    rows = (
+        [("A", f) for f in (1, 2, 3, 4)]
+        + [("B", f) for f in (3, 4, 5, 6, 7)]
+        + [("C", f) for f in (1, 2)]
+        + [("D", f) for f in (8,)]
+    )
+    df = spark.createDataFrame(rows, "doc string, feat int")
+    out = greedy_max_coverage(df, "doc", "feat", k=4).collect()
+    assert [(r["round_idx"], r["doc"], r["gain"], r["covered_total"]) for r in out] == [
+        (0, "B", 5, 5),
+        (1, "A", 2, 7),
+        (2, "D", 1, 8),
+    ]

@@ -7111,12 +7111,92 @@ def q_kg_transitive_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the clickstream
+    (datapipe/funnel.py:event_transitions): per (src, dst) event-type
+    pair, the per-user consecutive-transition count and row-normalized
+    P(dst | src). One lead() window keyed on user (duplicate timestamps
+    tie-broken by event_id), one pair groupBy; the normalizer windows
+    over the |types|^2 matrix, never the stream."""
+    from dbpedia_spotlight_spark.datapipe.funnel import event_transitions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return event_transitions(ev)
+
+
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution (datapipe/funnel.py:touch_attribution):
+    purchase conversions distribute credit over each user's earlier
+    view/click/signup touches under the first/last/linear position
+    models. Linear credit is fixed-point (floor(1e6/n) micro-credits,
+    exact BIGINT sums — no float accumulation order), making the whole
+    report hash-checkable; `linear_credit` is one terminal division."""
+    from dbpedia_spotlight_spark.datapipe.funnel import touch_attribution
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return touch_attribution(
+        ev, "purchase", ["view", "click", "signup"]
+    )
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B experiment readout (datapipe/funnel.py:
+    ab_test_report): md5-parity hash split of users into two arms,
+    conversion = any purchase event, and the two-proportion pooled
+    z-statistic. sqrt is IEEE correctly-rounded and the DuckDB twin
+    mirrors the exact expression tree, so even the test statistic
+    hash-checks."""
+    from dbpedia_spotlight_spark.datapipe.funnel import ab_test_report
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ab_test_report(ev, "purchase")
+
+
+def q_event_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (datapipe/funnel.py:event_ohlc): per
+    (event_type, hour), open/high/low/close in exact integer cents with
+    count and volume — the candlestick/metrics-rollup shape. Open/close
+    are first/last by (ts, event_id); all aggregates are integer-exact.
+    Bucket timestamps are emitted as formatted strings (the engine-
+    portable timestamp convention of `events_windowed`)."""
+    from dbpedia_spotlight_spark.datapipe.funnel import event_ohlc
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return event_ohlc(ev).select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "open_cents",
+        "high_cents",
+        "low_cents",
+        "close_cents",
+        "n",
+        "volume_cents",
+    )
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch / Flesch-Kincaid readability
+    (datapipe/textstats.py:readability_scores): regex-only word,
+    sentence, and vowel-group syllable counts per document plus the two
+    published linear scores — a standard corpus-quality feature next to
+    the Gopher stats. Pure codegen projections, RE2-safe patterns, no
+    shuffle."""
+    from dbpedia_spotlight_spark.datapipe.textstats import readability_scores
+
+    return readability_scores(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "event_transitions": q_event_transitions,
+        "touch_attribution": q_touch_attribution,
+        "ab_test": q_ab_test,
+        "event_ohlc": q_event_ohlc,
+        "readability": q_readability,
         "hll_distinct": q_hll_distinct,
         "cms_counts": q_cms_counts,
         "k_anonymity": q_k_anonymity,
@@ -14464,6 +14544,134 @@ SELECT n_exact::BIGINT AS n_exact, n_approx::BIGINT AS n_approx,
 FROM stats
 """
     )
+
+    sql["event_transitions"] = """
+WITH p AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+),
+c AS (
+  SELECT src, dst, count(*)::BIGINT AS n
+  FROM p WHERE dst IS NOT NULL GROUP BY 1, 2
+)
+SELECT src, dst, n,
+       round(n / sum(n) OVER (PARTITION BY src), 6) AS prob
+FROM c
+"""
+
+    sql["touch_attribution"] = """
+WITH conv AS (
+  SELECT user_id AS u, ts AS cts, event_id AS cid
+  FROM events WHERE event_type = 'purchase'
+),
+tch AS (
+  SELECT user_id AS u, ts AS tts, event_id AS tid,
+         event_type AS touch_type
+  FROM events WHERE event_type IN ('view', 'click', 'signup')
+),
+j AS (
+  SELECT c.u, c.cid, t.tts, t.tid, t.touch_type
+  FROM conv c JOIN tch t ON c.u = t.u AND t.tts < c.cts
+),
+s AS (
+  SELECT touch_type,
+         (row_number() OVER (
+            PARTITION BY u, cid ORDER BY tts, tid) = 1)::BIGINT AS f,
+         (row_number() OVER (
+            PARTITION BY u, cid ORDER BY tts DESC, tid DESC) = 1)::BIGINT AS l,
+         floor(1000000 / (count(*) OVER (PARTITION BY u, cid)))::BIGINT AS lm
+  FROM j
+)
+SELECT touch_type, count(*)::BIGINT AS n_touches,
+       sum(f)::BIGINT AS first_credit, sum(l)::BIGINT AS last_credit,
+       sum(lm)::BIGINT AS linear_micros,
+       sum(lm) / 1000000.0 AS linear_credit
+FROM s GROUP BY 1
+"""
+
+    sql["ab_test"] = """
+WITH per_u AS (
+  SELECT user_id, max((event_type = 'purchase')::INT) AS c
+  FROM events GROUP BY 1
+),
+armed AS (
+  SELECT CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT
+                   % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm,
+         c
+  FROM per_u
+),
+arms AS (
+  SELECT arm, count(*)::BIGINT AS n, sum(c)::BIGINT AS conv
+  FROM armed GROUP BY 1
+),
+w AS (
+  SELECT (SELECT n FROM arms WHERE arm = 'A') AS n_a,
+         (SELECT conv FROM arms WHERE arm = 'A') AS conv_a,
+         (SELECT n FROM arms WHERE arm = 'B') AS n_b,
+         (SELECT conv FROM arms WHERE arm = 'B') AS conv_b
+),
+s AS (
+  SELECT *,
+         sqrt(((conv_a + conv_b) / (n_a + n_b))
+              * (1 - ((conv_a + conv_b) / (n_a + n_b)))
+              * (1.0 / n_a + 1.0 / n_b)) AS se
+  FROM w
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       round(conv_a / n_a, 6) AS rate_a,
+       round(conv_b / n_b, 6) AS rate_b,
+       round(CASE WHEN se > 0
+                  THEN (conv_a / n_a - conv_b / n_b) / se END, 4) AS z_score
+FROM s
+"""
+
+    sql["event_ohlc"] = """
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts, ts, event_id,
+         round(value * 100)::BIGINT AS cents
+  FROM events
+),
+fl AS (
+  SELECT event_type, bucket_ts, cents,
+         row_number() OVER (
+           PARTITION BY event_type, bucket_ts ORDER BY ts, event_id) AS ra,
+         row_number() OVER (
+           PARTITION BY event_type, bucket_ts
+           ORDER BY ts DESC, event_id DESC) AS rd
+  FROM b
+)
+SELECT event_type, strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket,
+       max(CASE WHEN ra = 1 THEN cents END)::BIGINT AS open_cents,
+       max(cents)::BIGINT AS high_cents,
+       min(cents)::BIGINT AS low_cents,
+       max(CASE WHEN rd = 1 THEN cents END)::BIGINT AS close_cents,
+       count(*)::BIGINT AS n, sum(cents)::BIGINT AS volume_cents
+FROM fl GROUP BY 1, 2
+"""
+
+    sql["readability"] = """
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z]+'))::BIGINT AS n_words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
+           AS n_sentences,
+         len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))::BIGINT
+           AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(CASE WHEN n_words > 0
+                  THEN 206.835 - 1.015 * (n_words / n_sentences)
+                       - 84.6 * (n_syllables / n_words) END, 4) AS flesch,
+       round(CASE WHEN n_words > 0
+                  THEN 0.39 * (n_words / n_sentences)
+                       + 11.8 * (n_syllables / n_words) - 15.59 END, 4)
+         AS fk_grade
+FROM c
+"""
 
     # Deterministic HLL twin: identical hash / bucket / rank arithmetic
     # (length(bin(w)) for floor(log2)+1 — both engines' bin() emit minimal

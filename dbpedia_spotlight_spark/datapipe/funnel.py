@@ -14,7 +14,7 @@ join. Both are map-side combinable before their shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -100,4 +100,222 @@ def retention_cohorts(
             ).cast("long").alias("period_offset"),
         )
         .agg(F.countDistinct("_u").cast("long").alias("n_users"))
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of the event stream ->
+    (src, dst, n, prob): for each ordered per-user pair of consecutive
+    events, the transition count and the row-normalized probability
+    P(dst | src) — the clickstream model behind next-action prediction
+    and anomaly scoring ("error after purchase is 40x base rate").
+
+    One lead() window per user (keyed shuffle on user_col, ordered by
+    (ts, id) so duplicate timestamps stay deterministic), one groupBy on
+    the (src, dst) pair, and the normalizer is a window over the tiny
+    (|types|^2)-row matrix, not the stream. prob = n / n_src rounded to
+    6 — a single exact-replayable division."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.asc(ts_col), F.asc(id_col)
+    )
+    pairs = (
+        events.select(
+            F.col(type_col).alias("src"),
+            F.lead(type_col).over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w_src = Window.partitionBy("src")
+    return pairs.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_src), 6).alias("prob"),
+    )
+
+
+def touch_attribution(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: list[str],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Multi-touch attribution -> per touch channel (touch_type,
+    n_touches, first_credit, last_credit, linear_micros, linear_credit):
+    every conversion event distributes credit over that user's EARLIER
+    touch events — 1 to the first touch, 1 to the last, and 1/n to each
+    under the linear model (the three standard position models).
+
+    Linear credit is computed in FIXED POINT: each touch earns
+    1_000_000 div n micro-credits (integer division), so sums are exact
+    BIGINTs with no float accumulation order to drift across engines —
+    the same half-up/fixed-point discipline as the neighborhood-agg and
+    label-noise operators; `linear_credit` is the single terminal
+    division by 1e6.
+
+    Plan: conversions equi-join touches on user_col (keyed shuffle;
+    fan-out bounded by per-user activity, the same boundedness argument
+    as the funnel joins), strictly-earlier filter, two rank windows per
+    conversion for first/last, then one groupBy per channel."""
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_cts"),
+        F.col(id_col).alias("_cid"),
+    )
+    touch = events.filter(F.col(type_col).isin(list(touch_types))).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_tts"),
+        F.col(id_col).alias("_tid"),
+        F.col(type_col).alias("touch_type"),
+    )
+    joined = conv.join(touch, "_u").filter(F.col("_tts") < F.col("_cts"))
+    w_conv = Window.partitionBy("_u", "_cid")
+    w_asc = w_conv.orderBy(F.asc("_tts"), F.asc("_tid"))
+    w_desc = w_conv.orderBy(F.desc("_tts"), F.desc("_tid"))
+    scored = joined.select(
+        "touch_type",
+        (F.row_number().over(w_asc) == 1).cast("long").alias("_first"),
+        (F.row_number().over(w_desc) == 1).cast("long").alias("_last"),
+        F.floor(F.lit(1_000_000) / F.count("*").over(w_conv))
+        .cast("long")
+        .alias("_lin_micros"),
+    )
+    return scored.groupBy("touch_type").agg(
+        F.count("*").cast("long").alias("n_touches"),
+        F.sum("_first").cast("long").alias("first_credit"),
+        F.sum("_last").cast("long").alias("last_credit"),
+        F.sum("_lin_micros").cast("long").alias("linear_micros"),
+        (F.sum("_lin_micros") / F.lit(1e6)).alias("linear_credit"),
+    )
+
+
+def ab_test_report(
+    events: DataFrame,
+    conversion_type: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Deterministic A/B readout -> one row (n_a, n_b, conv_a, conv_b,
+    rate_a, rate_b, z_score): users are assigned to arms by md5 parity
+    of their id (the reproducible hash-split every experiment platform
+    uses — no stored assignment table needed), a user converts iff they
+    have >= 1 event of `conversion_type`, and the two-proportion pooled
+    z-statistic quantifies the split. sqrt is IEEE correctly-rounded, so
+    the statistic is bit-replayable given the same expression tree (the
+    DuckDB twin mirrors the parenthesization exactly).
+
+    Plan: one per-user aggregate (arm + converted flag, keyed shuffle on
+    user), one 2-row groupBy, one scalar projection."""
+    per_user = (
+        events.select(
+            F.col(user_col).alias("_u"),
+            (F.col(type_col) == conversion_type).cast("int").alias("_c"),
+        )
+        .groupBy("_u")
+        .agg(F.max("_c").alias("_conv"))
+        .select(
+            F.when(
+                F.conv(
+                    F.substring(F.md5(F.col("_u").cast("string")), 1, 12),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+                == 0,
+                F.lit("A"),
+            )
+            .otherwise(F.lit("B"))
+            .alias("_arm"),
+            "_conv",
+        )
+    )
+    arms = per_user.groupBy("_arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_conv").cast("long").alias("conv"),
+    )
+    a = arms.filter(F.col("_arm") == "A").select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    )
+    b = arms.filter(F.col("_arm") == "B").select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
+    )
+    wide = a.crossJoin(b)
+    pa = F.col("conv_a") / F.col("n_a")
+    pb = F.col("conv_b") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    # degenerate experiment (0% or 100% pooled conversion) -> NULL z
+    # rather than an ANSI divide-by-zero
+    z = F.when(se > 0, (pa - pb) / se)
+    return wide.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.round(z, 4).alias("z_score"),
+    )
+
+
+def event_ohlc(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    bucket: str = "hour",
+) -> DataFrame:
+    """OHLC downsampling (the candlestick / metrics-rollup shape) ->
+    per (event_type, time bucket): open, high, low, close in exact
+    integer CENTS plus event count and cent volume. Open/close are the
+    first/last event by (ts, id) in the bucket — id tiebreak keeps
+    duplicate timestamps deterministic; high/low/volume are plain
+    max/min/sum. Values enter as round(value*100) BIGINTs, so every
+    aggregate is integer-exact (no float min/max/sum drift).
+
+    Plan: one window pass partitioned by (type, bucket) for the two rank
+    flags, one groupBy — both shuffle on the same key."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = events.select(
+        F.col(type_col).alias("event_type"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        cents.alias("_cents"),
+    )
+    w = Window.partitionBy("event_type", "bucket_ts")
+    w_asc = w.orderBy(F.asc("_ts"), F.asc("_id"))
+    w_desc = w.orderBy(F.desc("_ts"), F.desc("_id"))
+    flagged = base.select(
+        "event_type",
+        "bucket_ts",
+        "_cents",
+        (F.row_number().over(w_asc) == 1).alias("_is_open"),
+        (F.row_number().over(w_desc) == 1).alias("_is_close"),
+    )
+    return flagged.groupBy("event_type", "bucket_ts").agg(
+        F.max(F.when(F.col("_is_open"), F.col("_cents"))).alias("open_cents"),
+        F.max("_cents").alias("high_cents"),
+        F.min("_cents").alias("low_cents"),
+        F.max(F.when(F.col("_is_close"), F.col("_cents"))).alias(
+            "close_cents"
+        ),
+        F.count("*").cast("long").alias("n"),
+        F.sum("_cents").cast("long").alias("volume_cents"),
     )

@@ -1025,3 +1025,57 @@ def ngram_novelty(
             F.round(F.col("n_new") / F.col("n_ngrams"), 6).alias("novelty"),
         )
     )
+
+
+def readability_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease and Flesch-Kincaid grade per document ->
+    (id_col, n_words, n_sentences, n_syllables, flesch, fk_grade) — the
+    classic readability pair (Flesch 1948; Kincaid et al. 1975), a
+    standard corpus-quality feature alongside the Gopher stats in
+    `quality_filter`.
+
+    Counting is regex-only and engine-portable (RE2-safe, no
+    lookarounds): words = maximal [A-Za-z]+ runs, sentences = maximal
+    [.!?]+ runs (floored at 1 so headline-ish fragments still score),
+    syllables = maximal vowel-group runs [aeiouyAEIOUY]+ (the standard
+    cheap approximation; vowel groups only occur inside words, so the
+    global count equals the per-word sum). Scores are the published
+    linear formulas on two exact-replayable ratios, rounded to 4.
+    Documents with zero words yield NULL scores rather than a division
+    error. Pure whole-stage codegen — three regexp_count projections and
+    arithmetic, no shuffle at all."""
+    words = F.regexp_count(F.col(text_col), F.lit(r"[A-Za-z]+"))
+    sents = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1)
+    )
+    syls = F.regexp_count(F.col(text_col), F.lit(r"[aeiouyAEIOUY]+"))
+    base = docs.select(
+        id_col,
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        syls.cast("long").alias("n_syllables"),
+    )
+    wps = F.col("n_words") / F.col("n_sentences")
+    spw = F.col("n_syllables") / F.col("n_words")
+    return base.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            F.when(
+                F.col("n_words") > 0,
+                F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw,
+            ),
+            4,
+        ).alias("flesch"),
+        F.round(
+            F.when(
+                F.col("n_words") > 0,
+                F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59),
+            ),
+            4,
+        ).alias("fk_grade"),
+    )

@@ -2174,3 +2174,138 @@ def test_greedy_max_coverage_exact_greedy_order(spark):
         (1, "A", 2, 7),
         (2, "D", 1, 8),
     ]
+
+
+def _mk_events(spark, rows):
+    """rows: (event_id, ts_str, user_id, event_type, value)."""
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    )
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_event_transitions_probabilities(spark):
+    """Markov matrix: per-user consecutive pairs only (no cross-user
+    transitions), probabilities row-normalize to 1 per src."""
+    from dbpedia_spotlight_spark.datapipe.funnel import event_transitions
+
+    ev = _mk_events(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", 1, "a", 0.0),
+            (2, "2024-01-01 00:01:00", 1, "b", 0.0),
+            (3, "2024-01-01 00:02:00", 1, "a", 0.0),
+            (4, "2024-01-01 00:00:30", 2, "a", 0.0),
+            (5, "2024-01-01 00:01:30", 2, "a", 0.0),
+        ],
+    )
+    rows = {
+        (r["src"], r["dst"]): r for r in event_transitions(ev).collect()
+    }
+    assert rows[("a", "b")]["n"] == 1 and rows[("b", "a")]["n"] == 1
+    assert rows[("a", "a")]["n"] == 1
+    assert rows[("a", "b")]["prob"] == 0.5 and rows[("a", "a")]["prob"] == 0.5
+    assert rows[("b", "a")]["prob"] == 1.0
+    import math
+
+    for src in ("a", "b"):
+        assert math.isclose(
+            sum(r["prob"] for k, r in rows.items() if k[0] == src), 1.0
+        )
+
+
+def test_touch_attribution_models(spark):
+    """User converts once with touches view(t1) click(t2) view(t3):
+    first credit -> view, last credit -> view(t3), linear 1/3 each
+    (333333 micros); a touch AFTER the conversion earns nothing."""
+    from dbpedia_spotlight_spark.datapipe.funnel import touch_attribution
+
+    ev = _mk_events(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", 1, "view", 0.0),
+            (2, "2024-01-01 00:01:00", 1, "click", 0.0),
+            (3, "2024-01-01 00:02:00", 1, "view", 0.0),
+            (4, "2024-01-01 00:03:00", 1, "purchase", 0.0),
+            (5, "2024-01-01 00:04:00", 1, "click", 0.0),
+        ],
+    )
+    out = {
+        r["touch_type"]: r
+        for r in touch_attribution(ev, "purchase", ["view", "click"]).collect()
+    }
+    assert out["view"]["n_touches"] == 2 and out["click"]["n_touches"] == 1
+    assert out["view"]["first_credit"] == 1 and out["click"]["first_credit"] == 0
+    assert out["view"]["last_credit"] == 1 and out["click"]["last_credit"] == 0
+    assert out["view"]["linear_micros"] == 2 * 333333
+    assert out["click"]["linear_micros"] == 333333
+
+
+def test_ab_test_report_deterministic_split_and_z(spark):
+    """Hash split is a pure function of user id; z is NULL when pooled
+    conversion is degenerate (all convert) and finite otherwise."""
+    from dbpedia_spotlight_spark.datapipe.funnel import ab_test_report
+
+    rows = []
+    for uid in range(40):
+        rows.append((uid * 2, "2024-01-01 00:00:00", uid, "view", 0.0))
+        if uid % 3 == 0:
+            rows.append((uid * 2 + 1, "2024-01-01 00:01:00", uid, "buy", 0.0))
+    ev = _mk_events(spark, rows)
+    r = ab_test_report(ev, "buy").collect()[0]
+    assert r["n_a"] + r["n_b"] == 40
+    assert r["conv_a"] + r["conv_b"] == 14
+    assert r["z_score"] is not None
+    # degenerate: every user converts -> NULL z, rates 1.0
+    ev_all = _mk_events(
+        spark,
+        [(uid, "2024-01-01 00:00:00", uid, "buy", 0.0) for uid in range(10)],
+    )
+    r2 = ab_test_report(ev_all, "buy").collect()[0]
+    assert r2["rate_a"] == 1.0 and r2["rate_b"] == 1.0
+    assert r2["z_score"] is None
+
+
+def test_event_ohlc_open_close_ties(spark):
+    """OHLC: open/close by (ts, id) with id tiebreak on equal
+    timestamps; high/low/volume integer-exact."""
+    from dbpedia_spotlight_spark.datapipe.funnel import event_ohlc
+
+    ev = _mk_events(
+        spark,
+        [
+            (2, "2024-01-01 05:00:00", 1, "m", 10.00),
+            (1, "2024-01-01 05:00:00", 1, "m", 11.00),
+            (3, "2024-01-01 05:30:00", 2, "m", 9.50),
+            (4, "2024-01-01 05:59:59", 1, "m", 10.25),
+            (5, "2024-01-01 06:00:00", 1, "m", 99.00),
+        ],
+    )
+    out = {
+        str(r["bucket_ts"]): r for r in event_ohlc(ev).collect()
+    }
+    five = out["2024-01-01 05:00:00"]
+    assert five["open_cents"] == 1100  # event_id 1 wins the ts tie
+    assert five["close_cents"] == 1025
+    assert five["high_cents"] == 1100 and five["low_cents"] == 950
+    assert five["n"] == 4 and five["volume_cents"] == 4075
+    assert out["2024-01-01 06:00:00"]["open_cents"] == 9900
+
+
+def test_readability_scores_formula(spark):
+    """Known text: 'The cat sat. The dog ran!' -> 6 words, 2 sentences,
+    6 syllables (one vowel group per word) -> flesch = 206.835 -
+    1.015*3 - 84.6*1 = 119.19; empty text -> NULL scores."""
+    from dbpedia_spotlight_spark.datapipe.textstats import readability_scores
+
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in readability_scores(docs).collect()}
+    assert out[1]["n_words"] == 6
+    assert out[1]["n_sentences"] == 2
+    assert out[1]["n_syllables"] == 6
+    assert out[1]["flesch"] == round(206.835 - 1.015 * 3 - 84.6 * 1, 4)
+    assert out[1]["fk_grade"] == round(0.39 * 3 + 11.8 * 1 - 15.59, 4)
+    assert out[2]["n_words"] == 0 and out[2]["flesch"] is None

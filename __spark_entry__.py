@@ -7186,12 +7186,34 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readability_scores(_docs(spark, sf_dir))
 
 
+def q_hilbert_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout keys over (user_id, json k)
+    (functions/zorder.py:with_hilbert_key) — the premium space-filling
+    curve next to the Morton `zorder_keys` query: consecutive key values
+    are always grid-adjacent, so key-range file pruning touches fewer
+    tiles for the same predicate. One chain of integer projections
+    (shift/and/xor/CASE), whole-stage codegen, bit-for-bit replayed by
+    the oracle's staged-CTE unroll (tested against the classic xy2d
+    reference in tests/test_text_functions.py)."""
+    from dbpedia_spotlight_spark.functions.zorder import with_hilbert_key
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.col("user_id").alias("x"),
+        F.get_json_object("props", "$.k").cast("long").alias("y"),
+    )
+    return with_hilbert_key(ev, "x", "y", bits=8).select(
+        "event_id", "hilbert_key"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "hilbert_keys": q_hilbert_keys,
         "event_transitions": q_event_transitions,
         "touch_attribution": q_touch_attribution,
         "ab_test": q_ab_test,
@@ -14543,6 +14565,19 @@ SELECT n_exact::BIGINT AS n_exact, n_approx::BIGINT AS n_approx,
          AS precision
 FROM stats
 """
+    )
+
+    from dbpedia_spotlight_spark.functions.zorder import hilbert_stage_sql
+
+    sql["hilbert_keys"] = (
+        hilbert_stage_sql(
+            "event_id",
+            "(SELECT event_id, (user_id & 255) AS hx, "
+            "(json_extract_string(props, '$.k')::BIGINT & 255) AS hy "
+            "FROM events)",
+            bits=8,
+        )
+        + "\nSELECT event_id, hilbert_key FROM hfinal"
     )
 
     sql["event_transitions"] = """

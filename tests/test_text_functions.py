@@ -319,3 +319,42 @@ def test_ngram_novelty_first_owner(spark):
     assert got[2] == (2, 1, 0.5)       # 'a b c' seen, 'b c x' new
     assert got[3] == (2, 0, 0.0)       # pure re-crawl
     assert got[4] == (1, 1, 1.0)       # short doc: whole text one gram
+
+
+def test_hilbert_key_bijection_adjacency_and_reference(spark):
+    """with_hilbert_key on the full 16x16 grid (bits=4): (1) keys are a
+    bijection onto 0..255; (2) consecutive keys are grid-ADJACENT
+    (manhattan distance exactly 1) — the defining Hilbert property
+    Morton keys lack; (3) exact parity with the classic xy2d reference
+    implementation."""
+    import pyspark.sql.functions as F
+
+    from dbpedia_spotlight_spark.functions.zorder import with_hilbert_key
+
+    def xy2d(n, x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x = n - 1 - x
+                    y = n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x int, y int"
+    )
+    rows = with_hilbert_key(grid, "x", "y", bits=4).collect()
+    keys = sorted(r["hilbert_key"] for r in rows)
+    assert keys == list(range(256))
+    by_key = {r["hilbert_key"]: (r["x"], r["y"]) for r in rows}
+    for d in range(255):
+        (x1, y1), (x2, y2) = by_key[d], by_key[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, (d, by_key[d], by_key[d + 1])
+    for r in rows:
+        assert r["hilbert_key"] == xy2d(16, r["x"], r["y"])

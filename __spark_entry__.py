@@ -7207,12 +7207,36 @@ def q_hilbert_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docgen_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python Data Source API generator (io/datasource.py:
+    DocGenDataSource, SPARK-44076): a deterministic synthetic corpus —
+    every (doc_id, position) token is md5_48(doc·US·pos) mod vocab, the
+    id range split across InputPartitions, rows crossing to the JVM as
+    Arrow batches. The BASELINE input-hint's "synthesize the input
+    deterministically" as a first-class `spark.read.format` source; the
+    oracle replays every token with generate_series + the same md5
+    arithmetic (sf_dir-independent by design — the source IS the
+    generator)."""
+    from dbpedia_spotlight_spark.io.datasource import register_sources
+
+    register_sources(spark)
+    return (
+        spark.read.format("docgen")
+        .option("n_docs", 300)
+        .option("doc_len", 30)
+        .option("vocab", 61)
+        .option("partitions", 8)
+        .load()
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "docgen_corpus": q_docgen_corpus,
         "hilbert_keys": q_hilbert_keys,
         "event_transitions": q_event_transitions,
         "touch_attribution": q_touch_attribution,
@@ -14566,6 +14590,23 @@ SELECT n_exact::BIGINT AS n_exact, n_approx::BIGINT AS n_approx,
 FROM stats
 """
     )
+
+    sql["docgen_corpus"] = """
+WITH p AS (
+  SELECT d.n AS doc_id, g.n AS pos
+  FROM generate_series(0, 299) d(n), generate_series(0, 29) g(n)
+),
+t AS (
+  SELECT doc_id, pos,
+         'w' || (('0x' || substr(md5(doc_id::VARCHAR || chr(31)
+                                     || pos::VARCHAR), 1, 12))::BIGINT
+                 % 61)::VARCHAR AS tok
+  FROM p
+)
+SELECT doc_id::BIGINT AS doc_id,
+       string_agg(tok, ' ' ORDER BY pos) AS text
+FROM t GROUP BY 1
+"""
 
     from dbpedia_spotlight_spark.functions.zorder import hilbert_stage_sql
 

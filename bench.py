@@ -101,6 +101,13 @@ HEADLINE = [
     "distant_supervision",
     "mask_entities",
     "textrank_summary",
+    # round-4 session-8 additions
+    "hll_distinct",
+    "cms_counts",
+    "greedy_cover",
+    "hilbert_keys",
+    "touch_attribution",
+    "kg_transitive_reduction",
 ]
 
 

@@ -59,3 +59,67 @@ def test_strip_wiki_markup(spark):
     assert "History" in out and "centuries" in out        # content kept
     assert "\n\n\n" not in out
     assert "Apple" in out and "fruit." in out
+
+
+def test_docgen_datasource_deterministic_and_partition_invariant(spark):
+    """Python Data Source API generator: same options -> identical
+    corpus regardless of partition count; tokens follow the md5 recipe."""
+    import hashlib
+
+    from dbpedia_spotlight_spark.io.datasource import register_sources
+
+    register_sources(spark)
+
+    def load(parts):
+        return (
+            spark.read.format("docgen")
+            .option("n_docs", 50)
+            .option("doc_len", 7)
+            .option("vocab", 13)
+            .option("partitions", parts)
+            .load()
+        )
+
+    a = {r["doc_id"]: r["text"] for r in load(1).collect()}
+    b = {r["doc_id"]: r["text"] for r in load(4).collect()}
+    assert a == b and len(a) == 50
+    h = hashlib.md5(b"3\x1f0").hexdigest()[:12]
+    assert a[3].split(" ")[0] == f"w{int(h, 16) % 13}"
+
+
+def test_spotlight_tsv_roundtrip_and_filter_pushdown(spark, tmp_path):
+    """TSV writer -> reader round trip preserves rows; EqualTo on uri is
+    absorbed by pushFilters (only unsupported filters come back) and the
+    pushed-down scan returns exactly the matching rows."""
+    from pyspark.sql import functions as F
+
+    from dbpedia_spotlight_spark.io.datasource import (
+        EqualTo,
+        GreaterThan,
+        TsvReader,
+        register_sources,
+    )
+
+    register_sources(spark)
+    df = spark.createDataFrame(
+        [
+            ("o1", "U1", "apple", "an apple text", 3),
+            ("o2", "U2", "pear", "a pear text", 2),
+            ("o3", "U1", "plum", "a plum text", 0),
+        ],
+        "occ_id string, uri string, surface_form string, text string, offset int",
+    )
+    out = str(tmp_path / "tsv_out")
+    df.coalesce(2).write.format("spotlight_tsv").mode("overwrite").save(out)
+    back = spark.read.format("spotlight_tsv").load(out)
+    assert sorted(r["occ_id"] for r in back.collect()) == ["o1", "o2", "o3"]
+
+    filtered = back.filter(F.col("uri") == "U1")
+    assert sorted(r["occ_id"] for r in filtered.collect()) == ["o1", "o3"]
+
+    rd = TsvReader({"path": out})
+    leftover = list(
+        rd.pushFilters([EqualTo(("uri",), "U1"), GreaterThan(("offset",), 1)])
+    )
+    assert rd.eq == {"uri": "U1"}
+    assert len(leftover) == 1 and isinstance(leftover[0], GreaterThan)

@@ -7230,12 +7230,46 @@ def q_docgen_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping-priority top-10: BUILDING-segment
+    customers' orders placed before the cutoff with lineitems shipped
+    after it, ranked by discounted revenue. Three fact-side hash joins
+    (customer dim filtered first so the probe side shrinks early), one
+    group-by, and the top-10 is TakeOrderedAndProject (per-partition
+    heaps — no global sort), revenue ties broken by orderkey so the
+    selection is deterministic."""
+    for t in ("lineitem", "orders", "customer"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(
+            f"v_{t}"
+        )
+    return spark.sql(
+        """
+        SELECT l.l_orderkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+                 AS revenue,
+               date_format(o.o_orderdate, 'yyyy-MM-dd') AS order_date,
+               o.o_orderpriority
+        FROM v_customer c
+        JOIN v_orders o ON c.c_custkey = o.o_custkey
+        JOIN v_lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < timestamp'1998-06-01 00:00:00'
+          AND l.l_shipdate > timestamp'1998-06-01 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC,
+                 l.l_orderkey
+        LIMIT 10
+        """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "tpch_shipping": q_tpch_shipping,
         "docgen_corpus": q_docgen_corpus,
         "hilbert_keys": q_hilbert_keys,
         "event_transitions": q_event_transitions,
@@ -14590,6 +14624,22 @@ SELECT n_exact::BIGINT AS n_exact, n_approx::BIGINT AS n_approx,
 FROM stats
 """
     )
+
+    sql["tpch_shipping"] = """
+SELECT l.l_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < timestamp '1998-06-01 00:00:00'
+  AND l.l_shipdate > timestamp '1998-06-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC, l.l_orderkey
+LIMIT 10
+"""
 
     sql["docgen_corpus"] = """
 WITH p AS (

@@ -500,3 +500,59 @@ def test_graph_summary_k4_plus_pendant(spark):
     rc = graph_summary(cyc).first()
     assert rc.assortativity is None
     assert rc.n_triangles == 0 and rc.transitivity == 0.0
+
+
+def test_first_seen_registry_transform_with_state(spark, tmp_path):
+    """transformWithStateInPandas stateful registry: a uri sighted in an
+    earlier micro-batch run is never emitted again; the first emission
+    carries min(ts) and that batch's mention count.
+
+    Skipped where `protobuf` is absent: the transformWithState Python
+    runner speaks proto to its state server, so the API cannot start
+    without it (this container ships no protobuf and installs are
+    disallowed). The applyInPandasWithState dedup_stream test above
+    covers the custom-stateful path end-to-end either way."""
+    import time
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    _pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState requires protobuf (not in container)",
+    )
+
+    from dbpedia_spotlight_spark.streaming.registry_stream import (
+        run_registry_stream,
+    )
+
+    inp = tmp_path / "in"
+    outp = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    inp.mkdir()
+
+    t = datetime(2024, 1, 1, 10, 0, 0)
+    t2 = datetime(2024, 1, 1, 9, 30, 0)
+    b1 = spark.createDataFrame(
+        [("A", t), ("A", t2), ("B", t)], "uri string, ts timestamp"
+    )
+    b1.write.mode("append").parquet(str(inp))
+    q = run_registry_stream(spark, str(inp), outp, ckpt)
+    q.awaitTermination(120)
+
+    b2 = spark.createDataFrame(
+        [("A", datetime(2024, 1, 2, 0, 0, 0)), ("C", t)],
+        "uri string, ts timestamp",
+    )
+    b2.write.mode("append").parquet(str(inp))
+    q2 = run_registry_stream(spark, str(inp), outp, ckpt)
+    q2.awaitTermination(120)
+    time.sleep(1)
+
+    rows = {
+        r["uri"]: (r["first_ts"], r["n_first_batch"])
+        for r in spark.read.parquet(outp).collect()
+    }
+    assert set(rows) == {"A", "B", "C"}
+    assert rows["A"] == (t2, 2)  # min ts across the two chunked mentions
+    assert rows["B"][1] == 1 and rows["C"][1] == 1

@@ -29,9 +29,11 @@ become explicit, testable expectations here.
 
 from __future__ import annotations
 
+import math
+
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -105,3 +107,57 @@ def validate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
     return metrics.select(
         F.explode(F.array(*rows)).alias("r")
     ).select("r.*")
+
+
+#: Benford's-law expected first-digit shares, log10(1 + 1/d) — bound as
+#: literals so the Spark plan and any SQL oracle embed the IDENTICAL
+#: doubles (repr round-trips exactly) instead of each calling their own
+#: log10.
+BENFORD_SHARES: dict[int, float] = {
+    d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)
+}
+
+
+def benford_profile(df: DataFrame, col: str) -> DataFrame:
+    """Benford's-law first-digit audit of a positive numeric column ->
+    one row per digit 1..9: (digit, n_obs, obs_share, expected_share,
+    chi2_term). Benford deviation is the classic fabricated-data /
+    unit-error screen on financial and measurement columns (Benford
+    1938; Nigrini's auditing use); sum(chi2_term) against the
+    chi-square(8) critical value is the test.
+
+    First digits come from the integer-cent representation
+    (round(x*100) -> string -> first char), so digit extraction is
+    integer/string-exact in every engine; non-positive values are
+    excluded (Benford is defined on positive magnitudes). One groupBy
+    on 9 keys with map-side combine; the only floats are the terminal
+    share/chi2 expressions against the literal expected shares."""
+    cents = F.round(F.col(col) * 100).cast("long")
+    digits = (
+        df.select(cents.alias("_c"))
+        .filter(F.col("_c") > 0)
+        .select(F.substring(F.col("_c").cast("string"), 1, 1).cast("int").alias("digit"))
+    )
+    counts = digits.groupBy("digit").agg(
+        F.count("*").cast("long").alias("n_obs")
+    )
+    total = F.sum("n_obs").over(Window.partitionBy())
+    expected = F.create_map(
+        *[
+            x
+            for d, s in BENFORD_SHARES.items()
+            for x in (F.lit(d), F.lit(s))
+        ]
+    )
+    e = expected[F.col("digit")]
+    return counts.select(
+        "digit",
+        "n_obs",
+        F.round(F.col("n_obs") / total, 6).alias("obs_share"),
+        F.round(e, 6).alias("expected_share"),
+        F.round(
+            (F.col("n_obs") - total * e) * (F.col("n_obs") - total * e)
+            / (total * e),
+            6,
+        ).alias("chi2_term"),
+    )

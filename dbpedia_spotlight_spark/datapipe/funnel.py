@@ -319,3 +319,83 @@ def event_ohlc(
         F.count("*").cast("long").alias("n"),
         F.sum("_cents").cast("long").alias("volume_cents"),
     )
+
+
+def event_acf(
+    events: DataFrame,
+    max_lag: int = 5,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Lag-k autocorrelation of each event type's value series ->
+    (event_type, lag, n_pairs, corr): Pearson correlation between the
+    series and its lag-k shift (ordered by (ts, id)), for lags 1..max_lag
+    — the seasonality/burst-memory profile of a metric stream.
+
+    Exactness discipline: values enter as integer cents, and the
+    correlation is computed from the five BIGINT power sums of the
+    lag-paired series (m·Σxy − Σx·Σy over the sqrt of the two variance
+    terms), so every aggregate is integer-exact and only the one
+    terminal expression is floating point — bit-replayable in any
+    engine, like `ab_test_report`'s z. Cent-scale products over
+    row-count-scale sums stay far inside BIGINT range.
+
+    Plan: one lead() window per lag over the same (type)-keyed sort —
+    Spark reuses the single sort across the max_lag projections — one
+    explode-free union via stacked lag columns, one groupBy on
+    (type, lag). NULL corr for constant series (zero variance)."""
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    w = Window.partitionBy(type_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = events.select(
+        F.col(type_col).alias("event_type"),
+        cents.alias("_x"),
+        *[
+            F.lead(cents, k).over(w).alias(f"_y{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    pairs = base.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        F.col("_x").alias("x"),
+                        F.col(f"_y{k}").alias("y"),
+                    )
+                    for k in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("p"),
+    ).select(
+        "event_type", "p.lag", "p.x", "p.y"
+    ).filter(F.col("y").isNotNull())
+    agg = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    m = F.col("n_pairs")
+    num = m * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = m * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = m * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        F.round(
+            F.when(
+                (varx > 0) & (vary > 0),
+                num / F.sqrt(varx.cast("double") * vary.cast("double")),
+            ),
+            6,
+        ).alias("corr"),
+    )

@@ -2309,3 +2309,49 @@ def test_readability_scores_formula(spark):
     assert out[1]["flesch"] == round(206.835 - 1.015 * 3 - 84.6 * 1, 4)
     assert out[1]["fk_grade"] == round(0.39 * 3 + 11.8 * 1 - 15.59, 4)
     assert out[2]["n_words"] == 0 and out[2]["flesch"] is None
+
+
+def test_event_acf_alternating_series(spark):
+    """A strictly alternating two-value series has lag-1 corr -1 and
+    lag-2 corr +1; a constant series yields NULL (zero variance)."""
+    rows = []
+    for i in range(40):
+        rows.append((i, f"2024-01-01 00:{i:02d}:00", 1, "alt", 10.0 if i % 2 else 20.0))
+    for i in range(10):
+        rows.append((100 + i, f"2024-01-01 01:{i:02d}:00", 1, "flat", 5.0))
+    ev = _mk_events(spark, rows)
+    from dbpedia_spotlight_spark.datapipe.funnel import event_acf
+
+    out = {
+        (r["event_type"], r["lag"]): r["corr"]
+        for r in event_acf(ev, max_lag=2).collect()
+    }
+    assert out[("alt", 1)] == -1.0
+    assert out[("alt", 2)] == 1.0
+    assert out[("flat", 1)] is None
+
+
+def test_benford_profile_digits_and_chi2(spark):
+    """First digits come from the cent representation; shares sum to 1;
+    a perfectly Benford-weighted sample has near-zero chi2 terms; zero
+    and negative values are excluded."""
+    import math
+
+    from dbpedia_spotlight_spark.datapipe.expectations import (
+        BENFORD_SHARES,
+        benford_profile,
+    )
+
+    rows = []
+    for d in range(1, 10):
+        n = round(BENFORD_SHARES[d] * 1000)
+        rows += [(float(d),)] * n  # d.00 -> cents d00 -> first digit d
+    rows += [(0.0,), (-3.0,)]  # excluded
+    df = spark.createDataFrame(rows, "v double")
+    out = {r["digit"]: r for r in benford_profile(df, "v").collect()}
+    assert set(out) == set(range(1, 10))
+    total = sum(r["n_obs"] for r in out.values())
+    assert total == sum(round(BENFORD_SHARES[d] * 1000) for d in range(1, 10))
+    assert math.isclose(sum(r["obs_share"] for r in out.values()), 1.0, abs_tol=1e-4)
+    for r in out.values():
+        assert r["chi2_term"] < 0.01  # rounding of the sample, not skew

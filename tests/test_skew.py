@@ -263,3 +263,72 @@ def test_session7_late_operators_plan_shapes(spark):
     # pure scan -> aggregate pipelines: no join operator anywhere
     assert "Join" not in plan(hearst_patterns(docs))
     assert "Join" not in plan(feature_hash(docs, dim=64))
+
+
+def test_session8_operators_plan_shapes(spark):
+    """Scale-claim pins for the session-8 operators: sketches and
+    layout keys plan as pure projections/keyed aggregates (no join at
+    all), the attribution/transition/ACF family joins stay keyed —
+    never cartesian/broadcast-nested-loop — and every window they use
+    is partitioned, not global."""
+    import pyspark.sql.functions as F
+
+    from dbpedia_spotlight_spark.datapipe.funnel import (
+        event_acf,
+        event_transitions,
+        touch_attribution,
+    )
+    from dbpedia_spotlight_spark.datapipe.sketches import (
+        cms_sketch,
+        hll_registers,
+    )
+    from dbpedia_spotlight_spark.functions.zorder import with_hilbert_key
+
+    toks = spark.createDataFrame(
+        [(i % 4, f"t{i % 50}") for i in range(300)], "grp int, item string"
+    )
+    # HLL registers: one keyed aggregate, no join, no global window
+    p = _plan(hll_registers(toks, ["grp"], "item", p=8))
+    assert "Join" not in p and "CartesianProduct" not in p
+
+    # CMS build: explode (constant depth) + one aggregate, no join;
+    # the shuffle key is the cell, never the item
+    p = _plan(cms_sketch(toks, "item", depth=3, width=64))
+    assert "Join" not in p
+
+    # Hilbert key: projection-only — no exchange, no join, no window
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], "x int, y int"
+    )
+    p = _plan(with_hilbert_key(grid, "x", "y", bits=8))
+    assert "Join" not in p and "Exchange" not in p and "Window" not in p
+
+    ev = spark.createDataFrame(
+        [
+            (i, f"2024-01-01 00:{i % 60:02d}:00", i % 5,
+             ["view", "click", "purchase"][i % 3], float(i % 30))
+            for i in range(120)
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    # attribution: the conv x touch join is keyed on user; windows are
+    # per-conversion, never global
+    p = _plan(touch_attribution(ev, "purchase", ["view", "click"]))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    for line in p.splitlines():
+        if line.strip().startswith("Window"):
+            assert "_u" in line or "_cid" in line, line
+
+    # transitions / ACF: lead() windows keyed by user / event_type
+    p = _plan(event_transitions(ev))
+    assert "CartesianProduct" not in p
+    for line in p.splitlines():
+        if line.strip().startswith("Window"):
+            assert "user_id" in line or "src" in line, line
+
+    p = _plan(event_acf(ev, max_lag=3))
+    assert "Join" not in p
+    for line in p.splitlines():
+        if line.strip().startswith("Window"):
+            assert "event_type" in line, line

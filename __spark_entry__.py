@@ -7289,12 +7289,31 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_profile(orders, "o_totalprice")
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversity rerank
+    (datapipe/similarity.py:mmr_rerank, Carbonell & Goldstein 1998):
+    from query vec_id 0's exact top-20 pool, greedily pick 5 docs by
+    lam·rel − (1−lam)·max-sim-to-selected (lam 0.7) — the rerank
+    between ANN retrieval and the context window. Distributed top-pool
+    + pool² cosine matrix; only the bounded matrix reaches the driver.
+    Scores pre-rounded to 9 decimals on both engines so the greedy
+    cascade can't diverge on last-ulp cosine differences; the DuckDB
+    twin unrolls the same 5 argmax rounds."""
+    from dbpedia_spotlight_spark.datapipe.similarity import mmr_rerank
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return mmr_rerank(emb, query_vec_id=0, pool_size=20, k=5, lam=0.7)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "mmr_rerank": q_mmr_rerank,
         "event_acf": q_event_acf,
         "benford_audit": q_benford_audit,
         "tpch_shipping": q_tpch_shipping,
@@ -14651,6 +14670,64 @@ SELECT n_exact::BIGINT AS n_exact, n_approx::BIGINT AS n_approx,
          AS precision
 FROM stats
 """
+    )
+
+    # MMR: the 5 greedy rounds unrolled. Literals are forced ::DOUBLE —
+    # DuckDB parses bare 0.7 as DECIMAL, where (1.0 - 0.7) is exactly
+    # 0.3 instead of the IEEE 0.30000000000000004 the Python side
+    # computes; the casts make both engines run the identical float ops.
+    _mmr_stages = []
+    for _r in range(1, 5):
+        _prev = f"sel{_r - 1}"
+        _mmr_stages.append(f""",
+m{_r} AS (
+  SELECT p.cand_id, p.rel,
+         0.7::DOUBLE * p.rel - (1.0::DOUBLE - 0.7::DOUBLE) *
+           (SELECT max(s.sim) FROM sims s
+            WHERE s.a_id = p.cand_id
+              AND s.b_id IN (SELECT cand_id FROM {_prev})) AS score
+  FROM pool p
+  WHERE p.cand_id NOT IN (SELECT cand_id FROM {_prev})
+),
+s{_r} AS MATERIALIZED (
+  SELECT cand_id, rel, score FROM m{_r}
+  ORDER BY score DESC, cand_id LIMIT 1
+),
+sel{_r} AS MATERIALIZED (
+  SELECT cand_id FROM {_prev} UNION SELECT cand_id FROM s{_r}
+)""")
+    _mmr_rows = "\nUNION ALL\n".join(
+        f"SELECT {_r} AS round_idx, cand_id, rel AS relevance,"
+        f" score AS mmr_score FROM s{_r}"
+        for _r in range(5)
+    )
+    sql["mmr_rerank"] = (
+        """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v FROM e WHERE vec_id = 0),
+relall AS (
+  SELECT e.vec_id AS cand_id, list_cosine_similarity(q.v, e.v) AS cos
+  FROM e, q WHERE e.vec_id <> 0
+),
+pool AS MATERIALIZED (
+  SELECT cand_id, round(cos, 9) AS rel FROM relall
+  ORDER BY cos DESC, cand_id LIMIT 20
+),
+sims AS MATERIALIZED (
+  SELECT a.cand_id AS a_id, b.cand_id AS b_id,
+         round(list_cosine_similarity(ea.v, eb.v), 9) AS sim
+  FROM pool a JOIN pool b ON a.cand_id <> b.cand_id
+  JOIN e ea ON ea.vec_id = a.cand_id
+  JOIN e eb ON eb.vec_id = b.cand_id
+),
+s0 AS MATERIALIZED (
+  SELECT cand_id, rel, rel AS score FROM pool
+  ORDER BY rel DESC, cand_id LIMIT 1
+),
+sel0 AS MATERIALIZED (SELECT cand_id FROM s0)"""
+        + "".join(_mmr_stages)
+        + "\n"
+        + _mmr_rows
     )
 
     # ACF: the five lag branches unrolled as UNION ALL over the same

@@ -347,3 +347,92 @@ def ann_recall(
         "n_hit",
         F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    pool_size: int = 20,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein 1998)
+    -> (round_idx, cand_id, relevance, mmr_score): from the exact
+    top-`pool_size` candidates of one query, greedily pick k documents
+    maximizing  lam·rel(c) − (1−lam)·max_{s∈S} sim(c, s)  — the
+    diversity-aware rerank every retrieval pipeline runs between ANN
+    and the context window. Round 0's mmr_score is the bare relevance
+    (S is empty); ties break by ascending cand_id.
+
+    Scale shape: the DISTRIBUTED parts are the corpus-sized top-pool
+    retrieval (brute_force_topk — swap in the IVF/LSH variants at
+    scale) and the pool×pool cosine matrix (pool_size², a few hundred
+    rows). Only that bounded matrix is collected; the k-round selection
+    is driver-side arithmetic over ≤ pool_size² floats by construction
+    — the same bounded-driver-state argument as the FSA dictionary
+    broadcast. Cosines come from the identical `with_cosine` numpy op
+    the hash-checked knn_cosine query uses, so the DuckDB twin replays
+    the whole cascade."""
+    if not 1 <= k <= pool_size:
+        raise ValueError(f"need 1 <= k <= pool_size, got k={k}")
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(id_col), F.col(vec_col)
+    )
+    pool = brute_force_topk(
+        embeddings, q, k=pool_size, id_col=id_col, vec_col=vec_col
+    ).select("cand_id", F.col("cosine").alias("relevance"))
+    vecs = embeddings.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("_v")
+    )
+    pool_vecs = pool.join(vecs, "cand_id")
+    a = pool_vecs.select(
+        F.col("cand_id").alias("a_id"),
+        F.col("relevance"),
+        F.col("_v").alias("a_vec"),
+    )
+    b = pool_vecs.select(
+        F.col("cand_id").alias("b_id"), F.col("_v").alias("b_vec")
+    )
+    sims = with_cosine(
+        a.crossJoin(F.broadcast(b)).filter(F.col("a_id") != F.col("b_id")),
+        "a_vec",
+        "b_vec",
+        out="sim",
+    ).select("a_id", "relevance", "b_id", "sim")
+
+    rows = sims.collect()  # bounded: pool_size * (pool_size - 1) rows
+    # pre-round to 9 decimals before ANY comparison: the greedy cascade
+    # amplifies last-ulp engine differences into different selections;
+    # at 1e-9 granularity both engines see identical scores (the same
+    # drift-elimination-at-the-root discipline as the fixed-point ops)
+    rel = {}
+    sim = {}
+    for r in rows:
+        rel[r["a_id"]] = round(r["relevance"], 9)
+        sim[(r["a_id"], r["b_id"])] = round(r["sim"], 9)
+    selected: list = []
+    chosen: list = []
+    remaining = sorted(rel)  # ascending id = deterministic tie order
+    for round_idx in range(k):
+        best = None
+        for c in remaining:
+            if not selected:
+                score = rel[c]
+            else:
+                score = lam * rel[c] - (1.0 - lam) * max(
+                    sim[(c, s)] for s in selected
+                )
+            if best is None or score > best[1]:
+                best = (c, score)
+        if best is None:
+            break
+        selected.append(best[0])
+        remaining.remove(best[0])
+        chosen.append((round_idx, best[0], rel[best[0]], best[1]))
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        chosen,
+        "round_idx int, cand_id long, relevance double, mmr_score double",
+    )

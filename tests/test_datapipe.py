@@ -2355,3 +2355,31 @@ def test_benford_profile_digits_and_chi2(spark):
     assert math.isclose(sum(r["obs_share"] for r in out.values()), 1.0, abs_tol=1e-4)
     for r in out.values():
         assert r["chi2_term"] < 0.01  # rounding of the sample, not skew
+
+
+def test_mmr_rerank_prefers_diverse_over_redundant(spark):
+    """Hand instance (3-d so diversity and relevance decouple):
+    candidates A and B are near-duplicates with top relevance, C is
+    moderately relevant but nearly orthogonal to A. Pure relevance
+    ranks (A, B); MMR at diversity-heavy lam=0.3 picks A then C (B's
+    ~1.0 similarity to A sinks it). Round 0's score is the bare
+    relevance."""
+    from dbpedia_spotlight_spark.datapipe.similarity import mmr_rerank
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),    # query
+            (1, [1.0, 0.01, 0.0]),   # A
+            (2, [1.0, 0.02, 0.0]),   # B ~ A
+            (3, [0.6, 0.0, 0.8]),    # C: rel 0.6, sim-to-A ~ 0.6
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = mmr_rerank(emb, query_vec_id=0, pool_size=3, k=2, lam=0.3)
+    rows = sorted(
+        (r["round_idx"], r["cand_id"]) for r in out.collect()
+    )
+    assert rows == [(0, 1), (1, 3)]
+    r0 = {r["round_idx"]: r for r in out.collect()}
+    assert r0[0]["mmr_score"] == r0[0]["relevance"]
+    assert r0[1]["mmr_score"] < r0[1]["relevance"]  # penalty applied

@@ -436,3 +436,50 @@ def mmr_rerank(
         chosen,
         "round_idx int, cand_id long, relevance double, mmr_score double",
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009) ->
+    (id_col, rrf_score, fused_rank): combine any number of ranked lists
+    by score(d) = Σ_lists 1/(k0 + rank_list(d)), the standard
+    hybrid-retrieval merge (BM25 + dense, multi-query expansion) that
+    needs no score calibration between systems — only ranks.
+
+    Determinism discipline: the per-list terms are accumulated by a
+    FIXED left-to-right chain of full outer joins (coalesce(t1,0) +
+    coalesce(t2,0) + ...), not a groupBy sum whose float addition order
+    would be partition-dependent — with >2 lists IEEE addition is not
+    associative. Each list contributes at most one row per id, the
+    join keys are the ids, and the fused rank breaks score ties by
+    ascending id."""
+    if not rankings:
+        raise ValueError("rankings must be a non-empty list")
+    acc = None
+    for i, r in enumerate(rankings):
+        t = r.select(
+            F.col(id_col).alias("_id"),
+            (F.lit(1.0) / (F.lit(k0) + F.col(rank_col))).alias(f"_t{i}"),
+        )
+        acc = t if acc is None else acc.join(t, "_id", "full_outer")
+    score = None
+    for i in range(len(rankings)):
+        term = F.coalesce(F.col(f"_t{i}"), F.lit(0.0))
+        score = term if score is None else score + term
+    # global rank window is deliberate: the input is a union of top-k
+    # lists, so the relation is bounded by sum(list lengths), not corpus
+    # size (same boundedness argument as kg_samples.entity_ranks)
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("_id"))
+    return (
+        acc.select(F.col("_id"), score.alias("rrf_score"))
+        .withColumn("fused_rank", F.row_number().over(w))
+        .select(
+            F.col("_id").alias(id_col),
+            F.round("rrf_score", 9).alias("rrf_score"),
+            "fused_rank",
+        )
+    )

@@ -2077,3 +2077,51 @@ def topological_layers(
         f"topological_layers did not converge in {max_rounds} rounds "
         "(cycle or pathological depth)"
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of an undirected
+    graph -> one row (n_edges, corr): the Pearson correlation of the
+    endpoint degrees over the directed-both-ways edge list — positive
+    means hubs link to hubs (social-graph shape), negative means
+    hub-to-leaf (star/infrastructure shape); the one-number mixing
+    profile next to the clustering/k-core family.
+
+    Same exactness discipline as the ACF/A-B operators: degrees are
+    integers, the five power sums are BIGINT-exact, and only the
+    terminal correlation expression is floating point — so the DuckDB
+    twin replays it bit-for-bit. Plan: symmetrize, one degree groupBy,
+    two broadcast-joinable degree lookups, one scalar aggregate."""
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
+    du = deg.select(F.col("u"), F.col("deg").alias("dx"))
+    dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("dy"))
+    pairs = sym.join(du, "u").join(dv, "v").select("dx", "dy")
+    agg = pairs.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    m = F.col("m")
+    num = m * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = m * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = m * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        (m / 2).cast("long").alias("n_edges"),
+        F.round(
+            F.when(
+                (varx > 0) & (vary > 0),
+                num / F.sqrt(varx.cast("double") * vary.cast("double")),
+            ),
+            6,
+        ).alias("corr"),
+    )

@@ -2383,3 +2383,45 @@ def test_mmr_rerank_prefers_diverse_over_redundant(spark):
     r0 = {r["round_idx"]: r for r in out.collect()}
     assert r0[0]["mmr_score"] == r0[0]["relevance"]
     assert r0[1]["mmr_score"] < r0[1]["relevance"]  # penalty applied
+
+
+def test_rrf_fuse_three_lists_and_missing_ids(spark):
+    """RRF: an id present in all three lists outranks ids in one list;
+    score = sum of 1/(60+rank) over exactly the lists containing the
+    id; fused_rank ties break by ascending id."""
+    from dbpedia_spotlight_spark.datapipe.similarity import rrf_fuse
+
+    def ranked(pairs):
+        return spark.createDataFrame(pairs, "doc_id long, rank int")
+
+    lists = [
+        ranked([(1, 1), (2, 2), (3, 3)]),
+        ranked([(1, 2), (4, 1)]),
+        ranked([(1, 3), (4, 2)]),
+    ]
+    out = {r["doc_id"]: r for r in rrf_fuse(lists).collect()}
+    assert out[1]["fused_rank"] == 1
+    expect_1 = round(1 / 61 + 1 / 62 + 1 / 63, 9)
+    assert out[1]["rrf_score"] == expect_1
+    assert out[3]["rrf_score"] == round(1 / 63, 9)
+    assert out[4]["rrf_score"] == round(1 / 61 + 1 / 62, 9)
+    assert out[4]["fused_rank"] == 2
+
+
+def test_degree_assortativity_star_is_negative(spark):
+    """A star graph is maximally disassortative (corr = -1: every edge
+    joins the hub's high degree to a leaf's degree 1); a cycle is
+    degree-regular -> zero variance -> NULL."""
+    from dbpedia_spotlight_spark.operators.graph import degree_assortativity
+
+    star = spark.createDataFrame(
+        [("hub", f"leaf{i}") for i in range(5)], "src string, dst string"
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert r["n_edges"] == 5 and r["corr"] == -1.0
+
+    cycle = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    r2 = degree_assortativity(cycle).collect()[0]
+    assert r2["corr"] is None

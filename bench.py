@@ -108,6 +108,10 @@ HEADLINE = [
     "hilbert_keys",
     "touch_attribution",
     "kg_transitive_reduction",
+    "mmr_rerank",
+    "rrf_fuse",
+    "event_acf",
+    "docgen_corpus",
 ]
 
 

@@ -7367,12 +7367,45 @@ def q_kg_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docgen_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The docgen source's interleaved mode (io/datasource.py): the
+    BASELINE input-hint table (doc_id, spans array<struct<kind, text,
+    media_ref, offset>>) synthesized deterministically — every 5th doc
+    splits its text at the token midpoint around a media span. The
+    query flattens via posexplode to engine-comparable rows; the oracle
+    replays the exact token/offset recipe, nested construction
+    included, with generate_series + string_agg."""
+    from dbpedia_spotlight_spark.io.datasource import register_sources
+
+    register_sources(spark)
+    docs = (
+        spark.read.format("docgen")
+        .option("n_docs", 200)
+        .option("doc_len", 30)
+        .option("vocab", 61)
+        .option("partitions", 4)
+        .option("interleaved", "true")
+        .load()
+    )
+    return docs.select(
+        "doc_id", F.posexplode("spans").alias("span_pos", "s")
+    ).select(
+        "doc_id",
+        "span_pos",
+        F.col("s.kind").alias("kind"),
+        F.length("s.text").alias("text_len"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "docgen_interleaved": q_docgen_interleaved,
         "rrf_fuse": q_rrf_fuse,
         "events_sliding": q_events_sliding,
         "kg_assortativity": q_kg_assortativity,
@@ -14761,6 +14794,42 @@ SELECT n_exact::BIGINT AS n_exact, n_approx::BIGINT AS n_approx,
 FROM stats
 """
     )
+
+    sql["docgen_interleaved"] = """
+WITH p AS (
+  SELECT d.n AS doc_id, g.n AS pos
+  FROM generate_series(0, 199) d(n), generate_series(0, 29) g(n)
+),
+t AS (
+  SELECT doc_id, pos,
+         'w' || (('0x' || substr(md5(doc_id::VARCHAR || chr(31)
+                                     || pos::VARCHAR), 1, 12))::BIGINT
+                 % 61)::VARCHAR AS tok
+  FROM p
+),
+agg AS (
+  SELECT doc_id,
+         length(string_agg(tok, ' ' ORDER BY pos)) AS full_len,
+         length(string_agg(tok, ' ' ORDER BY pos)
+                FILTER (WHERE pos < 15)) AS first_len,
+         length(string_agg(tok, ' ' ORDER BY pos)
+                FILTER (WHERE pos >= 15)) AS second_len
+  FROM t GROUP BY doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, 0 AS span_pos, 'text' AS kind,
+       (CASE WHEN doc_id % 5 = 0 THEN first_len ELSE full_len END)::INT
+         AS text_len,
+       NULL::VARCHAR AS media_ref, 0 AS offset
+FROM agg
+UNION ALL
+SELECT doc_id::BIGINT, 1, 'media', NULL::INT,
+       'img://' || doc_id::VARCHAR, (first_len + 1)::INT
+FROM agg WHERE doc_id % 5 = 0
+UNION ALL
+SELECT doc_id::BIGINT, 2, 'text', second_len::INT,
+       NULL::VARCHAR, (first_len + 1)::INT
+FROM agg WHERE doc_id % 5 = 0
+"""
 
     sql["events_sliding"] = """
 WITH k AS (SELECT unnest([0, 1]) AS i),

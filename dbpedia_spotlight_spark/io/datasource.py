@@ -57,6 +57,7 @@ __all__ = [
     "IsNotNull",
 ]
 from pyspark.sql.types import (
+    ArrayType,
     IntegerType,
     LongType,
     StringType,
@@ -85,12 +86,32 @@ class _RangePartition(InputPartition):
         self.end = end
 
 
+#: pyarrow type of the interleaved `spans` column — the BASELINE
+#: input-hint schema: array<struct<kind,text,media_ref,offset>>
+def _spans_type():
+    import pyarrow as pa
+
+    return pa.list_(
+        pa.struct(
+            [
+                pa.field("kind", pa.string()),
+                pa.field("text", pa.string()),
+                pa.field("media_ref", pa.string()),
+                pa.field("offset", pa.int32()),
+            ]
+        )
+    )
+
+
 class DocGenReader(DataSourceReader):
     def __init__(self, options):
         self.n_docs = int(options.get("n_docs", 1000))
         self.doc_len = int(options.get("doc_len", 40))
         self.vocab = int(options.get("vocab", 97))
         self.n_parts = max(1, int(options.get("partitions", 8)))
+        self.interleaved = (
+            str(options.get("interleaved", "false")).lower() == "true"
+        )
 
     def partitions(self):
         chunk = -(-self.n_docs // self.n_parts)  # ceil div
@@ -99,32 +120,97 @@ class DocGenReader(DataSourceReader):
             for lo in range(0, self.n_docs, chunk)
         ]
 
+    def _tokens(self, doc_id: int) -> list[str]:
+        return [
+            f"w{_md5_mod([str(doc_id), str(pos)], self.vocab)}"
+            for pos in range(self.doc_len)
+        ]
+
     def read(self, partition: _RangePartition) -> Iterator:
         import pyarrow as pa
 
-        ids, texts = [], []
+        if not self.interleaved:
+            ids, texts = [], []
+            for doc_id in range(partition.start, partition.end):
+                ids.append(doc_id)
+                texts.append(" ".join(self._tokens(doc_id)))
+            yield pa.RecordBatch.from_pydict(
+                {"doc_id": pa.array(ids, pa.int64()),
+                 "text": pa.array(texts, pa.string())}
+            )
+            return
+        # interleaved mode: every 5th doc splits its text at the token
+        # midpoint around a media span (offset = char position in the
+        # doc's concatenated text; the media span carries the SECOND
+        # half's start offset, where it interrupts the text)
+        ids, spans = [], []
         for doc_id in range(partition.start, partition.end):
-            toks = [
-                f"w{_md5_mod([str(doc_id), str(pos)], self.vocab)}"
-                for pos in range(self.doc_len)
-            ]
+            toks = self._tokens(doc_id)
+            if doc_id % 5 == 0 and len(toks) >= 2:
+                h = len(toks) // 2
+                first = " ".join(toks[:h])
+                second = " ".join(toks[h:])
+                off2 = len(first) + 1
+                spans.append(
+                    [
+                        {"kind": "text", "text": first,
+                         "media_ref": None, "offset": 0},
+                        {"kind": "media", "text": None,
+                         "media_ref": f"img://{doc_id}", "offset": off2},
+                        {"kind": "text", "text": second,
+                         "media_ref": None, "offset": off2},
+                    ]
+                )
+            else:
+                spans.append(
+                    [
+                        {"kind": "text", "text": " ".join(toks),
+                         "media_ref": None, "offset": 0},
+                    ]
+                )
             ids.append(doc_id)
-            texts.append(" ".join(toks))
         yield pa.RecordBatch.from_pydict(
-            {"doc_id": pa.array(ids, pa.int64()),
-             "text": pa.array(texts, pa.string())}
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "spans": pa.array(spans, _spans_type()),
+            }
         )
 
 
 class DocGenDataSource(DataSource):
     """spark.read.format("docgen").option("n_docs", N)... -> (doc_id,
-    text). Fully deterministic; id-range partitioned."""
+    text), or with .option("interleaved", "true") the BASELINE
+    input-hint shape (doc_id, spans array<struct<kind, text, media_ref,
+    offset>>) with a media span interleaved into every 5th document —
+    the synthesize-the-input-table primitive for the flagship pipeline.
+    Fully deterministic; id-range partitioned."""
 
     @classmethod
     def name(cls) -> str:
         return "docgen"
 
     def schema(self) -> StructType:
+        if (
+            str(self.options.get("interleaved", "false")).lower() == "true"
+        ):
+            return StructType(
+                [
+                    StructField("doc_id", LongType()),
+                    StructField(
+                        "spans",
+                        ArrayType(
+                            StructType(
+                                [
+                                    StructField("kind", StringType()),
+                                    StructField("text", StringType()),
+                                    StructField("media_ref", StringType()),
+                                    StructField("offset", IntegerType()),
+                                ]
+                            )
+                        ),
+                    ),
+                ]
+            )
         return StructType(
             [
                 StructField("doc_id", LongType()),

@@ -123,3 +123,46 @@ def test_spotlight_tsv_roundtrip_and_filter_pushdown(spark, tmp_path):
     )
     assert rd.eq == {"uri": "U1"}
     assert len(leftover) == 1 and isinstance(leftover[0], GreaterThan)
+
+
+def test_docgen_interleaved_feeds_the_spotter(spark):
+    """The interleaved docgen output IS the north-rule input shape:
+    span struct fields match model.schemas.SPAN_STRUCT, and the table
+    (doc_id cast to string) runs straight through spot_documents with
+    a dictionary of generated tokens — media spans skipped, text spans
+    spotted."""
+    from dbpedia_spotlight_spark.io.datasource import register_sources
+    from dbpedia_spotlight_spark.model.schemas import SPAN_STRUCT
+    from dbpedia_spotlight_spark.operators.spotter import spot_documents
+    from pyspark.sql import functions as F
+
+    register_sources(spark)
+    docs = (
+        spark.read.format("docgen")
+        .option("n_docs", 20)
+        .option("doc_len", 10)
+        .option("vocab", 7)
+        .option("partitions", 2)
+        .option("interleaved", "true")
+        .load()
+    )
+    elem = docs.schema["spans"].dataType.elementType
+    assert [f.name for f in elem.fields] == [f.name for f in SPAN_STRUCT.fields]
+    assert [f.dataType for f in elem.fields] == [
+        f.dataType for f in SPAN_STRUCT.fields
+    ]
+
+    n_media = docs.select(
+        F.explode("spans").alias("s")
+    ).filter(F.col("s.kind") == "media").count()
+    assert n_media == 4  # every 5th of 20 docs
+
+    sf = spark.createDataFrame(
+        [(f"w{i}", 10, 10) for i in range(7)],
+        "surface_form string, annotated_count long, total_count long",
+    )
+    spots = spot_documents(
+        docs.withColumn("doc_id", F.col("doc_id").cast("string")), sf
+    )
+    got = spots.groupBy("doc_id").count().collect()
+    assert len(got) == 20  # every doc produced spots from its text spans

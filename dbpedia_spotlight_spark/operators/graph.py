@@ -2125,3 +2125,66 @@ def degree_assortativity(
             6,
         ).alias("corr"),
     )
+
+
+def earliest_arrival(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    ts: str = "ts",
+) -> DataFrame:
+    """Time-respecting (foremost-path) reachability over a TEMPORAL edge
+    list (Wu et al., VLDB 2014): -> (node, arrival) — the earliest time
+    each node is reachable from the sources along paths whose edge
+    timestamps strictly increase, within max_hops hops. Sources carry
+    arrival -1 (before every timestamp). The temporal-KG primitive
+    behind "when could this fact have propagated here" provenance
+    questions, where plain BFS over-reports reachability (a path using
+    an older edge after a newer one never happened).
+
+    Keeping only min(arrival) per node is lossless dominance pruning:
+    with strictly-increasing-time constraints, an earlier arrival
+    enables a superset of outgoing edges. Each round is one keyed
+    equi-join + filter + groupBy-min, anti-joined against the known
+    best so the frontier carries only improvements (same
+    frontier-expansion shape as bfs_distances, plus the time filter);
+    localCheckpoint truncates per-round lineage.
+    """
+    node_best = sources.select(
+        F.col(sources.columns[0]).alias("node"),
+        F.lit(-1).cast("long").alias("arrival"),
+    ).distinct().localCheckpoint(eager=True)
+    frontier = node_best
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d"),
+        F.col(ts).cast("long").alias("_t"),
+    )
+    for _ in range(max_hops):
+        stepped = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .filter(F.col("_t") > F.col("arrival"))
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.min("_t").alias("arrival"))
+        )
+        improved = (
+            stepped.alias("s")
+            .join(node_best.alias("b"), "node", "left")
+            .filter(
+                F.col("b.arrival").isNull()
+                | (F.col("s.arrival") < F.col("b.arrival"))
+            )
+            .select("node", F.col("s.arrival").alias("arrival"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.limit(1).count() == 0:
+            break
+        node_best = (
+            node_best.unionByName(improved)
+            .groupBy("node")
+            .agg(F.min("arrival").alias("arrival"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return node_best

@@ -392,3 +392,55 @@ def test_topological_layers_and_cycles(spark):
                 "src string, dst string",
             )
         )
+
+
+def test_skyline_2d_matches_naive_definition(spark):
+    """The two-phase skyline equals the textbook dominance definition
+    on a random-ish integer cloud (computed naively in Python), keeps
+    duplicate frontier points (neither dominates), and survives any
+    input partitioning."""
+    from dbpedia_spotlight_spark.operators.skyline import skyline_2d
+
+    pts = [((i * 37) % 101, (i * 61) % 97) for i in range(1, 200)]
+    pts += [(0, 50)]  # duplicates i=101's (0, 50): ties kept, not culled
+    naive = {
+        (x, y)
+        for (x, y) in pts
+        if not any(
+            (a <= x and b <= y and (a < x or b < y)) for (a, b) in pts
+        )
+    }
+    for parts in (1, 7):
+        df = spark.createDataFrame(pts, "x long, y long").repartition(parts)
+        got = [(r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect()]
+        assert set(got) == naive
+        # a genuinely multi-point frontier, with the duplicate kept twice
+        assert len(naive) >= 3
+        assert got.count((0, 50)) == 2
+
+
+def test_earliest_arrival_requires_increasing_times(spark):
+    """Temporal reachability: a -> b (t=5) -> c (t=3) is NOT a valid
+    path (times must increase), but b -> c via the t=7 edge is; the
+    later a->b edge (t=9) never helps. Arrival times are the foremost
+    ones and the hop bound is honored."""
+    from dbpedia_spotlight_spark.operators.graph import earliest_arrival
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 5),
+            ("a", "b", 9),
+            ("b", "c", 3),   # before arrival at b -> unusable
+            ("b", "c", 7),
+            ("c", "d", 8),
+            ("d", "e", 9),
+        ],
+        "src string, dst string, ts long",
+    )
+    src = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r["node"]: r["arrival"]
+        for r in earliest_arrival(edges, src, max_hops=3).collect()
+    }
+    # 3 hops: a(−1) -> b(5) -> c(7) -> d(8); e needs a 4th hop
+    assert got == {"a": -1, "b": 5, "c": 7, "d": 8}

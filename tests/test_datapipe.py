@@ -2425,3 +2425,48 @@ def test_degree_assortativity_star_is_negative(spark):
     )
     r2 = degree_assortativity(cycle).collect()[0]
     assert r2["corr"] is None
+
+
+def test_ab_cuped_reduces_variance_with_predictive_covariate(spark):
+    """CUPED sanity on a constructed experiment: users' post-period
+    spend equals their pre-period spend plus a small per-user delta, so
+    the covariate is near-perfectly predictive -> theta ~ 1,
+    var_reduction close to 1, and the ADJUSTED arm difference recovers
+    the true delta difference (the base-spend heterogeneity cancels).
+    With NO pre-period data (zero covariate variance) theta and the
+    adjustment are NULL."""
+    import hashlib
+
+    def arm_of(uid):
+        h = int(hashlib.md5(str(uid).encode()).hexdigest()[:12], 16)
+        return "A" if h % 2 == 0 else "B"
+
+    rows = []
+    eid = 0
+    deltas = {"A": [], "B": []}
+    for uid in range(60):
+        base = 10.0 + (uid % 7) * 5.0  # user-level heterogeneity
+        delta = 2.0 if uid % 3 == 0 else 0.0
+        deltas[arm_of(uid)].append(delta * 100)  # cents
+        rows.append((eid, "2024-01-05 00:00:00", uid, "view", base)); eid += 1
+        rows.append((eid, "2024-01-20 00:00:00", uid, "view", base + delta)); eid += 1
+    ev = _mk_events(spark, rows)
+    from dbpedia_spotlight_spark.datapipe.funnel import ab_cuped
+
+    out = {r["arm"]: r for r in ab_cuped(ev, "2024-01-15 00:00:00").collect()}
+    assert set(out) == {"A", "B"}
+    for r in out.values():
+        assert r["theta"] is not None and abs(r["theta"] - 1.0) < 0.1
+        assert r["var_reduction"] > 0.8
+    true_diff = sum(deltas["A"]) / len(deltas["A"]) - sum(deltas["B"]) / len(
+        deltas["B"]
+    )
+    adj_diff = out["A"]["mean_post_adj"] - out["B"]["mean_post_adj"]
+    assert abs(adj_diff - true_diff) < 40  # cents
+
+    ev_no_pre = _mk_events(
+        spark,
+        [(i, "2024-01-20 00:00:00", i, "view", 5.0) for i in range(10)],
+    )
+    r2 = ab_cuped(ev_no_pre, "2024-01-15 00:00:00").collect()[0]
+    assert r2["theta"] is None and r2["mean_post_adj"] is None

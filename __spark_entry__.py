@@ -7463,12 +7463,26 @@ def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab_cuped(ev, "2024-01-15 00:00:00")
 
 
+def q_ab_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U between the md5-parity arms
+    (datapipe/funnel.py:mann_whitney_u): the nonparametric rank-sum
+    test computed by VALUE-HISTOGRAM convolution — no global rank
+    window, no pairwise join; U doubled to stay integer under ties,
+    tie-corrected normal z as one terminal float expression over exact
+    BIGINT sums."""
+    from dbpedia_spotlight_spark.datapipe.funnel import mann_whitney_u
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return mann_whitney_u(ev)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "ab_mann_whitney": q_ab_mann_whitney,
         "ab_cuped": q_ab_cuped,
         "orders_skyline": q_orders_skyline,
         "kg_temporal_paths": q_kg_temporal_paths,
@@ -14861,6 +14875,46 @@ SELECT n_exact::BIGINT AS n_exact, n_approx::BIGINT AS n_approx,
 FROM stats
 """
     )
+
+    sql["ab_mann_whitney"] = """
+WITH vals AS (
+  SELECT CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT
+                   % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm,
+         round(value * 100)::BIGINT AS v
+  FROM events
+),
+hist AS (
+  SELECT v, sum((arm = 'A')::INT)::BIGINT AS ca,
+         sum((arm = 'B')::INT)::BIGINT AS cb
+  FROM vals GROUP BY 1
+),
+conv AS (
+  SELECT *, coalesce(sum(cb) OVER (
+    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+    AS cumb_lt
+  FROM hist
+),
+a AS (
+  SELECT sum(ca) AS n_a, sum(cb) AS n_b,
+         sum(ca * (2 * cumb_lt + cb)) AS u2_a,
+         sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS tie_sum
+  FROM conv
+),
+s AS (
+  SELECT *,
+         4.0::DOUBLE * (n_a * n_b)::DOUBLE / 12.0::DOUBLE
+           * ((n_a + n_b + 1)::DOUBLE
+              - tie_sum::DOUBLE
+                / ((n_a + n_b) * (n_a + n_b - 1))::DOUBLE) AS s4
+  FROM a
+)
+SELECT n_a::BIGINT AS n_a, n_b::BIGINT AS n_b, u2_a::BIGINT AS u2_a,
+       round(CASE WHEN s4 > 0
+                  THEN (u2_a - n_a * n_b)::DOUBLE / sqrt(s4) END, 4)
+         AS z_score
+FROM s
+"""
 
     sql["ab_cuped"] = """
 WITH per_u AS (

@@ -494,3 +494,91 @@ def ab_cuped(
         F.round(theta, 6).alias("theta"),
         F.round(var_red, 6).alias("var_reduction"),
     )
+
+
+def mann_whitney_u(
+    events: DataFrame,
+    value_col: str = "value",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    conversion_type: str | None = None,
+) -> DataFrame:
+    """Exact Mann-Whitney U (Wilcoxon rank-sum) between the md5-parity
+    arms -> one row (n_a, n_b, u2_a, z_score): the nonparametric
+    companion of `ab_test_report` for skewed metrics where the t-test's
+    mean is fragile. Samples are the two arms' event values (optionally
+    restricted to `conversion_type` events), in integer cents.
+
+    Scale design — NO global rank window and NO pairwise join: U counts
+    pairs (a > b) + ties/2, which convolves over the VALUE HISTOGRAMS:
+      U_A = Σ_v cntA(v) · (cumB(< v) + cntB(v)/2)
+    Both histograms group by the distinct cent values (domain-bounded,
+    not row-bounded), the running cumB is a window over that bounded
+    domain, and to stay integer-exact the operator reports u2_a = 2·U_A
+    (doubling clears the tie halves). The normal approximation
+      z = (2U − n_a·n_b) / sqrt( 4·σ² ),
+      σ² = n_a·n_b/12 · [ (N+1) − Σ(t³−t)/(N(N−1)) ]   (tie-corrected)
+    is a single terminal float expression over exact BIGINT sums — the
+    same discipline as ab_test/ab_cuped, so the oracle replays it."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    arm = F.when(
+        F.conv(
+            F.substring(F.md5(F.col(user_col).cast("string")), 1, 12), 16, 10
+        ).cast("long")
+        % 2
+        == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    src = events
+    if conversion_type is not None:
+        src = src.filter(F.col(type_col) == conversion_type)
+    vals = src.select(arm.alias("arm"), cents.alias("v"))
+    hist = vals.groupBy("v").agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    # running count of B strictly below v — window over the bounded
+    # distinct-value domain, not the event stream
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    conv = hist.withColumn(
+        "cumb_lt", F.coalesce(F.sum("cb").over(w), F.lit(0))
+    )
+    agg = conv.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.sum(
+            F.col("ca") * (2 * F.col("cumb_lt") + F.col("cb"))
+        ).alias("u2_a"),
+        F.sum(
+            (F.col("ca") + F.col("cb"))
+            * (F.col("ca") + F.col("cb"))
+            * (F.col("ca") + F.col("cb"))
+            - (F.col("ca") + F.col("cb"))
+        ).alias("tie_sum"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    n = na + nb
+    sigma2_4 = (
+        F.lit(4.0)
+        * (na * nb).cast("double")
+        / 12.0
+        * (
+            (n + 1).cast("double")
+            - F.col("tie_sum").cast("double")
+            / (n * (n - 1)).cast("double")
+        )
+    )
+    z = F.when(
+        sigma2_4 > 0,
+        (F.col("u2_a") - na * nb).cast("double") / F.sqrt(sigma2_4),
+    )
+    return agg.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.col("u2_a").cast("long").alias("u2_a"),
+        F.round(z, 4).alias("z_score"),
+    )

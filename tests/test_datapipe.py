@@ -2502,3 +2502,31 @@ def test_mann_whitney_u_matches_scipy_free_reference(spark):
     assert r["u2_a"] == u2_naive
     assert r["n_a"] == len(vals["A"]) and r["n_b"] == len(vals["B"])
     assert r["z_score"] < -2  # B shifted up -> A stochastically smaller
+
+
+def test_cohens_kappa_known_values(spark):
+    """Kappa on hand confusion matrices: perfect agreement -> 1.0;
+    independent-looking labels near chance -> ~0; the degenerate
+    all-same-label case (pe == 1) -> NULL."""
+    from dbpedia_spotlight_spark.datapipe.expectations import cohens_kappa
+
+    perfect = spark.createDataFrame(
+        [(1, 1)] * 6 + [(0, 0)] * 4, "a int, b int"
+    )
+    r = cohens_kappa(perfect, "a", "b").collect()[0]
+    assert r["kappa"] == 1.0 and r["po"] == 1.0
+
+    # hand-checked: po = 0.7, pe = (40*40 + 60*60)/100^2 = 0.52,
+    # kappa = (0.7 - 0.52)/0.48 = 0.375
+    rows = (
+        [(1, 1)] * 25 + [(1, 0)] * 15 + [(0, 1)] * 15 + [(0, 0)] * 45
+    )
+    r2 = cohens_kappa(
+        spark.createDataFrame(rows, "a int, b int"), "a", "b"
+    ).collect()[0]
+    assert r2["po"] == 0.7 and r2["pe"] == 0.52
+    assert r2["kappa"] == 0.375
+
+    same = spark.createDataFrame([(1, 1)] * 5, "a int, b int")
+    r3 = cohens_kappa(same, "a", "b").collect()[0]
+    assert r3["kappa"] is None  # pe == 1: chance agreement is total

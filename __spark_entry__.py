@@ -7501,12 +7501,34 @@ def q_annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohens_kappa(lab, "a", "b")
 
 
+def q_kg_truthy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wikidata-style best-rank statement filtering
+    (operators/kbmaintain.py:truthy_statements): mention statements
+    carry deterministic preferred/normal/deprecated ranks (by token
+    position), and the truthy view keeps preferred-if-any else normal
+    per (subj, pred), always dropping deprecated — the wdt: flattening
+    every Wikidata consumer applies. One keyed window, no join."""
+    from dbpedia_spotlight_spark.operators.kbmaintain import truthy_statements
+
+    st = _occs(spark, sf_dir).select(
+        F.col("uri").alias("subj"),
+        F.lit("mentionedIn").alias("pred"),
+        F.concat(F.lit("d"), F.col("doc_id")).alias("obj"),
+        F.when(F.col("pos") % 7 == 0, F.lit("preferred"))
+        .when(F.col("pos") % 5 == 0, F.lit("deprecated"))
+        .otherwise(F.lit("normal"))
+        .alias("rank"),
+    )
+    return truthy_statements(st).select("subj", "pred", "obj", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "kg_truthy": q_kg_truthy,
         "annotator_kappa": q_annotator_kappa,
         "ab_mann_whitney": q_ab_mann_whitney,
         "ab_cuped": q_ab_cuped,
@@ -14942,6 +14964,26 @@ SELECT n_exact::BIGINT AS n_exact, n_approx::BIGINT AS n_approx,
 FROM stats
 """
     )
+
+    sql["kg_truthy"] = _BASE_CTES + """,
+st AS (
+  SELECT uri AS subj, 'mentionedIn' AS pred,
+         'd' || doc_id::VARCHAR AS obj,
+         CASE WHEN pos % 7 = 0 THEN 'preferred'
+              WHEN pos % 5 = 0 THEN 'deprecated'
+              ELSE 'normal' END AS "rank"
+  FROM occs
+),
+rv AS (
+  SELECT *, CASE "rank" WHEN 'preferred' THEN 2
+                        WHEN 'normal' THEN 1 ELSE 0 END AS r,
+         max(CASE "rank" WHEN 'preferred' THEN 2
+                         WHEN 'normal' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY subj, pred) AS best
+  FROM st
+)
+SELECT subj, pred, obj, "rank" FROM rv WHERE r = best AND r >= 1
+"""
 
     sql["ab_mann_whitney"] = """
 WITH vals AS (

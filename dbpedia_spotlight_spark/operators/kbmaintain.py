@@ -274,3 +274,37 @@ def ifp_sameas(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.distinct()
+
+
+def truthy_statements(
+    statements: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Wikidata-style best-rank ("truthy") statement filtering: ranked
+    statements carry 'preferred' / 'normal' / 'deprecated'; the truthy
+    view of a (subject, predicate) group keeps the PREFERRED statements
+    if any exist, else the normal ones, and always drops deprecated —
+    exactly the semantics of Wikidata's wdt: truthy dump (RDF dump
+    format spec §statement ranks), the flattening every KG consumer
+    applies before plain-triple querying.
+
+    One keyed window (max rank-value per (subj, pred) group) + filter —
+    no join, no global window; unknown rank strings are treated as
+    deprecated (dropped) rather than silently kept."""
+    rv = (
+        F.when(F.col(rank_col) == "preferred", F.lit(2))
+        .when(F.col(rank_col) == "normal", F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(subj, pred)
+    out = (
+        statements.withColumn("_rv", rv)
+        .withColumn("_best", F.max("_rv").over(w))
+        .filter((F.col("_rv") == F.col("_best")) & (F.col("_rv") >= 1))
+        .drop("_rv", "_best")
+    )
+    return out

@@ -164,3 +164,28 @@ def test_ifp_sameas_star_not_clique(spark):
     }
     with pytest.raises(ValueError):
         ifp_sameas(t)
+
+
+def test_truthy_statements_best_rank_semantics(spark):
+    """Wikidata truthy semantics: a (s,p) group with a preferred
+    statement keeps ONLY preferred (normals drop); without preferred,
+    all normals survive; deprecated never appear; unknown rank strings
+    are treated as deprecated."""
+    from dbpedia_spotlight_spark.operators.kbmaintain import truthy_statements
+
+    st = spark.createDataFrame(
+        [
+            ("e1", "p", "a", "preferred"),
+            ("e1", "p", "b", "normal"),
+            ("e1", "p", "c", "deprecated"),
+            ("e2", "p", "d", "normal"),
+            ("e2", "p", "e", "normal"),
+            ("e3", "p", "f", "deprecated"),
+            ("e4", "p", "g", "bogus"),
+        ],
+        "subj string, pred string, obj string, rank string",
+    )
+    got = sorted(
+        (r["subj"], r["obj"]) for r in truthy_statements(st).collect()
+    )
+    assert got == [("e1", "a"), ("e2", "d"), ("e2", "e")]

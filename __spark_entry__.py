@@ -7522,12 +7522,23 @@ def q_kg_truthy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return truthy_statements(st).select("subj", "pred", "obj", "rank")
 
 
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document
+    (datapipe/textstats.py:tfidf_keywords): exact integer tf/df with
+    the smoothed-idf single-ln score, per-doc rank window tie-broken by
+    term — the classic salience baseline next to textrank_summary."""
+    from dbpedia_spotlight_spark.datapipe.textstats import tfidf_keywords
+
+    return tfidf_keywords(_docs(spark, sf_dir), k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
     # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
     # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
     # green rows on record trail. Every entry has an oracle_sql twin.
     return {
+        "doc_keywords": q_doc_keywords,
         "kg_truthy": q_kg_truthy,
         "annotator_kappa": q_annotator_kappa,
         "ab_mann_whitney": q_ab_mann_whitney,
@@ -14964,6 +14975,34 @@ SELECT n_exact::BIGINT AS n_exact, n_approx::BIGINT AS n_approx,
 FROM stats
 """
     )
+
+    sql["doc_keywords"] = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+           AS term
+  FROM documents
+),
+t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM t2 GROUP BY 1, 2
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+dfq AS (
+  SELECT term, count(*)::BIGINT AS df
+  FROM (SELECT DISTINCT doc_id, term FROM t2) GROUP BY 1
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * (ln((n.n_docs + 1.0::DOUBLE) / (dfq.df + 1)) + 1.0::DOUBLE)
+           AS s
+  FROM tf JOIN dfq USING (term), n
+)
+SELECT doc_id, term, tf, "rank" FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY s DESC, term ASC)::INT AS "rank"
+  FROM scored
+) WHERE "rank" <= 3
+"""
 
     sql["kg_truthy"] = _BASE_CTES + """,
 st AS (

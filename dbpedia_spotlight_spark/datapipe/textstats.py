@@ -1079,3 +1079,52 @@ def readability_scores(
             4,
         ).alias("fk_grade"),
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document -> (id_col, term, tf, rank):
+    the classic salience baseline (Sparck Jones 1972) next to the
+    graph-based `textrank_summaries` — corpus-level document frequency
+    downweights boilerplate, so the survivors are what the doc is
+    *about* (tag generation, routing, weak topic labels).
+
+    tfidf = tf · (ln((N+1)/(df+1)) + 1) — the smoothed idf; tf and df
+    are exact integers and the single ln ratio is computed identically
+    by any engine, so the per-doc (tfidf desc, term asc) ranking
+    hash-checks. Plan: one tokenize+groupBy for tf, one df aggregate
+    over distinct (doc, term) (both map-side combinable), broadcast-
+    sized df dim joined back, per-doc rank window — keyed throughout."""
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.explode(words_col(F.col(text_col))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    n_docs = docs.select(F.countDistinct(id_col).alias("n")).collect()[0]["n"]
+    df_dim = (
+        toks.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1)) + 1.0
+    scored = tf.join(F.broadcast(df_dim), "term").withColumn(
+        "_s", F.col("tf") * idf
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("_s"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "rank")
+    )

@@ -2530,3 +2530,26 @@ def test_cohens_kappa_known_values(spark):
     same = spark.createDataFrame([(1, 1)] * 5, "a int, b int")
     r3 = cohens_kappa(same, "a", "b").collect()[0]
     assert r3["kappa"] is None  # pe == 1: chance agreement is total
+
+
+def test_tfidf_keywords_downweights_boilerplate(spark):
+    """A term in every doc (boilerplate) loses to a doc-specific term
+    with the same tf; ranks are per-doc, tie-broken by term."""
+    from dbpedia_spotlight_spark.datapipe.textstats import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common apple apple common common"),
+            (2, "common banana banana common common"),
+            (3, "common cherry cherry common common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["rank"]): r["term"]
+        for r in tfidf_keywords(docs, k=2).collect()
+    }
+    # tf(common)=3 but df=3 -> idf=1+ln(4/4)=1 -> score 3;
+    # tf(specific)=2, df=1 -> idf=1+ln(2) -> score ~3.39 wins
+    assert out[(1, 1)] == "apple" and out[(1, 2)] == "common"
+    assert out[(2, 1)] == "banana" and out[(3, 1)] == "cherry"

@@ -116,6 +116,9 @@ HEADLINE = [
     "kg_temporal_paths",
     "ab_cuped",
     "ab_mann_whitney",
+    "annotator_kappa",
+    "kg_truthy",
+    "doc_keywords",
 ]
 
 

@@ -2188,3 +2188,52 @@ def earliest_arrival(
         )
         frontier = improved
     return node_best
+
+
+def powerlaw_alpha(
+    edges: DataFrame, src: str = "src", dst: str = "dst", d_min: int = 1
+) -> DataFrame:
+    """Power-law exponent MLE for the degree distribution (Clauset,
+    Shalizi & Newman 2009, eq. 3.7 — the discrete-data approximation)
+    -> one row (n_nodes, d_min, alpha):
+    alpha = 1 + n / Σ ln(d_i / (d_min − 1/2)) over nodes with degree
+    >= d_min; the half shift corrects the continuous MLE's systematic
+    overestimate on integer degrees (verified against a synthesized
+    exponent-2.5 graph in the tests). The one-number heavy-tail profile
+    next to `kg_degree_hist` (is this graph scale-free enough to need
+    the skew-join treatment?).
+
+    Determinism shape: degrees are exact integers and the ln sum is a
+    WEIGHTED sum over the DISTINCT degree values (cnt_d · ln(d/d_min)),
+    so the float aggregation runs over the bounded degree domain, not
+    the node count; 6-dp rounding absorbs the remaining summation-order
+    ulps (the shard_kl precedent). NULL alpha when every kept degree
+    equals d_min (zero denominator)."""
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
+    hist = (
+        deg.filter(F.col("deg") >= d_min)
+        .groupBy("deg")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    agg = hist.agg(
+        F.sum("cnt").cast("long").alias("n_nodes"),
+        F.sum(
+            F.col("cnt") * F.log(F.col("deg") / F.lit(d_min - 0.5))
+        ).alias("_lnsum"),
+    )
+    return agg.select(
+        "n_nodes",
+        F.lit(d_min).cast("long").alias("d_min"),
+        F.round(
+            F.when(
+                F.col("_lnsum") > 0,
+                F.lit(1.0) + F.col("n_nodes") / F.col("_lnsum"),
+            ),
+            6,
+        ).alias("alpha"),
+    )

@@ -444,3 +444,38 @@ def test_earliest_arrival_requires_increasing_times(spark):
     }
     # 3 hops: a(−1) -> b(5) -> c(7) -> d(8); e needs a 4th hop
     assert got == {"a": -1, "b": 5, "c": 7, "d": 8}
+
+
+def test_powerlaw_alpha_recovers_known_exponent(spark):
+    """MLE sanity: degrees drawn as a deterministic discrete power law
+    with exponent ~2.5 (inverse-CDF over a fixed grid) recover alpha
+    within 0.25 via the Clauset discrete (d_min - 1/2) form; a graph
+    whose kept degrees sit below the shifted threshold's unit ratio
+    keeps a positive ln sum, and the estimator is NULL only when the
+    sum is non-positive."""
+    from dbpedia_spotlight_spark.operators.graph import powerlaw_alpha
+
+    # synthesize a star-forest whose hub degrees follow d = round(u^(-1/(a-1)))
+    a_true = 2.5
+    edges = []
+    nid = 0
+    for i in range(1, 400):
+        u = i / 400.0
+        d = max(1, int(round(u ** (-1.0 / (a_true - 1.0)))))
+        hub = f"h{i}"
+        for j in range(d):
+            edges.append((hub, f"l{nid}"))
+            nid += 1
+    df = spark.createDataFrame(edges, "src string, dst string")
+    r = powerlaw_alpha(df, d_min=2).collect()[0]
+    assert r["alpha"] is not None and abs(r["alpha"] - a_true) < 0.25
+
+    # all-degree-1 graph at d_min=1: ln(1/0.5) > 0, so alpha is finite
+    # and equals 1 + 1/ln(2) (every node contributes the same term)
+    import math
+
+    flat = spark.createDataFrame(
+        [("a", "b"), ("c", "d")], "src string, dst string"
+    )
+    r2 = powerlaw_alpha(flat, d_min=1).collect()[0]
+    assert abs(r2["alpha"] - (1 + 1 / math.log(2))) < 1e-6

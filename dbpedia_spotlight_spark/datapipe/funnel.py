@@ -582,3 +582,61 @@ def mann_whitney_u(
         F.col("u2_a").cast("long").alias("u2_a"),
         F.round(z, 4).alias("z_score"),
     )
+
+
+def absorption_probability(
+    events: DataFrame,
+    target_type: str,
+    steps: int = 10,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Probability of reaching `target_type` within `steps` transitions
+    from each event state -> (state, p_absorb): the first-order Markov
+    chain of `event_transitions` with the target made ABSORBING, iterated
+    k steps — "how likely does a user in state s convert within k
+    actions", the chain-based complement of the positional funnel.
+
+    Recursion: v_0 ≡ 0; v_{k+1}(s) = P(s, target) + Σ_{t≠target}
+    P(s, t)·v_k(t). The state space is the event-type vocabulary — a
+    BOUNDED dimension — so the exact transition counts (the only
+    data-sized aggregate) are collected and the k-step recursion runs
+    driver-side over the tiny matrix in a FIXED state order
+    (alphabetical, left-assoc adds), making every float op replayable
+    by the oracle's unrolled per-state expressions. Transition
+    probabilities are exact count ratios."""
+    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    pairs = (
+        events.select(
+            F.col(type_col).alias("src"),
+            F.lead(type_col).over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    rows = pairs.collect()  # bounded: |event types|^2
+    states = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
+    cnt = {(r["src"], r["dst"]): r["n"] for r in rows}
+    tot = {s: sum(cnt.get((s, t), 0) for t in states) for s in states}
+    p = {
+        (s, t): (cnt.get((s, t), 0) / tot[s] if tot[s] else 0.0)
+        for s in states
+        for t in states
+    }
+    v = {s: 0.0 for s in states}
+    for _ in range(steps):
+        nv = {}
+        for s in states:
+            acc = p[(s, target_type)] if target_type in states else 0.0
+            for t in states:  # fixed alphabetical order = fixed FP order
+                if t != target_type:
+                    acc = acc + p[(s, t)] * v[t]
+            nv[s] = acc
+        v = nv
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        [(s, round(v[s], 6)) for s in states], "state string, p_absorb double"
+    )

@@ -2553,3 +2553,32 @@ def test_tfidf_keywords_downweights_boilerplate(spark):
     # tf(specific)=2, df=1 -> idf=1+ln(2) -> score ~3.39 wins
     assert out[(1, 1)] == "apple" and out[(1, 2)] == "common"
     assert out[(2, 1)] == "banana" and out[(3, 1)] == "cherry"
+
+
+def test_absorption_probability_chain_semantics(spark):
+    """Hand chain a -> b -> buy (deterministic transitions): within 1
+    step only b converts; within 2 steps a does too; a state with no
+    path to the target stays at 0; probabilities are monotone in k."""
+    from dbpedia_spotlight_spark.datapipe.funnel import absorption_probability
+
+    rows, eid = [], 0
+    for uid in range(10):
+        for j, t in enumerate(["a", "b", "buy"]):
+            rows.append((eid, f"2024-01-01 00:0{j}:00", uid, t, 0.0))
+            eid += 1
+    # an isolated self-looping state with no route to buy
+    for uid in range(100, 105):
+        rows.append((eid, "2024-01-01 00:00:00", uid, "z", 0.0)); eid += 1
+        rows.append((eid, "2024-01-01 00:01:00", uid, "z", 0.0)); eid += 1
+    ev = _mk_events(spark, rows)
+
+    p1 = {
+        r["state"]: r["p_absorb"]
+        for r in absorption_probability(ev, "buy", steps=1).collect()
+    }
+    assert p1["b"] == 1.0 and p1["a"] == 0.0 and p1["z"] == 0.0
+    p2 = {
+        r["state"]: r["p_absorb"]
+        for r in absorption_probability(ev, "buy", steps=2).collect()
+    }
+    assert p2["a"] == 1.0 and p2["b"] == 1.0 and p2["z"] == 0.0

@@ -159,3 +159,42 @@ def test_transitive_reduction_removes_shortcuts_keeps_tree(spark):
 
     with _pytest.raises(ValueError, match="cycle"):
         transitive_reduction(cyc)
+
+
+def test_transitive_reduction_preserves_reachability_and_is_idempotent(spark):
+    """Algebraic properties on 5 deterministic pseudo-random DAGs
+    (edges only i -> j with i < j, so acyclicity holds by
+    construction): (1) the reduction is a subset of the input;
+    (2) closure(reduction(E)) == closure(E) — reachability preserved;
+    (3) reduction(reduction(E)) == reduction(E) — idempotent (every
+    surviving edge is irreducible)."""
+    from dbpedia_spotlight_spark.operators.closure import (
+        transitive_closure,
+        transitive_reduction,
+    )
+
+    def pairs(df):
+        return {(r["src"], r["dst"]) for r in df.collect()}
+
+    for seed in range(5):
+        edges = sorted(
+            {
+                (a, b)
+                for k in range(30)
+                for a, b in [
+                    sorted(
+                        (
+                            (seed * 97 + k * 37) % 12,
+                            (seed * 53 + k * 61 + 1) % 12,
+                        )
+                    )
+                ]
+                if a != b
+            }
+        )
+        df = spark.createDataFrame(edges, "src int, dst int")
+        red = transitive_reduction(df).cache()
+        red_pairs = pairs(red)
+        assert red_pairs <= set(edges)
+        assert pairs(transitive_closure(red)) == pairs(transitive_closure(df))
+        assert pairs(transitive_reduction(red)) == red_pairs

@@ -1125,6 +1125,8 @@ def q_annotate_e2e(spark, sf_dir):
     # (~14s vs ~10s) — the materialization barrier costs more than the
     # recompute of these small subtrees. Caching pays only when the model is
     # reused across jobs (bench.py scaling run does exactly that).
+    # r5: runs at the library default, now the reference's windowed mode
+    # (max_context_tokens=250, DBTwoStepDisambiguator.scala:72).
     tokens = tokenize_documents(iv)
     model = build_model_from_occurrences(iv, occ, tokens)
     ann = annotate(iv, model, use_context=True)
@@ -1828,8 +1830,12 @@ def q_d3_generative(spark, sf_dir):
         F.lit("m").alias("spot_type"),
         F.array(F.col("surface_form")).alias("token_stems"),
     )
+    # Whole-document scoring pinned explicitly (max_context_tokens=None):
+    # this oracle's CTE chain models one context vector per document; the
+    # library default flipped to the reference's windowed mode (250) in r5.
     ann = annotate(
-        iv, model, use_context=True, spots=spots, tokens=tokens, k=2
+        iv, model, use_context=True, spots=spots, tokens=tokens, k=2,
+        max_context_tokens=None,
     )
     return ann.select(
         "doc_id",
@@ -5031,6 +5037,113 @@ def q_kg_betweenness(spark, sf_dir):
     return b.select("node", F.round("betweenness", 6).alias("betweenness"))
 
 
+def _circulant_edges(spark, sf_dir):
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    e1 = nat.select(
+        F.concat(F.lit("n"), F.col("n_nationkey")).alias("src"),
+        F.concat(F.lit("n"), (F.col("n_nationkey") + 1) % 25).alias("dst"),
+    )
+    e2 = nat.select(
+        F.concat(F.lit("n"), F.col("n_nationkey")).alias("src"),
+        F.concat(F.lit("n"), (F.col("n_nationkey") + 2) % 25).alias("dst"),
+    )
+    return e1.unionByName(e2)
+
+
+def q_kg_betweenness_sampled(spark, sf_dir):
+    """Pivot-SAMPLED betweenness (r5 scale path for the exact-APSP
+    family — operators/graph.py:betweenness_centrality with
+    sample_sources=12): Brandes-Pich pair estimator over 12
+    deterministic md5-ordered pivots, one forward + one reverse
+    pivot-restricted bfs_sigma (state O(k·V), never O(V²)), scaled by
+    n(n-1)/(k(k-1)). Same C25(1,2) circulant as kg_betweenness. Oracle
+    = the identical fixed pivot set (ORDER BY md5(node), node LIMIT
+    12), forward + reverse recursive-CTE σ tables, same triple join
+    and scale."""
+    from dbpedia_spotlight_spark.operators.graph import betweenness_centrality
+
+    b = betweenness_centrality(_circulant_edges(spark, sf_dir), sample_sources=12)
+    return b.select("node", F.round("betweenness", 6).alias("betweenness"))
+
+
+def q_kg_closeness_sampled(spark, sf_dir):
+    """Probe-SAMPLED closeness/harmonic (r5 scale path —
+    operators/graph.py:closeness_centrality with sample_sources=10):
+    Eppstein-Wang probe estimator over 10 deterministic md5-ordered
+    pivot targets, one reverse pivot-restricted bfs_sigma, per-node
+    sums scaled by (n-1)/k'(v) with k' discounting a node's own
+    zero-distance probe. Oracle = the same fixed probe set and scaled
+    sums."""
+    from dbpedia_spotlight_spark.operators.graph import closeness_centrality
+
+    c = closeness_centrality(_circulant_edges(spark, sf_dir), sample_sources=10)
+    return c.select(
+        "node",
+        F.round("reached", 6).alias("reached"),
+        F.round("total_dist", 6).alias("total_dist"),
+        F.round("closeness", 6).alias("closeness"),
+        F.round("harmonic", 6).alias("harmonic"),
+    )
+
+
+def q_annotate_windowed_scored(spark, sf_dir):
+    """The WINDOWED end-to-end annotate twin with hash-checked SCORES
+    (r5 — closes the last rows-only gap): identical to d3_generative
+    (injected whitespace tokens + injected spots through the REAL
+    library annotate(), generative scoring, k=2) except
+    max_context_tokens=10, so D2 windowing genuinely engages at test
+    scale — every context vector, NIL context score and softmax runs
+    per (doc, window) composite instead of per document
+    (pipeline/annotate.py:118 -> operators/disambiguate.py:
+    attach_context_windows/score_candidates(ctx_col='ctx_id'); ref
+    DBTwoStepDisambiguator.scala:72,89-119). Oracle = the d3 CTE chain
+    re-keyed on ctx_id = doc#window (windows by token ordinal / 10,
+    spots to the window of their own token — the d2_windows-green
+    assignment)."""
+    from dbpedia_spotlight_spark.operators.modelbuild import (
+        build_model_from_occurrences,
+    )
+
+    docs = _docs(spark, sf_dir)
+    iv = flat_to_interleaved_media(docs)
+    occ = _occs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "surface_form", "uri"
+    )
+    tokens = _tok(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        _char_offset().cast("int").alias("offset"),
+        F.col("token").alias("stem"),
+        F.lit(False).alias("is_stopword"),
+    )
+    model = build_model_from_occurrences(iv, occ, tokens)
+    spots = _spots(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(0).alias("span_pos"),
+        _char_offset().cast("int").alias("offset"),
+        "surface_form",
+        F.lit(1.0).alias("spot_prob"),
+        F.lit("m").alias("spot_type"),
+        F.array(F.col("surface_form")).alias("token_stems"),
+    )
+    ann = annotate(
+        iv, model, use_context=True, spots=spots, tokens=tokens, k=2,
+        max_context_tokens=10,
+    )
+    return ann.select(
+        "doc_id",
+        "span_pos",
+        "offset",
+        "surface_form",
+        "uri",
+        F.round("similarity_score", 6).alias("similarity_score"),
+        F.round("percentage_second_rank", 6).alias("percentage_second_rank"),
+        F.round("contextual_score", 6).alias("contextual_score"),
+        "res_id",
+        "support",
+        "rank",
+    )
+
+
 def q_kg_eccentricity(spark, sf_dir):
     """Eccentricity / diameter profile
     (operators/graph.py:eccentricity_profile — max distance over the
@@ -7565,10 +7678,16 @@ def q_funnel_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered never-driver-sampled-first: the driver checks ~50 queries per
-    # round, so queries without a CORRECTNESS_r* row yet lead the dict (the
-    # round-4 additions, then the 55 r1-r3 never-sampled), and the 60 with
-    # green rows on record trail. Every entry has an oracle_sql twin.
-    return {
+    # round, so queries without a CORRECTNESS_r* row yet must lead the dict.
+    # r5: the ordering is now computed from the committed CORRECTNESS_r*.json
+    # records themselves (stable within each group), so every new round's
+    # sample automatically rotates to the back and the never-sampled backlog
+    # drains ~50/round. Every entry has an oracle_sql twin unless its
+    # docstring declares rows-only.
+    base = {
+        "kg_betweenness_sampled": q_kg_betweenness_sampled,
+        "kg_closeness_sampled": q_kg_closeness_sampled,
+        "annotate_windowed_scored": q_annotate_windowed_scored,
         "funnel_absorption": q_funnel_absorption,
         "kg_powerlaw": q_kg_powerlaw,
         "doc_keywords": q_doc_keywords,
@@ -7880,6 +7999,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_linking": q_eval_linking,
         "annotate_e2e": q_annotate_e2e,
     }
+    import glob as _glob
+    import json as _json
+    import os
+
+    sampled: set = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for rec in sorted(_glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(rec) as fh:
+                sampled.update(_json.load(fh).keys())
+        except (OSError, ValueError):
+            pass
+    # stable partition: never-driver-sampled first, each group in the
+    # hand-curated base order
+    return {k: base[k] for k in sorted(base, key=lambda q: q in sampled)}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8295,6 +8429,108 @@ contrib AS (
 SELECT m.node, round(coalesce(c.b, 0.0), 6) AS betweenness
 FROM (SELECT DISTINCT node FROM sig WHERE dist = 0) m
 LEFT JOIN contrib c ON c.v = m.node
+"""
+
+    # kg_betweenness_sampled: same circulant, 12 md5-ordered pivots,
+    # forward + reverse walk enumeration restricted to the pivots, the
+    # same triple join, scaled by n(n-1)/(k(k-1)) = 600/132.
+    sql["kg_betweenness_sampled"] = """
+WITH RECURSIVE e AS (
+  SELECT 'n' || n_nationkey::VARCHAR AS u,
+         'n' || ((n_nationkey + 1) % 25)::VARCHAR AS v
+  FROM nation
+  UNION ALL
+  SELECT 'n' || n_nationkey::VARCHAR,
+         'n' || ((n_nationkey + 2) % 25)::VARCHAR
+  FROM nation
+),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT u AS node FROM e UNION ALL SELECT v FROM e) un),
+piv AS (SELECT node FROM nodes ORDER BY md5(node), node LIMIT 12),
+walk (s, node, k) AS (
+  SELECT node, node, 0 FROM piv
+  UNION ALL
+  SELECT w.s, e.v, w.k + 1 FROM walk w JOIN e ON w.node = e.u
+  WHERE w.k < 14
+),
+mind AS (SELECT s, node, min(k) AS dist FROM walk GROUP BY 1, 2),
+sigf AS (
+  SELECT w.s AS source, w.node, m.dist, count(*) AS sigma
+  FROM walk w JOIN mind m ON m.s = w.s AND m.node = w.node AND m.dist = w.k
+  GROUP BY 1, 2, 3
+),
+rwalk (s, node, k) AS (
+  SELECT node, node, 0 FROM piv
+  UNION ALL
+  SELECT w.s, e.u, w.k + 1 FROM rwalk w JOIN e ON w.node = e.v
+  WHERE w.k < 14
+),
+rmind AS (SELECT s, node, min(k) AS dist FROM rwalk GROUP BY 1, 2),
+sigr AS (
+  SELECT w.s AS source, w.node, m.dist, count(*) AS sigma
+  FROM rwalk w JOIN rmind m
+    ON m.s = w.s AND m.node = w.node AND m.dist = w.k
+  GROUP BY 1, 2, 3
+),
+contrib AS (
+  SELECT sv.node AS v,
+         (600::DOUBLE / 132::DOUBLE)
+           * sum(sv.sigma * tv.sigma / st.sigma::DOUBLE) AS b
+  FROM sigf sv
+  JOIN sigr tv ON tv.node = sv.node
+  JOIN sigf st ON st.source = sv.source AND st.node = tv.source
+  WHERE sv.source != sv.node
+    AND tv.source != tv.node
+    AND sv.source != tv.source
+    AND sv.dist + tv.dist = st.dist
+  GROUP BY 1
+)
+SELECT nodes.node, round(coalesce(c.b, 0.0), 6) AS betweenness
+FROM nodes LEFT JOIN contrib c ON c.v = nodes.node
+"""
+
+    # kg_closeness_sampled: 10 md5-ordered probe targets, one reverse
+    # walk from the probes, per-node sums scaled by (n-1)/k'(v).
+    sql["kg_closeness_sampled"] = """
+WITH RECURSIVE e AS (
+  SELECT 'n' || n_nationkey::VARCHAR AS u,
+         'n' || ((n_nationkey + 1) % 25)::VARCHAR AS v
+  FROM nation
+  UNION ALL
+  SELECT 'n' || n_nationkey::VARCHAR,
+         'n' || ((n_nationkey + 2) % 25)::VARCHAR
+  FROM nation
+),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT u AS node FROM e UNION ALL SELECT v FROM e) un),
+piv AS (SELECT node FROM nodes ORDER BY md5(node), node LIMIT 10),
+rwalk (s, node, k) AS (
+  SELECT node, node, 0 FROM piv
+  UNION ALL
+  SELECT w.s, e.u, w.k + 1 FROM rwalk w JOIN e ON w.node = e.v
+  WHERE w.k < 14
+),
+rmind AS (SELECT s, node, min(k) AS dist FROM rwalk GROUP BY 1, 2),
+per AS (
+  SELECT node, count(*) AS r, sum(dist) AS sum_d,
+         sum(1.0 / dist) AS sum_inv
+  FROM rmind WHERE dist > 0 GROUP BY 1
+),
+kp AS (
+  SELECT nodes.node,
+         10 - CASE WHEN piv.node IS NOT NULL THEN 1 ELSE 0 END AS kprime
+  FROM nodes LEFT JOIN piv ON piv.node = nodes.node
+)
+SELECT kp.node,
+       round(coalesce(per.r * (24::DOUBLE / kp.kprime), 0.0), 6) AS reached,
+       round(coalesce(per.sum_d * (24::DOUBLE / kp.kprime), 0.0), 6)
+         AS total_dist,
+       round(CASE WHEN per.sum_d IS NOT NULL
+             THEN (per.r / kp.kprime) * (per.r / per.sum_d)
+             ELSE 0.0 END, 6) AS closeness,
+       round(coalesce(per.sum_inv * (24::DOUBLE / kp.kprime), 0.0), 6)
+         AS harmonic
+FROM kp LEFT JOIN per ON per.node = kp.node
 """
 
     sql["kg_eccentricity"] = f"""
@@ -12961,6 +13197,174 @@ SELECT doc_id, span_pos, off AS "offset", surface_form, uri,
 FROM sums
 """
 
+    # annotate_windowed_scored: the SAME generative chain re-keyed on the
+    # (doc, token-ordinal window of 10) composite ctx — query vectors,
+    # NIL context scores, deltas, pc and both softmaxes all per ctx; the
+    # spot joins the window of its own token (the d2_windows-green
+    # assignment). Model-build CTEs (tokc/vocab/res/cand/ctxc/rtot) stay
+    # doc-level, exactly as the library builds the model from doc tokens.
+    sql["annotate_windowed_scored"] = _BASE_CTES + f""",
+occ2 AS (SELECT doc_id::VARCHAR AS doc_id, surface_form, uri FROM occs),
+toks2 AS (SELECT doc_id::VARCHAR AS doc_id, token AS stem FROM tok),
+tkw AS (
+  SELECT doc_id::VARCHAR AS doc_id, ({_SQL_OFFSET})::INT AS off,
+         token AS stem,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY ({_SQL_OFFSET})) AS rn
+  FROM tok
+),
+winmap AS (
+  SELECT doc_id, off,
+         doc_id || '#' || ((rn - 1) // 10)::VARCHAR AS ctx
+  FROM tkw
+),
+tokw AS (
+  SELECT doc_id || '#' || ((rn - 1) // 10)::VARCHAR AS ctx, stem FROM tkw
+),
+doc_uris AS (SELECT DISTINCT doc_id, uri FROM occ2),
+tokc AS (
+  SELECT u.uri, t.stem, count(*)::BIGINT AS cnt
+  FROM toks2 t JOIN doc_uris u ON t.doc_id = u.doc_id
+  GROUP BY u.uri, t.stem
+),
+vocab AS (
+  SELECT stem, sum(cnt)::BIGINT AS vcount,
+         row_number() OVER (ORDER BY stem) AS token_id
+  FROM tokc GROUP BY stem
+),
+scal AS (
+  SELECT (SELECT sum(vcount) FROM vocab)::DOUBLE AS total_tokens,
+         (SELECT count(*) FROM vocab)::DOUBLE AS vocab_size,
+         (SELECT count(*) FROM occ2)::DOUBLE AS total_support,
+         (SELECT count(*) FROM occ2)::DOUBLE AS total_annotated
+),
+sfs AS (SELECT surface_form, count(*)::DOUBLE AS annotated_count
+        FROM occ2 GROUP BY surface_form),
+res AS (
+  SELECT uri, n::BIGINT AS support,
+         (row_number() OVER (ORDER BY uri) - 1)::INT AS res_id
+  FROM (SELECT uri, count(*) AS n FROM occ2 GROUP BY uri)
+),
+cand AS (SELECT surface_form, uri, count(*)::DOUBLE AS pair_count
+         FROM occ2 GROUP BY surface_form, uri),
+ctxc AS (
+  SELECT r.res_id, v.token_id, t.cnt::DOUBLE AS cnt
+  FROM tokc t JOIN vocab v USING (stem) JOIN res r ON t.uri = r.uri
+),
+rtot AS (SELECT res_id, sum(cnt)::DOUBLE AS total_count
+         FROM ctxc GROUP BY res_id),
+query AS (
+  SELECT t.ctx, v.token_id, count(*)::DOUBLE AS c,
+         ln(v.vcount + 1.0) - ln(s.total_tokens + s.vocab_size) AS plm
+  FROM tokw t JOIN vocab v USING (stem) CROSS JOIN scal s
+  GROUP BY t.ctx, v.token_id, v.vcount, s.total_tokens, s.vocab_size
+),
+nil_ctx AS (
+  SELECT ctx, sum(ln(c) + ln((0.8)::DOUBLE) + plm) AS nil_context_score
+  FROM query GROUP BY ctx
+),
+spots2 AS (
+  SELECT doc_id::VARCHAR AS doc_id, 0 AS span_pos,
+         ({_SQL_OFFSET})::INT AS off, surface_form
+  FROM spots
+),
+spotw AS (
+  SELECT s.doc_id, s.span_pos, s.off, s.surface_form, w.ctx
+  FROM spots2 s JOIN winmap w ON w.doc_id = s.doc_id AND w.off = s.off
+),
+cpair AS (
+  SELECT DISTINCT s.ctx, r.res_id
+  FROM spotw s JOIN cand c USING (surface_form) JOIN res r ON c.uri = r.uri
+),
+delta AS (
+  SELECT p.ctx, p.res_id,
+    sum(
+      greatest(ln((0.2)::DOUBLE) + ln(cc.cnt / rt.total_count),
+               ln((0.8)::DOUBLE) + q.plm)
+      + ln(1 + exp(least(ln((0.2)::DOUBLE) + ln(cc.cnt / rt.total_count),
+                         ln((0.8)::DOUBLE) + q.plm)
+                   - greatest(ln((0.2)::DOUBLE) + ln(cc.cnt / rt.total_count),
+                              ln((0.8)::DOUBLE) + q.plm)))
+      - (ln((0.8)::DOUBLE) + q.plm)
+    ) AS sum_delta
+  FROM cpair p
+  JOIN ctxc cc ON cc.res_id = p.res_id
+  JOIN query q ON q.ctx = p.ctx AND q.token_id = cc.token_id
+  JOIN rtot rt ON rt.res_id = p.res_id
+  GROUP BY p.ctx, p.res_id
+),
+pc AS (
+  SELECT p.ctx, p.res_id,
+         coalesce(d.sum_delta, 0.0) + coalesce(n.nil_context_score, 0.0) AS p_c
+  FROM cpair p
+  JOIN (SELECT res_id FROM rtot WHERE total_count > 0) hc
+    ON p.res_id = hc.res_id
+  LEFT JOIN delta d ON d.ctx = p.ctx AND d.res_id = p.res_id
+  LEFT JOIN nil_ctx n ON n.ctx = p.ctx
+),
+nils AS (
+  SELECT s.doc_id, s.span_pos, s.off, s.surface_form,
+         ln((0.8)::DOUBLE) + ln(coalesce(v.vcount, 0) + 1.0)
+           - ln(sc.total_tokens + sc.vocab_size) AS nil_s
+  FROM spots2 s
+  LEFT JOIN vocab v ON s.surface_form = v.stem
+  CROSS JOIN scal sc
+),
+scored AS (
+  SELECT s.doc_id, s.span_pos, s.off, s.surface_form, r.uri, r.res_id,
+         r.support,
+         ln(r.support / sc.total_support)
+           + ln(c.pair_count / f.annotated_count) + p.p_c AS score,
+         p.p_c AS p_c,
+         ln(1.0 / sc.total_annotated) + coalesce(nd.nil_context_score, 0.0)
+           + ni.nil_s AS nil_score,
+         coalesce(nd.nil_context_score, 0.0) AS ncs
+  FROM spotw s
+  JOIN sfs f USING (surface_form)
+  JOIN cand c USING (surface_form)
+  JOIN res r ON c.uri = r.uri
+  CROSS JOIN scal sc
+  LEFT JOIN pc p ON p.ctx = s.ctx AND p.res_id = r.res_id
+  LEFT JOIN nil_ctx nd ON nd.ctx = s.ctx
+  JOIN nils ni ON ni.doc_id = s.doc_id AND ni.span_pos = s.span_pos
+              AND ni.off = s.off AND ni.surface_form = s.surface_form
+),
+kept AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, span_pos, off
+             ORDER BY score DESC, res_id ASC) AS rank
+  FROM scored
+  WHERE score IS NOT NULL AND score > nil_score
+),
+topk AS (SELECT * FROM kept WHERE rank <= 2),
+stats AS (
+  SELECT *,
+    lead(score) OVER (PARTITION BY doc_id, span_pos, off
+                      ORDER BY score DESC, res_id ASC) AS next_score,
+    greatest(max(score) OVER (PARTITION BY doc_id, span_pos, off),
+             nil_score) AS m_sim,
+    greatest(max(p_c) OVER (PARTITION BY doc_id, span_pos, off),
+             ncs) AS m_ctx
+  FROM topk
+),
+sums AS (
+  SELECT *,
+    sum(exp(score - m_sim)) OVER (PARTITION BY doc_id, span_pos, off)
+      AS se_sim,
+    sum(exp(p_c - m_ctx)) OVER (PARTITION BY doc_id, span_pos, off)
+      AS se_ctx
+  FROM stats
+)
+SELECT doc_id, span_pos, off AS "offset", surface_form, uri,
+  round(exp(score - (m_sim + ln(exp(ln(se_sim)) + exp(nil_score - m_sim)))),
+        6) AS similarity_score,
+  round(coalesce(exp(next_score - score), -1.0), 6)
+    AS percentage_second_rank,
+  round(exp(p_c - (m_ctx + ln(exp(ln(se_ctx)) + exp(ncs - m_ctx)))), 6)
+    AS contextual_score,
+  res_id, support, rank
+FROM sums
+"""
+
     # F1 (idx=round(3*0.5)=2 -> thr 0.2) + F2 (psr <= 0.75) + F3 (support>1)
     sql["f_filter_chain"] = _PRIOR_CTES + """,
 ann AS (
@@ -15439,12 +15843,13 @@ WITH d AS (
 c AS (SELECT digit, count(*)::BIGINT AS n_obs FROM d GROUP BY 1),
 t AS (SELECT sum(n_obs) AS total FROM c),
 e AS (SELECT digit, e::DOUBLE AS e FROM (VALUES {_bf_vals}) v(digit, e))
-SELECT c.digit, c.n_obs,
-       round(c.n_obs / t.total, 6) AS obs_share,
+SELECT e.digit, coalesce(c.n_obs, 0)::BIGINT AS n_obs,
+       round(coalesce(c.n_obs, 0) / t.total, 6) AS obs_share,
        round(e.e, 6) AS expected_share,
-       round((c.n_obs - t.total * e.e) * (c.n_obs - t.total * e.e)
+       round((coalesce(c.n_obs, 0) - t.total * e.e)
+             * (coalesce(c.n_obs, 0) - t.total * e.e)
              / (t.total * e.e), 6) AS chi2_term
-FROM c, t, e WHERE e.digit = c.digit
+FROM e CROSS JOIN t LEFT JOIN c ON c.digit = e.digit
 """
 
     sql["tpch_shipping"] = """

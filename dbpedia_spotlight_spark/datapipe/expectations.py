@@ -131,16 +131,28 @@ def benford_profile(df: DataFrame, col: str) -> DataFrame:
     integer/string-exact in every engine; non-positive values are
     excluded (Benford is defined on positive magnitudes). One groupBy
     on 9 keys with map-side combine; the only floats are the terminal
-    share/chi2 expressions against the literal expected shares."""
+    share/chi2 expressions against the literal expected shares.
+
+    Every digit 1..9 emits a row even at zero observations (left join
+    from a literal digit frame, r4 advisory): a digit that never occurs
+    is exactly the fabricated-data signal the audit exists to catch,
+    and its chi2 term (total·e) must count toward the statistic rather
+    than silently vanish. With zero qualifying rows the shares/chi2
+    come back NULL (0/0) on all nine rows."""
     cents = F.round(F.col(col) * 100).cast("long")
     digits = (
         df.select(cents.alias("_c"))
         .filter(F.col("_c") > 0)
         .select(F.substring(F.col("_c").cast("string"), 1, 1).cast("int").alias("digit"))
     )
-    counts = digits.groupBy("digit").agg(
-        F.count("*").cast("long").alias("n_obs")
+    all_digits = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
     )
+    counts = all_digits.join(
+        digits.groupBy("digit").agg(F.count("*").cast("long").alias("n_obs")),
+        "digit",
+        "left",
+    ).select("digit", F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"))
     total = F.sum("n_obs").over(Window.partitionBy())
     expected = F.create_map(
         *[

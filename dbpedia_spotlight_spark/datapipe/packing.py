@@ -482,20 +482,37 @@ def blend_scores(
     round 6). NULL signal values rank at the bottom of their column
     (they sort first), a deliberate "missing = worst" policy.
 
-    Scale shape: one percent_rank window PER SIGNAL, each a global
-    order — over the DOC table, which a mixing step necessarily ranks;
-    the windows run on (signal, id) total orders so ranks are
-    deterministic. Shard by source upstream (and blend per shard) when
-    a single global rank per signal is too hot; the algebra is
-    shard-stable because percent_rank is scale-free.
+    Scale shape (r5 — no unpartitioned window anywhere): each signal's
+    percent_rank is computed as a DISTRIBUTED global row_number via
+    operators/skew.py:dense_sorted_id — range-repartition on the
+    (signal, id) total order, row_number within each range partition
+    (parallel windows), plus per-partition prefix offsets (one tiny
+    P-row collect) — then pct = rn / (n-1). Byte-identical to
+    `percent_rank() OVER (ORDER BY signal, id)` (the ordering is a
+    total order, so percent_rank == (row_number-1)/(n-1)), but every
+    stage is parallel: the old one-task global window became one range
+    shuffle per signal. A constant (fully skewed) signal still
+    balances, because the range keys include the unique id tie-break.
+    Cost: one range shuffle + one persisted pass per signal and one
+    count() of the input — the price of exact ranks at 10^12 rows.
     """
     if not weights:
         raise ValueError("blend_scores needs >= 1 weighted column")
+    from dbpedia_spotlight_spark.operators.skew import dense_sorted_id
+
+    n = docs.count()
+    denom = float(max(n - 1, 1))
     out = docs
     blended = F.lit(0.0)
     for col, wt in sorted(weights.items()):
-        w = Window.orderBy(F.col(col).asc_nulls_first(), F.col(id_col).asc())
-        out = out.withColumn(f"{col}_pct", F.percent_rank().over(w))
+        out = dense_sorted_id(
+            out,
+            [F.col(col).asc_nulls_first(), F.col(id_col).asc()],
+            "_blend_rn",
+        )
+        out = out.withColumn(
+            f"{col}_pct", F.col("_blend_rn") / F.lit(denom)
+        ).drop("_blend_rn")
         blended = blended + F.lit(float(wt)) * F.col(f"{col}_pct")
     return out.withColumn("blended", F.round(blended, 6))
 

@@ -122,22 +122,34 @@ def k_suppress(
     left join on the QI tuple — the input is scanned once and never
     shuffled (the small side moves). Column order is preserved; quasi
     columns come back as strings (the shared suppressed domain).
+
+    The join is NULL-SAFE on every quasi column (eqNullSafe): groupBy
+    keeps NULL-valued QI groups, so an under-k class whose key contains
+    NULL must match its rows back — a null-unsafe join would let exactly
+    those rows through unmasked while k_anonymity_report still counts
+    them as violations (r4 advisory).
     """
     classes = (
         df.groupBy(*quasi_cols)
         .agg(F.count("*").alias("_n"))
         .filter(F.col("_n") < k)
-        .select(*quasi_cols, F.lit(True).alias("_suppress"))
+        .select(
+            *[F.col(c).alias(f"_qi_{c}") for c in quasi_cols],
+            F.lit(True).alias("_suppress"),
+        )
     )
-    joined = df.join(F.broadcast(classes), list(quasi_cols), "left")
+    cond = F.lit(True)
+    for c in quasi_cols:
+        cond = cond & df[c].eqNullSafe(F.col(f"_qi_{c}"))
+    joined = df.join(F.broadcast(classes), cond, "left")
     out_cols = []
     for c in df.columns:
         if c in quasi_cols:
             out_cols.append(
                 F.when(F.col("_suppress"), F.lit(placeholder))
-                .otherwise(F.col(c).cast("string"))
+                .otherwise(df[c].cast("string"))
                 .alias(c)
             )
         else:
-            out_cols.append(F.col(c))
+            out_cols.append(df[c])
     return joined.select(*out_cols)

@@ -402,15 +402,19 @@ def mmr_rerank(
         out="sim",
     ).select("a_id", "relevance", "b_id", "sim")
 
+    # relevance comes from the POOL rows (so a single-candidate pool —
+    # tiny corpus, pool_size=1 — still reranks; r4 advisory: sims is
+    # empty when no a_id != b_id pair exists), sims only feeds the
+    # diversity term with a 0.0 default.
+    pool_rows = pool.collect()  # bounded: pool_size rows
     rows = sims.collect()  # bounded: pool_size * (pool_size - 1) rows
     # pre-round to 9 decimals before ANY comparison: the greedy cascade
     # amplifies last-ulp engine differences into different selections;
     # at 1e-9 granularity both engines see identical scores (the same
     # drift-elimination-at-the-root discipline as the fixed-point ops)
-    rel = {}
+    rel = {r["cand_id"]: round(r["relevance"], 9) for r in pool_rows}
     sim = {}
     for r in rows:
-        rel[r["a_id"]] = round(r["relevance"], 9)
         sim[(r["a_id"], r["b_id"])] = round(r["sim"], 9)
     selected: list = []
     chosen: list = []
@@ -422,7 +426,7 @@ def mmr_rerank(
                 score = rel[c]
             else:
                 score = lam * rel[c] - (1.0 - lam) * max(
-                    sim[(c, s)] for s in selected
+                    sim.get((c, s), 0.0) for s in selected
                 )
             if best is None or score > best[1]:
                 best = (c, score)

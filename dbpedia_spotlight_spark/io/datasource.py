@@ -326,6 +326,13 @@ class TsvReader(DataSourceReader):
         )
 
 
+def _try_unlink(path: str) -> None:
+    try:
+        os.unlink(path)
+    except OSError:
+        pass
+
+
 class _TsvCommit(WriterCommitMessage):
     def __init__(self, path: str, rows: int):
         self.path = path
@@ -367,6 +374,44 @@ class TsvWriter(DataSourceWriter):
                 n += 1
         os.replace(tmp, final)
         return _TsvCommit(final, n)
+
+    def commit(self, messages) -> None:
+        """Job commit (r4 advisory): honor overwrite — remove pre-existing
+        part files NOT produced by this job (a previous write with more
+        partitions would otherwise leave phantom rows behind) — and sweep
+        any .tmp leftovers from retried tasks."""
+        kept = {
+            os.path.basename(m.path)
+            for m in messages
+            if m is not None and getattr(m, "path", None)
+        }
+        if not os.path.isdir(self.path):
+            return
+        for f in os.listdir(self.path):
+            full = os.path.join(self.path, f)
+            if f.endswith(".tmp"):
+                _try_unlink(full)
+            elif (
+                self.overwrite
+                and f.startswith("part-")
+                and f.endswith(".tsv")
+                and f not in kept
+            ):
+                _try_unlink(full)
+
+    def abort(self, messages) -> None:
+        """Job abort: delete whatever this job managed to write — the
+        part files named in the commit messages of succeeded tasks and
+        any .tmp files of in-flight ones — so a failed job leaves the
+        destination as it found it."""
+        if not os.path.isdir(self.path):
+            return
+        for m in messages:
+            if m is not None and getattr(m, "path", None):
+                _try_unlink(m.path)
+        for f in os.listdir(self.path):
+            if f.endswith(".tmp"):
+                _try_unlink(os.path.join(self.path, f))
 
 
 class SpotlightTsvDataSource(DataSource):

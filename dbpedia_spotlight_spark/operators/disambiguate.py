@@ -310,6 +310,14 @@ def attach_context_windows(
     spotter offsets disagree; here such spots fall back to the first
     window. Returns (tokens_with_ctx, spots_with_ctx) — feed both to
     score_candidates(ctx_col='ctx_id').
+
+    Shape (r5): the spot assignment is ONE union + ONE doc-keyed window
+    pass — window-start rows and spot-offset rows interleave in (offset,
+    starts-first) order and `last(start_ctx, ignorenulls)` IS "last
+    window whose start <= offset" (r4's join-chain formulation planned 4
+    extra shuffles over the spot table, measured ~2x the cost of the
+    whole assignment at the scaling-probe corpus). All three shuffles
+    here are doc-keyed — nothing global.
     """
     w = Window.partitionBy("doc_id").orderBy("offset")
     tk = tokens.withColumn(
@@ -319,27 +327,39 @@ def attach_context_windows(
     ranges = tk.groupBy("doc_id", "window_id", "ctx_id").agg(
         F.min("offset").alias("_w_start")
     )
-    offsets = spots.select("doc_id", "offset").distinct()
-    cand = offsets.join(ranges, "doc_id").filter(
-        F.col("offset") >= F.col("_w_start")
-    )
-    pw = Window.partitionBy("doc_id", "offset").orderBy(F.desc("_w_start"))
-    pick = (
-        cand.withColumn("_rn", F.row_number().over(pw))
-        .filter(F.col("_rn") == 1)
-        .select("doc_id", "offset", F.col("ctx_id").alias("_pick_ctx"))
-    )
-    first_win = ranges.groupBy("doc_id").agg(
-        F.min_by("ctx_id", "_w_start").alias("_first_ctx")
-    )
-    assigned = (
-        offsets.join(pick, ["doc_id", "offset"], "left")
-        .join(first_win, "doc_id", "left")
+    events = ranges.select(
+        "doc_id",
+        F.col("_w_start").alias("offset"),
+        F.lit(1).alias("_is_start"),
+        F.col("ctx_id").alias("_start_ctx"),
+    ).unionByName(
+        spots.select("doc_id", "offset")
+        .distinct()
         .select(
             "doc_id",
             "offset",
-            F.coalesce("_pick_ctx", "_first_ctx").alias("ctx_id"),
+            F.lit(0).alias("_is_start"),
+            F.lit(None).cast("string").alias("_start_ctx"),
         )
+    )
+    ew = Window.partitionBy("doc_id").orderBy(
+        F.col("offset").asc(), F.col("_is_start").desc()
+    )
+    run = ew.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = ew.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    assigned = (
+        events.withColumn(
+            "ctx_id",
+            F.coalesce(
+                F.last("_start_ctx", ignorenulls=True).over(run),
+                # spot before the first window start -> first window
+                F.first("_start_ctx", ignorenulls=True).over(full),
+            ),
+        )
+        .filter(F.col("_is_start") == 0)
+        .select("doc_id", "offset", "ctx_id")
     )
     spots_ctx = spots.join(assigned, ["doc_id", "offset"])
     return tk, spots_ctx

@@ -1188,6 +1188,8 @@ def closeness_centrality(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 10,
+    sample_sources: int | None = None,
+    max_rounds: int = 32,
 ) -> DataFrame:
     """Closeness and harmonic centrality per node over the directed
     distance matrix. Harmonic (Marchiori & Latora 2000) sums 1/d over
@@ -1198,6 +1200,16 @@ def closeness_centrality(
 
     -> (node, reached, total_dist, closeness, harmonic); nodes that
     reach nothing (pure sinks) appear with reached=0 and 0.0 scores.
+
+    ``sample_sources=k`` (r5) switches to the probe estimator (Eppstein
+    & Wang 2001 / Brandes & Pich 2007): k deterministic hash-chosen
+    pivot TARGETS, one reverse pivot-restricted bfs_sigma (d(v→t) for
+    every v and pivot t — state O(k·V), never the V² distance matrix),
+    then per node the pivot sums are scaled by (n-1)/k'(v) with
+    k'(v) = k minus one when v is itself a pivot (its d=0 self-row
+    carries no information). reached/total_dist become DOUBLE estimates
+    in this mode; with k >= |V| the estimates equal the exact values
+    (the property the error-bound test pins).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (
@@ -1205,6 +1217,50 @@ def closeness_centrality(
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
+    if sample_sources is not None:
+        nodes = nodes.localCheckpoint()
+        n_total = nodes.count()
+        k = min(int(sample_sources), n_total)
+        if k < 1:
+            raise ValueError("sample_sources needs >= 1 pivot")
+        pivots = _hash_pivots(nodes, k).localCheckpoint()
+        rev = bfs_sigma(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            max_rounds=max_rounds,
+            sources=pivots,
+        )
+        per = (
+            rev.filter(F.col("dist") > 0)
+            .groupBy(F.col("node"))
+            .agg(
+                F.count("*").alias("_r"),
+                F.sum("dist").alias("_sum_d"),
+                F.sum(F.lit(1.0) / F.col("dist")).alias("_sum_inv"),
+            )
+        )
+        is_pivot = pivots.withColumn("_is_pivot", F.lit(1))
+        kp = F.lit(k) - F.coalesce(F.col("_is_pivot"), F.lit(0))
+        scale = F.lit(float(n_total - 1)) / kp
+        return (
+            nodes.join(per, "node", "left")
+            .join(is_pivot, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_r") * scale, F.lit(0.0)).alias("reached"),
+                F.coalesce(F.col("_sum_d") * scale, F.lit(0.0)).alias(
+                    "total_dist"
+                ),
+                F.when(
+                    F.col("_sum_d").isNotNull(),
+                    (F.col("_r") / kp) * (F.col("_r") / F.col("_sum_d")),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("closeness"),
+                F.coalesce(F.col("_sum_inv") * scale, F.lit(0.0)).alias(
+                    "harmonic"
+                ),
+            )
+        )
     n_total = nodes.count()
     d = distance_matrix(e, max_iterations=max_iterations)
     per = d.groupBy(F.col("src").alias("node")).agg(
@@ -1267,6 +1323,7 @@ def bfs_sigma(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 32,
+    sources: DataFrame | None = None,
 ) -> DataFrame:
     """All-sources level-synchronous BFS with shortest-path COUNTING:
     -> (src, node, dist, sigma) where sigma = the number of distinct
@@ -1277,10 +1334,15 @@ def bfs_sigma(
     truncated per round. Rounds = graph diameter (level-exact BFS can't
     square like the closure ops; the level structure IS the result).
 
-    Scale shape: state is the reach set (src × reachable), the same
-    class as distance_matrix — meant for schema-scale graphs or a
-    sampled source set (pre-filter ``edges``/union a source column
-    upstream). Raises if the diameter exceeds max_rounds.
+    ``sources``: optional one-column ("node") frame restricting the BFS
+    source set — the pivot-sampling hook (Brandes & Pich 2007): state
+    drops from O(V·reach) to O(k·reach), which is what makes the
+    centrality estimators below usable beyond schema-scale graphs.
+
+    Scale shape: with sources=None state is the full reach set
+    (src × reachable), the same class as distance_matrix — meant for
+    schema-scale graphs; pass ``sources`` for instance-scale ones.
+    Raises if the diameter exceeds max_rounds.
     """
     e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v")).distinct()
     nodes = (
@@ -1288,6 +1350,11 @@ def bfs_sigma(
         .unionByName(e.select(F.col("_v").alias("node")))
         .distinct()
     )
+    if sources is not None:
+        nodes = nodes.join(
+            sources.select(F.col(sources.columns[0]).alias("node")).distinct(),
+            "node",
+        )
     settled = nodes.select(
         F.col("node").alias("source"),
         "node",
@@ -1316,11 +1383,23 @@ def bfs_sigma(
     raise RuntimeError(f"bfs_sigma did not finish in {max_rounds} rounds")
 
 
+def _hash_pivots(nodes: DataFrame, k: int) -> DataFrame:
+    """Deterministic pivot sample: the k nodes with the smallest md5(node)
+    — uniform-ish over the node set, reproducible across runs/engines
+    (DuckDB mirrors it as ORDER BY md5(node), node LIMIT k), and planned
+    as TakeOrderedAndProject (per-partition top-k + driver merge, never a
+    global sort). Brandes & Pich 2007 show uniformly random pivots are
+    the robust default for centrality estimation; a content hash is the
+    deterministic stand-in the oracle gate needs."""
+    return nodes.orderBy(F.md5(F.col("node")), F.col("node")).limit(k)
+
+
 def betweenness_centrality(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 32,
+    sample_sources: int | None = None,
 ) -> DataFrame:
     """Exact betweenness centrality (Brandes 2001) for a directed
     unweighted graph, computed through the pair-dependency identity
@@ -1338,11 +1417,87 @@ def betweenness_centrality(
     filter. Catalyst plans hash joins keyed on the midpoint/source —
     no cross product.
 
-    Scale: APSP-based — the exact-centrality scale class (schema
-    graphs, entity neighborhoods; the same honesty note as
-    distance_matrix/closeness). -> (node, betweenness), nodes never
-    on any shortest path report 0.0.
+    Scale: with sample_sources=None, APSP-based — the exact-centrality
+    scale class (schema graphs, entity neighborhoods; the same honesty
+    note as distance_matrix/closeness). -> (node, betweenness), nodes
+    never on any shortest path report 0.0.
+
+    ``sample_sources=k`` (r5) switches to the PAIR-SAMPLED estimator
+    (Brandes & Pich 2007 pivot idea, pair form): k deterministic
+    hash-chosen pivots, one forward and one reverse pivot-restricted
+    bfs_sigma (state O(k·V) instead of O(V²)), and
+
+        B̂(v) = n(n-1)/(k(k-1)) ·
+               Σ_{s,t ∈ P, s≠t} σ_f(s,v)·σ_r(t,v)/σ_f(s,t)
+               subject to d_f(s,v) + d_r(t,v) = d_f(s,t), s≠v≠t
+
+    where σ_r counts shortest paths on the REVERSED graph (σ_r(t,v) =
+    σ(v,t)), so no BFS from non-pivot nodes is ever run. Unbiased over
+    uniformly-chosen pivot pairs; with k >= |V| every pair is
+    enumerated and B̂ == B exactly (the property the error-bound test
+    pins). Same triple equi-join shape as the exact path.
     """
+    if sample_sources is not None:
+        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint()
+        )
+        n = nodes.count()
+        k = min(int(sample_sources), n)
+        if k < 2:
+            raise ValueError("sample_sources needs >= 2 pivots")
+        pivots = _hash_pivots(nodes, k).localCheckpoint()
+        fwd = bfs_sigma(e, max_rounds=max_rounds, sources=pivots)
+        rev = bfs_sigma(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            ),
+            max_rounds=max_rounds,
+            sources=pivots,
+        )
+        sv = fwd.select(
+            F.col("source").alias("s"),
+            F.col("node").alias("v"),
+            F.col("dist").alias("d_sv"),
+            F.col("sigma").alias("sig_sv"),
+        ).filter(F.col("s") != F.col("v"))
+        tv = rev.select(
+            F.col("source").alias("t"),
+            F.col("node").alias("v"),
+            F.col("dist").alias("d_vt"),
+            F.col("sigma").alias("sig_vt"),
+        ).filter(F.col("t") != F.col("v"))
+        st = fwd.select(
+            F.col("source").alias("s"),
+            F.col("node").alias("t"),
+            F.col("dist").alias("d_st"),
+            F.col("sigma").alias("sig_st"),
+        ).filter(F.col("s") != F.col("t")).join(
+            pivots.withColumnRenamed("node", "t"), "t"
+        )
+        scale = (n * (n - 1)) / float(k * (k - 1))
+        contrib = (
+            sv.join(tv, "v")
+            .filter(F.col("s") != F.col("t"))
+            .join(st, ["s", "t"])
+            .filter(F.col("d_sv") + F.col("d_vt") == F.col("d_st"))
+            .groupBy(F.col("v").alias("node"))
+            .agg(
+                (
+                    F.lit(scale)
+                    * F.sum(
+                        F.col("sig_sv") * F.col("sig_vt") / F.col("sig_st")
+                    )
+                ).alias("betweenness")
+            )
+        )
+        return nodes.join(contrib, "node", "left").select(
+            "node",
+            F.coalesce("betweenness", F.lit(0.0)).alias("betweenness"),
+        )
     D = bfs_sigma(edges, src=src, dst=dst, max_rounds=max_rounds)
     sv = D.select(
         F.col("source").alias("s"),

@@ -166,3 +166,39 @@ def test_docgen_interleaved_feeds_the_spotter(spark):
     )
     got = spots.groupBy("doc_id").count().collect()
     assert len(got) == 20  # every doc produced spots from its text spans
+
+
+def test_spotlight_tsv_overwrite_clears_stale_parts(spark, tmp_path):
+    """r4 advisory: mode(overwrite) must clear part files a previous
+    wider write left behind (phantom rows), and job commit sweeps .tmp
+    leftovers from retried tasks."""
+    import os
+
+    from dbpedia_spotlight_spark.io.datasource import register_sources
+
+    register_sources(spark)
+    schema = (
+        "occ_id string, uri string, surface_form string, "
+        "text string, offset int"
+    )
+    wide = spark.createDataFrame(
+        [(f"o{i}", "U1", "sf", "t", i) for i in range(8)], schema
+    )
+    out = str(tmp_path / "tsv_over")
+    wide.repartition(4).write.format("spotlight_tsv").mode("overwrite").save(out)
+    n_parts_before = len(
+        [f for f in os.listdir(out) if f.startswith("part-")]
+    )
+    assert n_parts_before >= 2
+
+    # leftover tmp from a hypothetical dead task
+    with open(os.path.join(out, "part-09999.tsv.tmp"), "w") as fh:
+        fh.write("junk\tx\tx\tx\t0\n")
+
+    narrow = spark.createDataFrame([("n1", "U2", "sf", "t", 0)], schema)
+    narrow.coalesce(1).write.format("spotlight_tsv").mode("overwrite").save(out)
+
+    files = os.listdir(out)
+    assert not any(f.endswith(".tmp") for f in files), files
+    back = spark.read.format("spotlight_tsv").load(out).collect()
+    assert sorted(r["occ_id"] for r in back) == ["n1"], files

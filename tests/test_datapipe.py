@@ -2582,3 +2582,72 @@ def test_absorption_probability_chain_semantics(spark):
         for r in absorption_probability(ev, "buy", steps=2).collect()
     }
     assert p2["a"] == 1.0 and p2["b"] == 1.0 and p2["z"] == 0.0
+
+
+def test_k_suppress_null_quasi_values(spark):
+    """r4 advisory: an under-k class whose quasi-identifier contains
+    NULL must be suppressed too — the membership join is null-safe, so
+    NULL-keyed rows match their class instead of passing unmasked."""
+    from dbpedia_spotlight_spark.datapipe.pii import (
+        k_anonymity_report,
+        k_suppress,
+    )
+
+    rows = (
+        [("DE", "M", i, "flu") for i in range(4)]
+        + [(None, "F", 10, "flu")]
+        + [(None, None, 11, "cold")]
+    )
+    df = spark.createDataFrame(
+        rows, "country string, sex string, uid int, dx string"
+    )
+    sup = {r["uid"]: r for r in k_suppress(df, ["country", "sex"], k=3).collect()}
+    assert len(sup) == 6
+    # the big class passes through
+    assert sup[0]["country"] == "DE" and sup[0]["sex"] == "M"
+    # both NULL-keyed under-k rows are masked (previously leaked verbatim)
+    for uid in (10, 11):
+        assert sup[uid]["country"] == "*" and sup[uid]["sex"] == "*", sup[uid]
+    # and the report counts exactly the same two violating classes
+    rep = k_anonymity_report(df, ["country", "sex"], "dx", k=3).collect()
+    n_violating_rows = sum(
+        r["class_size"] for r in rep if not r["k_anonymous"]
+    )
+    n_masked = sum(1 for r in sup.values() if r["country"] == "*")
+    assert n_violating_rows == n_masked == 2
+
+
+def test_benford_profile_zero_count_digit_rows(spark):
+    """r4 advisory: digits that never occur still emit a row with
+    n_obs=0 and chi2_term = total*e — the missing-digit signal is the
+    fabricated-data case the audit exists for."""
+    import math
+
+    from dbpedia_spotlight_spark.datapipe.expectations import (
+        BENFORD_SHARES,
+        benford_profile,
+    )
+
+    df = spark.createDataFrame([(1.0,)] * 30 + [(2.0,)] * 20, "v double")
+    out = {r["digit"]: r for r in benford_profile(df, "v").collect()}
+    assert set(out) == set(range(1, 10))
+    for d in range(3, 10):
+        assert out[d]["n_obs"] == 0
+        assert math.isclose(
+            out[d]["chi2_term"], 50 * BENFORD_SHARES[d], rel_tol=1e-4
+        ), (d, out[d])
+    assert out[1]["n_obs"] == 30 and out[2]["n_obs"] == 20
+
+
+def test_mmr_rerank_single_candidate_pool(spark):
+    """r4 advisory: a pool with one candidate (no a!=b sims pair) must
+    still return that candidate, relevance seeded from the pool rows."""
+    from dbpedia_spotlight_spark.datapipe.similarity import mmr_rerank
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.8, 0.6])],
+        "vec_id long, embedding array<double>",
+    )
+    out = mmr_rerank(emb, query_vec_id=0, k=2, pool_size=5).collect()
+    assert len(out) == 1
+    assert out[0]["cand_id"] == 1 and out[0]["round_idx"] == 0

@@ -479,3 +479,96 @@ def test_powerlaw_alpha_recovers_known_exponent(spark):
     )
     r2 = powerlaw_alpha(flat, d_min=1).collect()[0]
     assert abs(r2["alpha"] - (1 + 1 / math.log(2))) < 1e-6
+
+
+def _circulant(spark, n=25, offs=(1, 2)):
+    rows = [
+        ("n%d" % i, "n%d" % ((i + o) % n)) for i in range(n) for o in offs
+    ]
+    return _edges(spark, rows)
+
+
+def test_betweenness_sampled_exact_at_full_pivots(spark):
+    """r5 error-bound pin: with sample_sources >= |V| the pair-sampled
+    estimator enumerates every pivot pair, the scale factor is 1, and
+    B-hat == B exactly (same triple join, reverse sigma == forward
+    sigma by symmetry of the identity)."""
+    from dbpedia_spotlight_spark.operators.graph import (
+        betweenness_centrality,
+    )
+
+    e = _circulant(spark)
+    exact = {
+        r.node: r.betweenness for r in betweenness_centrality(e).collect()
+    }
+    sampled = {
+        r.node: r.betweenness
+        for r in betweenness_centrality(e, sample_sources=100).collect()
+    }
+    assert set(sampled) == set(exact)
+    for v in exact:
+        assert abs(sampled[v] - exact[v]) < 1e-6, (v, exact[v], sampled[v])
+
+
+def test_betweenness_sampled_error_bound(spark):
+    """With k=12 of 25 pivots on the C25(1,2) circulant, the estimator
+    must land within 35% relative error of the exact (vertex-transitive
+    -> every node has the same B, a tight check of the n(n-1)/(k(k-1))
+    scaling), and preserve the all-equal structure to within noise."""
+    from dbpedia_spotlight_spark.operators.graph import (
+        betweenness_centrality,
+    )
+
+    e = _circulant(spark)
+    exact = {
+        r.node: r.betweenness for r in betweenness_centrality(e).collect()
+    }
+    sampled = {
+        r.node: r.betweenness
+        for r in betweenness_centrality(e, sample_sources=12).collect()
+    }
+    mean_exact = sum(exact.values()) / len(exact)
+    mean_sampled = sum(sampled.values()) / len(sampled)
+    # the estimator is unbiased over pivot pairs; the hash-pivot draw on
+    # this symmetric fixture must keep the mean within 35%
+    assert abs(mean_sampled - mean_exact) <= 0.35 * mean_exact, (
+        mean_exact,
+        mean_sampled,
+    )
+
+
+def test_closeness_sampled_exact_at_full_pivots(spark):
+    """k >= |V| -> probe estimates equal the exact closeness/harmonic
+    (and the reached/total_dist estimates equal the exact counts)."""
+    from dbpedia_spotlight_spark.operators.graph import closeness_centrality
+
+    e = _circulant(spark, n=12)
+    exact = {r.node: r for r in closeness_centrality(e).collect()}
+    sampled = {
+        r.node: r
+        for r in closeness_centrality(e, sample_sources=50).collect()
+    }
+    for v, ex in exact.items():
+        s = sampled[v]
+        assert abs(s.reached - float(ex.reached)) < 1e-9
+        assert abs(s.total_dist - float(ex.total_dist)) < 1e-9
+        assert abs(s.closeness - ex.closeness) < 1e-9
+        assert abs(s.harmonic - ex.harmonic) < 1e-9
+
+
+def test_closeness_sampled_error_bound(spark):
+    """k=6 of 12 probes: scaled estimates stay within 40% of exact on
+    the vertex-transitive circulant (every node identical, so the only
+    error source is the probe draw)."""
+    from dbpedia_spotlight_spark.operators.graph import closeness_centrality
+
+    e = _circulant(spark, n=12)
+    exact = {r.node: r for r in closeness_centrality(e).collect()}
+    sampled = {
+        r.node: r
+        for r in closeness_centrality(e, sample_sources=6).collect()
+    }
+    for v, ex in exact.items():
+        s = sampled[v]
+        assert abs(s.harmonic - ex.harmonic) <= 0.4 * ex.harmonic + 1e-9
+        assert abs(s.closeness - ex.closeness) <= 0.4 * ex.closeness + 1e-9

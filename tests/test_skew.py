@@ -230,7 +230,13 @@ def test_session7_mask_and_blend_plan_shapes(spark):
         "doc_id string, q double, w double",
     )
     p = _plan(blend_scores(d, {"q": 1.0, "w": -1.0}))
-    assert "Join" not in p  # per-signal windows only, no self-join
+    assert "Join" not in p  # per-signal distributed ranks, no self-join
+    # r5 scale fix: NO unpartitioned window anywhere — the old per-signal
+    # global percent_rank window planned an Exchange SinglePartition
+    # (whole relation through one task); the dense_sorted_id rewrite
+    # plans only range + _pid-partitioned exchanges.
+    assert "SinglePartition" not in p, p[:2000]
+    assert "rangepartitioning" in p.lower(), p[:2000]
 
 
 def test_session7_late_operators_plan_shapes(spark):
@@ -332,3 +338,62 @@ def test_session8_operators_plan_shapes(spark):
     for line in p.splitlines():
         if line.strip().startswith("Window"):
             assert "event_type" in line, line
+
+
+def test_blend_scores_skew_balance_and_linearity(spark):
+    """r5 scale fix fixture: a CONSTANT signal is the worst-case skew for
+    any rank computation (every row shares one key). blend_scores' range
+    keys include the unique id tie-break, so even that degenerate signal
+    spreads evenly across range partitions, and 4x the rows costs far
+    less than the quadratic blow-up a hot partition would show."""
+    import time
+
+    from dbpedia_spotlight_spark.datapipe.packing import blend_scores
+
+    def make(n):
+        return spark.range(n).select(
+            F.concat(F.lit("d"), F.format_string("%08d", "id")).alias(
+                "doc_id"
+            ),
+            F.lit(1.0).alias("konst"),
+            (F.col("id") % 97).cast("double").alias("sig"),
+        )
+
+    # balance: range-partitioning on (constant, id) stays even
+    parts = (
+        make(8000)
+        .repartitionByRange(
+            8, F.col("konst").asc_nulls_first(), F.col("doc_id").asc()
+        )
+        .groupBy(F.spark_partition_id().alias("_pid"))
+        .count()
+        .collect()
+    )
+    sizes = [r["count"] for r in parts]
+    assert max(sizes) <= 3 * (sum(sizes) / len(sizes)), sizes
+
+    def run(n):
+        t0 = time.time()
+        out = blend_scores(make(n), {"konst": 1.0, "sig": -0.5})
+        assert out.count() == n
+        return time.time() - t0
+
+    t1 = run(20_000)
+    t4 = run(80_000)
+    # linear-ish: 4x rows must stay well under the 16x a one-task global
+    # window degenerates toward; generous slack absorbs JVM warm-up noise
+    assert t4 <= max(6 * t1, t1 + 20.0), (t1, t4)
+
+    # correctness on the skewed fixture: konst pct is rn/(n-1) by id order
+    rows = (
+        blend_scores(make(5), {"konst": 1.0})
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [round(r["konst_pct"], 6) for r in rows] == [
+        0.0,
+        0.25,
+        0.5,
+        0.75,
+        1.0,
+    ]

@@ -372,13 +372,22 @@ def measure_scaling() -> dict:
             secs.append(float(d["sec2"]))
         ordered = sorted(secs)
         t_n_conc = (ordered[1] + ordered[2]) / 2
+        # Reference = the FASTEST 8-core probe of this run (min over
+        # repetitions, the same noise-suppression policy the isolated
+        # pairs and every bench line already use): an externally-slowed
+        # 8-core window is measurement noise, not a property of the job,
+        # and unlike the isolated pairs the concurrent phase runs in its
+        # own later window anyway, so same-window pairing cannot apply.
+        t_4n_ref = min(
+            float(r["sec"]) for r in runs if int(r["cores"]) == n4_cores
+        )
         return {
             "method": "4 simultaneous 2-core instances vs isolated 8-core "
                       "(equal all-core frequency + bandwidth contention)",
             "sec2_per_instance": [round(s, 2) for s in secs],
             "sec_n_concurrent": round(t_n_conc, 2),
-            "sec_4n_ref": round(t_4n, 2),
-            "efficiency": round(min(t_n_conc / (4 * t_4n), 1.0), 3),
+            "sec_4n_ref": round(t_4n_ref, 2),
+            "efficiency": round(min(t_n_conc / (4 * t_4n_ref), 1.0), 3),
         }
 
     conc = concurrent_control()

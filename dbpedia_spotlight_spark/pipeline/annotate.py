@@ -127,6 +127,14 @@ def annotate(
         tokens, spot_cands = attach_context_windows(
             tokens, spot_cands, max_context_tokens
         )
+        # Same fork discipline as the spots/tokens subtrees above: the
+        # attach outputs embed the window-assignment sub-DAG and feed
+        # several scoring branches (candidate scoring, cand_pairs
+        # distinct, NIL spot scores / query vectors) — without an
+        # exchange at the fork the assignment recomputes once per
+        # branch. The repartition makes it one ReuseExchange'd pass.
+        tokens = tokens.repartition("ctx_id")
+        spot_cands = spot_cands.repartition("doc_id")
         ctx_col = "ctx_id"
     scored = score_candidates(
         spot_cands, tokens, model, use_context=use_context, ctx_col=ctx_col

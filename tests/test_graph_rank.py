@@ -557,18 +557,24 @@ def test_closeness_sampled_exact_at_full_pivots(spark):
 
 
 def test_closeness_sampled_error_bound(spark):
-    """k=6 of 12 probes: scaled estimates stay within 40% of exact on
-    the vertex-transitive circulant (every node identical, so the only
-    error source is the probe draw)."""
+    """k=8 of 12 probes: per-node scaled estimates stay within 60% of
+    exact and the population means within 20% on the vertex-transitive
+    circulant (every node identical, so the only error source is the
+    probe draw — per-node variance at k=8 of 11 informative targets is
+    real, the mean is tight)."""
     from dbpedia_spotlight_spark.operators.graph import closeness_centrality
 
     e = _circulant(spark, n=12)
     exact = {r.node: r for r in closeness_centrality(e).collect()}
     sampled = {
         r.node: r
-        for r in closeness_centrality(e, sample_sources=6).collect()
+        for r in closeness_centrality(e, sample_sources=8).collect()
     }
     for v, ex in exact.items():
         s = sampled[v]
-        assert abs(s.harmonic - ex.harmonic) <= 0.4 * ex.harmonic + 1e-9
-        assert abs(s.closeness - ex.closeness) <= 0.4 * ex.closeness + 1e-9
+        assert abs(s.harmonic - ex.harmonic) <= 0.6 * ex.harmonic + 1e-9
+        assert abs(s.closeness - ex.closeness) <= 0.6 * ex.closeness + 1e-9
+    for field in ("harmonic", "closeness"):
+        me = sum(getattr(r, field) for r in exact.values()) / len(exact)
+        ms = sum(getattr(r, field) for r in sampled.values()) / len(sampled)
+        assert abs(ms - me) <= 0.2 * me, (field, me, ms)

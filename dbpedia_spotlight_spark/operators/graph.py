@@ -1540,6 +1540,8 @@ def eccentricity_profile(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 10,
+    sample_sources: int | None = None,
+    max_rounds: int = 32,
 ) -> DataFrame:
     """Per-node eccentricity over the directed distance matrix — the
     graph-radius/diameter profile (diameter = max eccentricity, radius
@@ -1551,6 +1553,15 @@ def eccentricity_profile(
     alongside (a node reaching 2 of 10^6 nodes with ecc 1 is a leaf,
     not a center). One distance_matrix + one groupBy.
     -> (node, reached, eccentricity); pure sinks report (0, 0).
+
+    ``sample_sources=k`` (r5, completing the exact-APSP family's
+    sampled path): k deterministic hash-chosen probe TARGETS, one
+    reverse pivot-restricted bfs_sigma — per node, `reached` counts
+    probes hit and `eccentricity` is max distance TO a probe, a
+    guaranteed LOWER BOUND on the true eccentricity (the max over a
+    subset; the standard probe estimate — diameter lower-bounding à la
+    Magnien/Latapy/Habib). With k >= |V| the bound is exact and equals
+    the full profile. State O(k·V), never the V² matrix.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (
@@ -1558,6 +1569,31 @@ def eccentricity_profile(
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
+    if sample_sources is not None:
+        nodes = nodes.localCheckpoint()
+        n_total = nodes.count()
+        k = min(int(sample_sources), n_total)
+        if k < 1:
+            raise ValueError("sample_sources needs >= 1 pivot")
+        pivots = _hash_pivots(nodes, k).localCheckpoint()
+        rev = bfs_sigma(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            max_rounds=max_rounds,
+            sources=pivots,
+        )
+        per = (
+            rev.filter(F.col("dist") > 0)
+            .groupBy("node")
+            .agg(
+                F.count("*").alias("reached"),
+                F.max("dist").alias("eccentricity"),
+            )
+        )
+        return nodes.join(per, "node", "left").select(
+            "node",
+            F.coalesce("reached", F.lit(0)).alias("reached"),
+            F.coalesce("eccentricity", F.lit(0)).alias("eccentricity"),
+        )
     d = distance_matrix(e, max_iterations=max_iterations)
     per = d.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("reached"),

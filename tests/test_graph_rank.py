@@ -578,3 +578,27 @@ def test_closeness_sampled_error_bound(spark):
         me = sum(getattr(r, field) for r in exact.values()) / len(exact)
         ms = sum(getattr(r, field) for r in sampled.values()) / len(sampled)
         assert abs(ms - me) <= 0.2 * me, (field, me, ms)
+
+
+def test_eccentricity_sampled_exact_and_lower_bound(spark):
+    """r5: probe-sampled eccentricity equals exact at k >= |V| and is a
+    per-node LOWER BOUND (never above exact) at any smaller k."""
+    from dbpedia_spotlight_spark.operators.graph import eccentricity_profile
+
+    e = _circulant(spark, n=12)
+    exact = {r.node: r for r in eccentricity_profile(e).collect()}
+    full = {
+        r.node: r
+        for r in eccentricity_profile(e, sample_sources=50).collect()
+    }
+    for v, ex in exact.items():
+        assert full[v].eccentricity == ex.eccentricity
+        assert full[v].reached == ex.reached
+    sub = {
+        r.node: r
+        for r in eccentricity_profile(e, sample_sources=5).collect()
+    }
+    for v, ex in exact.items():
+        assert sub[v].eccentricity <= ex.eccentricity
+        assert sub[v].reached <= ex.reached
+        assert sub[v].reached > 0  # strongly connected: every probe hit

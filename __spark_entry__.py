@@ -4146,10 +4146,13 @@ def q_annotate_windowed(spark, sf_dir):
     documents longer than 250 tokens are scored against per-window
     context vectors instead of one whole-doc vector — the plan the
     reference uses for long documents, now on the bench path (round-3
-    item #7). Rows-only driver check: the windowed generative scoring
-    over the full model DAG has no tractable SQL twin; the windowing
-    operator itself is hash-checked by `d2_windows` and a long-doc
-    pytest fixture."""
+    item #7) AND the library default (r5). Rows-only driver check for
+    THIS full-FSA variant only: since r5 the windowed generative
+    scoring chain itself IS fully hash-checked end-to-end by
+    `annotate_windowed_scored` (injected-tokenization twin, same
+    library code path, window W=10 so windowing genuinely engages at
+    test scale); the window-assignment operator is additionally pinned
+    by `d2_windows` and a long-doc pytest fixture."""
     docs = _docs(spark, sf_dir)
     iv = flat_to_interleaved_media(docs)
     occ = _occs(spark, sf_dir).select(

@@ -309,3 +309,86 @@ def test_bgp_match_equals_brute_force_random(spark):
         assert sorted(got_df.columns) == vars_, (trips, pats)
         got = {tuple(r[v] for v in vars_) for r in got_df.collect()}
         assert got == expected, (trips, pats)
+
+
+def test_blend_scores_equals_global_percent_rank_window(spark):
+    """r5 rewrite pin: the distributed dense_sorted_id rank path is
+    BYTE-identical to the naive one-task global percent_rank window it
+    replaced, on a randomized frame with duplicates and NULLs."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dbpedia_spotlight_spark.datapipe.packing import blend_scores
+
+    rng = random.Random(20260821)
+    rows = []
+    for i in range(400):
+        a = rng.choice([None, 0.0, 1.5, 2.5, rng.uniform(-5, 5)])
+        b = float(rng.randint(0, 9))  # heavy duplicates
+        rows.append((f"d{i:04d}", a, b))
+    df = spark.createDataFrame(rows, "doc_id string, a double, b double")
+
+    got = {
+        r["doc_id"]: (r["a_pct"], r["b_pct"], r["blended"])
+        for r in blend_scores(df, {"a": 0.7, "b": -0.3}).collect()
+    }
+    ref = df
+    blended = F.lit(0.0)
+    for col, wt in sorted({"a": 0.7, "b": -0.3}.items()):
+        w = Window.orderBy(F.col(col).asc_nulls_first(), F.col("doc_id").asc())
+        ref = ref.withColumn(f"{col}_pct", F.percent_rank().over(w))
+        blended = blended + F.lit(float(wt)) * F.col(f"{col}_pct")
+    want = {
+        r["doc_id"]: (r["a_pct"], r["b_pct"], r["blended"])
+        for r in ref.withColumn("blended", F.round(blended, 6)).collect()
+    }
+    assert got == want  # exact equality, not approx
+
+
+def test_attach_windows_matches_bruteforce_assignment(spark):
+    """r5 rewrite pin: the union+last() spot assignment equals the
+    brute-force definition (last window whose start offset <= spot
+    offset, else first window) on randomized token/spot layouts,
+    including spots at offsets that are not token offsets."""
+    import random
+
+    from dbpedia_spotlight_spark.operators.disambiguate import (
+        attach_context_windows,
+    )
+
+    rng = random.Random(7)
+    tok_rows, spot_rows, docs = [], [], {}
+    for d in range(25):
+        doc = f"doc{d:02d}"
+        n_tok = rng.randint(1, 23)
+        offsets = sorted(rng.sample(range(0, 400), n_tok))
+        docs[doc] = offsets
+        tok_rows += [(doc, o) for o in offsets]
+        for _ in range(rng.randint(1, 6)):
+            # half aligned to a token, half arbitrary (incl. before first)
+            off = (
+                rng.choice(offsets)
+                if rng.random() < 0.5
+                else rng.randint(0, 410)
+            )
+            spot_rows.append((doc, 0, off, "sf"))
+    tokens = spark.createDataFrame(tok_rows, "doc_id string, offset int")
+    spots = spark.createDataFrame(
+        spot_rows, "doc_id string, span_pos int, offset int, surface_form string"
+    )
+    W = 5
+    _tk, sp = attach_context_windows(tokens, spots, max_tokens=W)
+    got = {(r["doc_id"], r["offset"]): r["ctx_id"] for r in sp.collect()}
+
+    for (doc, off), ctx in got.items():
+        offsets = docs[doc]
+        starts = [
+            (offsets[i], i // W) for i in range(0, len(offsets)) if i % W == 0
+        ]
+        eligible = [wid for (s, wid) in starts if s <= off]
+        want_wid = eligible[-1] if eligible else starts[0][1]
+        assert ctx == f"{doc}#{want_wid}", (doc, off, ctx, starts)
+    # every spot got exactly one window
+    assert len(got) == len({(r[0], r[2]) for r in spot_rows})
